@@ -1,0 +1,80 @@
+import numpy as np
+
+from anomaly_detection_ray.functions import sketches as sk
+
+
+def test_welford_merge_matches_whole():
+    rng = np.random.default_rng(1)
+    v = rng.normal(5, 2, size=10_000)
+    whole = sk.WelfordPartial.from_values(v)
+    parts = [sk.WelfordPartial.from_values(c) for c in np.array_split(v, 13)]
+    acc = sk.WelfordPartial()
+    for p in parts:
+        acc = acc.merge(p)
+    assert acc.n == whole.n == len(v)
+    np.testing.assert_allclose(acc.mean, v.mean())
+    np.testing.assert_allclose(acc.std, v.std())
+    np.testing.assert_allclose(acc.min, v.min())
+    np.testing.assert_allclose(acc.max, v.max())
+
+
+def test_hll_estimate():
+    rng = np.random.default_rng(2)
+    n = 50_000
+    h = rng.integers(0, 2**64, size=n, dtype=np.uint64)
+    hll = sk.HyperLogLog(p=12)
+    parts = [sk.HyperLogLog(p=12) for _ in range(4)]
+    for i, chunk in enumerate(np.array_split(h, 4)):
+        parts[i].add_hashes(chunk)
+    for p in parts:
+        hll = hll.merge(p)
+    est = hll.estimate()
+    assert abs(est - n) / n < 0.05
+
+
+def test_bloom():
+    rng = np.random.default_rng(3)
+    present = rng.integers(0, 2**64, size=5000, dtype=np.uint64)
+    absent = rng.integers(0, 2**64, size=5000, dtype=np.uint64)
+    bf = sk.BloomFilter(n_bits=1 << 18, k=4)
+    a, b = sk.BloomFilter(1 << 18, 4), sk.BloomFilter(1 << 18, 4)
+    a.add_hashes(present[:2500])
+    b.add_hashes(present[2500:])
+    bf = a.merge(b)
+    assert bf.contains_hashes(present).all()
+    fp = bf.contains_hashes(absent).mean()
+    assert fp < 0.02
+
+
+def test_tdigest_quantiles():
+    rng = np.random.default_rng(4)
+    v = rng.lognormal(8, 0.5, size=40_000)
+    td = sk.TDigest()
+    parts = []
+    for chunk in np.array_split(v, 10):
+        p = sk.TDigest()
+        p.add_values(chunk)
+        parts.append(sk.TDigest.from_bytes(p.to_bytes()))  # serialization roundtrip
+    for p in parts:
+        td = td.merge(p)
+    for q in [0.01, 0.25, 0.5, 0.75, 0.99]:
+        exact = np.quantile(v, q)
+        assert abs(td.quantile(q) - exact) / exact < 0.02
+
+
+def test_histogram_ks_psi():
+    rng = np.random.default_rng(5)
+    edges = np.linspace(0, 10, 21)
+    a = sk.Histogram(edges)
+    b = sk.Histogram(edges)
+    c = sk.Histogram(edges)
+    a.add_values(rng.normal(5, 1, 20_000))
+    b.add_values(rng.normal(5, 1, 20_000))
+    c.add_values(rng.normal(7, 1, 20_000))  # shifted
+    same_ks = sk.ks_statistic(a.counts, b.counts)
+    diff_ks = sk.ks_statistic(a.counts, c.counts)
+    assert same_ks < 0.02 and diff_ks > 0.5
+    assert sk.psi(a.counts, b.counts) < 0.02
+    assert sk.psi(a.counts, c.counts) > 1.0
+    merged = a.merge(b)
+    assert merged.counts.sum() == 40_000
