@@ -20,6 +20,17 @@ Status codes follow the reference 4-valued verdict
 OK=1, Warning=0, Error=-1, Undefined=2.
 """
 
+import os as _os
+
+# Ray worker processes resolve this package by module name; when the driver
+# script runs outside the repo root, make sure workers spawned AFTER this
+# import inherit an import path that includes it.
+_repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _repo_root not in _os.environ.get("PYTHONPATH", "").split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = (
+        _repo_root + _os.pathsep + _os.environ.get("PYTHONPATH", "")
+    ).rstrip(_os.pathsep)
+
 OK_CODE = 1
 WARNING_CODE = 0
 ERROR_CODE = -1

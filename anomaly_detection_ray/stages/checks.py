@@ -1,0 +1,158 @@
+"""Stateless per-row check stages (clip table) — each a vectorized
+``map_batches(batch_format="pyarrow")`` kernel appending verdict columns.
+
+Provenance: border check = border_check.py:122-146; byte-length consistency
+and transcript presence/equality are the north-rule referential checks
+(BASELINE.json); the global-stats z-check is the broadcast form of the
+reference's infinite Welford limits (welford.py:176-191) — stats computed
+once over the dataset (stages/stats.py), shipped to every task via
+``ray.put``, graded row-locally with the shared warning-stage idiom.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import audio, synth
+from ..functions.grading import (ERROR_CODE, OK_CODE, UNDEFINED_CODE,
+                                 grade_normalized, normalize)
+
+
+def _float_np(arr) -> np.ndarray:
+    # cast first — nulls survive the cast and become NaN in the numpy view
+    return pc.cast(arr, pa.float64()).to_numpy(zero_copy_only=False)
+
+
+def _null_mask(arr) -> np.ndarray:
+    return pc.is_null(arr).to_numpy(zero_copy_only=False).astype(bool)
+
+
+def _append(t: pa.Table, prefix: str, code: np.ndarray,
+            status: np.ndarray | None = None) -> pa.Table:
+    t = t.append_column(f"{prefix}_code", pa.array(code.astype(np.int8), type=pa.int8()))
+    if status is not None:
+        t = t.append_column(f"{prefix}_status", pa.array(status, type=pa.string()))
+    return t
+
+
+def border_stage(t: pa.Table, column: str, UL: float, LL: float,
+                 warning_stages: list[float], prefix: str = "bc") -> pa.Table:
+    """Static range check on one column; nulls grade Undefined."""
+    vals = _float_np(t[column])
+    vn = normalize(vals, UL, LL)
+    code, status = grade_normalized(vn, warning_stages)
+    return _append(t, prefix, code, status)
+
+
+def zscore_stage(t: pa.Table, column: str, mean: float, std: float, X: float,
+                 warning_stages: list[float], prefix: str = "wf") -> pa.Table:
+    """Broadcast-stats Welford check: limits mean ± X·std from the dataset-level
+    merged Welford partials (the scale form of welford.py's dynamic limits)."""
+    vals = _float_np(t[column])
+    half = X * max(std, np.nextafter(0, 1))
+    vn = (vals - mean) / half
+    code, status = grade_normalized(vn, warning_stages)
+    return _append(t, prefix, code, status)
+
+
+def consistency_stage(t: pa.Table, prefix: str = "cc",
+                      max_samples: int = synth.MAX_SAMPLES) -> pa.Table:
+    """bytes↔metadata consistency: encoded length must equal
+    44 + 2·min(round(sr_hz·dur_ms/1000), cap) (FIXTURES.md §B)."""
+    blen = _float_np(pc.binary_length(pc.fill_null(t["bytes"], b"")))
+    sr = _float_np(t["sr_hz"])
+    dur = _float_np(t["dur_ms"])
+    expected = audio.WAV_HEADER_BYTES + 2 * np.minimum(
+        np.round(sr * dur / 1000.0), max_samples)
+    meta_null = np.isnan(sr) | np.isnan(dur)
+    code = np.where(blen == expected, OK_CODE, ERROR_CODE).astype(np.int8)
+    code[meta_null] = UNDEFINED_CODE
+    status = np.where(code == ERROR_CODE, "Error: byte length inconsistent with metadata",
+                      np.where(code == UNDEFINED_CODE, "Undefined", "OK")).astype(object)
+    return _append(t, prefix, code, status)
+
+
+def transcript_stage(t: pa.Table, seed: int | None = None,
+                     prefix: str = "tc") -> pa.Table:
+    """Referential transcript check: presence (null/empty => Error) and, when
+    the generator seed is known, equality against the regenerated token
+    sequence (per-row fidelity invariant, BASELINE.json)."""
+    tr = t["transcript"]
+    missing = _null_mask(tr) | pc.equal(pc.fill_null(tr, ""), "").to_numpy(
+        zero_copy_only=False).astype(bool)
+    code = np.where(missing, ERROR_CODE, OK_CODE).astype(np.int8)
+    status = np.where(missing, "Error: transcript missing", "OK").astype(object)
+    if seed is not None:
+        idx = clip_index(t)
+        dur = _float_np(t["dur_ms"])
+        texts = tr.to_pylist()
+        ok_rows = np.nonzero(~missing & ~np.isnan(dur))[0]
+        for r in ok_rows:
+            if texts[r] != synth.transcript_for(seed, int(idx[r]), int(dur[r])):
+                code[r] = ERROR_CODE
+                status[r] = "Error: transcript mismatch"
+    return _append(t, prefix, code, status)
+
+
+def clip_index(t: pa.Table) -> np.ndarray:
+    """Parse the numeric clip index from clip_id ('clip-%09d')."""
+    sliced = pc.utf8_slice_codeunits(pc.fill_null(t["clip_id"], "clip-000000000"), 5, 99)
+    return pc.cast(sliced, pa.int64()).to_numpy(zero_copy_only=False)
+
+
+class FidelityCheck:
+    """Actor-pool stage: decode PCM16 WAV payloads and verify SNR >= threshold
+    against the regenerated deterministic signal (audio.clip_signal).
+
+    Callable-class => one actor per pool slot; per-clip decode is genuinely
+    per-item work (like image decode) but each decode/SNR is numpy-vectorized
+    over the clip's samples. Appends fid_code / fid_status / snr_db.
+    """
+
+    def __init__(self, seed: int, snr_threshold: float = 30.0,
+                 max_samples: int = synth.MAX_SAMPLES):
+        self.seed = seed
+        self.snr_threshold = snr_threshold
+        self.max_samples = max_samples
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        idx = clip_index(t)
+        sr = _float_np(t["sr_hz"])
+        dur = _float_np(t["dur_ms"])
+        payloads = t["bytes"].to_pylist()
+        code = np.full(n, OK_CODE, dtype=np.int8)
+        status = np.full(n, "OK", dtype=object)
+        snr = np.full(n, np.nan)
+        for r in range(n):
+            if payloads[r] is None or np.isnan(sr[r]) or np.isnan(dur[r]):
+                code[r] = UNDEFINED_CODE
+                status[r] = "Undefined"
+                continue
+            dec, dec_sr = audio.decode_wav_lenient(payloads[r])
+            if dec is None:
+                code[r] = ERROR_CODE
+                status[r] = "Error: undecodable audio payload"
+                continue
+            n_samp = min(int(round(sr[r] * dur[r] / 1000.0)), self.max_samples)
+            ref = audio.clip_signal(self.seed, int(idx[r]),
+                                    min(int(sr[r]), 48000), int(dur[r]))[:n_samp]
+            s = audio.snr_db(dec, ref)
+            snr[r] = s
+            if not (s >= self.snr_threshold):
+                code[r] = ERROR_CODE
+                status[r] = "Error: decoded-PCM SNR below threshold"
+        t = _append(t, "fid", code, status)
+        return t.append_column("snr_db", pa.array(snr, type=pa.float64()))
+
+
+def flag_duplicates_stage(t: pa.Table, dup_ids: set[str] | frozenset[str],
+                          prefix: str = "uq") -> pa.Table:
+    """Uniqueness flag: clip_id in the (broadcast) confirmed-duplicate set."""
+    isin = pc.is_in(t["clip_id"], value_set=pa.array(sorted(dup_ids), type=pa.string()))
+    dup = pc.fill_null(isin, False).to_numpy(zero_copy_only=False).astype(bool)
+    code = np.where(dup, ERROR_CODE, OK_CODE).astype(np.int8)
+    status = np.where(dup, "Error: duplicate clip_id", "OK").astype(object)
+    return _append(t, prefix, code, status)

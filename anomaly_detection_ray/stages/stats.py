@@ -1,0 +1,141 @@
+"""Dataset-level and grouped statistics via partial aggregation.
+
+Pattern (ray_guide "Aggregation at scale"): every batch emits ONE tiny
+partial row per key — Welford (n, mean, M2, min, max) tuples, serialized
+t-digests, HLL registers — and a second, small ``groupby`` (or driver fold,
+when the partial count is O(#batches)) merges them. No full-row shuffle ever
+happens; the only data movement is the partials.
+
+Skew: grouped stats key on ``codec`` which is deliberately hot (70%
+pcm_s16le, FIXTURES.md §B). Partials are emitted per (codec, salt) with
+salt = hash(clip_id) % n_salts, merged in two levels: groupby((codec, salt))
+then a tiny groupby(codec) — so no single reducer sees the hot key's full
+row stream (SURVEY.md §4 "skew").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.sketches import HyperLogLog, TDigest, WelfordPartial
+
+WELFORD_FIELDS = ["n", "mean", "M2", "min", "max"]
+
+
+def _col_f64(t: pa.Table, col: str) -> np.ndarray:
+    return pc.cast(t[col], pa.float64()).to_numpy(zero_copy_only=False)
+
+
+def welford_partial_batch(t: pa.Table, value_col: str,
+                          key_col: str | None = None,
+                          n_salts: int = 0) -> pa.Table:
+    """Per-batch Welford partials: one output row per key (× salt)."""
+    vals = _col_f64(t, value_col)
+    if key_col is None:
+        p = WelfordPartial.from_values(vals)
+        return pa.table({
+            "key": pa.array([""], type=pa.string()),
+            "salt": pa.array([0], type=pa.int32()),
+            "n": [float(p.n)], "mean": [p.mean], "M2": [p.M2],
+            "min": [p.min], "max": [p.max],
+        })
+    keys = t[key_col].to_pandas().fillna("")
+    if n_salts > 1:
+        salt = (pd.util.hash_pandas_object(
+            t["clip_id"].to_pandas(), index=False).to_numpy() % n_salts).astype(np.int32)
+    else:
+        salt = np.zeros(len(keys), dtype=np.int32)
+    df = pd.DataFrame({"key": keys, "salt": salt, "v": vals})
+    rows = {"key": [], "salt": [], "n": [], "mean": [], "M2": [], "min": [], "max": []}
+    for (k, s), grp in df.groupby(["key", "salt"], sort=False):
+        p = WelfordPartial.from_values(grp["v"].to_numpy())
+        rows["key"].append(k)
+        rows["salt"].append(s)
+        rows["n"].append(float(p.n))
+        rows["mean"].append(p.mean)
+        rows["M2"].append(p.M2)
+        rows["min"].append(p.min)
+        rows["max"].append(p.max)
+    return pa.table({"key": pa.array(rows["key"], type=pa.string()),
+                     "salt": pa.array(rows["salt"], type=pa.int32()),
+                     **{f: pa.array(rows[f], type=pa.float64()) for f in WELFORD_FIELDS}})
+
+
+def _merge_partial_group(g: pd.DataFrame) -> pd.DataFrame:
+    acc = WelfordPartial()
+    for _, r in g.iterrows():
+        acc = acc.merge(WelfordPartial(int(r["n"]), r["mean"], r["M2"], r["min"], r["max"]))
+    return pd.DataFrame({
+        "key": [g["key"].iloc[0]], "n": [float(acc.n)], "mean": [acc.mean],
+        "M2": [acc.M2], "min": [acc.min], "max": [acc.max],
+    })
+
+
+def grouped_welford(ds, value_col: str, key_col: str | None,
+                    n_salts: int = 8) -> pd.DataFrame:
+    """Full two-level salted merge over a Dataset -> small pandas result
+    (one row per key) with n/mean/std/min/max."""
+    partials = ds.map_batches(
+        lambda t: welford_partial_batch(t, value_col, key_col, n_salts),
+        batch_format="pyarrow")
+    level1 = partials.groupby(["key", "salt"]).map_groups(
+        _merge_partial_group, batch_format="pandas")
+    small = level1.to_pandas()  # ≤ keys × salts rows — tiny
+    out = []
+    for k, g in small.groupby("key", sort=True):
+        acc = WelfordPartial()
+        for _, r in g.iterrows():
+            acc = acc.merge(WelfordPartial(int(r["n"]), r["mean"], r["M2"], r["min"], r["max"]))
+        out.append({"key": k, "n": acc.n, "mean": acc.mean,
+                    "std": acc.std, "std_sample": acc.std_sample,
+                    "min": acc.min, "max": acc.max})
+    return pd.DataFrame(out)
+
+
+def global_welford(ds, value_col: str) -> WelfordPartial:
+    """Dataset-level Welford: one partial row per batch, folded on the driver
+    (#batches rows — no shuffle at all)."""
+    partials = ds.map_batches(
+        lambda t: welford_partial_batch(t, value_col), batch_format="pyarrow")
+    acc = WelfordPartial()
+    for b in partials.iter_batches(batch_format="pandas", batch_size=4096):
+        for _, r in b.iterrows():
+            acc = acc.merge(WelfordPartial(int(r["n"]), r["mean"], r["M2"], r["min"], r["max"]))
+    return acc
+
+
+def tdigest_column(ds, value_col: str, delta: int = 200) -> TDigest:
+    """Mergeable t-digest of one column: one serialized digest per batch,
+    merged on the driver."""
+    def batch_digest(t: pa.Table) -> pa.Table:
+        td = TDigest(delta)
+        td.add_values(_col_f64(t, value_col))
+        return pa.table({"sketch": pa.array([td.to_bytes()], type=pa.binary())})
+
+    acc = TDigest(delta)
+    for b in ds.map_batches(batch_digest, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=4096):
+        for s in b["sketch"].to_pylist():
+            acc = acc.merge(TDigest.from_bytes(s))
+    return acc
+
+
+def hll_column(ds, key_col: str, p: int = 14) -> HyperLogLog:
+    """HLL distinct-count of a string column: per-batch registers, driver merge."""
+    def batch_hll(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(t[key_col].to_pandas(), index=False).to_numpy()
+        hll = HyperLogLog(p)
+        hll.add_hashes(h.astype(np.uint64))
+        return pa.table({"registers": pa.array([hll.registers.tobytes()], type=pa.binary())})
+
+    acc = HyperLogLog(p)
+    for b in ds.map_batches(batch_hll, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=4096):
+        for r in b["registers"].to_pylist():
+            other = HyperLogLog(p)
+            other.registers = np.frombuffer(r, dtype=np.uint8).copy()
+            acc = acc.merge(other)
+    return acc

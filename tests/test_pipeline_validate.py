@@ -1,0 +1,150 @@
+"""End-to-end clip-table validation pipeline tests (FIXTURES.md §B):
+injected violations must be flagged by exactly the right checks, partition
+verdicts must fail iff the partition carries an Error-class violation or
+drift, and a resumed run must skip completed partitions.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from anomaly_detection_ray import synth
+from anomaly_detection_ray.pipelines import validate as vp
+
+SEED = 123
+N = 1500
+P = 8
+
+
+@pytest.fixture(scope="module")
+def clip_path(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("clips")
+    synth.write_clip_table(str(d), seed=SEED, n=N, P=P, rows_per_file=512)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def run(clip_path, tmp_path_factory):
+    out = tmp_path_factory.mktemp("out")
+    cfg = vp.ValidateConfig(seed=SEED, P=P, fidelity_concurrency=2,
+                            fidelity_batch_size=128)
+    res = vp.run_validation(clip_path, str(out), cfg, resume=False)
+    res["cfg"] = cfg
+    res["out"] = str(out)
+    return res
+
+
+def _violations_df(res) -> pd.DataFrame:
+    import pyarrow.dataset as pads
+    return pads.dataset(res["violations_path"], partitioning="hive").to_table().to_pandas()
+
+
+def test_rows_processed(run):
+    assert run["rows"] == N
+    assert run["clips_per_sec"] > 0
+
+
+def test_duplicates_flagged(run):
+    gt = synth.ground_truth(SEED, N, P)
+    dup_ids = {f"clip-{synth.dup_source(SEED, np.array([i]))[0]:09d}" for i in gt["dup"]}
+    viol = _violations_df(run)
+    flagged = set(viol.loc[viol["uq_code"] == -1, "clip_id"])
+    # every duplicated id (original + copies) must be flagged
+    assert dup_ids <= flagged
+    # and nothing else
+    legit = {c for c in flagged if c not in dup_ids}
+    assert not legit
+
+
+def test_missing_transcripts_flagged(run):
+    gt = synth.ground_truth(SEED, N, P)
+    viol = _violations_df(run)
+    flagged_ids = set(viol.loc[viol["tc_code"] == -1, "clip_id"])
+    expected = {f"clip-{i:09d}" for i in gt["missing_transcript"]}
+    assert expected <= flagged_ids
+
+
+def test_sr_border_flagged(run):
+    gt = synth.ground_truth(SEED, N, P)
+    viol = _violations_df(run)
+    flagged = set(viol.loc[viol["bc_code"] == -1, "clip_id"])
+    expected = {f"clip-{i:09d}" for i in gt["sr_range"]}
+    assert expected == flagged
+
+
+def test_null_meta_undefined(run):
+    gt = synth.ground_truth(SEED, N, P)
+    if len(gt["null_meta"]) == 0:
+        pytest.skip("no null_meta rows at this N")
+    m = run["metrics"]
+    assert m["rv_code_undefined"].sum() == len(gt["null_meta"])
+
+
+def test_truncated_and_corrupt_flagged(run):
+    gt = synth.ground_truth(SEED, N, P)
+    viol = _violations_df(run)
+    cc_flagged = set(viol.loc[viol["cc_code"] == -1, "clip_id"])
+    for i in gt["truncated"]:
+        assert f"clip-{i:09d}" in cc_flagged
+    fid_flagged = set(viol.loc[viol["fid_code"] == -1, "clip_id"])
+    for i in gt["corrupt_pcm"]:
+        assert f"clip-{i:09d}" in fid_flagged
+
+
+def test_clean_rows_not_flagged(run):
+    gt = synth.ground_truth(SEED, N, P)
+    bad = set()
+    for k, v in gt.items():
+        if k == "drift_partition":
+            continue
+        bad.update(int(i) for i in v)
+    # ids of duplicated sources are legitimately flagged too
+    dup_srcs = {int(synth.dup_source(SEED, np.array([i]))[0]) for i in gt["dup"]}
+    viol = _violations_df(run)
+    flagged_idx = {int(c.split("-")[1]) for c in viol["clip_id"]}
+    unexpected = flagged_idx - bad - dup_srcs
+    # dur_ms z-check may legitimately flag extreme clean tails; nothing else may
+    wf_only = set()
+    for c in viol.loc[(viol["wf_code"] == -1)
+                      & (viol[[x for x in vp.CODE_COLS if x != "wf_code"]] != -1).all(axis=1),
+                      "clip_id"]:
+        wf_only.add(int(c.split("-")[1]))
+    assert unexpected <= wf_only
+
+
+def test_drift_partition_detected(run):
+    drift = run["drift"]
+    sr_drift = drift[drift["column"] == "sr_hz"].set_index("partition_id")
+    assert sr_drift.loc[P - 1, "drift_code"] == -1
+    clean = sr_drift.drop(index=P - 1)
+    assert (clean["drift_code"] == 1).all()
+
+
+def test_partition_verdicts(run):
+    v = run["verdicts"].set_index("partition_id")
+    assert not v.loc[P - 1, "pass"]  # drifted partition fails
+    gt = synth.ground_truth(SEED, N, P)
+    # a partition passes iff it has no error rows and no drift
+    for pid, row in v.iterrows():
+        assert row["pass"] == (row["violations"] == 0 and not row["drifted"])
+
+
+def test_hll_estimate_close(run):
+    distinct = N - len(synth.ground_truth(SEED, N, P)["dup"])
+    assert abs(run["pass_a"]["hll_estimate"] - distinct) / distinct < 0.05
+
+
+def test_resume_skips_completed(clip_path, run):
+    cfg = run["cfg"]
+    res2 = vp.run_validation(clip_path, run["out"], cfg, resume=True)
+    assert sorted(res2["skipped_partitions"]) == list(range(P))
+    assert res2["rows"] == 0  # nothing re-validated
+
+
+def test_violations_layout_partitioned(run):
+    subdirs = [d for d in os.listdir(run["violations_path"])
+               if d.startswith("partition_id=")]
+    assert len(subdirs) >= 2  # partition-keyed output (resumable layout)
