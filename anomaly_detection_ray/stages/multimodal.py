@@ -1,0 +1,132 @@
+"""Multimodal binary-column stages.
+
+Images/audio/video are opaque ``binary`` columns with typed metadata;
+decode / feature-extract / resize / frame-sample run as actor-pool
+map_batches stages with SMALL batch sizes (payloads dominate block size).
+
+Audio decode is REAL (stdlib WAV, stages/checks.FidelityCheck). Image and
+video codecs are not available in this container, so those decoders are
+STUBS behind ``NotImplementedError`` with a deterministic fake mode for
+testing the Ray-side plumbing (schema, batch size, actor signature,
+output layout) — clearly marked per the build instructions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .. import audio
+
+HAVE_PIL = False
+try:  # pragma: no cover - not present in this container
+    import PIL.Image  # noqa: F401
+    HAVE_PIL = True
+except ImportError:
+    pass
+
+
+class AudioFeatures:
+    """Actor-pool stage: WAV binary -> (rms, peak, duration_s, n_samples).
+    Real decode via the stdlib codec; per-clip numpy work."""
+
+    def __init__(self, bytes_col: str = "bytes"):
+        self.bytes_col = bytes_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t[self.bytes_col].to_pylist()
+        n = len(payloads)
+        rms = np.full(n, np.nan)
+        peak = np.full(n, np.nan)
+        dur_s = np.full(n, np.nan)
+        n_samp = np.zeros(n, dtype=np.int64)
+        for i, b in enumerate(payloads):
+            if not b:
+                continue
+            sig, sr = audio.decode_wav_lenient(b)
+            if sig is None or sr in (None, 0):
+                continue
+            rms[i] = float(np.sqrt(np.mean(sig**2))) if len(sig) else 0.0
+            peak[i] = float(np.max(np.abs(sig))) if len(sig) else 0.0
+            dur_s[i] = len(sig) / sr
+            n_samp[i] = len(sig)
+        return (t.append_column("rms", pa.array(rms))
+                 .append_column("peak", pa.array(peak))
+                 .append_column("audio_dur_s", pa.array(dur_s))
+                 .append_column("n_samples", pa.array(n_samp)))
+
+
+class ImageDecode:
+    """Actor-pool stage: image binary -> (height, width, channels).
+
+    STUB: no image codec in this container. ``fake="deterministic"``
+    exercises the full Ray plumbing with dimensions derived from a stable
+    hash of the payload; ``fake=None`` raises NotImplementedError exactly
+    where a real PIL/libjpeg decode would go.
+    """
+
+    def __init__(self, bytes_col: str = "image", fake: str | None = None,
+                 resize_to: tuple[int, int] | None = None):
+        self.bytes_col = bytes_col
+        self.fake = fake
+        self.resize_to = resize_to
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t[self.bytes_col].to_pylist()
+        if self.fake is None:
+            if not HAVE_PIL:
+                raise NotImplementedError(
+                    "image decode requires an image codec (PIL) — not in this "
+                    "container; construct with fake='deterministic' to test plumbing")
+            raise NotImplementedError("real PIL path intentionally unimplemented here")
+        h = np.zeros(len(payloads), dtype=np.int32)
+        w = np.zeros(len(payloads), dtype=np.int32)
+        c = np.zeros(len(payloads), dtype=np.int32)
+        for i, b in enumerate(payloads):
+            if not b:
+                continue
+            hv = hash(bytes(b[:64])) & 0xFFFF
+            h[i], w[i], c[i] = 64 + hv % 512, 64 + (hv >> 4) % 512, 3
+        if self.resize_to is not None:
+            h[:], w[:] = self.resize_to
+        return (t.append_column("height", pa.array(h))
+                 .append_column("width", pa.array(w))
+                 .append_column("channels", pa.array(c)))
+
+
+class VideoFrameSample:
+    """Actor-pool stage: video binary -> sampled frame descriptors.
+
+    STUB: no video codec in this container; deterministic fake emits
+    ``n_frames`` rows per video (flat_map layout) so downstream grouping /
+    per-frame pipelines are exercised for real.
+    """
+
+    def __init__(self, bytes_col: str = "video", n_frames: int = 4,
+                 id_col: str = "clip_id", fake: str | None = "deterministic"):
+        if fake is None:
+            raise NotImplementedError("video decode requires a codec — not in this container")
+        self.bytes_col, self.n_frames, self.id_col = bytes_col, n_frames, id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, frame_idx, offsets = [], [], []
+        payloads = t[self.bytes_col].to_pylist()
+        for rid, b in zip(t[self.id_col].to_pylist(), payloads):
+            size = len(b or b"")
+            for f in range(self.n_frames):
+                ids.append(rid)
+                frame_idx.append(f)
+                offsets.append((size * f) // max(self.n_frames, 1))
+        return pa.table({self.id_col: ids,
+                         "frame_idx": pa.array(frame_idx, type=pa.int32()),
+                         "byte_offset": pa.array(offsets, type=pa.int64())})
+
+
+def audio_features(ds, bytes_col: str = "bytes", batch_size: int = 64,
+                   concurrency: int = 4):
+    """Wire the AudioFeatures actor pool with payload-aware batch sizing."""
+    return ds.map_batches(AudioFeatures,
+                          fn_constructor_kwargs={"bytes_col": bytes_col},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=1)

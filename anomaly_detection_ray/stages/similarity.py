@@ -1,0 +1,125 @@
+"""Similarity search over an embedding column (list<float>).
+
+ - brute_force_topk: the exact baseline — the query matrix is broadcast via
+   ``ray.put`` once; every batch does one numpy matmul and emits its LOCAL
+   top-k rows, so only batches×k candidate rows return to the driver for
+   the final merge (never the full score table).
+ - ivf_topk: the scale path — a coarse k-means codebook (trained on a
+   sample, a few Lloyd iterations, fixed seed) assigns each row to a cell;
+   queries probe the ``nprobe`` nearest cells so each batch scores only the
+   rows whose cell is probed. Same return contract as brute force.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     exclude_ids: set | None = None) -> pd.DataFrame:
+    """Exact cosine top-k for each query vector. Returns (query_idx, vec_id,
+    cosine) with deterministic tie-break (higher cosine, then lower id)."""
+    Q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    q_ref = ray.put(Q)
+    excl = frozenset(exclude_ids or ())
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        Qm = ray.get(q_ref)
+        if excl:
+            df = df[~df[id_col].isin(excl)]
+        if df.empty:
+            return pd.DataFrame({"query_idx": [], id_col: [], "cosine": []})
+        V = _normalize(_as_matrix(df[vec_col].to_numpy()))
+        ids = df[id_col].to_numpy()
+        sims = V @ Qm.T  # (rows, n_queries)
+        out_q, out_i, out_s = [], [], []
+        kk = min(k, len(ids))
+        for qi in range(Qm.shape[0]):
+            s = sims[:, qi]
+            part = np.argpartition(-s, kk - 1)[:kk]
+            out_q.extend([qi] * kk)
+            out_i.extend(ids[part])
+            out_s.extend(s[part])
+        return pd.DataFrame({"query_idx": np.array(out_q, dtype=np.int64),
+                             id_col: np.array(out_i, dtype=np.int64),
+                             "cosine": out_s})
+
+    cand = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    if cand.empty:
+        return cand
+    cand = cand.sort_values(["query_idx", "cosine", id_col],
+                            ascending=[True, False, True])
+    return (cand.groupby("query_idx", as_index=False).head(k)
+            .reset_index(drop=True))
+
+
+def train_ivf_codebook(ds, n_cells: int = 16, vec_col: str = "embedding",
+                       sample_rows: int = 4096, iters: int = 8,
+                       seed: int = 0) -> np.ndarray:
+    """Coarse k-means codebook from a sample (driver-side Lloyd, tiny)."""
+    sample = ds.limit(sample_rows).to_pandas()
+    X = _normalize(_as_matrix(sample[vec_col].to_numpy()))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_topk(ds, queries: np.ndarray, codebook: np.ndarray, k: int = 10,
+             nprobe: int = 4, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> pd.DataFrame:
+    """Approximate top-k: score only rows whose IVF cell is among the
+    query's ``nprobe`` closest cells."""
+    Q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    C = np.asarray(codebook, dtype=np.float64)
+    probed = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    q_ref = ray.put((Q, C, probed))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        Qm, Cm, probe = ray.get(q_ref)
+        V = _normalize(_as_matrix(df[vec_col].to_numpy()))
+        ids = df[id_col].to_numpy()
+        cells = np.argmax(V @ Cm.T, axis=1)
+        out_q, out_i, out_s = [], [], []
+        for qi in range(Qm.shape[0]):
+            m = np.isin(cells, probe[qi])
+            if not m.any():
+                continue
+            s = V[m] @ Qm[qi]
+            sub_ids = ids[m]
+            kk = min(k, len(sub_ids))
+            part = np.argpartition(-s, kk - 1)[:kk]
+            out_q.extend([qi] * kk)
+            out_i.extend(sub_ids[part])
+            out_s.extend(s[part])
+        return pd.DataFrame({"query_idx": np.array(out_q, dtype=np.int64),
+                             id_col: np.array(out_i, dtype=np.int64),
+                             "cosine": out_s})
+
+    cand = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    if cand.empty:
+        return cand
+    cand = cand.sort_values(["query_idx", "cosine", id_col],
+                            ascending=[True, False, True])
+    return (cand.groupby("query_idx", as_index=False).head(k)
+            .reset_index(drop=True))

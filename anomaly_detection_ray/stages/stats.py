@@ -31,7 +31,8 @@ def _col_f64(t: pa.Table, col: str) -> np.ndarray:
 
 def welford_partial_batch(t: pa.Table, value_col: str,
                           key_col: str | None = None,
-                          n_salts: int = 0) -> pa.Table:
+                          n_salts: int = 0,
+                          salt_col: str | None = None) -> pa.Table:
     """Per-batch Welford partials: one output row per key (× salt)."""
     vals = _col_f64(t, value_col)
     if key_col is None:
@@ -42,10 +43,13 @@ def welford_partial_batch(t: pa.Table, value_col: str,
             "n": [float(p.n)], "mean": [p.mean], "M2": [p.M2],
             "min": [p.min], "max": [p.max],
         })
-    keys = t[key_col].to_pandas().fillna("")
+    keys = t[key_col].to_pandas().astype(str).fillna("")
     if n_salts > 1:
+        sc = salt_col if salt_col is not None and salt_col in t.column_names else None
+        if sc is None:
+            sc = "clip_id" if "clip_id" in t.column_names else t.column_names[0]
         salt = (pd.util.hash_pandas_object(
-            t["clip_id"].to_pandas(), index=False).to_numpy() % n_salts).astype(np.int32)
+            t[sc].to_pandas(), index=False).to_numpy() % n_salts).astype(np.int32)
     else:
         salt = np.zeros(len(keys), dtype=np.int32)
     df = pd.DataFrame({"key": keys, "salt": salt, "v": vals})
@@ -75,11 +79,11 @@ def _merge_partial_group(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def grouped_welford(ds, value_col: str, key_col: str | None,
-                    n_salts: int = 8) -> pd.DataFrame:
+                    n_salts: int = 8, salt_col: str | None = None) -> pd.DataFrame:
     """Full two-level salted merge over a Dataset -> small pandas result
     (one row per key) with n/mean/std/min/max."""
     partials = ds.map_batches(
-        lambda t: welford_partial_batch(t, value_col, key_col, n_salts),
+        lambda t: welford_partial_batch(t, value_col, key_col, n_salts, salt_col),
         batch_format="pyarrow")
     level1 = partials.groupby(["key", "salt"]).map_groups(
         _merge_partial_group, batch_format="pandas")

@@ -1,0 +1,126 @@
+"""Similarity search, isolation forest, clustering, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(300, 24)).astype(np.float64)
+    return rd.from_pandas(pd.DataFrame({"vec_id": range(300), "embedding": list(vecs)})), vecs
+
+
+def test_brute_force_topk_exact(emb_ds):
+    from anomaly_detection_ray.stages import similarity as sim
+    ds, vecs = emb_ds
+    q = vecs[0]
+    got = sim.brute_force_topk(ds, q, k=10, exclude_ids={0})
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ (q / np.linalg.norm(q))
+    sims[0] = -np.inf
+    want = np.argsort(-sims)[:10]
+    np.testing.assert_array_equal(got["vec_id"].to_numpy(), want)
+    np.testing.assert_allclose(got["cosine"].to_numpy(), sims[want], rtol=1e-9)
+
+
+def test_ivf_topk_recall(emb_ds):
+    from anomaly_detection_ray.stages import similarity as sim
+    ds, vecs = emb_ds
+    q = vecs[:5]
+    code = sim.train_ivf_codebook(ds, n_cells=8, sample_rows=300)
+    exact = sim.brute_force_topk(ds, q, k=10)
+    approx = sim.ivf_topk(ds, q, code, k=10, nprobe=4)
+    recalls = []
+    for qi in range(5):
+        e = set(exact.loc[exact["query_idx"] == qi, "vec_id"])
+        a = set(approx.loc[approx["query_idx"] == qi, "vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5  # nprobe=4/8 cells on gaussian data
+
+
+def test_iforest_model():
+    from anomaly_detection_ray.stages.iforest import IsolationForestModel
+    rng = np.random.default_rng(3)
+    X = rng.normal(0, 1, size=(500, 2))
+    outliers = np.array([[8.0, 8.0], [-9.0, 7.5], [10.0, -10.0]])
+    m = IsolationForestModel(n_trees=100, max_samples=128, seed=1).fit(X)
+    s_in = m.scores(X[:50])
+    s_out = m.scores(outliers)
+    assert s_out.min() > s_in.max()
+    assert (m.predict(outliers) == -1).all()
+    assert (m.predict(X[:50]) == 1).mean() > 0.9
+
+
+def test_iforest_warmup_then_ok_stream(ray_session):
+    """Reference unit test shape (unit_tests.py:527-548): train on constant
+    data, score a constant OK stream -> all OK; a far-off stream -> Error."""
+    import ray.data as rd
+    from anomaly_detection_ray.stages import iforest as ifo
+    rng = np.random.default_rng(0)
+    train = np.column_stack([np.ones(100) + rng.normal(0, 0.05, 100)])
+    model = ifo.IsolationForestModel(n_trees=50, max_samples=64, seed=2).fit(train)
+    df = pd.DataFrame({"v": [1.0] * 15 + [25.0] * 5})
+    out = ifo.score_stage(rd.from_pandas(df), model, ["v"], concurrency=2).to_pandas()
+    assert (out["if_code"][:15] == 1).all()
+    assert (out["if_code"][15:] == -1).all()
+
+
+def test_clustering_golden(ray_session):
+    """Clustering golden vectors (unit_tests.py:819-864): eps=0.98,
+    min_samples=3, treshold=1.5."""
+    import ray.data as rd
+    from anomaly_detection_ray.stages.iforest import (ClusteringScore,
+                                                      DBSCANCoreModel)
+    train = np.array([
+        [10.3, 10.44], [9.8, 11.3], [15.433, 16.4], [0, 0.2], [0.2, 0.234],
+        [0.3, 0.12], [0.11, 0.0456], [0.01, 0.07996], [1.3, 0.211], [1, 1.65],
+        [1.2, 1.22], [1.332, 1.03], [1.222, 1.01], [1.554, 1.44]])
+    model = DBSCANCoreModel(eps=0.98, min_samples=3, treshold=1.5).fit(train)
+    ok_pts = np.array([[1.0, 0.9], [0.4, 0.0], [2.554, 2.44]])
+    err_pts = np.array([[3.054, 2.96], [10, 11], [-5, -1]])
+    assert (model.predict_codes(ok_pts) == 1).all()
+    assert (model.predict_codes(err_pts) == -1).all()
+    import ray
+    df = pd.DataFrame({"x": np.r_[ok_pts[:, 0], err_pts[:, 0]],
+                       "y": np.r_[ok_pts[:, 1], err_pts[:, 1]]})
+    out = (rd.from_pandas(df)
+           .map_batches(ClusteringScore,
+                        fn_constructor_kwargs={"model_ref": ray.put(model),
+                                               "feature_cols": ["x", "y"]},
+                        batch_format="pyarrow", concurrency=1)
+           .to_pandas())
+    assert list(out["cl_code"]) == [1, 1, 1, -1, -1, -1]
+
+
+def test_audio_features_stage(ray_session):
+    import ray.data as rd
+    from anomaly_detection_ray import audio, synth
+    from anomaly_detection_ray.stages.multimodal import audio_features
+    t = synth.generate_table(5, 40, P=4)
+    out = audio_features(rd.from_arrow(t), concurrency=2).to_pandas()
+    ok = out[out["rms"].notna()]
+    assert len(ok) > 30
+    assert ((ok["rms"] > 0.1) & (ok["rms"] < 0.6)).mean() > 0.9
+
+
+def test_image_video_stubs(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    from anomaly_detection_ray.stages.multimodal import ImageDecode, VideoFrameSample
+    t = pa.table({"clip_id": ["a", "b"], "image": [b"\x89PNG123456", b"GIF87a123"],
+                  "video": [b"\x00" * 100, b"\x01" * 50]})
+    ds = rd.from_arrow(t)
+    imgs = ds.map_batches(ImageDecode, fn_constructor_kwargs={
+        "bytes_col": "image", "fake": "deterministic"},
+        batch_format="pyarrow", concurrency=1).to_pandas()
+    assert (imgs["channels"] == 3).all() and (imgs["height"] >= 64).all()
+    with pytest.raises(NotImplementedError):
+        ImageDecode(bytes_col="image", fake=None)(t)
+    frames = ds.map_batches(VideoFrameSample, fn_constructor_kwargs={
+        "bytes_col": "video", "n_frames": 4},
+        batch_format="pyarrow", concurrency=1).to_pandas()
+    assert len(frames) == 8
+    assert set(frames["frame_idx"]) == {0, 1, 2, 3}

@@ -1,0 +1,135 @@
+"""Text-analysis and dedup kernel tests (driver-side functions + Ray stages)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from anomaly_detection_ray.functions import text as tx
+
+
+def test_token_count_matches_re():
+    import re
+    texts = pd.Series(["hello world", "  a  b   c ", "", None, "one"])
+    got = tx.token_count(texts)
+    want = [len(re.findall(r"\S+", t or "")) for t in texts]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_quality_features():
+    q = tx.quality_features(pd.Series(["The cat, and the dog!", "abc"]))
+    assert q["n_tokens"][0] == 5
+    assert q["punct_ratio"][0] > 0
+    assert q["stopword_ratio"][0] == pytest.approx(3 / 5)
+    assert q["stopword_ratio"][1] == 0.0
+
+
+def test_detect_language():
+    s = pd.Series([
+        "the cat sat on the mat and it was happy",
+        "der Hund ist nicht mit der Katze auf dem Dach",
+        "le chat est dans la maison avec le chien",
+        "el perro y el gato en la casa con su amigo",
+        "xyzzy qwerty",
+    ])
+    langs = tx.detect_language(s)
+    assert list(langs[:4]) == ["en", "de", "fr", "es"]
+    assert langs[4] == "und"
+
+
+def test_shingles_and_jaccard():
+    a = tx.shingle_hashes("the quick brown fox jumps over the lazy dog")
+    b = tx.shingle_hashes("the quick brown fox jumps over the lazy cat")
+    c = tx.shingle_hashes("completely different text with other words here")
+    assert 0.5 < tx.jaccard(a, b) < 1.0
+    assert tx.jaccard(a, a) == 1.0
+    assert tx.jaccard(a, c) == 0.0
+
+
+def test_minhash_estimates_jaccard():
+    rng = np.random.default_rng(0)
+    words = [f"w{i}" for i in range(200)]
+    t1 = " ".join(words)
+    t2 = " ".join(words[:150] + [f"x{i}" for i in range(50)])
+    s1 = tx.shingle_hashes(t1)
+    s2 = tx.shingle_hashes(t2)
+    true_j = tx.jaccard(s1, s2)
+    sig1 = tx.minhash_signature(s1, 128)
+    sig2 = tx.minhash_signature(s2, 128)
+    est = (sig1 == sig2).mean()
+    assert abs(est - true_j) < 0.12
+
+
+def test_simhash_similarity():
+    h1 = tx.simhash("the quick brown fox jumps over the lazy dog " * 5)
+    h2 = tx.simhash("the quick brown fox jumps over the lazy cat " * 5)
+    h3 = tx.simhash("entirely unrelated content about ray data pipelines " * 5)
+    d12 = tx.hamming64(np.array([h1]), np.array([h2]))[0]
+    d13 = tx.hamming64(np.array([h1]), np.array([h3]))[0]
+    assert d12 < d13
+    assert tx.hamming64(np.array([h1]), np.array([h1]))[0] == 0
+
+
+def test_rolling_fingerprint_stability():
+    base = "one two three four five six seven eight nine ten " * 3
+    assert tx.rolling_fingerprint(base) == tx.rolling_fingerprint(base)
+    assert tx.rolling_fingerprint(base) != tx.rolling_fingerprint(base + " eleven")
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+    texts = []
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            "kilo lima mike november oscar papa quebec romeo sierra tango ")
+    for i in range(60):
+        texts.append(f"document {i} " + base + f"suffix {i % 7}")
+    # exact duplicates
+    texts[10] = texts[3]
+    texts[20] = texts[3]
+    # near duplicate of 5 (one token changed)
+    texts[30] = texts[5].replace("echo", "modified")
+    return rd.from_pandas(pd.DataFrame({"doc_id": range(60), "text": texts}))
+
+
+def test_exact_dedup(docs_ds):
+    from anomaly_detection_ray.stages import dedup
+    groups = dedup.exact_dedup_groups(docs_ds).to_pandas()
+    dup_groups = groups[groups["n_dups"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups.iloc[0]["keep_doc_id"] == 3
+    assert dup_groups.iloc[0]["n_dups"] == 3
+    survivors = dedup.exact_dedup(docs_ds).to_pandas()
+    assert len(survivors) == 58
+    assert 10 not in set(survivors["doc_id"]) and 20 not in set(survivors["doc_id"])
+
+
+def test_minhash_dedup(docs_ds):
+    from anomaly_detection_ray.stages import dedup
+    clusters = dedup.minhash_dedup(docs_ds, threshold=0.6)
+    by_rep = clusters.groupby("cluster_rep")["doc_id"].apply(set).to_dict()
+    all_clustered = set(clusters["doc_id"])
+    assert {3, 10, 20} <= all_clustered
+    assert 5 in all_clustered and 30 in all_clustered
+    # 3/10/20 share one cluster; 5/30 share another
+    rep_of = dict(zip(clusters["doc_id"], clusters["cluster_rep"]))
+    assert rep_of[10] == rep_of[20] == rep_of[3]
+    assert rep_of[30] == rep_of[5]
+
+
+def test_simhash_dedup(docs_ds):
+    from anomaly_detection_ray.stages import dedup
+    pairs = dedup.simhash_dedup(docs_ds, max_hamming=3)
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (3, 10) in got and (3, 20) in got and (10, 20) in got
+
+
+def test_embedding_near_dup(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(6)
+    vecs = rng.normal(size=(50, 16))
+    vecs[13] = vecs[7] + rng.normal(scale=0.01, size=16)  # near dup pair
+    df = pd.DataFrame({"vec_id": range(50), "embedding": list(vecs)})
+    from anomaly_detection_ray.stages import dedup
+    pairs = dedup.embedding_near_dup(rd.from_pandas(df), threshold=0.98)
+    got = {tuple(sorted((int(a), int(b)))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (7, 13) in got
