@@ -32,7 +32,7 @@ from .grading import (ERROR_CODE, OK_CODE, UNDEFINED_CODE, WARNING_CODE,
 __all__ = [
     "border_check", "ema_check", "macd_check", "welford_check",
     "cumulative_check", "hampel_check", "percentile_check",
-    "linear_fit_check", "filtering_check",
+    "linear_fit_check", "filtering_check", "ema_percentile_check",
 ]
 
 
@@ -59,6 +59,37 @@ def ema_check(values: np.ndarray, N: int, UL: float, LL: float,
     ema = pd.Series(values).ewm(alpha=s, adjust=False).mean().to_numpy()
     vn = normalize(ema, UL, LL)
     code, status = grade_normalized(vn, warning_stages, context="EMA")
+    return {"status_code": code, "status": status, "ema": ema}
+
+
+def ema_percentile_check(values: np.ndarray, percentile: float, window: int,
+                         start_on: int, period: int) -> dict[str, np.ndarray]:
+    """EMA graded against the [100-p, p] percentiles of its own trailing
+    window, inclusive of the current EMA value (ema_percentile.py:68-98).
+    Undefined until the EMA history reaches ``start_on`` samples."""
+    n = len(values)
+    code, status = _undef(n)
+    ema = pd.Series(values).ewm(alpha=2.0 / (period + 1),
+                                adjust=False).mean().to_numpy()
+    qs = [100.0 - percentile, percentile]
+    start = max(start_on - 1, 0)
+    # warm prefix: growing window (< `window` elements, bounded loop)
+    for i in range(start, min(window - 1, n)):
+        p_lo, p_hi = np.percentile(ema[: i + 1], qs)
+        code[i], status[i] = (
+            (ERROR_CODE, "Error: EMA in upper percentile") if ema[i] > p_hi
+            else (ERROR_CODE, "Error: EMA in lower percentile") if ema[i] < p_lo
+            else (OK_CODE, "OK"))
+    if n >= window:
+        w = sliding_window_view(ema, window)
+        p = np.percentile(w, qs, axis=1)
+        last = w[:, -1]
+        hi_err, lo_err = last > p[1], last < p[0]
+        c = np.where(hi_err | lo_err, ERROR_CODE, OK_CODE).astype(np.int8)
+        s = np.full(len(last), "OK", dtype=object)
+        s[hi_err] = "Error: EMA in upper percentile"
+        s[lo_err] = "Error: EMA in lower percentile"
+        code[window - 1:], status[window - 1:] = c, s
     return {"status_code": code, "status": status, "ema": ema}
 
 

@@ -1,0 +1,603 @@
+"""The engine's query library over the driver test tables
+(/root/testdata/sf*/ — region nation customer supplier part orders lineitem
+events documents embeddings).
+
+Every function takes ``sf_dir`` and returns a Dataset / pandas DataFrame /
+pyarrow Table. Names and output column names line up 1:1 with the DuckDB
+oracle SQL in ``oracle_sql()`` (__ray_entry__.py) — the driver hashes
+values after sorting columns by name, so **column names are part of the
+contract**.
+
+Implementation rules (ray_guide): prune columns at the read; vectorized
+Arrow/pandas kernels in map_batches; partial aggregation before any
+groupby; broadcast small sides with ray.put; per-series ordered kernels in
+groupby().map_groups.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..functions import text as tx
+from ..functions.grading import grade_normalized, normalize
+from ..stages import dedup as dd
+from ..stages import row_validate as rv
+from ..stages import series as series_mod
+from ..stages import similarity as sim
+from ..stages import stats as stats_mod
+from ..stages.checks import border_stage
+
+# events border-check config (value range ~[0, 490], mean ~50)
+EV_UL, EV_LL = 80.0, 20.0
+EV_WS = [0.7, 0.9]
+WF_N, WF_X = 20, 3.0
+
+
+def rnd(x, d: int):
+    """Round half away from zero (DuckDB ``round()`` semantics — numpy's
+    half-to-even would diverge from the oracle on exact .5 boundaries)."""
+    m = 10.0 ** d
+    a = np.asarray(x, dtype=np.float64)
+    return np.copysign(np.floor(np.abs(a) * m + 0.5) / m, a)
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ------------------------------------------------------------ validation
+
+def q_row_validate_events(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
+    out = ds.map_batches(rv.validate_events, batch_format="pyarrow")
+    return out.select_columns(["event_id", "rv_code"])
+
+
+def q_border_check_events(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    out = ds.map_batches(
+        lambda t: border_stage(t, "value", EV_UL, EV_LL, EV_WS, prefix="bc"),
+        batch_format="pyarrow")
+    return out.select_columns(["event_id", "bc_code", "bc_status"])
+
+
+def q_grouped_stats_events(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    df = stats_mod.grouped_welford(ds, "value", "event_type", n_salts=8,
+                                   salt_col="event_id")
+    out = df.rename(columns={"key": "event_type"})
+    out["n"] = out["n"].astype("int64")
+    for c in ["mean", "std", "std_sample", "min", "max"]:
+        out[c] = rnd(out[c], 4)
+    return out[["event_type", "n", "mean", "std", "std_sample", "min", "max"]]
+
+
+def _welford_series(sf_dir: str, N):
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = series_mod.apply_series_checks(
+        ds, "user_id", ["ts", "event_id"], "value",
+        [{"name": "wf", "kernel": "welford",
+          "params": {"X": WF_X, "N": N, "warning_stages": []}}],
+        keep_status=False)
+    return out.select_columns(["event_id", "wf_code"])
+
+
+def q_welford_window_events(sf_dir: str):
+    return _welford_series(sf_dir, WF_N)
+
+
+def q_welford_inf_events(sf_dir: str):
+    return _welford_series(sf_dir, None)
+
+
+def q_uniqueness_events(sf_dir: str):
+    """Duplicate (user_id, event_type) keys with counts — the exact-confirm
+    stage of the uniqueness check on a composite key."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["user_id", "event_type"], as_index=False).agg(
+            cnt=("event_type", "size"))
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    merged = partials.groupby(["user_id", "event_type"]).sum("cnt")
+    out = merged.to_pandas().rename(columns={"sum(cnt)": "n_events"})
+    out = out[out["n_events"] > 1].reset_index(drop=True)
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+
+
+def q_referential_orders_customer(sf_dir: str):
+    """Anti-join: orders whose o_custkey has no customer row (broadcast
+    key-set semi-join — no shuffle)."""
+    cust = _read(sf_dir, "customer", ["c_custkey"]).to_pandas()
+    key_ref = ray.put(np.sort(cust["c_custkey"].to_numpy(dtype=np.int64)))
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def anti(t: pa.Table) -> pa.Table:
+        keys = ray.get(key_ref)
+        mask = ~np.isin(t["o_custkey"].to_numpy(zero_copy_only=False), keys)
+        return t.filter(pa.array(mask))
+
+    df = ds.map_batches(anti, batch_format="pyarrow").to_pandas()
+    if df.shape[1] == 0:  # empty Dataset drops schema in to_pandas
+        df = pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                           "o_custkey": pd.Series(dtype="int64")})
+    return df
+
+
+def q_value_histogram_events(sf_dir: str):
+    """Fixed-edge histogram of value per event_type (the drift partial,
+    SQL-checkable). Bins: [0,50,100,...,500] -> bin index 0..10."""
+    edges = np.arange(50.0, 500.1, 50.0)  # searchsorted(right): 10 edges
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.searchsorted(edges, df["value"].to_numpy(), side="right")
+        g = (pd.DataFrame({"event_type": df["event_type"], "bin": b})
+             .groupby(["event_type", "bin"], as_index=False).agg(cnt=("bin", "size")))
+        return g
+
+    merged = (ds.map_batches(partial, batch_format="pandas")
+              .groupby(["event_type", "bin"]).sum("cnt").to_pandas())
+    out = merged.rename(columns={"sum(cnt)": "n"})
+    out["bin"] = out["bin"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["event_type", "bin"]).reset_index(drop=True)
+
+
+def q_drift_events_psi(sf_dir: str):
+    """PSI/KS of value per event_type vs the cross-type median profile
+    (rows-only: not SQL-expressible)."""
+    from ..stages import drift as drift_mod
+    edges = {"value": np.arange(25.0, 500.1, 25.0)}
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    df = drift_mod.partition_drift(ds, columns=edges, part_col="event_type")
+    df = df.rename(columns={"partition_id": "event_type"})
+    df[["ks", "psi"]] = df[["ks", "psi"]].round(6)
+    return (df[["event_type", "column", "ks", "psi", "drift_code"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+# ------------------------------------------------------------ TPC-H-ish
+
+def q_pricing_summary(sf_dir: str):
+    """Q1-style pricing summary with partial per-batch aggregation."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_tax", "l_shipdate"])
+    cutoff = np.datetime64("1998-09-02")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"].to_numpy() <= cutoff]
+        if df.empty:
+            return pd.DataFrame(columns=["l_returnflag", "l_linestatus", "sum_qty",
+                                         "sum_base_price", "sum_disc_price",
+                                         "sum_charge", "sum_disc", "count_order"])
+        disc_price = df["l_extendedprice"] * (1 - df["l_discount"])
+        charge = disc_price * (1 + df["l_tax"])
+        g = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"], "l_linestatus": df["l_linestatus"],
+            "sum_qty": df["l_quantity"], "sum_base_price": df["l_extendedprice"],
+            "sum_disc_price": disc_price, "sum_charge": charge,
+            "sum_disc": df["l_discount"], "count_order": 1,
+        }).groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    merged = (partials.groupby(["l_returnflag", "l_linestatus"])
+              .sum(["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
+                    "sum_disc", "count_order"]).to_pandas())
+    merged.columns = [c.replace("sum(", "").replace(")", "") for c in merged.columns]
+    merged["avg_qty"] = rnd(merged["sum_qty"] / merged["count_order"], 4)
+    merged["avg_price"] = rnd(merged["sum_base_price"] / merged["count_order"], 4)
+    merged["avg_disc"] = rnd(merged["sum_disc"] / merged["count_order"], 6)
+    for c in ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"]:
+        merged[c] = rnd(merged[c], 2)
+    merged["count_order"] = merged["count_order"].astype("int64")
+    merged = merged.drop(columns=["sum_disc"])
+    return merged.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def q_top_customers_revenue(sf_dir: str):
+    """Join orders->customer via broadcast lookup; top 10 by revenue."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    name_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size"))
+
+    merged = (ds.map_batches(partial, batch_format="pandas")
+              .groupby("o_custkey").sum(["revenue", "n_orders"]).to_pandas())
+    merged = merged.rename(columns={"sum(revenue)": "revenue",
+                                    "sum(n_orders)": "n_orders"})
+    names = ray.get(name_ref)
+    merged = merged[merged["o_custkey"].isin(names)]  # inner-join semantics
+    top = merged.sort_values(["revenue", "o_custkey"],
+                             ascending=[False, True]).head(10)
+    top["c_name"] = top["o_custkey"].map(names)
+    top["revenue"] = rnd(top["revenue"], 2)
+    top["n_orders"] = top["n_orders"].astype("int64")
+    return top[["o_custkey", "c_name", "revenue", "n_orders"]].reset_index(drop=True)
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour event-time window per event_type: count + mean."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # unit-robust epoch seconds (parquet ts may be us- or ns-backed)
+        hour = ((df["ts"].dt.floor("h") - pd.Timestamp(0))
+                // pd.Timedelta(seconds=1)).astype("int64")
+        return (pd.DataFrame({"hour_epoch": hour, "event_type": df["event_type"],
+                              "sum_v": df["value"], "n": 1})
+                .groupby(["hour_epoch", "event_type"], as_index=False).sum())
+
+    merged = (ds.map_batches(partial, batch_format="pandas")
+              .groupby(["hour_epoch", "event_type"]).sum(["sum_v", "n"]).to_pandas())
+    merged = merged.rename(columns={"sum(sum_v)": "sum_v", "sum(n)": "n"})
+    # 6 decimals: `value` has <=2 decimals so sum/2^k terminates by the 5th
+    # digit — no .5 boundary where float summation order could flip the round
+    merged["avg_value"] = rnd(merged["sum_v"] / merged["n"], 6)
+    merged["n"] = merged["n"].astype("int64")
+    return (merged.drop(columns=["sum_v"])
+            .sort_values(["hour_epoch", "event_type"]).reset_index(drop=True))
+
+
+# ------------------------------------------------------------ text / dedup
+
+def q_exact_dedup_documents(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dd.exact_dedup_groups(ds).to_pandas()
+    out["keep_doc_id"] = out["keep_doc_id"].astype("int64")
+    out["n_dups"] = out["n_dups"].astype("int64")
+    return out.sort_values("text_hash").reset_index(drop=True)
+
+
+def q_token_count_documents(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "n_tokens": tx.token_count(df["text"])})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def q_text_quality_documents(sf_dir: str):
+    """Integer quality counts (SQL-checkable exactly)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].fillna("")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_chars": s.str.len().astype("int64"),
+            "n_tokens": tx.token_count(s),
+            "n_punct": s.str.count(tx.PUNCT_RE).astype("int64"),
+            "n_digits": s.str.count(r"\d").astype("int64"),
+        })
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def q_lang_detect_documents(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"], "lang": df["lang"],
+                             "lang_pred": tx.detect_language(df["text"])})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def q_minhash_dedup_documents(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dd.minhash_dedup(ds, threshold=0.8)
+
+
+def q_simhash_documents(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dd.simhash_table(ds)
+
+
+def q_doc_fingerprints(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "fingerprint": np.array([tx.rolling_fingerprint(t)
+                                     for t in df["text"].fillna("")],
+                                    dtype=np.uint64).astype(np.int64),
+        })
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+# ------------------------------------------------------------ embeddings
+
+def q_embedding_norms(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+        return pd.DataFrame({"vec_id": df["vec_id"],
+                             "l2_norm": rnd(np.linalg.norm(V, axis=1), 4)})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def q_similarity_topk_embeddings(sf_dir: str):
+    """Exact cosine top-10 to the embedding of vec_id=0 (broadcast query)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = emb.filter(lambda r: r["vec_id"] == 0).to_pandas()["embedding"].iloc[0]
+    out = sim.brute_force_topk(emb, np.asarray(q, dtype=np.float64), k=10,
+                               exclude_ids={0})
+    out = out.drop(columns=["query_idx"])
+    out["cosine"] = rnd(out["cosine"], 6)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def q_ann_ivf_embeddings(sf_dir: str):
+    """IVF-bucketed approximate top-10 (rows-only; recall tested in pytest)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sample = emb.limit(4).to_pandas()
+    queries = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in sample["embedding"]])
+    code = sim.train_ivf_codebook(emb, n_cells=16)
+    out = sim.ivf_topk(emb, queries, code, k=10, nprobe=4)
+    out["cosine"] = rnd(out["cosine"], 6)
+    return out
+
+
+# ------------------------------------------------------------ series (rows-only)
+
+def _series_events(sf_dir: str, checks):
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = series_mod.apply_series_checks(ds, "user_id", ["ts", "event_id"],
+                                         "value", checks, keep_status=False)
+    return out.select_columns(["event_id"] +
+                              [f"{c['name']}_code" for c in checks])
+
+
+def q_ema_check_events(sf_dir: str):
+    return _series_events(sf_dir, [{"name": "ema", "kernel": "ema",
+                                    "params": {"N": 10, "UL": EV_UL, "LL": EV_LL,
+                                               "warning_stages": EV_WS}}])
+
+
+def q_macd_check_events(sf_dir: str):
+    return _series_events(sf_dir, [{"name": "macd", "kernel": "macd",
+                                    "params": {"period1": 5, "period2": 15,
+                                               "UL": 30, "LL": -30,
+                                               "warning_stages": [0.5]}}])
+
+
+def q_hampel_events(sf_dir: str):
+    return _series_events(sf_dir, [{"name": "hp", "kernel": "hampel",
+                                    "params": {"W": 5, "K": 1.4826, "n_sigmas": 3}}])
+
+
+def q_percentile_events(sf_dir: str):
+    return _series_events(sf_dir, [{"name": "pct", "kernel": "percentile",
+                                    "params": {"buff_size": 30, "lo": 2, "hi": 98}}])
+
+
+def q_cumulative_events(sf_dir: str):
+    return _series_events(sf_dir, [{"name": "cum", "kernel": "cumulative",
+                                    "params": {"decay": 0.05, "averaging": 5,
+                                               "warning_stages": [0.5]}}])
+
+
+def q_linear_fit_events(sf_dir: str):
+    return _series_events(sf_dir, [{"name": "lf", "kernel": "linear_fit",
+                                    "params": {"N": 15, "UL": 20, "LL": -20,
+                                               "confidence_norm": 1000,
+                                               "warning_stages": [0.5]}}])
+
+
+def q_filtering_events(sf_dir: str):
+    return _series_events(sf_dir, [{"name": "flt", "kernel": "filtering",
+                                    "params": {"filter_order": 3,
+                                               "cutoff_frequency": 0.4, "mode": 0,
+                                               "UL": EV_UL, "LL": EV_LL,
+                                               "warning_stages": EV_WS}}])
+
+
+def q_ema_percentile_events(sf_dir: str):
+    return _series_events(sf_dir, [{"name": "ep", "kernel": "ema_percentile",
+                                    "params": {"percentile": 95, "window": 50,
+                                               "start_on": 10, "period": 10}}])
+
+
+def q_repair_events(sf_dir: str):
+    """LastNAverage suggested-value repair of border-check Errors
+    (normalization.py semantics; rows-only — the repaired value feeds back
+    into the normalization memory, an order-dependent recurrence)."""
+    from ..stages import normalize as norm_mod
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    ds = ds.map_batches(
+        lambda t: border_stage(t, "value", EV_UL, EV_LL, [], prefix="bc"),
+        batch_format="pyarrow")
+    out = norm_mod.apply_repair(ds, "user_id", ["ts", "event_id"], "value",
+                                "bc_code", N=5)
+    return out.select_columns(["event_id", "bc_code", "suggested_value"])
+
+
+def q_percent_score_events(sf_dir: str):
+    """Windowed PercentScore meta-signal over border+welford verdicts per
+    user (combination.py:178-218; rows-only — trailing event-time window)."""
+    from ..stages import normalize as norm_mod
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    ds = ds.map_batches(
+        lambda t: border_stage(t, "value", EV_UL, EV_LL, EV_WS, prefix="bc"),
+        batch_format="pyarrow")
+    ds = series_mod.apply_series_checks(
+        ds, "user_id", ["ts", "event_id"], "value",
+        [{"name": "wf", "kernel": "welford",
+          "params": {"X": WF_X, "N": WF_N, "warning_stages": []}}],
+        keep_status=False)
+    out = norm_mod.apply_percent_score(ds, "user_id", ["ts", "event_id"],
+                                       ["bc_code", "wf_code"], "ts",
+                                       interval=3600.0, data_interval=60.0)
+    return out.select_columns(["event_id", "percent_score"])
+
+
+def q_feature_construction_events(sf_dir: str):
+    """Sliding-window feature vectors (averages+shifts+time features) per
+    user series — the §2.3 feature builder, intended semantics (rows-only)."""
+    from ..stages import features as feat_mod
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    cfg = feat_mod.FeatureConfig(
+        n_features=1, averages=[[2, 5]], shifts=[[1, 2]],
+        periodic_averages=[[(2, [3])]], time_features=["hour", "weekday"])
+    out = feat_mod.apply_feature_construction(
+        ds, "user_id", ["ts", "event_id"], ["value"], "ts", cfg)
+    keep = ["event_id"] + [f"fv{j}" for j in range(8)] + ["fv_valid"]
+    return out.select_columns(keep)
+
+
+def q_iforest_events(sf_dir: str):
+    """Isolation-forest scoring of (value, hour-of-day) feature rows — model
+    fit once on a driver-side sample, scored by an actor pool (rows-only;
+    determinism pinned by seed)."""
+    from ..stages import iforest as if_mod
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def featurize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_id": df["event_id"], "value": df["value"],
+                             "hour": df["ts"].dt.hour.astype("float64")})
+
+    feats = ds.map_batches(featurize, batch_format="pandas")
+    model = if_mod.fit_from_dataset(feats, ["value", "hour"],
+                                    sample_rows=2048, n_trees=50,
+                                    max_samples=256, seed=42)
+    out = if_mod.score_stage(feats, model, ["value", "hour"], concurrency=2)
+    return out.select_columns(["event_id", "if_code", "if_score"])
+
+
+def q_pca_iforest_events(sf_dir: str):
+    """PCA(1) projection then isolation forest (pca.py semantics, rows-only)."""
+    from ..stages import iforest as if_mod
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def featurize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_id": df["event_id"], "value": df["value"],
+                             "hour": df["ts"].dt.hour.astype("float64")})
+
+    feats = ds.map_batches(featurize, batch_format="pandas")
+    df = feats.limit(2048).to_pandas()
+    X = df[["value", "hour"]].to_numpy(dtype=np.float64)
+    X = X[~np.isnan(X).any(axis=1)]
+    pca, forest = if_mod.fit_pca_iforest(X, n_components=1, n_trees=50,
+                                         max_samples=256, seed=42)
+    out = if_mod.pca_score_stage(feats, pca, forest, ["value", "hour"],
+                                 concurrency=2)
+    return out.select_columns(["event_id", "pca_code", "pca_score"])
+
+
+def q_clustering_events(sf_dir: str):
+    """DBSCAN-core distance check (clustering.py semantics, rows-only)."""
+    import ray as _ray
+
+    from ..stages import iforest as if_mod
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    sample = ds.limit(512).to_pandas()
+    X = sample[["value"]].to_numpy(dtype=np.float64)
+    X = X[~np.isnan(X).any(axis=1)]
+    model = if_mod.DBSCANCoreModel(eps=5.0, min_samples=4, treshold=25.0).fit(X)
+    model_ref = _ray.put(model)
+    out = ds.map_batches(if_mod.ClusteringScore,
+                         fn_constructor_kwargs={"model_ref": model_ref,
+                                                "feature_cols": ["value"]},
+                         batch_format="pyarrow", batch_size=8192,
+                         concurrency=(1, 2), num_cpus=1)
+    return out.select_columns(["event_id", "cl_code"])
+
+
+# ------------------------------------------------------------ clip table
+
+_CLIP_N = {"0.001": 1200, "0.01": 3000, "0.1": 8000}
+
+
+def _clip_table_path(sf_dir: str) -> str:
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    n = _CLIP_N.get(sf, 1200)
+    path = f"/tmp/adr_clips/sf{sf}"
+    from .. import synth
+    synth.write_clip_table(path, seed=42, n=n, P=16, rows_per_file=1024)
+    return path
+
+
+def q_clip_validation_verdicts(sf_dir: str):
+    """Flagship pipeline per-partition verdicts on the deterministic clip
+    table scaled to the sf (rows-only; ground truth tested in pytest)."""
+    from .validate import ValidateConfig, run_validation
+    path = _clip_table_path(sf_dir)
+    out = os.path.join("/tmp/adr_out", os.path.basename(path))
+    res = run_validation(path, out, ValidateConfig(seed=42, P=16), resume=False)
+    return res["verdicts"]
+
+
+def q_clip_audio_features(sf_dir: str):
+    """Decoded audio features over the clip table (real WAV decode)."""
+    from ..stages.multimodal import audio_features
+    from ..sources.clips import read_clips
+    path = _clip_table_path(sf_dir)
+    ds = read_clips(path, columns=["clip_id", "bytes"])
+    out = audio_features(ds, concurrency=4)
+    return out.select_columns(["clip_id", "rms", "peak", "audio_dur_s", "n_samples"])
+
+
+QUERIES = {
+    "row_validate_events": q_row_validate_events,
+    "border_check_events": q_border_check_events,
+    "grouped_stats_events": q_grouped_stats_events,
+    "welford_window_events": q_welford_window_events,
+    "welford_inf_events": q_welford_inf_events,
+    "uniqueness_events": q_uniqueness_events,
+    "referential_orders_customer": q_referential_orders_customer,
+    "value_histogram_events": q_value_histogram_events,
+    "drift_events_psi": q_drift_events_psi,
+    "pricing_summary": q_pricing_summary,
+    "top_customers_revenue": q_top_customers_revenue,
+    "events_hourly": q_events_hourly,
+    "exact_dedup_documents": q_exact_dedup_documents,
+    "token_count_documents": q_token_count_documents,
+    "text_quality_documents": q_text_quality_documents,
+    "lang_detect_documents": q_lang_detect_documents,
+    "minhash_dedup_documents": q_minhash_dedup_documents,
+    "simhash_documents": q_simhash_documents,
+    "doc_fingerprints": q_doc_fingerprints,
+    "embedding_norms": q_embedding_norms,
+    "similarity_topk_embeddings": q_similarity_topk_embeddings,
+    "ann_ivf_embeddings": q_ann_ivf_embeddings,
+    "ema_check_events": q_ema_check_events,
+    "macd_check_events": q_macd_check_events,
+    "hampel_events": q_hampel_events,
+    "percentile_events": q_percentile_events,
+    "cumulative_events": q_cumulative_events,
+    "linear_fit_events": q_linear_fit_events,
+    "filtering_events": q_filtering_events,
+    "ema_percentile_events": q_ema_percentile_events,
+    "repair_events": q_repair_events,
+    "percent_score_events": q_percent_score_events,
+    "feature_construction_events": q_feature_construction_events,
+    "iforest_events": q_iforest_events,
+    "pca_iforest_events": q_pca_iforest_events,
+    "clustering_events": q_clustering_events,
+    "clip_validation_verdicts": q_clip_validation_verdicts,
+    "clip_audio_features": q_clip_audio_features,
+}

@@ -109,7 +109,7 @@ def build_pass_b(full_ds, cfg: ValidateConfig, pass_a: dict):
         fn_constructor_kwargs={"seed": cfg.seed, "snr_threshold": cfg.snr_threshold},
         batch_format="pyarrow",
         batch_size=cfg.fidelity_batch_size,
-        concurrency=cfg.fidelity_concurrency,
+        concurrency=(1, cfg.fidelity_concurrency),
         num_cpus=1)
 
     def dup_flag(t: pa.Table) -> pa.Table:

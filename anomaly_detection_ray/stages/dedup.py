@@ -103,7 +103,7 @@ def minhash_candidate_pairs(ds, text_col="text", id_col="doc_id", k=64,
         MinHashSignatures,
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, k=k,
                                    bands=bands, shingle_k=shingle_k),
-        batch_format="pandas", concurrency=4)
+        batch_format="pandas", concurrency=(1, 4))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:

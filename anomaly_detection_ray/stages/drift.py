@@ -28,9 +28,12 @@ DEFAULT_EDGES = {
 
 def _hist_partial_batch(t: pa.Table, columns: dict[str, np.ndarray],
                         part_col: str) -> pa.Table:
-    parts = pc.fill_null(t[part_col], -1).to_numpy(zero_copy_only=False)
+    """Per-batch fixed-edge histogram partials, one row per (partition key,
+    column). The key column keeps its native type (int partition ids or a
+    string group key like codec/event_type)."""
+    parts = t[part_col].to_numpy(zero_copy_only=False)
     out_part, out_col, out_counts = [], [], []
-    uniq = np.unique(parts)
+    uniq = pd.unique(parts)
     for p in uniq:
         mask = parts == p
         for col, edges in columns.items():
@@ -38,11 +41,11 @@ def _hist_partial_batch(t: pa.Table, columns: dict[str, np.ndarray],
             v = v[~np.isnan(v)]
             idx = np.searchsorted(edges, v, side="right")
             counts = np.bincount(idx, minlength=len(edges) + 1)
-            out_part.append(int(p))
+            out_part.append(p)
             out_col.append(col)
             out_counts.append(counts.astype(np.int64))
     return pa.table({
-        "partition_id": pa.array(out_part, type=pa.int32()),
+        "partition_id": pa.array(out_part),
         "column": pa.array(out_col, type=pa.string()),
         "counts": pa.array([c.tolist() for c in out_counts], type=pa.list_(pa.int64())),
     })
@@ -58,7 +61,8 @@ def _merge_hist_group(g: pd.DataFrame) -> pd.DataFrame:
 def partition_drift(ds, columns: dict[str, np.ndarray] | None = None,
                     part_col: str = "partition_id",
                     ks_error: float = 0.1, ks_warning: float = 0.05,
-                    psi_error: float = 0.25, psi_warning: float = 0.1) -> pd.DataFrame:
+                    psi_error: float = 0.25, psi_warning: float = 0.1,
+                    driver_merge: bool = True) -> pd.DataFrame:
     """Per-partition drift verdicts. Returns one row per (partition, column):
     ks, psi, drift_code.
 
@@ -70,12 +74,21 @@ def partition_drift(ds, columns: dict[str, np.ndarray] | None = None,
     columns = columns or DEFAULT_EDGES
     partials = ds.map_batches(
         lambda t: _hist_partial_batch(t, columns, part_col), batch_format="pyarrow")
-    merged = partials.groupby(["partition_id", "column"]).map_groups(
-        _merge_hist_group, batch_format="pandas").to_pandas()
+    if driver_merge:
+        # partials are tiny (#batches × P × #cols rows) — one pandas fold on
+        # the driver beats a Ray shuffle up to ~1e7 partial rows; past that,
+        # flip driver_merge=False for the groupby merge path.
+        pdf = partials.to_pandas()
+        merged = (pdf.groupby(["partition_id", "column"], as_index=False, sort=False)
+                  .agg(counts=("counts", lambda s: np.sum(
+                      np.stack([np.asarray(c) for c in s]), axis=0))))
+    else:
+        merged = partials.groupby(["partition_id", "column"]).map_groups(
+            _merge_hist_group, batch_format="pandas").to_pandas()
 
     rows = []
     for col, g in merged.groupby("column"):
-        stacks = {int(r["partition_id"]): np.asarray(r["counts"]) for _, r in g.iterrows()}
+        stacks = {r["partition_id"]: np.asarray(r["counts"]) for _, r in g.iterrows()}
         global_counts = np.sum(np.stack(list(stacks.values())), axis=0)
         # Robust reference: per-bin MEDIAN of partition proportions,
         # renormalized — a minority of drifted partitions cannot contaminate

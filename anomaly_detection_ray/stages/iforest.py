@@ -176,7 +176,91 @@ def score_stage(ds, model: IsolationForestModel, feature_cols: list[str],
                           fn_constructor_kwargs={"model_ref": model_ref,
                                                  "feature_cols": feature_cols},
                           batch_format="pyarrow", batch_size=batch_size,
-                          concurrency=concurrency, num_cpus=1)
+                          concurrency=(1, concurrency), num_cpus=1)
+
+
+# ------------------------------------------------------------------- PCA
+
+class PCAModel:
+    """PCA from scratch (numpy eigendecomposition of the covariance matrix;
+    no sklearn in env). fit = training pass; transform = centered matmul.
+    Re-expresses /root/reference/src/algorithms/pca.py:22-257: PCA projection
+    to N_components, then isolation forest in the projected space."""
+
+    def __init__(self, n_components: int):
+        self.n_components = n_components
+        self.mean_: np.ndarray | None = None
+        self.components_: np.ndarray | None = None  # (d, n_components)
+        self.explained_variance_: np.ndarray | None = None
+
+    def fit(self, X: np.ndarray) -> "PCAModel":
+        X = np.asarray(X, dtype=np.float64)
+        self.mean_ = X.mean(axis=0)
+        Xc = X - self.mean_
+        cov = (Xc.T @ Xc) / max(len(X) - 1, 1)
+        evals, evecs = np.linalg.eigh(cov)
+        order = np.argsort(evals)[::-1][: self.n_components]
+        self.explained_variance_ = evals[order]
+        # deterministic sign: largest-|.| element of each component positive
+        comps = evecs[:, order]
+        signs = np.sign(comps[np.abs(comps).argmax(axis=0),
+                              np.arange(comps.shape[1])])
+        self.components_ = comps * np.where(signs == 0, 1.0, signs)
+        return self
+
+    def transform(self, X: np.ndarray) -> np.ndarray:
+        return (np.asarray(X, dtype=np.float64) - self.mean_) @ self.components_
+
+
+class PCAIForestScore:
+    """Actor-pool stage: project with a broadcast PCAModel then score with a
+    broadcast IsolationForestModel (pca.py semantics). Appends
+    pca_code/pca_status/pca_score."""
+
+    def __init__(self, pca_ref, model_ref, feature_cols: list[str]):
+        self.pca: PCAModel = ray.get(pca_ref)
+        self.model: IsolationForestModel = ray.get(model_ref)
+        self.feature_cols = feature_cols
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        X = np.column_stack([
+            pa.compute.cast(t[c], pa.float64()).to_numpy(zero_copy_only=False)
+            for c in self.feature_cols])
+        valid = ~np.isnan(X).any(axis=1)
+        code = np.full(t.num_rows, UNDEFINED_CODE, dtype=np.int8)
+        status = np.full(t.num_rows, "Undefined", dtype=object)
+        score = np.full(t.num_rows, np.nan)
+        if valid.any():
+            s = self.model.scores(self.pca.transform(X[valid]))
+            pred_err = s > 0.5
+            code[valid] = np.where(pred_err, ERROR_CODE, OK_CODE)
+            sv = status[valid]
+            sv[pred_err] = "Error: outlier detected"
+            sv[~pred_err] = "OK"
+            status[valid] = sv
+            score[valid] = s
+        return (t.append_column("pca_code", pa.array(code, type=pa.int8()))
+                 .append_column("pca_status", pa.array(status, type=pa.string()))
+                 .append_column("pca_score", pa.array(score, type=pa.float64())))
+
+
+def fit_pca_iforest(X: np.ndarray, n_components: int,
+                    **if_kwargs) -> tuple[PCAModel, IsolationForestModel]:
+    pca = PCAModel(n_components).fit(X)
+    forest = IsolationForestModel(**if_kwargs).fit(pca.transform(X))
+    return pca, forest
+
+
+def pca_score_stage(ds, pca: PCAModel, model: IsolationForestModel,
+                    feature_cols: list[str], concurrency: int = 4,
+                    batch_size: int = 8192):
+    pca_ref, model_ref = ray.put(pca), ray.put(model)
+    return ds.map_batches(PCAIForestScore,
+                          fn_constructor_kwargs={"pca_ref": pca_ref,
+                                                 "model_ref": model_ref,
+                                                 "feature_cols": feature_cols},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=(1, concurrency), num_cpus=1)
 
 
 # ------------------------------------------------------------- clustering

@@ -129,4 +129,4 @@ def audio_features(ds, bytes_col: str = "bytes", batch_size: int = 64,
     return ds.map_batches(AudioFeatures,
                           fn_constructor_kwargs={"bytes_col": bytes_col},
                           batch_format="pyarrow", batch_size=batch_size,
-                          concurrency=concurrency, num_cpus=1)
+                          concurrency=(1, concurrency), num_cpus=1)

@@ -36,6 +36,7 @@ KERNELS: dict[str, Callable[..., dict[str, np.ndarray]]] = {
     "percentile": rolling.percentile_check,
     "linear_fit": rolling.linear_fit_check,
     "filtering": rolling.filtering_check,
+    "ema_percentile": rolling.ema_percentile_check,
 }
 
 

@@ -1,0 +1,113 @@
+"""Local replica of the driver's correctness gate: run each queries() entry
+at sf0.01 and compare against oracle_sql() via DuckDB — row count, schema
+(column names), and order-insensitive values."""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def entrymod(ray_session):
+    import __ray_entry__ as e
+    return e
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def to_df(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data as rd
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(got: pd.DataFrame, want: pd.DataFrame, name: str):
+    assert sorted(got.columns) == sorted(want.columns), \
+        f"{name}: columns {sorted(got.columns)} != {sorted(want.columns)}"
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    g, w = canon(got), canon(want)
+    for c in g.columns:
+        gv, wv = g[c], w[c]
+        if pd.api.types.is_float_dtype(gv) or pd.api.types.is_float_dtype(wv):
+            np.testing.assert_allclose(
+                gv.to_numpy(dtype=np.float64), wv.to_numpy(dtype=np.float64),
+                rtol=1e-9, atol=1e-9, err_msg=f"{name}.{c}")
+        else:
+            mism = (gv.astype(str).to_numpy() != wv.astype(str).to_numpy())
+            assert not mism.any(), \
+                f"{name}.{c}: {mism.sum()} mismatches, e.g. {gv[mism].head(3).tolist()} vs {wv[mism].head(3).tolist()}"
+
+
+def oracle_names():
+    import __ray_entry__ as e
+    return sorted(e.oracle_sql())
+
+
+@pytest.mark.parametrize("name", [
+    "row_validate_events", "border_check_events", "grouped_stats_events",
+    "welford_window_events", "welford_inf_events", "uniqueness_events",
+    "referential_orders_customer", "value_histogram_events",
+    "pricing_summary", "top_customers_revenue", "events_hourly",
+    "exact_dedup_documents", "token_count_documents",
+    "text_quality_documents", "embedding_norms", "similarity_topk_embeddings",
+    "feature_construction_events",
+])
+def test_query_vs_oracle(name, entrymod, con):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    got = to_df(q(SF_DIR))
+    want = con.sql(sql).df()
+    compare(got, want, name)
+
+
+def test_oracle_keys_subset_of_queries(entrymod):
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert o <= q, o - q
+
+
+def test_rows_only_queries_run(entrymod):
+    """Non-SQL queries must at least run and return stable non-empty output
+    at small scale (the driver's weaker rows-only check)."""
+    q = entrymod.queries()
+    for name in ["drift_events_psi", "lang_detect_documents",
+                 "minhash_dedup_documents", "simhash_documents",
+                 "doc_fingerprints", "ann_ivf_embeddings", "ema_check_events",
+                 "macd_check_events", "hampel_events", "percentile_events",
+                 "cumulative_events", "linear_fit_events", "filtering_events",
+                 "ema_percentile_events", "repair_events",
+                 "percent_score_events",
+                 "iforest_events", "pca_iforest_events", "clustering_events"]:
+        df = to_df(q[name]("/root/testdata/sf0.001"))
+        assert df is not None and len(df.columns) > 0, name
+
+
+def test_entry_runs(entrymod):
+    df = to_df(entrymod.entry())
+    assert len(df) == 1000  # sf0.001 events
+    assert {"event_id", "status_code", "anomaly_score"} <= set(df.columns)

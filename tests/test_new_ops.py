@@ -1,0 +1,140 @@
+"""Parity tests for the round-1 late additions: EMA-percentile kernel,
+LastNAverage repair, windowed PercentScore, feature construction, PCA.
+
+Each vectorized implementation is checked against a straight sequential
+re-implementation of the reference semantics (oracle.py classes or inline
+loops mirroring /root/reference/src/...)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from anomaly_detection_ray import oracle
+from anomaly_detection_ray.functions.grading import ERROR_CODE, OK_CODE, UNDEFINED_CODE
+from anomaly_detection_ray.functions.rolling import ema_percentile_check
+from anomaly_detection_ray.stages.features import FeatureConfig, construct_features
+from anomaly_detection_ray.stages.iforest import (IsolationForestModel, PCAModel,
+                                                  fit_pca_iforest)
+from anomaly_detection_ray.stages.normalize import (last_n_average_repair,
+                                                    windowed_percent_score)
+
+rng = np.random.default_rng(7)
+
+
+def seq_ema_percentile(values, percentile, window, start_on, period):
+    """Sequential mirror of ema_percentile.py:62-98."""
+    smoothing = 2.0 / (period + 1)
+    EMA, codes = [], []
+    percentiles = None
+    for v in values:
+        EMA.append(v if not EMA else v * smoothing + EMA[-1] * (1 - smoothing))
+        if len(EMA) > window:
+            EMA = EMA[-window:]
+        if len(EMA) >= start_on:
+            percentiles = np.percentile(EMA, [100 - percentile, percentile])
+        if percentiles is not None:
+            if EMA[-1] > percentiles[1] or EMA[-1] < percentiles[0]:
+                codes.append(ERROR_CODE)
+            else:
+                codes.append(OK_CODE)
+        else:
+            codes.append(UNDEFINED_CODE)
+    return np.array(codes, dtype=np.int8)
+
+
+@pytest.mark.parametrize("percentile,window,start_on,period", [
+    (95, 20, 5, 10), (90, 50, 10, 5), (99, 10, 1, 3)])
+def test_ema_percentile_matches_sequential(percentile, window, start_on, period):
+    values = rng.normal(50, 10, size=300)
+    values[50] = 200.0
+    values[150] = -100.0
+    got = ema_percentile_check(values, percentile, window, start_on, period)
+    want = seq_ema_percentile(values, percentile, window, start_on, period)
+    np.testing.assert_array_equal(got["status_code"], want)
+
+
+def test_last_n_average_repair_matches_oracle():
+    values = rng.normal(50, 10, size=200)
+    codes = np.where(rng.random(200) < 0.15, ERROR_CODE, OK_CODE).astype(np.int8)
+    for N, period in [(5, 1), (3, 2)]:
+        got = last_n_average_repair(values, codes, N, period)
+        o = (oracle.OracleLastNAverage(N) if period == 1
+             else oracle.OraclePeriodicLastNAverage(N, period))
+        want = []
+        for v, c in zip(values, codes):
+            if c == ERROR_CODE:
+                rep = o.get_normalized([v])
+                want.append(rep[0] if rep is not False else v)
+                if rep is False:
+                    pass  # memory was appended with raw value inside get_normalized
+            else:
+                o.add_value([v])
+                want.append(v)
+        np.testing.assert_allclose(got, np.array(want), rtol=1e-12)
+
+
+def test_windowed_percent_score_matches_sequential():
+    n = 300
+    ts = np.cumsum(rng.integers(10, 120, size=n)).astype(np.float64)
+    scores = rng.random(n).round(2)
+    interval, data_interval = 600.0, 60.0
+    got = windowed_percent_score(scores, ts, interval, data_interval)
+    # sequential mirror of combination.py:204-216
+    memory = []
+    want = []
+    num_in_interval = int(interval / data_interval)
+    for s, t in zip(scores, ts):
+        memory.append([s, t])
+        now = memory[-1][1]
+        memory = [m for m in memory if m[1] > now - interval]
+        want.append(sum(m[0] for m in memory) / max(num_in_interval, len(memory)))
+    np.testing.assert_allclose(got, np.array(want), rtol=1e-12)
+
+
+def test_feature_construction_matches_oracle():
+    n = 120
+    values = rng.normal(0, 1, size=n)
+    ts = 1609459200.0 + np.arange(n) * 3600.0
+    cfg = FeatureConfig(n_features=1, averages=[[2, 5]], shifts=[[1, 2]],
+                        periodic_averages=[[(2, [3])]],
+                        time_features=["hour", "weekday"])
+    fv, valid = construct_features(values[:, None], ts, cfg)
+    o = oracle.FeatureConstruction(
+        input_vector_size=1, averages=[[2, 5]], shifts=[[1, 2]],
+        periodic_averages=[[(2, [3])]], time_features=["hour", "weekday"])
+    assert cfg.memory_size == o.memory_size
+    for i in range(n):
+        out = o.insert([values[i]], ts[i])
+        if out is False:
+            assert not valid[i]
+        else:
+            assert valid[i]
+            np.testing.assert_allclose(fv[i], np.array(out), rtol=1e-10,
+                                       err_msg=f"row {i}")
+    # oracle time-feature order check: weekday col index
+    assert fv.shape[1] == 1 + 2 + 1 + 2 + 2
+
+
+def test_pca_model_recovers_principal_direction():
+    # data stretched along (1, 1): first component must align with it
+    base = rng.normal(0, 1, size=(500, 1))
+    X = np.hstack([base, base]) + rng.normal(0, 0.05, size=(500, 2))
+    pca = PCAModel(1).fit(X)
+    comp = pca.components_[:, 0]
+    direction = np.abs(comp @ np.array([1, 1]) / np.sqrt(2))
+    assert direction > 0.99
+    Z = pca.transform(X)
+    assert Z.shape == (500, 1)
+    assert np.abs(Z.mean()) < 1e-9  # centered projection
+
+
+def test_pca_iforest_flags_projected_outliers():
+    X = np.hstack([rng.normal(0, 1, size=(400, 1))] * 2)
+    X += rng.normal(0, 0.02, size=X.shape)
+    pca, forest = fit_pca_iforest(X, n_components=1, n_trees=50,
+                                  max_samples=128, seed=3)
+    inlier_scores = forest.scores(pca.transform(X[:50]))
+    outlier = np.array([[8.0, 8.0], [-9.0, -9.0]])
+    outlier_scores = forest.scores(pca.transform(outlier))
+    assert outlier_scores.min() > np.median(inlier_scores)
+    assert (outlier_scores > 0.5).all()
