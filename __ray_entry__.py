@@ -40,6 +40,10 @@ def entry() -> Any:
     ds = ds.map_batches(
         lambda t: border_stage(t, "value", q.EV_UL, q.EV_LL, q.EV_WS, prefix="bc"),
         batch_format="pyarrow")
+    # shed status strings before the series shuffle — codes are all the
+    # downstream combine needs, and the groupby ships every column
+    ds = ds.select_columns(["event_id", "ts", "user_id", "event_type", "value",
+                            "rv_code", "bc_code"])
     ds = series_mod.apply_series_checks(
         ds, "user_id", ["ts", "event_id"], "value",
         [{"name": "wf", "kernel": "welford",
@@ -142,6 +146,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey
             FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_custkey IS NULL
+        """,
+        "time_filter_events": """
+            SELECT event_id FROM events
+            WHERE abs(extract('epoch' FROM CAST(ts AS TIME)) - 43200) < 7200
         """,
         "value_histogram_events": """
             SELECT event_type,

@@ -77,11 +77,16 @@ def snr_db(signal: np.ndarray, reference: np.ndarray) -> float:
     return 10.0 * np.log10(ref_power / noise_power)
 
 
-def clip_signal(seed: int, index: int, sr_hz: int, dur_ms: int) -> np.ndarray:
+def clip_signal(seed: int, index: int, sr_hz: int, dur_ms: int,
+                max_samples: int | None = None) -> np.ndarray:
     """Deterministic per-clip reference signal (FIXTURES.md §B): a seeded
     sine mixture, frequency 200 + (i % 37)*13 Hz, amplitude 0.5, phase from
-    (seed, index)."""
+    (seed, index). ``max_samples`` caps generation up front — a lying
+    dur_ms (dur_outlier violations claim 600 s) must not cost 13M samples
+    of sin() when only the capped prefix is ever compared."""
     n = int(round(sr_hz * dur_ms / 1000.0))
+    if max_samples is not None:
+        n = min(n, max_samples)
     freq = 200.0 + (index % 37) * 13.0
     phase = ((seed * 2654435761 + index * 40503) % 65536) / 65536.0 * 2 * np.pi
     t = np.arange(n, dtype=np.float64) / sr_hz

@@ -49,6 +49,16 @@ def rnd(x, d: int):
     return np.copysign(np.floor(np.abs(a) * m + 0.5) / m, a)
 
 
+def _fold(partials_ds, group_cols, agg: dict):
+    """Driver fold of per-batch partial aggregates: the partials are already
+    combined inside map_batches (one row per group per batch), so the driver
+    sees O(#batches x #groups) tiny rows — a pandas groupby beats a Ray
+    shuffle by its fixed cost until #groups x #batches is huge; past that,
+    swap for partials_ds.groupby(...).sum(...) (same partials feed both)."""
+    df = partials_ds.to_pandas()
+    return df.groupby(group_cols, as_index=False).agg(agg)
+
+
 def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
@@ -108,8 +118,8 @@ def q_uniqueness_events(sf_dir: str):
             cnt=("event_type", "size"))
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    merged = partials.groupby(["user_id", "event_type"]).sum("cnt")
-    out = merged.to_pandas().rename(columns={"sum(cnt)": "n_events"})
+    merged = _fold(partials, ["user_id", "event_type"], {"cnt": "sum"})
+    out = merged.rename(columns={"cnt": "n_events"})
     out = out[out["n_events"] > 1].reset_index(drop=True)
     out["n_events"] = out["n_events"].astype("int64")
     return out.sort_values(["user_id", "event_type"]).reset_index(drop=True)
@@ -146,12 +156,27 @@ def q_value_histogram_events(sf_dir: str):
              .groupby(["event_type", "bin"], as_index=False).agg(cnt=("bin", "size")))
         return g
 
-    merged = (ds.map_batches(partial, batch_format="pandas")
-              .groupby(["event_type", "bin"]).sum("cnt").to_pandas())
-    out = merged.rename(columns={"sum(cnt)": "n"})
+    merged = _fold(ds.map_batches(partial, batch_format="pandas"),
+                   ["event_type", "bin"], {"cnt": "sum"})
+    out = merged.rename(columns={"cnt": "n"})
     out["bin"] = out["bin"].astype("int64")
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["event_type", "bin"]).reset_index(drop=True)
+
+
+def q_time_filter_events(sf_dir: str):
+    """Keep events whose time-of-day is strictly within 2h of 12:00
+    (consumer.py:195-221 filter_by_time semantics — plain absolute
+    difference, no midnight wrap)."""
+    target_s, tol_s = 12 * 3600, 2 * 3600
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        tod = (df["ts"].dt.hour * 3600 + df["ts"].dt.minute * 60
+               + df["ts"].dt.second)
+        return df.loc[(tod - target_s).abs() < tol_s, ["event_id"]]
+
+    return ds.map_batches(f, batch_format="pandas")
 
 
 def q_drift_events_psi(sf_dir: str):
@@ -193,10 +218,10 @@ def q_pricing_summary(sf_dir: str):
         return g
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    merged = (partials.groupby(["l_returnflag", "l_linestatus"])
-              .sum(["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
-                    "sum_disc", "count_order"]).to_pandas())
-    merged.columns = [c.replace("sum(", "").replace(")", "") for c in merged.columns]
+    merged = _fold(partials, ["l_returnflag", "l_linestatus"],
+                   {c: "sum" for c in ["sum_qty", "sum_base_price",
+                                       "sum_disc_price", "sum_charge",
+                                       "sum_disc", "count_order"]})
     merged["avg_qty"] = rnd(merged["sum_qty"] / merged["count_order"], 4)
     merged["avg_price"] = rnd(merged["sum_base_price"] / merged["count_order"], 4)
     merged["avg_disc"] = rnd(merged["sum_disc"] / merged["count_order"], 6)
@@ -217,10 +242,8 @@ def q_top_customers_revenue(sf_dir: str):
         return df.groupby("o_custkey", as_index=False).agg(
             revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size"))
 
-    merged = (ds.map_batches(partial, batch_format="pandas")
-              .groupby("o_custkey").sum(["revenue", "n_orders"]).to_pandas())
-    merged = merged.rename(columns={"sum(revenue)": "revenue",
-                                    "sum(n_orders)": "n_orders"})
+    merged = _fold(ds.map_batches(partial, batch_format="pandas"),
+                   ["o_custkey"], {"revenue": "sum", "n_orders": "sum"})
     names = ray.get(name_ref)
     merged = merged[merged["o_custkey"].isin(names)]  # inner-join semantics
     top = merged.sort_values(["revenue", "o_custkey"],
@@ -243,9 +266,8 @@ def q_events_hourly(sf_dir: str):
                               "sum_v": df["value"], "n": 1})
                 .groupby(["hour_epoch", "event_type"], as_index=False).sum())
 
-    merged = (ds.map_batches(partial, batch_format="pandas")
-              .groupby(["hour_epoch", "event_type"]).sum(["sum_v", "n"]).to_pandas())
-    merged = merged.rename(columns={"sum(sum_v)": "sum_v", "sum(n)": "n"})
+    merged = _fold(ds.map_batches(partial, batch_format="pandas"),
+                   ["hour_epoch", "event_type"], {"sum_v": "sum", "n": "sum"})
     # 6 decimals: `value` has <=2 decimals so sum/2^k terminates by the 5th
     # digit — no .5 boundary where float summation order could flip the round
     merged["avg_value"] = rnd(merged["sum_v"] / merged["n"], 6)
@@ -508,6 +530,46 @@ def q_pca_iforest_events(sf_dir: str):
     return out.select_columns(["event_id", "pca_code", "pca_score"])
 
 
+def q_forecast_band_events(sf_dir: str):
+    """Nearest-timestamp (as-of) forecast-band check: band table from the
+    trailing-window naive forecast, broadcast join, vectorized lookup
+    (fb_prophet.py:132-145 semantics without Prophet; rows-only)."""
+    from ..stages import asof as asof_mod
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
+    forecast = asof_mod.naive_forecast(ds, window_s=21600.0, X=4.0)
+    out = asof_mod.forecast_band_check(ds, forecast)
+    return out.select_columns(["event_id", "fb_code"])
+
+
+def q_autoencoder_events(sf_dir: str):
+    """Linear-autoencoder reconstruction-error check with adaptive
+    exp-weighted threshold (gan.py mechanics, PCA codec; rows-only)."""
+    from ..stages import autoencoder as ae_mod
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    train = ds.limit(2048).to_pandas()["value"].to_numpy(dtype=np.float64)
+    model = ae_mod.LinearAutoencoder(N_shifts=3, N_latent=2).fit(
+        train[~np.isnan(train)])
+    kernel = ae_mod.make_autoencoder_kernel(model, K=3.0, len_window=50)
+    out = series_mod.apply_series_checks(
+        ds, "user_id", ["ts", "event_id"], "value",
+        [{"name": "ae", "kernel": kernel, "params": {}}], keep_status=False)
+    return out.select_columns(["event_id", "ae_code"])
+
+
+def q_reference_config_borders(sf_dir: str):
+    """Run a reference-schema JSON config (BorderCheck) through the config
+    compatibility layer over the events table (rows-only)."""
+    from .config import run_reference_config
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    conf = {"anomaly_detection_alg": ["BorderCheck()"],
+            "anomaly_detection_conf": [{
+                "input_vector_size": 1, "UL": EV_UL, "LL": EV_LL,
+                "warning_stages": list(EV_WS)}]}
+    out = run_reference_config(conf, ds=ds, key_col="user_id",
+                               value_col="value")
+    return out.select_columns(["event_id", "a0_bordercheck_code"])
+
+
 def q_clustering_events(sf_dir: str):
     """DBSCAN-core distance check (clustering.py semantics, rows-only)."""
     import ray as _ray
@@ -523,7 +585,7 @@ def q_clustering_events(sf_dir: str):
                          fn_constructor_kwargs={"model_ref": model_ref,
                                                 "feature_cols": ["value"]},
                          batch_format="pyarrow", batch_size=8192,
-                         concurrency=(1, 2), num_cpus=1)
+                         concurrency=2, num_cpus=1)
     return out.select_columns(["event_id", "cl_code"])
 
 
@@ -571,6 +633,7 @@ QUERIES = {
     "referential_orders_customer": q_referential_orders_customer,
     "value_histogram_events": q_value_histogram_events,
     "drift_events_psi": q_drift_events_psi,
+    "time_filter_events": q_time_filter_events,
     "pricing_summary": q_pricing_summary,
     "top_customers_revenue": q_top_customers_revenue,
     "events_hourly": q_events_hourly,
@@ -598,6 +661,9 @@ QUERIES = {
     "iforest_events": q_iforest_events,
     "pca_iforest_events": q_pca_iforest_events,
     "clustering_events": q_clustering_events,
+    "forecast_band_events": q_forecast_band_events,
+    "autoencoder_events": q_autoencoder_events,
+    "reference_config_borders": q_reference_config_borders,
     "clip_validation_verdicts": q_clip_validation_verdicts,
     "clip_audio_features": q_clip_audio_features,
 }

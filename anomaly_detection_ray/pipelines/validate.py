@@ -37,6 +37,7 @@ import ray.data as rd
 
 from ..functions.grading import ERROR_CODE, UNDEFINED_CODE
 from ..sources.clips import META_COLUMNS, read_clips
+from ..stages.sizing import pool_size
 from ..stages import checks as ck
 from ..stages import drift as drift_mod
 from ..stages import stats as stats_mod
@@ -109,7 +110,7 @@ def build_pass_b(full_ds, cfg: ValidateConfig, pass_a: dict):
         fn_constructor_kwargs={"seed": cfg.seed, "snr_threshold": cfg.snr_threshold},
         batch_format="pyarrow",
         batch_size=cfg.fidelity_batch_size,
-        concurrency=(1, cfg.fidelity_concurrency),
+        concurrency=pool_size(cfg.fidelity_concurrency),
         num_cpus=1)
 
     def dup_flag(t: pa.Table) -> pa.Table:

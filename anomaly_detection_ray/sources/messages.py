@@ -1,0 +1,84 @@
+"""Message-format sources — consumer parity with the reference's file inputs.
+
+The reference's ConsumerFile (/root/reference/src/consumer.py:226-331) reads
+either a CSV whose header is ``timestamp,<value cols...>[,label[,labelInfo]]``
+(every non-timestamp/label column becomes one element of ``ftr_vector``,
+consumer.py:303,316-321) or a JSON document ``{"data": [{"ftr_vector": [...],
+"timestamp": t}, ...]}`` (consumer.py:285-291), replaying rows one at a time.
+
+Here the same files become a Ray Data Dataset with one row per message:
+``ts`` (float seconds) + feature columns ``f0..fk`` (+ label/labelInfo when
+present). Kafka input is out of scope (no brokers in a batch validation
+engine); its equivalent is simply a Dataset over the stored table.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+_LABEL_COLS = {"label", "labelInfo"}
+
+
+def read_message_csv(path: str, keep_labels: bool = True):
+    """CSV in the reference's message layout -> Dataset(ts, f0..fk, ...)."""
+    ds = rd.read_csv(path)
+    names = ds.schema().names
+    feature_cols = [c for c in names if c != "timestamp" and c not in _LABEL_COLS]
+    rename = {"timestamp": "ts"}
+    rename.update({c: f"f{i}" for i, c in enumerate(feature_cols)})
+
+    def project(t: pa.Table) -> pa.Table:
+        cols, out_names = [], []
+        for src in names:
+            if src in _LABEL_COLS and not keep_labels:
+                continue
+            arr = t[src]
+            if src == "timestamp" or src in rename and rename[src].startswith("f"):
+                arr = pa.compute.cast(arr, pa.float64())
+            cols.append(arr)
+            out_names.append(rename.get(src, src))
+        return pa.table(dict(zip(out_names, cols)))
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def read_message_json(path: str):
+    """JSON ``{"data": [{ftr_vector, timestamp}, ...]}`` -> Dataset.
+
+    The document is one file read once on the driver (these are small replay
+    files in the reference; a sharded corpus would be JSONL via
+    ``ray.data.read_json``)."""
+    with open(path) as f:
+        doc = json.load(f)
+    data = doc["data"]
+    n_feat = max(len(m["ftr_vector"]) for m in data) if data else 0
+    cols = {"ts": [float(m["timestamp"]) for m in data]}
+    for i in range(n_feat):
+        cols[f"f{i}"] = [float(m["ftr_vector"][i])
+                         if i < len(m["ftr_vector"]) else np.nan for m in data]
+    return rd.from_pandas(pd.DataFrame(cols))
+
+
+def write_verdicts(ds, out_dir: str, fmt: str = "parquet",
+                   violations_only: bool = False,
+                   code_col: str = "status_code"):
+    """FileOutput/KafkaOutput-parity sink: write verdict rows (optionally only
+    non-OK rows — the reference's ``send_ok=False`` gate, output.py:203-206).
+    Partitioned files, not one giant file (resumable layout)."""
+    if violations_only:
+        ds = ds.filter(expr=f"{code_col} != 1")
+    if fmt == "parquet":
+        ds.write_parquet(out_dir)
+    elif fmt == "csv":
+        ds.write_csv(out_dir)
+    elif fmt == "json":
+        ds.write_json(out_dir)
+    else:
+        raise ValueError(f"unknown sink format: {fmt}")
+    return out_dir

@@ -1,0 +1,108 @@
+"""As-of (nearest-timestamp) join + forecast-band check.
+
+Re-expresses the fb_Prophet band check (/root/reference/src/algorithms/
+fb_prophet.py:132-145) without Prophet: given a forecast-interval table
+``(ts, yhat_lower, yhat_upper)``, each record is matched to the forecast row
+with the NEAREST timestamp and graded Error iff its value falls outside
+[yhat_lower, yhat_upper] (Undefined before the forecast's coverage is
+configured to start). The forecast can come from any model; ``naive_forecast``
+builds one from trailing per-window stats (mean ± X·std), which is the
+Prophet-free stand-in used in tests.
+
+Ray mapping: the forecast table is SMALL (horizons × frequency rows) — it is
+broadcast once via ``ray.put`` and the nearest lookup is a vectorized
+``np.searchsorted`` inside ``map_batches``; no shuffle. A large forecast side
+would instead use per-group ``pandas.merge_asof`` inside
+``groupby().map_groups`` — same semantics, co-partitioned by series key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from ..functions.grading import ERROR_CODE, OK_CODE, UNDEFINED_CODE
+
+
+def nearest_band_codes(ts: np.ndarray, values: np.ndarray,
+                       f_ts: np.ndarray, f_lo: np.ndarray,
+                       f_hi: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized nearest-timestamp band check. ``f_ts`` must be sorted."""
+    idx = np.searchsorted(f_ts, ts)
+    idx = np.clip(idx, 1, len(f_ts) - 1)
+    left, right = idx - 1, idx
+    use_left = np.abs(ts - f_ts[left]) <= np.abs(f_ts[right] - ts)
+    nearest = np.where(use_left, left, right)
+    lo, hi = f_lo[nearest], f_hi[nearest]
+    code = np.full(len(ts), OK_CODE, dtype=np.int8)
+    status = np.full(len(ts), "OK", dtype=object)
+    below, above = values < lo, values > hi
+    code[below] = ERROR_CODE
+    status[below] = "Error: Value below the lower limit"
+    code[above] = ERROR_CODE
+    status[above] = "Error: Value over the upper limit"
+    bad = np.isnan(values)
+    code[bad] = UNDEFINED_CODE
+    status[bad] = "Undefined"
+    return code, status
+
+
+def forecast_band_check(ds, forecast: pd.DataFrame, ts_col: str = "ts",
+                        value_col: str = "value", prefix: str = "fb"):
+    """Dataset + forecast(ts, yhat_lower, yhat_upper) -> Dataset with
+    ``<prefix>_code``/``<prefix>_status`` columns (broadcast as-of join)."""
+    f = forecast.sort_values("ts")
+    fc_ref = ray.put((f["ts"].to_numpy(dtype=np.float64),
+                      f["yhat_lower"].to_numpy(dtype=np.float64),
+                      f["yhat_upper"].to_numpy(dtype=np.float64)))
+
+    def check(t: pa.Table) -> pa.Table:
+        f_ts, f_lo, f_hi = ray.get(fc_ref)
+        ts = _ts_seconds(t[ts_col])
+        v = pa.compute.cast(t[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        code, status = nearest_band_codes(ts, v, f_ts, f_lo, f_hi)
+        return (t.append_column(f"{prefix}_code", pa.array(code, type=pa.int8()))
+                 .append_column(f"{prefix}_status", pa.array(status, type=pa.string())))
+
+    return ds.map_batches(check, batch_format="pyarrow")
+
+
+def _ts_seconds(arr: pa.ChunkedArray) -> np.ndarray:
+    if pa.types.is_timestamp(arr.type):
+        return (pa.compute.cast(arr, pa.int64()).to_numpy(zero_copy_only=False)
+                / {"s": 1, "ms": 1e3, "us": 1e6, "ns": 1e9}[arr.type.unit])
+    ts = pa.compute.cast(arr, pa.float64()).to_numpy(zero_copy_only=False)
+    return np.where(ts >= 1e10, ts / 1000.0, ts)
+
+
+def naive_forecast(ds, ts_col: str = "ts", value_col: str = "value",
+                   window_s: float = 3600.0, X: float = 3.0) -> pd.DataFrame:
+    """Prophet-free forecast table: per time-window mean ± X·std of the value
+    (partial per-batch sums -> one small merge; the training pass)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df[ts_col]
+        if pd.api.types.is_datetime64_any_dtype(ts):
+            sec = ((ts - pd.Timestamp(0)) // pd.Timedelta(seconds=1)).to_numpy()
+        else:
+            sec = ts.to_numpy(dtype=np.float64)
+        w = (sec // window_s).astype(np.int64)
+        v = df[value_col].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(v)
+        g = pd.DataFrame({"w": w[ok], "s1": v[ok], "s2": v[ok] ** 2, "n": 1})
+        return g.groupby("w", as_index=False).sum()
+
+    m = (ds.map_batches(partial, batch_format="pandas")
+         .groupby("w").sum(["s1", "s2", "n"]).to_pandas())
+    m = m.rename(columns={"sum(s1)": "s1", "sum(s2)": "s2", "sum(n)": "n"})
+    mean = m["s1"] / m["n"]
+    var = np.maximum(m["s2"] / m["n"] - mean**2, 0.0)
+    std = np.sqrt(var)
+    return pd.DataFrame({
+        "ts": (m["w"].to_numpy(dtype=np.float64) + 0.5) * window_s,
+        "yhat_lower": mean - X * std,
+        "yhat_upper": mean + X * std,
+    })

@@ -138,7 +138,8 @@ class FidelityCheck:
                 continue
             n_samp = min(int(round(sr[r] * dur[r] / 1000.0)), self.max_samples)
             ref = audio.clip_signal(self.seed, int(idx[r]),
-                                    min(int(sr[r]), 48000), int(dur[r]))[:n_samp]
+                                    min(int(sr[r]), 48000), int(dur[r]),
+                                    max_samples=n_samp)
             s = audio.snr_db(dec, ref)
             snr[r] = s
             if not (s >= self.snr_threshold):

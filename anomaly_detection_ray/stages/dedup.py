@@ -25,7 +25,10 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
+
 from ..functions import text as tx
+from .sizing import pool_size
 
 
 def md5_hex(texts: pd.Series) -> pd.Series:
@@ -103,7 +106,7 @@ def minhash_candidate_pairs(ds, text_col="text", id_col="doc_id", k=64,
         MinHashSignatures,
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, k=k,
                                    bands=bands, shingle_k=shingle_k),
-        batch_format="pandas", concurrency=(1, 4))
+        batch_format="pandas", concurrency=pool_size(8))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -115,7 +118,30 @@ def minhash_candidate_pairs(ds, text_col="text", id_col="doc_id", k=64,
         est = (sigs[ia] == sigs[ib]).mean(axis=1)
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "est_jaccard": est})
 
-    pairs = sig_ds.groupby(["band_id", "band_key"]).map_groups(
+    # Only buckets holding >=2 docs can yield pairs, and almost every bucket
+    # is a singleton — shuffling them all means one map_groups call per doc
+    # per band. Count bucket sizes first (tiny partials, driver fold — at
+    # cluster scale this fold becomes a Ray groupby().count() over the same
+    # partials), broadcast the hot keys, and shuffle only those rows.
+    sig_ds = sig_ds.materialize()
+
+    def key_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["band_id", "band_key"], as_index=False)
+                .agg(cnt=("band_key", "size")))
+
+    counts = (sig_ds.map_batches(key_counts, batch_format="pandas")
+              .to_pandas().groupby(["band_id", "band_key"], as_index=False)
+              .agg({"cnt": "sum"}))
+    hot = counts[counts["cnt"] >= 2]
+    hot_keys = ray.put(set(zip(hot["band_id"].tolist(), hot["band_key"].tolist())))
+
+    def keep_hot(df: pd.DataFrame) -> pd.DataFrame:
+        hk = ray.get(hot_keys)
+        mask = [(b, k) in hk for b, k in zip(df["band_id"], df["band_key"])]
+        return df[np.asarray(mask, dtype=bool)]
+
+    hot_sigs = sig_ds.map_batches(keep_hot, batch_format="pandas")
+    pairs = hot_sigs.groupby(["band_id", "band_key"]).map_groups(
         bucket_pairs, batch_format="pandas")
     df = pairs.to_pandas()
     if df.empty:

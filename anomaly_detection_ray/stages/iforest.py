@@ -21,6 +21,8 @@ import pyarrow as pa
 
 import ray
 
+from .sizing import pool_size
+
 from ..functions.grading import ERROR_CODE, OK_CODE, UNDEFINED_CODE
 
 
@@ -176,7 +178,7 @@ def score_stage(ds, model: IsolationForestModel, feature_cols: list[str],
                           fn_constructor_kwargs={"model_ref": model_ref,
                                                  "feature_cols": feature_cols},
                           batch_format="pyarrow", batch_size=batch_size,
-                          concurrency=(1, concurrency), num_cpus=1)
+                          concurrency=pool_size(concurrency), num_cpus=1)
 
 
 # ------------------------------------------------------------------- PCA
@@ -260,7 +262,7 @@ def pca_score_stage(ds, pca: PCAModel, model: IsolationForestModel,
                                                  "model_ref": model_ref,
                                                  "feature_cols": feature_cols},
                           batch_format="pyarrow", batch_size=batch_size,
-                          concurrency=(1, concurrency), num_cpus=1)
+                          concurrency=pool_size(concurrency), num_cpus=1)
 
 
 # ------------------------------------------------------------- clustering

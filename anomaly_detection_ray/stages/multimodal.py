@@ -18,6 +18,7 @@ import pandas as pd
 import pyarrow as pa
 
 from .. import audio
+from .sizing import pool_size
 
 HAVE_PIL = False
 try:  # pragma: no cover - not present in this container
@@ -129,4 +130,4 @@ def audio_features(ds, bytes_col: str = "bytes", batch_size: int = 64,
     return ds.map_batches(AudioFeatures,
                           fn_constructor_kwargs={"bytes_col": bytes_col},
                           batch_format="pyarrow", batch_size=batch_size,
-                          concurrency=(1, concurrency), num_cpus=1)
+                          concurrency=pool_size(concurrency), num_cpus=1)

@@ -48,7 +48,9 @@ def make_series_kernel(checks: list[dict[str, Any]], value_col: str,
 
     ``checks``: [{"name": prefix, "kernel": kernel-name, "params": {...}}]
     """
-    resolved = [(c["name"], KERNELS[c["kernel"]], c.get("params", {})) for c in checks]
+    resolved = [(c["name"],
+                 c["kernel"] if callable(c["kernel"]) else KERNELS[c["kernel"]],
+                 c.get("params", {})) for c in checks]
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order_cols, kind="mergesort").reset_index(drop=True)

@@ -194,7 +194,8 @@ def generate_batch(seed: int, idx: np.ndarray, P: int = 16,
             rng = np.random.default_rng(seed * 1_000_003 + i)
             sig = rng.uniform(-0.5, 0.5, size=n_samp)
         else:
-            sig = audio.clip_signal(seed, int(src[k]), gen_sr, d)[:n_samp]
+            sig = audio.clip_signal(seed, int(src[k]), gen_sr, d,
+                                    max_samples=n_samp)
         wav = audio.encode_wav(sig, s)
         if vc == "truncated":
             wav = wav[: len(wav) // 2]
@@ -230,18 +231,42 @@ def generate_table(seed: int, n: int, P: int = 16, with_audio: bool = True,
     return pa.concat_tables(tables)
 
 
+def _write_shard(path: str, fidx: int, seed: int, start: int, stop: int,
+                 P: int) -> None:
+    import pyarrow.parquet as pq
+    fp = f"{path}/clips-{fidx:05d}.parquet"
+    tmp = fp + ".tmp"
+    pq.write_table(generate_batch(seed, np.arange(start, stop), P), tmp)
+    import os
+    os.replace(tmp, fp)  # atomic: readers never see a partial file
+
+
 def write_clip_table(path: str, seed: int = 42, n: int = 2000, P: int = 16,
                      rows_per_file: int = 4096) -> None:
     """Write the clip table as partition-ranged parquet files under ``path``
-    (idempotent, deterministic layout)."""
+    (idempotent, deterministic layout). Every shard is a pure function of
+    (seed, index range), so shards fan out as Ray tasks when a Ray session
+    is up; serial fallback otherwise (tests without Ray)."""
     import os
 
-    import pyarrow.parquet as pq
-
     os.makedirs(path, exist_ok=True)
+    todo = []
     for fidx, s in enumerate(range(0, n, rows_per_file)):
         fp = os.path.join(path, f"clips-{fidx:05d}.parquet")
-        if os.path.exists(fp):
-            continue
-        t = generate_batch(seed, np.arange(s, min(s + rows_per_file, n)), P)
-        pq.write_table(t, fp)
+        if not os.path.exists(fp):
+            todo.append((fidx, s, min(s + rows_per_file, n)))
+    if not todo:
+        return
+    try:
+        import ray
+        use_ray = ray.is_initialized()
+    except ImportError:
+        use_ray = False
+    if use_ray:
+        import ray
+        shard = ray.remote(num_cpus=1)(_write_shard)
+        ray.get([shard.remote(path, fidx, seed, a, b, P)
+                 for fidx, a, b in todo])
+    else:
+        for fidx, a, b in todo:
+            _write_shard(path, fidx, seed, a, b, P)

@@ -26,7 +26,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-CLIP_N = int(os.environ.get("ADR_CLIP_N", "6000"))
+CLIP_N = int(os.environ.get("ADR_CLIP_N", "20000"))
 
 
 def _warm_cache():
@@ -66,7 +66,7 @@ def run_headline() -> dict:
 
     # clip table: generation is NOT timed (cached on disk, deterministic)
     clip_path = f"/tmp/adr_bench_clips/{sf_name}_{CLIP_N}"
-    synth.write_clip_table(clip_path, seed=42, n=CLIP_N, P=16, rows_per_file=2048)
+    synth.write_clip_table(clip_path, seed=42, n=CLIP_N, P=16, rows_per_file=1024)
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -80,6 +80,12 @@ def run_headline() -> dict:
 
     import __ray_entry__ as entrymod
     Q = entrymod.queries()
+
+    # untimed warm-up: pay worker start + parquet metadata once, not inside
+    # the first timed query
+    import ray.data as rd
+    rd.read_parquet(f"{SF_DIR}/events.parquet").map_batches(
+        lambda t: t, batch_format="pyarrow").materialize()
 
     timed("events_validation", lambda: _entry_chain(SF_DIR))
     timed("grouped_stats_events", lambda: Q["grouped_stats_events"](SF_DIR))
@@ -97,7 +103,7 @@ def run_headline() -> dict:
     t0 = time.perf_counter()
     res = run_validation(clip_path, f"/tmp/adr_bench_out/{sf_name}_{NUM_CPUS}",
                          ValidateConfig(seed=42, P=16,
-                                        fidelity_concurrency=max(2, NUM_CPUS // 2),
+                                        fidelity_concurrency=max(2, NUM_CPUS - 4),
                                         fidelity_batch_size=128),
                          resume=False)
     timings["clip_validation"] = round(time.perf_counter() - t0, 3)
@@ -135,6 +141,8 @@ def _entry_chain(sf_dir):
     ds = ds.map_batches(
         lambda t: border_stage(t, "value", q.EV_UL, q.EV_LL, q.EV_WS, prefix="bc"),
         batch_format="pyarrow")
+    ds = ds.select_columns(["event_id", "ts", "user_id", "value",
+                            "rv_code", "bc_code"])
     ds = series_mod.apply_series_checks(
         ds, "user_id", ["ts", "event_id"], "value",
         [{"name": "wf", "kernel": "welford",

@@ -1,0 +1,161 @@
+"""Reference-config compatibility + message sources + as-of band check +
+linear-autoencoder scorer."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from anomaly_detection_ray import oracle
+from anomaly_detection_ray.functions.grading import ERROR_CODE, OK_CODE, UNDEFINED_CODE
+from anomaly_detection_ray.stages.asof import naive_forecast, nearest_band_codes
+from anomaly_detection_ray.stages.autoencoder import (LinearAutoencoder,
+                                                      adaptive_threshold_codes)
+
+REF_CONFIG_DIR = "/root/reference/configuration"
+
+rng = np.random.default_rng(11)
+
+
+# ---------------------------------------------------------------- unit level
+
+def test_nearest_band_codes_matches_reference_lookup():
+    """Vectorized nearest-ts lookup == argmin |ts - f_ts| (fb_prophet.py:133)."""
+    f_ts = np.array([10.0, 20.0, 30.0, 50.0])
+    lo = np.array([0.0, 1.0, 2.0, 3.0])
+    hi = np.array([5.0, 6.0, 7.0, 8.0])
+    ts = np.array([9.0, 14.9, 15.1, 40.0, 41.0, 100.0])
+    vals = np.array([4.0, 0.5, 6.5, 2.5, 9.0, 3.5])
+    code, status = nearest_band_codes(ts, vals, f_ts, lo, hi)
+    for t, v, c in zip(ts, vals, code):
+        b = np.argmin(np.abs(t - f_ts))
+        expect = OK_CODE if lo[b] <= v <= hi[b] else ERROR_CODE
+        assert c == expect, (t, v)
+
+
+def test_adaptive_threshold_matches_sequential_gan_window():
+    errors = np.abs(rng.normal(0.1, 0.05, size=200))
+    errors[80] = 5.0
+    K, W = 2.0, 30
+    code, _ = adaptive_threshold_codes(errors, K, W)
+    # sequential mirror of gan.py:156-175
+    weights = np.exp(np.linspace(0, 1, W))
+    window: list[float] = []
+    for i, e in enumerate(errors):
+        window.append(e)
+        if len(window) > W:
+            window = window[-W:]
+        thr = K * np.average(window, weights=weights[-len(window):])
+        expect = ERROR_CODE if e >= thr else OK_CODE
+        assert code[i] == expect, i
+
+
+def test_linear_autoencoder_flags_injected_outlier():
+    v = rng.normal(10, 1, size=500)
+    model = LinearAutoencoder(N_shifts=3, N_latent=1).fit(v)
+    test = v.copy()
+    test[300] = 60.0
+    errors = model.reconstruction_errors(test)
+    assert np.isnan(errors[:3]).all()
+    assert errors[300] > 10 * np.nanmedian(errors)
+
+
+# ------------------------------------------------------------ Ray pipelines
+
+@pytest.fixture()
+def events_ds(ray_session):
+    import ray.data as rd
+    return rd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                           columns=["event_id", "ts", "user_id", "value"])
+
+
+def test_message_csv_roundtrip(ray_session, tmp_path):
+    from anomaly_detection_ray.sources.messages import read_message_csv
+    p = tmp_path / "msgs.csv"
+    pd.DataFrame({"timestamp": [1.0, 2.0, 3.0], "a": [0.1, 0.2, 0.3],
+                  "b": [1.0, 2.0, 3.0], "label": [False, True, False],
+                  "labelInfo": [0, 1, 0]}).to_csv(p, index=False)
+    df = read_message_csv(str(p)).to_pandas()
+    assert list(df.columns) == ["ts", "f0", "f1", "label", "labelInfo"]
+    df = df.sort_values("ts")  # Ray block order is not row order
+    np.testing.assert_allclose(df["f0"], [0.1, 0.2, 0.3])
+
+
+def test_message_json_roundtrip(ray_session, tmp_path):
+    from anomaly_detection_ray.sources.messages import read_message_json
+    p = tmp_path / "msgs.json"
+    p.write_text(json.dumps({"data": [
+        {"ftr_vector": [1.0, 2.0], "timestamp": 10},
+        {"ftr_vector": [3.0, 4.0], "timestamp": 20}]}))
+    df = read_message_json(str(p)).to_pandas().sort_values("ts")
+    assert list(df.columns) == ["ts", "f0", "f1"]
+    np.testing.assert_allclose(df["f1"], [2.0, 4.0])
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_CONFIG_DIR),
+                    reason="reference configs not present")
+def test_reference_border_check_config_runs_verbatim(ray_session, events_ds):
+    """The reference's own border_check.json drives the engine unmodified;
+    flags equal the sequential oracle run with the same config."""
+    from anomaly_detection_ray.pipelines.config import run_reference_config
+    with open(os.path.join(REF_CONFIG_DIR, "border_check.json")) as f:
+        conf = json.load(f)
+    out = run_reference_config(conf, ds=events_ds, key_col="user_id",
+                               value_col="value").to_pandas()
+    col = "a0_bordercheck_code"
+    assert col in out.columns
+    c = conf["anomaly_detection_conf"][0]
+    ob = oracle.OracleBorderCheck(UL=c["UL"], LL=c["LL"],
+                                  warning_stages=sorted(c["warning_stages"]))
+    for _, row in out.sample(n=200, random_state=0).iterrows():
+        s, code = ob.insert({"ftr_vector": [row["value"]], "timestamp": 1.0})
+        assert code == row[col]
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_CONFIG_DIR),
+                    reason="reference configs not present")
+def test_reference_welford_and_ema_configs_run(ray_session, events_ds):
+    from anomaly_detection_ray.pipelines.config import run_reference_config
+    for name, col in [("welford.json", "a0_welford_code"),
+                      ("ema.json", "a0_ema_code")]:
+        with open(os.path.join(REF_CONFIG_DIR, name)) as f:
+            conf = json.load(f)
+        out = run_reference_config(conf, ds=events_ds, key_col="user_id",
+                                   value_col="value").to_pandas()
+        assert col in out.columns
+        assert set(np.unique(out[col])) <= {-1, 0, 1, 2}
+
+
+def test_unsupported_algs_raise(ray_session):
+    from anomaly_detection_ray.pipelines.config import parse_config
+    with pytest.raises(NotImplementedError, match="TensorFlow"):
+        parse_config({"anomaly_detection_alg": ["GAN()"],
+                      "anomaly_detection_conf": [{}]})
+
+
+def test_forecast_band_pipeline(ray_session, events_ds):
+    from anomaly_detection_ray.stages.asof import forecast_band_check
+    forecast = naive_forecast(events_ds, window_s=21600.0, X=4.0)
+    assert {"ts", "yhat_lower", "yhat_upper"} <= set(forecast.columns)
+    out = forecast_band_check(events_ds, forecast).to_pandas()
+    codes = set(np.unique(out["fb_code"]))
+    assert codes <= {-1, 1, 2}
+    assert (out["fb_code"] == ERROR_CODE).sum() < 0.2 * len(out)
+
+
+def test_verdict_sink_violations_only(ray_session, events_ds, tmp_path):
+    import pyarrow as pa
+
+    from anomaly_detection_ray.sources.messages import write_verdicts
+    from anomaly_detection_ray.stages.checks import border_stage
+    ds = events_ds.map_batches(
+        lambda t: border_stage(t, "value", 80.0, 20.0, [], prefix="bc"),
+        batch_format="pyarrow")
+    out_dir = str(tmp_path / "viol")
+    write_verdicts(ds, out_dir, violations_only=True, code_col="bc_code")
+    import ray.data as rd
+    back = rd.read_parquet(out_dir).to_pandas()
+    assert (back["bc_code"] != 1).all()
+    assert len(back) > 0

@@ -75,7 +75,7 @@ def oracle_names():
     "pricing_summary", "top_customers_revenue", "events_hourly",
     "exact_dedup_documents", "token_count_documents",
     "text_quality_documents", "embedding_norms", "similarity_topk_embeddings",
-    "feature_construction_events",
+    "feature_construction_events", "time_filter_events",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]
