@@ -188,6 +188,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY date_trunc('hour', ts), event_type
         """,
+        "bloom_dedup_documents": """
+            SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT coalesce(text, '') AS text FROM documents)
+            GROUP BY md5(text) HAVING count(*) >= 2
+        """,
         "exact_dedup_documents": """
             SELECT md5(text) AS text_hash,
                    CAST(min(doc_id) AS BIGINT) AS keep_doc_id,

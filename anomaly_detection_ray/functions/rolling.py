@@ -33,6 +33,7 @@ __all__ = [
     "border_check", "ema_check", "macd_check", "welford_check",
     "cumulative_check", "hampel_check", "percentile_check",
     "linear_fit_check", "filtering_check", "ema_percentile_check",
+    "trend_classification_check",
 ]
 
 
@@ -270,3 +271,69 @@ def filtering_check(values: np.ndarray, filter_order: int,
         return {"status_code": code, "status": status, "filtered": filtered}
     code, status = grade_normalized(vn, warning_stages, context="Filtered signal")
     return {"status_code": code, "status": status, "filtered": filtered}
+
+
+def trend_classification_check(values: np.ndarray, N: int, averaging: int,
+                               prediction_conv: int,
+                               warning_stages: list[float],
+                               amp_scale: float) -> dict[str, np.ndarray]:
+    """Trend classification (trend_classification.py:84-151) with the MLP
+    replaced by a closed-form slope classifier — the reference trains a tiny
+    Keras net at configure time on SYNTHETIC pure up/flat/down ramps, so the
+    decision it learns is 'which ramp does the normalized window resemble';
+    the OLS slope of the normalized window against half the pure-ramp slope
+    is that decision without TensorFlow (deliberately absent from the
+    dependency set). Classes: 0=down, 1=flat, 2=up.
+
+    Downstream mechanics reproduced exactly: FV = trailing means, amplitude
+    = (max-min)/amp_scale, prediction averaged over ``prediction_conv``,
+    value_normalized = 1 + (avg_pred - 1)*amplitude, Error outside [0, 2],
+    Warning iff beyond the LAST configured stage (the reference's stage loop
+    breaks to OK on the first non-exceeded stage — reproduced as-is)."""
+    n = len(values)
+    code, status = _undef(n)
+    out = {"status_code": code, "status": status}
+    if n < N:
+        return out
+    avg = pd.Series(values).rolling(averaging, min_periods=1).mean().to_numpy()
+    w = sliding_window_view(avg, N)            # rows end at index N-1..n-1
+    wmax, wmin = w.max(axis=1), w.min(axis=1)
+    span = wmax - wmin
+    amplitude = span / amp_scale
+    x = np.arange(N, dtype=np.float64)
+    xc = x - x.mean()
+    sxx = float(np.dot(xc, xc))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        wn = (w - w.mean(axis=1)[:, None]) / span[:, None]
+    slope = np.where(span > 0, (np.nan_to_num(wn) @ xc) / sxx, 0.0)
+    ramp_slope = 1.0 / (N - 1) if N > 1 else 1.0
+    pred = np.where(span == 0, 1,
+                    np.where(slope > 0.5 * ramp_slope, 2,
+                             np.where(slope < -0.5 * ramp_slope, 0, 1)))
+    # averaged prediction over the trailing prediction_conv predictions
+    pred_avg = pd.Series(pred.astype(np.float64)).rolling(
+        prediction_conv).mean().to_numpy()
+    graded = np.arange(len(pred)) >= prediction_conv - 1
+    vn = 1.0 + (pred_avg - 1.0) * amplitude
+    g_code = np.full(len(pred), UNDEFINED_CODE, dtype=np.int8)
+    g_status = np.full(len(pred), "Undefined", dtype=object)
+    gi = graded
+    up_err = gi & (vn > 2)
+    lo_err = gi & (vn < 0)
+    g_code[gi] = OK_CODE
+    g_status[gi] = "OK"
+    if warning_stages:
+        last = warning_stages[-1]
+        k = len(warning_stages) - 1
+        w_up = gi & ~up_err & ~lo_err & (vn > 1 + last)
+        w_lo = gi & ~up_err & ~lo_err & (vn < 1 - last)
+        g_code[w_up | w_lo] = WARNING_CODE
+        g_status[w_up] = f"Warning{k}: trend close to upper limit."
+        g_status[w_lo] = f"Warning{k}: trend close to lower limit."
+    g_code[up_err] = ERROR_CODE
+    g_status[up_err] = "Error: measurement above upper limit"
+    g_code[lo_err] = ERROR_CODE
+    g_status[lo_err] = "Error: measurement below lower limit"
+    code[N - 1:] = g_code
+    status[N - 1:] = g_status
+    return out

@@ -65,11 +65,19 @@ _KERNEL_ALGS: dict[str, tuple[str, Any]] = {
     "EMA_Percentile": ("ema_percentile", lambda c: {
         "percentile": c["percentile"], "window": c["window"],
         "start_on": c["start_on"], "period": c["period"]}),
+    # slope-classifier stand-in for the Keras MLP (functions/rolling.py
+    # trend_classification_check docstring)
+    "Trend_Classification": ("trend_classification", lambda c: {
+        "N": c["N"], "averaging": c["averaging"],
+        "prediction_conv": c["prediction_conv"],
+        "warning_stages": sorted(c.get("warning_stages", [])),
+        "amp_scale": c.get("amp_scale", 1.0)}),
 }
 
 _UNSUPPORTED = {
-    "GAN": "Keras/TensorFlow not in the dependency set",
-    "Trend_Classification": "Keras/TensorFlow not in the dependency set",
+    "GAN": "Keras/TensorFlow not in the dependency set (see stages/"
+           "autoencoder.py for the reconstruction-error mechanics with a "
+           "linear codec)",
     "fb_Prophet": "Prophet not in the dependency set (see stages/asof.py "
                   "forecast_band_check for the as-of-join band semantics)",
     "RRCF_trees": "rrcf not in the dependency set",

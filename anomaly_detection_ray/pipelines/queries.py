@@ -164,6 +164,31 @@ def q_value_histogram_events(sf_dir: str):
     return out.sort_values(["event_type", "bin"]).reset_index(drop=True)
 
 
+def q_bloom_dedup_documents(sf_dir: str):
+    """Exact duplicate texts via sharded-Bloom-actor candidate pre-filter +
+    exact confirmation (north star 'Bloom-filter uniqueness'; result is
+    exact, so SQL-checkable)."""
+    from ..stages import uniqueness as uniq_mod
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"text_hash": dd.md5_hex(df["text"].fillna(""))})
+
+    hashed = ds.map_batches(add_hash, batch_format="pandas")
+    out = uniq_mod.bloom_dedup_candidates(hashed, key_col="text_hash")
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.sort_values("text_hash").reset_index(drop=True)
+
+
+def q_tdigest_quantiles_events(sf_dir: str):
+    """Approximate p50/p90/p99 of value via mergeable t-digest partials
+    (rows-only; accuracy pinned in tests/test_sketches.py)."""
+    ds = _read(sf_dir, "events", ["value"])
+    td = stats_mod.tdigest_column(ds, "value")
+    qs = [0.5, 0.9, 0.99]
+    return pd.DataFrame({"q": qs, "value": [float(td.quantile(x)) for x in qs]})
+
+
 def q_time_filter_events(sf_dir: str):
     """Keep events whose time-of-day is strictly within 2h of 12:00
     (consumer.py:195-221 filter_by_time semantics — plain absolute
@@ -444,6 +469,15 @@ def q_ema_percentile_events(sf_dir: str):
                                                "start_on": 10, "period": 10}}])
 
 
+def q_trend_classification_events(sf_dir: str):
+    return _series_events(sf_dir, [{"name": "tc",
+                                    "kernel": "trend_classification",
+                                    "params": {"N": 20, "averaging": 3,
+                                               "prediction_conv": 5,
+                                               "warning_stages": [0.5],
+                                               "amp_scale": 50.0}}])
+
+
 def q_repair_events(sf_dir: str):
     """LastNAverage suggested-value repair of border-check Errors
     (normalization.py semantics; rows-only — the repaired value feeds back
@@ -634,6 +668,8 @@ QUERIES = {
     "value_histogram_events": q_value_histogram_events,
     "drift_events_psi": q_drift_events_psi,
     "time_filter_events": q_time_filter_events,
+    "bloom_dedup_documents": q_bloom_dedup_documents,
+    "tdigest_quantiles_events": q_tdigest_quantiles_events,
     "pricing_summary": q_pricing_summary,
     "top_customers_revenue": q_top_customers_revenue,
     "events_hourly": q_events_hourly,
@@ -655,6 +691,7 @@ QUERIES = {
     "linear_fit_events": q_linear_fit_events,
     "filtering_events": q_filtering_events,
     "ema_percentile_events": q_ema_percentile_events,
+    "trend_classification_events": q_trend_classification_events,
     "repair_events": q_repair_events,
     "percent_score_events": q_percent_score_events,
     "feature_construction_events": q_feature_construction_events,

@@ -68,15 +68,118 @@ class ValidateConfig:
 
 
 def run_pass_a(meta_ds, cfg: ValidateConfig) -> dict:
-    """Narrow aggregation pass. Returns broadcastable results."""
+    """Narrow aggregation pass: ONE streaming execution over the metadata
+    columns computes every dataset-level statistic at once — each batch emits
+    one composite partial (Welford tuples, salted per-codec tuples, HLL
+    registers, drift histograms, sorted clip_id hashes), folded on the
+    driver. The fold is O(#batches x small) except the id-hash arrays,
+    which are O(rows x 8B) — fine to ~1e9 rows; past that flip to
+    ``run_pass_a_shuffle`` whose duplicate confirmation is a key shuffle.
+
+    Duplicate detection is by 64-bit id hash (same hash is re-derived
+    row-locally in the flag stage); collisions are ~1e-12 at sandbox scale —
+    the shuffle path confirms exactly and is the trillion-row mode."""
+    import pickle
+
+    drift_cols = cfg.drift.get("columns") or drift_mod.DEFAULT_EDGES
+    n_salts = cfg.n_salts
+
+    def composite_partial(t: pa.Table) -> pa.Table:
+        from ..functions.sketches import HyperLogLog
+        ids = t["clip_id"].to_pandas()
+        idh = pd.util.hash_pandas_object(ids, index=False).to_numpy(np.uint64)
+        hll = HyperLogLog(14)
+        hll.add_hashes(idh)
+        dur_t = stats_mod.welford_partial_batch(t, "dur_ms")
+        codec_t = stats_mod.welford_partial_batch(t, "dur_ms", "codec",
+                                                  n_salts=n_salts)
+        hist_t = drift_mod._hist_partial_batch(t, drift_cols, "partition_id")
+        payload = pickle.dumps({
+            "idh": np.sort(idh),
+            "hll": hll.registers.tobytes(),
+            "dur": dur_t.to_pydict(),
+            "codec": codec_t.to_pydict(),
+            "hist": hist_t.to_pydict(),
+        })
+        return pa.table({"payload": pa.array([payload], type=pa.binary())})
+
+    from ..functions.sketches import HyperLogLog, WelfordPartial
+    dur_acc = WelfordPartial()
+    hll_acc = HyperLogLog(14)
+    codec_rows: list[pd.DataFrame] = []
+    hist_rows: list[pd.DataFrame] = []
+    hash_chunks: list[np.ndarray] = []
+    parts = meta_ds.map_batches(composite_partial, batch_format="pyarrow")
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=256):
+        for buf in b["payload"].to_pylist():
+            p = pickle.loads(buf)
+            hash_chunks.append(p["idh"])
+            other = HyperLogLog(14)
+            other.registers = np.frombuffer(p["hll"], dtype=np.uint8).copy()
+            hll_acc = hll_acc.merge(other)
+            d = p["dur"]
+            for i in range(len(d["n"])):
+                dur_acc = dur_acc.merge(WelfordPartial(
+                    int(d["n"][i]), d["mean"][i], d["M2"][i], d["min"][i], d["max"][i]))
+            codec_rows.append(pd.DataFrame(p["codec"]))
+            hist_rows.append(pd.DataFrame(p["hist"]))
+
+    # exact duplicate hashes (driver fold of sorted per-batch hash arrays)
+    all_h = np.concatenate(hash_chunks) if hash_chunks else np.array([], np.uint64)
+    uniq, counts = np.unique(all_h, return_counts=True)
+    dup_hashes = uniq[counts > 1]
+    dup_counts = pd.DataFrame({"clip_id_hash": dup_hashes.astype(np.int64),
+                               "cnt": counts[counts > 1].astype(np.int64)})
+
+    # two-level salted codec merge (level 1 happened per batch per salt)
+    codec_stats = _fold_welford_keyed(pd.concat(codec_rows, ignore_index=True)) \
+        if codec_rows else pd.DataFrame()
+
+    hist = pd.concat(hist_rows, ignore_index=True)
+    merged_hist = (hist.groupby(["partition_id", "column"], as_index=False,
+                                sort=False)
+                   .agg(counts=("counts", lambda s: np.sum(
+                       np.stack([np.asarray(c) for c in s]), axis=0))))
+    drift_df = drift_mod.grade_drift(merged_hist,
+                                     **{k: v for k, v in cfg.drift.items()
+                                        if k != "columns"})
+    return {
+        "dup_hashes": dup_hashes,
+        "dup_counts": dup_counts,
+        "hll_estimate": hll_acc.estimate(),
+        "dur_stats": dur_acc,
+        "codec_stats": codec_stats,
+        "drift": drift_df,
+    }
+
+
+def _fold_welford_keyed(df: pd.DataFrame) -> pd.DataFrame:
+    from ..functions.sketches import WelfordPartial
+    out = []
+    for k, g in df.groupby("key", sort=True):
+        acc = WelfordPartial()
+        for _, r in g.iterrows():
+            acc = acc.merge(WelfordPartial(int(r["n"]), r["mean"], r["M2"],
+                                           r["min"], r["max"]))
+        out.append({"key": k, "n": acc.n, "mean": acc.mean, "std": acc.std,
+                    "std_sample": acc.std_sample, "min": acc.min, "max": acc.max})
+    return pd.DataFrame(out)
+
+
+def run_pass_a_shuffle(meta_ds, cfg: ValidateConfig) -> dict:
+    """Multi-execution variant with shuffle-confirmed duplicates (the
+    trillion-row path; each stage is an independent Ray execution)."""
     dup_df = uniq_mod.find_duplicate_keys(meta_ds, "clip_id")
     hll_est = uniq_mod.estimate_unique(meta_ds, "clip_id")
     dur_stats = stats_mod.global_welford(meta_ds, "dur_ms")
     codec_stats = stats_mod.grouped_welford(meta_ds, "dur_ms", "codec",
                                             n_salts=cfg.n_salts)
     drift_df = drift_mod.partition_drift(meta_ds, **cfg.drift)
+    ids = dup_df["clip_id"]
+    dup_hashes = pd.util.hash_pandas_object(
+        ids, index=False).to_numpy(np.uint64) if len(ids) else np.array([], np.uint64)
     return {
-        "dup_ids": frozenset(dup_df["clip_id"].tolist()),
+        "dup_hashes": np.sort(dup_hashes),
         "dup_counts": dup_df,
         "hll_estimate": hll_est,
         "dur_stats": dur_stats,
@@ -87,7 +190,7 @@ def run_pass_a(meta_ds, cfg: ValidateConfig) -> dict:
 
 def build_pass_b(full_ds, cfg: ValidateConfig, pass_a: dict):
     """Wire the per-row check chain onto the full Dataset (lazy)."""
-    dup_ref = ray.put(pass_a["dup_ids"])
+    dup_ref = ray.put(np.sort(np.asarray(pass_a["dup_hashes"], dtype=np.uint64)))
     dur_mean = pass_a["dur_stats"].mean
     dur_std = pass_a["dur_stats"].std
 
@@ -114,7 +217,7 @@ def build_pass_b(full_ds, cfg: ValidateConfig, pass_a: dict):
         num_cpus=1)
 
     def dup_flag(t: pa.Table) -> pa.Table:
-        return ck.flag_duplicates_stage(t, ray.get(dup_ref))
+        return ck.flag_duplicate_hashes_stage(t, ray.get(dup_ref))
 
     ds = ds.map_batches(dup_flag, batch_format="pyarrow")
     ds = ds.map_batches(lambda t: combine_stage(t, CODE_COLS, mode="or"),

@@ -157,3 +157,20 @@ def flag_duplicates_stage(t: pa.Table, dup_ids: set[str] | frozenset[str],
     code = np.where(dup, ERROR_CODE, OK_CODE).astype(np.int8)
     status = np.where(dup, "Error: duplicate clip_id", "OK").astype(object)
     return _append(t, prefix, code, status)
+
+
+def flag_duplicate_hashes_stage(t: pa.Table, dup_hashes: np.ndarray,
+                                prefix: str = "uq") -> pa.Table:
+    """Uniqueness flag by broadcast SORTED 64-bit id-hash array — the hash is
+    re-derived row-locally with the same pandas hash the pass-A partial used,
+    so no id strings ever move (validate.run_pass_a)."""
+    import pandas as pd
+    h = pd.util.hash_pandas_object(t["clip_id"].to_pandas(),
+                                   index=False).to_numpy(np.uint64)
+    idx = np.searchsorted(dup_hashes, h)
+    idx = np.clip(idx, 0, max(len(dup_hashes) - 1, 0))
+    dup = (len(dup_hashes) > 0) & (dup_hashes[idx] == h) if len(dup_hashes) \
+        else np.zeros(len(h), dtype=bool)
+    code = np.where(dup, ERROR_CODE, OK_CODE).astype(np.int8)
+    status = np.where(dup, "Error: duplicate clip_id", "OK").astype(object)
+    return _append(t, prefix, code, status)

@@ -86,6 +86,14 @@ def partition_drift(ds, columns: dict[str, np.ndarray] | None = None,
         merged = partials.groupby(["partition_id", "column"]).map_groups(
             _merge_hist_group, batch_format="pandas").to_pandas()
 
+    return grade_drift(merged, ks_error, ks_warning, psi_error, psi_warning)
+
+
+def grade_drift(merged: pd.DataFrame, ks_error: float = 0.1,
+                ks_warning: float = 0.05, psi_error: float = 0.25,
+                psi_warning: float = 0.1) -> pd.DataFrame:
+    """Grade merged histograms (rows: partition_id, column, counts) into
+    per-(partition, column) ks/psi/drift_code verdicts."""
     rows = []
     for col, g in merged.groupby("column"):
         stacks = {r["partition_id"]: np.asarray(r["counts"]) for _, r in g.iterrows()}

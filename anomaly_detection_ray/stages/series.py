@@ -37,6 +37,7 @@ KERNELS: dict[str, Callable[..., dict[str, np.ndarray]]] = {
     "linear_fit": rolling.linear_fit_check,
     "filtering": rolling.filtering_check,
     "ema_percentile": rolling.ema_percentile_check,
+    "trend_classification": rolling.trend_classification_check,
 }
 
 

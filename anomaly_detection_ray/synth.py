@@ -236,7 +236,10 @@ def _write_shard(path: str, fidx: int, seed: int, start: int, stop: int,
     import pyarrow.parquet as pq
     fp = f"{path}/clips-{fidx:05d}.parquet"
     tmp = fp + ".tmp"
-    pq.write_table(generate_batch(seed, np.arange(start, stop), P), tmp)
+    # audio payloads are high-entropy: compression buys ~nothing but costs
+    # ~6s/file of decode CPU at read time; plain encoding reads ~memcpy-fast
+    pq.write_table(generate_batch(seed, np.arange(start, stop), P), tmp,
+                   compression="none", use_dictionary=False)
     import os
     os.replace(tmp, fp)  # atomic: readers never see a partial file
 

@@ -29,11 +29,15 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CLIP_N = int(os.environ.get("ADR_CLIP_N", "20000"))
 
 
-def _warm_cache():
-    for name in os.listdir(SF_DIR):
-        with open(os.path.join(SF_DIR, name), "rb") as f:
-            while f.read(1 << 22):
-                pass
+def _warm_cache(d=None):
+    """Pull input files into the OS page cache so timings measure the engine,
+    not the disk (both scaling runs must see identical I/O conditions)."""
+    for name in os.listdir(d or SF_DIR):
+        p = os.path.join(d or SF_DIR, name)
+        if os.path.isfile(p):
+            with open(p, "rb") as f:
+                while f.read(1 << 22):
+                    pass
 
 
 def _consume(res) -> int:
@@ -67,6 +71,7 @@ def run_headline() -> dict:
     # clip table: generation is NOT timed (cached on disk, deterministic)
     clip_path = f"/tmp/adr_bench_clips/{sf_name}_{CLIP_N}"
     synth.write_clip_table(clip_path, seed=42, n=CLIP_N, P=16, rows_per_file=1024)
+    _warm_cache(clip_path)
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -87,23 +92,26 @@ def run_headline() -> dict:
     rd.read_parquet(f"{SF_DIR}/events.parquet").map_batches(
         lambda t: t, batch_format="pyarrow").materialize()
 
-    timed("events_validation", lambda: _entry_chain(SF_DIR))
-    timed("grouped_stats_events", lambda: Q["grouped_stats_events"](SF_DIR))
-    timed("welford_window_events", lambda: Q["welford_window_events"](SF_DIR))
-    timed("pricing_summary", lambda: Q["pricing_summary"](SF_DIR))
-    timed("top_customers_revenue", lambda: Q["top_customers_revenue"](SF_DIR))
-    timed("events_hourly", lambda: Q["events_hourly"](SF_DIR))
-    timed("exact_dedup_documents", lambda: Q["exact_dedup_documents"](SF_DIR))
-    timed("minhash_dedup_documents", lambda: Q["minhash_dedup_documents"](SF_DIR))
-    timed("text_quality_documents", lambda: Q["text_quality_documents"](SF_DIR))
-    timed("lang_detect_documents", lambda: Q["lang_detect_documents"](SF_DIR))
-    timed("similarity_topk_embeddings", lambda: Q["similarity_topk_embeddings"](SF_DIR))
-    timed("ann_ivf_embeddings", lambda: Q["ann_ivf_embeddings"](SF_DIR))
+    only_clips = os.environ.get("ADR_BENCH_ONLY_CLIPS") == "1"
+    if not only_clips:
+        timed("events_validation", lambda: _entry_chain(SF_DIR))
+    if not only_clips:
+        timed("grouped_stats_events", lambda: Q["grouped_stats_events"](SF_DIR))
+        timed("welford_window_events", lambda: Q["welford_window_events"](SF_DIR))
+        timed("pricing_summary", lambda: Q["pricing_summary"](SF_DIR))
+        timed("top_customers_revenue", lambda: Q["top_customers_revenue"](SF_DIR))
+        timed("events_hourly", lambda: Q["events_hourly"](SF_DIR))
+        timed("exact_dedup_documents", lambda: Q["exact_dedup_documents"](SF_DIR))
+        timed("minhash_dedup_documents", lambda: Q["minhash_dedup_documents"](SF_DIR))
+        timed("text_quality_documents", lambda: Q["text_quality_documents"](SF_DIR))
+        timed("lang_detect_documents", lambda: Q["lang_detect_documents"](SF_DIR))
+        timed("similarity_topk_embeddings", lambda: Q["similarity_topk_embeddings"](SF_DIR))
+        timed("ann_ivf_embeddings", lambda: Q["ann_ivf_embeddings"](SF_DIR))
 
     t0 = time.perf_counter()
     res = run_validation(clip_path, f"/tmp/adr_bench_out/{sf_name}_{NUM_CPUS}",
                          ValidateConfig(seed=42, P=16,
-                                        fidelity_concurrency=max(2, NUM_CPUS - 4),
+                                        fidelity_concurrency=max(2, NUM_CPUS - 2),
                                         fidelity_batch_size=128),
                          resume=False)
     timings["clip_validation"] = round(time.perf_counter() - t0, 3)
@@ -155,7 +163,12 @@ def _entry_chain(sf_dir):
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling verdict is about the flagship pipeline: use a clip count
+        # where per-clip compute dominates the fixed per-run overhead, and
+        # skip the small sf-table queries
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   ADR_CLIP_N=os.environ.get("ADR_SCALING_CLIP_N", "150000"),
+                   ADR_BENCH_ONLY_CLIPS="1")
         out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                              env=env, capture_output=True, text=True, check=True)
         return json.loads(out.stdout.strip().splitlines()[-1])

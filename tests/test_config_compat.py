@@ -159,3 +159,18 @@ def test_verdict_sink_violations_only(ray_session, events_ds, tmp_path):
     back = rd.read_parquet(out_dir).to_pandas()
     assert (back["bc_code"] != 1).all()
     assert len(back) > 0
+
+
+def test_bloom_dedup_finds_known_duplicates(ray_session):
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.uniqueness import bloom_dedup_candidates
+    ids = [f"id-{i:04d}" for i in range(2000)]
+    ids[500] = ids[10]          # one dup pair
+    ids[1500] = ids[20]         # another
+    ids.append(ids[30])         # triple source
+    ids.append(ids[30])
+    ds = rd.from_pandas(pd.DataFrame({"clip_id": ids}))
+    out = bloom_dedup_candidates(ds, key_col="clip_id", n_shards=4)
+    got = dict(zip(out["clip_id"], out["cnt"]))
+    assert got == {ids[10]: 2, ids[20]: 2, ids[30]: 3}

@@ -76,6 +76,7 @@ def oracle_names():
     "exact_dedup_documents", "token_count_documents",
     "text_quality_documents", "embedding_norms", "similarity_topk_embeddings",
     "feature_construction_events", "time_filter_events",
+    "bloom_dedup_documents",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]
@@ -102,7 +103,10 @@ def test_rows_only_queries_run(entrymod):
                  "cumulative_events", "linear_fit_events", "filtering_events",
                  "ema_percentile_events", "repair_events",
                  "percent_score_events",
-                 "iforest_events", "pca_iforest_events", "clustering_events"]:
+                 "iforest_events", "pca_iforest_events", "clustering_events",
+                 "forecast_band_events", "autoencoder_events",
+                 "reference_config_borders", "tdigest_quantiles_events",
+                 "trend_classification_events"]:
         df = to_df(q[name]("/root/testdata/sf0.001"))
         assert df is not None and len(df.columns) > 0, name
 

@@ -138,3 +138,19 @@ def test_pca_iforest_flags_projected_outliers():
     outlier_scores = forest.scores(pca.transform(outlier))
     assert outlier_scores.min() > np.median(inlier_scores)
     assert (outlier_scores > 0.5).all()
+
+
+def test_trend_classification_detects_ramp():
+    from anomaly_detection_ray.functions.rolling import trend_classification_check
+    flat = np.full(100, 50.0) + rng.normal(0, 0.1, 100)
+    up = 50.0 + np.arange(100) * 5.0
+    params = dict(N=20, averaging=3, prediction_conv=5,
+                  warning_stages=[0.5], amp_scale=10.0)
+    r_flat = trend_classification_check(flat, **params)
+    r_up = trend_classification_check(up, **params)
+    # flat series: once graded, everything OK
+    graded = r_flat["status_code"][30:]
+    assert (graded == 1).all()
+    # strong uptrend: upper-limit errors appear
+    assert (r_up["status_code"] == -1).any()
+    assert (r_up["status_code"][:19] == 2).all()  # warm-up Undefined
