@@ -138,6 +138,88 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 1 END AS TINYINT) AS wf_code
             FROM w
         """,
+        "percentile_events": """
+            -- trailing-buffer percentile check (intended Percentile
+            -- semantics): window of 30 values ending at current (growing
+            -- during warm-up, exactly like the kernel's prefix), Error when
+            -- the current value falls outside [p2, p98] of its own window
+            WITH v AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)),
+            w AS (SELECT event_id, value,
+                    quantile_cont(value, 0.02) OVER win AS p_lo,
+                    quantile_cont(value, 0.98) OVER win AS p_hi
+                  FROM v
+                  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+            SELECT event_id,
+                   CAST(CASE WHEN value < p_lo OR value > p_hi THEN -1
+                             ELSE 1 END AS TINYINT) AS pct_code
+            FROM w
+            UNION ALL
+            SELECT event_id, CAST(2 AS TINYINT) AS pct_code FROM events
+            WHERE value IS NULL OR isnan(value)
+        """,
+        "linear_fit_events": """
+            -- rolling OLS slope over the last 15 values, graded vs UL=20 /
+            -- LL=-20 with warning stage 0.5; Undefined during warm-up
+            -- (first 15 records) and when SSR/value > confidence_norm=1000
+            WITH v AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS rn
+                  FROM v),
+            w AS (SELECT event_id, value, rn,
+                    regr_slope(value, rn) OVER win AS slope,
+                    regr_syy(value, rn) OVER win AS syy,
+                    regr_sxx(value, rn) OVER win AS sxx
+                  FROM r
+                  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)),
+            g AS (SELECT event_id, value, rn, slope,
+                         slope / 20.0 AS vn,
+                         (syy - slope*slope*sxx) / value AS fit_q
+                  FROM w)
+            SELECT event_id,
+                   CAST(CASE WHEN rn <= 15 THEN 2
+                             WHEN fit_q > 1000 THEN 2
+                             WHEN vn > 1 OR vn < -1 THEN -1
+                             WHEN abs(vn) > 0.5 THEN 0
+                             ELSE 1 END AS TINYINT) AS lf_code
+            FROM g
+            UNION ALL
+            SELECT event_id, CAST(2 AS TINYINT) AS lf_code FROM events
+            WHERE value IS NULL OR isnan(value)
+        """,
+        "hampel_events": """
+            -- centered-window (2W+1=11) median/MAD outlier check grading the
+            -- reference's off-center point memory[W+1] (hampel.py:79-96):
+            -- for the window ending at the current row, the graded value is
+            -- the one 4 rows back; Undefined for the first 11 records
+            WITH v AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)),
+            w AS (SELECT event_id, value,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS rn,
+                    list(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN 10 PRECEDING
+                                      AND CURRENT ROW) AS l
+                  FROM v),
+            m AS (SELECT event_id, rn, l[7] AS pt,
+                         list_aggregate(l, 'median') AS med,
+                         list_aggregate(list_transform(l,
+                             x -> abs(x - list_aggregate(l, 'median'))),
+                             'median') AS mad
+                  FROM w)
+            SELECT event_id,
+                   CAST(CASE WHEN rn <= 11 THEN 2
+                             WHEN abs(pt - med) > 3 * (1.4826 * mad) THEN -1
+                             ELSE 1 END AS TINYINT) AS hp_code
+            FROM m
+            UNION ALL
+            SELECT event_id, CAST(2 AS TINYINT) AS hp_code FROM events
+            WHERE value IS NULL OR isnan(value)
+        """,
         "uniqueness_events": """
             SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events
             FROM events GROUP BY user_id, event_type HAVING count(*) > 1

@@ -76,7 +76,8 @@ def oracle_names():
     "exact_dedup_documents", "token_count_documents",
     "text_quality_documents", "embedding_norms", "similarity_topk_embeddings",
     "feature_construction_events", "time_filter_events",
-    "bloom_dedup_documents",
+    "bloom_dedup_documents", "percentile_events", "linear_fit_events",
+    "hampel_events",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]
@@ -99,8 +100,8 @@ def test_rows_only_queries_run(entrymod):
     for name in ["drift_events_psi", "lang_detect_documents",
                  "minhash_dedup_documents", "simhash_documents",
                  "doc_fingerprints", "ann_ivf_embeddings", "ema_check_events",
-                 "macd_check_events", "hampel_events", "percentile_events",
-                 "cumulative_events", "linear_fit_events", "filtering_events",
+                 "macd_check_events",
+                 "cumulative_events", "filtering_events",
                  "ema_percentile_events", "repair_events",
                  "percent_score_events",
                  "iforest_events", "pca_iforest_events", "clustering_events",
