@@ -65,6 +65,10 @@ _KERNEL_ALGS: dict[str, tuple[str, Any]] = {
     "EMA_Percentile": ("ema_percentile", lambda c: {
         "percentile": c["percentile"], "window": c["window"],
         "start_on": c["start_on"], "period": c["period"]}),
+    # from-scratch RRCF (stages/rrcf.py) replacing the rrcf lib
+    "RRCF_trees": ("rrcf", lambda c: {
+        "num_trees": c["num_trees"], "tree_size": c["tree_size"],
+        "threshold": c["threshold"], "seed": 0}),
     # slope-classifier stand-in for the Keras MLP (functions/rolling.py
     # trend_classification_check docstring)
     "Trend_Classification": ("trend_classification", lambda c: {
@@ -80,7 +84,6 @@ _UNSUPPORTED = {
            "linear codec)",
     "fb_Prophet": "Prophet not in the dependency set (see stages/asof.py "
                   "forecast_band_check for the as-of-join band semantics)",
-    "RRCF_trees": "rrcf not in the dependency set",
 }
 
 

@@ -469,6 +469,14 @@ def q_ema_percentile_events(sf_dir: str):
                                                "start_on": 10, "period": 10}}])
 
 
+def q_rrcf_events(sf_dir: str):
+    """Robust random cut forest sketch per user series (from-scratch RRCF,
+    stages/rrcf.py; rows-only — randomized sketch, seeded)."""
+    return _series_events(sf_dir, [{"name": "rr", "kernel": "rrcf",
+                                    "params": {"num_trees": 8, "tree_size": 32,
+                                               "threshold": 12.0, "seed": 42}}])
+
+
 def q_trend_classification_events(sf_dir: str):
     return _series_events(sf_dir, [{"name": "tc",
                                     "kernel": "trend_classification",
@@ -692,6 +700,7 @@ QUERIES = {
     "filtering_events": q_filtering_events,
     "ema_percentile_events": q_ema_percentile_events,
     "trend_classification_events": q_trend_classification_events,
+    "rrcf_events": q_rrcf_events,
     "repair_events": q_repair_events,
     "percent_score_events": q_percent_score_events,
     "feature_construction_events": q_feature_construction_events,

@@ -41,6 +41,14 @@ KERNELS: dict[str, Callable[..., dict[str, np.ndarray]]] = {
 }
 
 
+def _register_rrcf():
+    from . import rrcf as rrcf_mod
+    KERNELS["rrcf"] = rrcf_mod.rrcf_check
+
+
+_register_rrcf()
+
+
 def make_series_kernel(checks: list[dict[str, Any]], value_col: str,
                        order_cols: list[str],
                        valid_col: str | None = "rv_code",

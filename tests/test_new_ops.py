@@ -154,3 +154,23 @@ def test_trend_classification_detects_ramp():
     # strong uptrend: upper-limit errors appear
     assert (r_up["status_code"] == -1).any()
     assert (r_up["status_code"][:19] == 2).all()  # warm-up Undefined
+
+
+def test_rrcf_flags_injected_outliers():
+    from anomaly_detection_ray.stages.rrcf import RandomCutTree, rrcf_check
+    v = rng.normal(50, 2, size=400)
+    v[250] = 500.0
+    out = rrcf_check(v, num_trees=24, tree_size=64, threshold=30.0, seed=1)
+    assert out["rr_score"][250] > 30.0
+    assert out["status_code"][250] == -1
+    # normal points rarely flagged (reference-style thresholds are large:
+    # CoDisp baseline grows with tree_size; their config uses 38 @ 512)
+    assert (out["status_code"] == -1).sum() <= 3
+    # tree bookkeeping: sizes consistent after heavy churn
+    t = RandomCutTree(np.random.default_rng(0))
+    for i in range(200):
+        if len(t.leaves) >= 32:
+            t.forget_point(i - 32)
+        t.insert_point(np.array([float(i % 7), float(i % 3)]), index=i)
+    assert len(t.leaves) == 32
+    assert t.root.size == 32
