@@ -78,7 +78,13 @@ def run_pass_a(meta_ds, cfg: ValidateConfig) -> dict:
 
     Duplicate detection is by 64-bit id hash (same hash is re-derived
     row-locally in the flag stage); collisions are ~1e-12 at sandbox scale —
-    the shuffle path confirms exactly and is the trillion-row mode."""
+    the shuffle path confirms exactly and is the trillion-row mode.
+
+    Resume scope note: on a resumed run the metadata pass only reads the
+    remaining partitions, so duplicate PAIRS that straddle a completed and a
+    remaining partition are not re-flagged (same behavior as the original
+    multi-pass design; a full-table dup audit = run with resume=False or
+    call run_pass_a over the unfiltered read)."""
     import pickle
 
     drift_cols = cfg.drift.get("columns") or drift_mod.DEFAULT_EDGES
