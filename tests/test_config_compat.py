@@ -174,3 +174,62 @@ def test_bloom_dedup_finds_known_duplicates(ray_session):
     out = bloom_dedup_candidates(ds, key_col="clip_id", n_shards=4)
     got = dict(zip(out["clip_id"], out["cnt"]))
     assert got == {ids[10]: 2, ids[20]: 2, ids[30]: 3}
+
+
+REF_DATA = "/root/reference/data/ads-1.csv"
+
+
+@pytest.mark.skipif(not os.path.isfile(REF_DATA),
+                    reason="reference data not present")
+def test_reference_welford_config_on_reference_csv(ray_session):
+    """End-to-end 'switch from the reference': the reference's welford.json
+    drives the engine over the reference's own ads-1.csv (message CSV), and
+    the per-record flags equal the sequential oracle replay of the same
+    config over the same stream."""
+    from anomaly_detection_ray.pipelines.config import run_reference_config
+    from anomaly_detection_ray.sources.messages import read_message_csv
+    with open(os.path.join(REF_CONFIG_DIR, "welford.json")) as f:
+        conf = json.load(f)
+    ds = read_message_csv(REF_DATA)
+    out = (run_reference_config(conf, ds=ds, value_col="f0")
+           .to_pandas().sort_values("ts").reset_index(drop=True))
+    c = conf["anomaly_detection_conf"][0]
+    ow = oracle.OracleWelford(X=c["X"], N=c["N"],
+                              warning_stages=sorted(c["warning_stages"]))
+    want = [ow.insert({"ftr_vector": [v], "timestamp": t})[1]
+            for v, t in zip(out["f0"], out["ts"])]
+    got = out["a0_welford_code"].to_numpy()
+    mism = (got != np.asarray(want, dtype=np.int8)).sum()
+    assert mism == 0, f"{mism} of {len(got)} flags differ from the oracle"
+
+
+@pytest.mark.skipif(not os.path.isfile(REF_DATA),
+                    reason="reference data not present")
+def test_reference_ema_and_filtering_configs_on_reference_csv(ray_session):
+    """Same end-to-end proof for the EMA and Butterworth-filtering configs
+    (the latter exercises the scipy-free dsp kernels on real data)."""
+    from anomaly_detection_ray.pipelines.config import run_reference_config
+    from anomaly_detection_ray.sources.messages import read_message_csv
+    ds = read_message_csv(REF_DATA)
+    for fname, col, make_oracle in [
+        ("ema.json", "a0_ema_code",
+         lambda c: oracle.OracleEMA(N=c["N"], UL=c["UL"], LL=c["LL"],
+                                    warning_stages=sorted(c["warning_stages"]))),
+        ("filtering.json", "a0_filtering_code",
+         lambda c: oracle.OracleFiltering(
+             filter_order=c["filter_order"],
+             cutoff_frequency=c["cutoff_frequency"], mode=c["mode"],
+             UL=c["UL"], LL=c["LL"],
+             warning_stages=sorted(c["warning_stages"]))),
+    ]:
+        with open(os.path.join(REF_CONFIG_DIR, fname)) as f:
+            conf = json.load(f)
+        out = (run_reference_config(conf, ds=ds, value_col="f0")
+               .to_pandas().sort_values("ts").reset_index(drop=True))
+        c = conf["anomaly_detection_conf"][0]
+        o = make_oracle(c)
+        want = [o.insert({"ftr_vector": [v], "timestamp": t})[1]
+                for v, t in zip(out["f0"], out["ts"])]
+        got = out[col].to_numpy()
+        mism = (got != np.asarray(want, dtype=np.int8)).sum()
+        assert mism == 0, f"{fname}: {mism} of {len(got)} flags differ"
