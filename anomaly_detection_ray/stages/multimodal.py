@@ -84,10 +84,13 @@ class ImageDecode:
         h = np.zeros(len(payloads), dtype=np.int32)
         w = np.zeros(len(payloads), dtype=np.int32)
         c = np.zeros(len(payloads), dtype=np.int32)
+        import zlib
         for i, b in enumerate(payloads):
             if not b:
                 continue
-            hv = hash(bytes(b[:64])) & 0xFFFF
+            # crc32, not hash(): Python's hash is salted per process, which
+            # would make the "deterministic" fake differ across Ray workers
+            hv = zlib.crc32(bytes(b[:64])) & 0xFFFF
             h[i], w[i], c[i] = 64 + hv % 512, 64 + (hv >> 4) % 512, 3
         if self.resize_to is not None:
             h[:], w[:] = self.resize_to
