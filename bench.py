@@ -167,7 +167,7 @@ def run_scaling() -> dict:
         # where per-clip compute dominates the fixed per-run overhead, and
         # skip the small sf-table queries
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   ADR_CLIP_N=os.environ.get("ADR_SCALING_CLIP_N", "150000"),
+                   ADR_CLIP_N=os.environ.get("ADR_SCALING_CLIP_N", "300000"),
                    ADR_BENCH_ONLY_CLIPS="1")
         out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                              env=env, capture_output=True, text=True, check=True)
