@@ -49,14 +49,50 @@ def rnd(x, d: int):
     return np.copysign(np.floor(np.abs(a) * m + 0.5) / m, a)
 
 
-def _fold(partials_ds, group_cols, agg: dict):
-    """Driver fold of per-batch partial aggregates: the partials are already
-    combined inside map_batches (one row per group per batch), so the driver
-    sees O(#batches x #groups) tiny rows — a pandas groupby beats a Ray
-    shuffle by its fixed cost until #groups x #batches is huge; past that,
-    swap for partials_ds.groupby(...).sum(...) (same partials feed both)."""
-    df = partials_ds.to_pandas()
-    return df.groupby(group_cols, as_index=False).agg(agg)
+# above this many distinct keys the driver fold flips to a Ray groupby —
+# the driver-side structure must stay O(small), not O(key cardinality)
+FOLD_KEY_THRESHOLD = 200_000
+
+
+def _fold_ray(partials_ds, group_cols, agg: dict):
+    """All-to-all path: Ray groupby-sum over the same partials (memory is
+    per-worker, not driver)."""
+    cols = [c for c, how in agg.items() if how == "sum"]
+    assert len(cols) == len(agg), "only sum partials spill to the Ray path"
+    res = partials_ds.groupby(group_cols).sum(cols).to_pandas()
+    return res.rename(columns={f"sum({c})": c for c in cols})
+
+
+def _fold(partials_ds, group_cols, agg: dict,
+          key_threshold: int = FOLD_KEY_THRESHOLD):
+    """Driver fold of per-batch partial aggregates with automatic spill to a
+    Ray groupby at high key cardinality.
+
+    The partials are already combined inside map_batches (one row per group
+    per batch), so for low-cardinality keys the driver sees O(#batches x
+    #groups) tiny rows and an incremental pandas fold (memory O(#groups))
+    beats a Ray shuffle by its ~5-20s fixed cost. If the folded key count
+    crosses ``key_threshold`` the fold is abandoned and the partials
+    re-execute through ``groupby().sum()`` — same result, per-worker memory
+    (the recompute is the rare high-cardinality case, not the common path).
+    """
+    merged: pd.DataFrame | None = None
+    chunks: list[pd.DataFrame] = []
+
+    def combine() -> pd.DataFrame:
+        frames = ([merged] if merged is not None else []) + chunks
+        df = pd.concat(frames, ignore_index=True)
+        if df.empty:
+            return df
+        return df.groupby(group_cols, as_index=False).agg(agg)
+
+    for b in partials_ds.iter_batches(batch_format="pandas", batch_size=None):
+        chunks.append(b)
+        if len(chunks) >= 32:
+            merged, chunks = combine(), []
+            if len(merged) > key_threshold:
+                return _fold_ray(partials_ds, group_cols, agg)
+    return combine()
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -388,7 +424,8 @@ def q_embedding_norms(sf_dir: str):
 def q_similarity_topk_embeddings(sf_dir: str):
     """Exact cosine top-10 to the embedding of vec_id=0 (broadcast query)."""
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = emb.filter(lambda r: r["vec_id"] == 0).to_pandas()["embedding"].iloc[0]
+    # expression filter => predicate pushdown at the scan, no per-row UDF
+    q = emb.filter(expr="vec_id == 0").to_pandas()["embedding"].iloc[0]
     out = sim.brute_force_topk(emb, np.asarray(q, dtype=np.float64), k=10,
                                exclude_ids={0})
     out = out.drop(columns=["query_idx"])

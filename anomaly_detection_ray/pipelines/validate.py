@@ -4,26 +4,39 @@
 Two passes, both streaming:
 
 Pass A (narrow — metadata columns only, bytes never read):
-    - exact duplicate clip_ids (partial counts → groupby sum → broadcast set)
-    - HLL distinct estimate (metrics)
-    - dataset-level Welford stats for dur_ms (mergeable partials, driver fold)
-    - per-codec salted grouped stats (two-level merge; metrics)
-    - per-partition KS/PSI drift verdicts vs leave-one-out global
+    ONE streaming execution computes every small dataset-level statistic as
+    mergeable per-batch partials (HLL registers, Welford tuples, salted
+    per-codec tuples, drift histograms) folded on the driver — these are
+    O(#batches x small), never O(rows). Duplicate clip_id detection is
+    row-cardinality work and picks its path by table size:
+      - driver fold (small inputs): per-(partition, hash) counts fold on the
+        driver — O(distinct ids) driver memory, fastest below
+        ``driver_fold_max_rows``;
+      - shuffle (the at-scale DEFAULT; chosen automatically when the row
+        estimate exceeds the threshold or is unknown): per-batch hash-count
+        partials are written straight to per-partition parquet (no shuffle —
+        blocks split by value at the write), then a key shuffle over the
+        READ-BACK confirms global counts. Nothing is pinned in the object
+        store and the hash files double as the resume ledger.
+    Either way the per-partition id-hash counts are PERSISTED under
+    ``out_dir/id_hashes/partition_id=<p>/`` so a resumed run still detects
+    duplicate pairs that straddle completed and remaining partitions.
 
-Pass B (full — streams bytes exactly once):
+Pass B (full — streams bytes exactly once, ONE execution, no materialize):
     row_validate → border(sr_hz) → byte-length consistency → transcript
-    presence/equality → broadcast-Welford z-check on dur_ms → PCM decode +
-    SNR fidelity (actor pool) → duplicate flag (broadcast set) → OR-combine
-    → violations written as partition-keyed parquet + per-partition metrics.
-
-Resume: completed partitions (manifest, same config hash) are excluded at
-the READ via partition_id pushdown; outputs are partition-named so reruns
-are idempotent.
+    presence/equality (vectorized regeneration) → broadcast-Welford z-check
+    on dur_ms → PCM decode + SNR fidelity (actor pool) → duplicate flag
+    (broadcast hash set) → OR-combine → slim projection → per-batch metric
+    partials to an accumulator actor (side output; idempotent under task
+    retry via a content key) → violations filter → partition-keyed parquet
+    write (the single consumer that drives the stream).
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
+import shutil
 import time
 from dataclasses import asdict, dataclass, field
 
@@ -41,7 +54,6 @@ from ..stages.sizing import pool_size
 from ..stages import checks as ck
 from ..stages import drift as drift_mod
 from ..stages import stats as stats_mod
-from ..stages import uniqueness as uniq_mod
 from ..stages.combination import combine_stage
 from ..stages.row_validate import validate_clips
 from . import checkpoint as ckpt
@@ -65,61 +77,118 @@ class ValidateConfig:
     meta_batch_size: int = 8192
     n_salts: int = 8
     drift: dict = field(default_factory=dict)
+    # duplicate-detection path: "auto" picks driver fold below
+    # driver_fold_max_rows and the shuffle otherwise (unknown size => shuffle)
+    pass_a_mode: str = "auto"
+    driver_fold_max_rows: int = 20_000_000
 
 
-def run_pass_a(meta_ds, cfg: ValidateConfig) -> dict:
-    """Narrow aggregation pass: ONE streaming execution over the metadata
-    columns computes every dataset-level statistic at once — each batch emits
-    one composite partial (Welford tuples, salted per-codec tuples, HLL
-    registers, drift histograms, sorted clip_id hashes), folded on the
-    driver. The fold is O(#batches x small) except the id-hash arrays,
-    which are O(rows x 8B) — fine to ~1e9 rows; past that flip to
-    ``run_pass_a_shuffle`` whose duplicate confirmation is a key shuffle.
+def _id_hashes(ids: pd.Series) -> np.ndarray:
+    """The one id-hash function (pass A partials + pass B flag stage must
+    agree; python hash() is salted per process — pandas siphash is not)."""
+    return pd.util.hash_pandas_object(ids, index=False).to_numpy(np.uint64)
 
-    Duplicate detection is by 64-bit id hash (same hash is re-derived
-    row-locally in the flag stage); collisions are ~1e-12 at sandbox scale —
-    the shuffle path confirms exactly and is the trillion-row mode.
 
-    Resume scope note: on a resumed run the metadata pass only reads the
-    remaining partitions, so duplicate PAIRS that straddle a completed and a
-    remaining partition are not re-flagged (same behavior as the original
-    multi-pass design; a full-table dup audit = run with resume=False or
-    call run_pass_a over the unfiltered read)."""
+def _hash_count_partial(t: pa.Table) -> pd.DataFrame:
+    """(partition_id, clip_id_hash, cnt) per batch — within-batch duplicates
+    collapse here, so only distinct (partition, hash) pairs ever move."""
+    df = pd.DataFrame({
+        "partition_id": t["partition_id"].to_numpy(zero_copy_only=False),
+        "clip_id_hash": _id_hashes(t["clip_id"].to_pandas()).astype(np.int64),
+    })
+    return df.groupby(["partition_id", "clip_id_hash"], as_index=False).agg(
+        cnt=("clip_id_hash", "size"))
+
+
+def _hash_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "id_hashes")
+
+
+def _clear_partition_dirs(base: str, partitions) -> None:
+    """Idempotent rerun: a re-validated partition's old output files must not
+    accumulate next to the new ones."""
+    for p in partitions:
+        d = os.path.join(base, f"partition_id={int(p)}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+
+def _load_completed_hashes(out_dir: str, partitions) -> pd.DataFrame | None:
+    """Persisted per-partition id-hash counts of COMPLETED partitions (the
+    resume ledger): merged into duplicate detection so pairs straddling a
+    completed and a remaining partition are still flagged."""
+    frames = []
+    for p in partitions:
+        d = os.path.join(_hash_dir(out_dir), f"partition_id={int(p)}")
+        if os.path.isdir(d):
+            frames.append(pd.read_parquet(d, columns=["clip_id_hash", "cnt"]))
+    return pd.concat(frames, ignore_index=True) if frames else None
+
+
+def estimate_rows(path: str) -> int | None:
+    """Parquet-metadata row count (no data read); None for unknown layouts."""
+    try:
+        import pyarrow.dataset as pads
+        return pads.dataset(path, format="parquet").count_rows()
+    except Exception:
+        return None
+
+
+def run_pass_a(meta_ds, cfg: ValidateConfig, out_dir: str | None = None,
+               completed: set[int] | tuple = (), dup_mode: str = "driver") -> dict:
+    """Narrow aggregation pass.
+
+    The composite small-stats fold (HLL / Welford / codec / drift histograms)
+    is always a driver fold of O(#batches x small) partials. Duplicate
+    detection follows ``dup_mode``:
+
+      - "driver": per-(partition, hash) counts ride in the same composite
+        partial and fold on the driver — O(distinct ids) driver memory.
+      - "shuffle": a SECOND streaming execution writes per-batch hash-count
+        partials straight to the per-partition ledger (no shuffle; blocks
+        split by partition value at the write), and a key shuffle over the
+        read-back confirms global counts — no O(rows) driver structure and
+        no object-store pin; this is the at-scale default.
+
+    When ``out_dir`` is given the per-partition hash counts are persisted as
+    the resume ledger and the counts of already-``completed`` partitions are
+    merged into duplicate detection (cross-boundary pairs stay flagged).
+    """
     import pickle
 
     drift_cols = cfg.drift.get("columns") or drift_mod.DEFAULT_EDGES
     n_salts = cfg.n_salts
+    with_hashes = dup_mode == "driver"
 
     def composite_partial(t: pa.Table) -> pa.Table:
         from ..functions.sketches import HyperLogLog
-        ids = t["clip_id"].to_pandas()
-        idh = pd.util.hash_pandas_object(ids, index=False).to_numpy(np.uint64)
         hll = HyperLogLog(14)
-        hll.add_hashes(idh)
+        hll.add_hashes(_id_hashes(t["clip_id"].to_pandas()))
         dur_t = stats_mod.welford_partial_batch(t, "dur_ms")
         codec_t = stats_mod.welford_partial_batch(t, "dur_ms", "codec",
                                                   n_salts=n_salts)
         hist_t = drift_mod._hist_partial_batch(t, drift_cols, "partition_id")
-        payload = pickle.dumps({
-            "idh": np.sort(idh),
+        payload = {
             "hll": hll.registers.tobytes(),
             "dur": dur_t.to_pydict(),
             "codec": codec_t.to_pydict(),
             "hist": hist_t.to_pydict(),
-        })
-        return pa.table({"payload": pa.array([payload], type=pa.binary())})
+        }
+        if with_hashes:
+            payload["hash_counts"] = _hash_count_partial(t)
+        return pa.table({"payload": pa.array([pickle.dumps(payload)],
+                                             type=pa.binary())})
 
     from ..functions.sketches import HyperLogLog, WelfordPartial
     dur_acc = WelfordPartial()
     hll_acc = HyperLogLog(14)
     codec_rows: list[pd.DataFrame] = []
     hist_rows: list[pd.DataFrame] = []
-    hash_chunks: list[np.ndarray] = []
+    hc_frames: list[pd.DataFrame] = []
     parts = meta_ds.map_batches(composite_partial, batch_format="pyarrow")
     for b in parts.iter_batches(batch_format="pyarrow", batch_size=256):
         for buf in b["payload"].to_pylist():
             p = pickle.loads(buf)
-            hash_chunks.append(p["idh"])
             other = HyperLogLog(14)
             other.registers = np.frombuffer(p["hll"], dtype=np.uint8).copy()
             hll_acc = hll_acc.merge(other)
@@ -129,13 +198,15 @@ def run_pass_a(meta_ds, cfg: ValidateConfig) -> dict:
                     int(d["n"][i]), d["mean"][i], d["M2"][i], d["min"][i], d["max"][i]))
             codec_rows.append(pd.DataFrame(p["codec"]))
             hist_rows.append(pd.DataFrame(p["hist"]))
+            if with_hashes:
+                hc_frames.append(p["hash_counts"])
 
-    # exact duplicate hashes (driver fold of sorted per-batch hash arrays)
-    all_h = np.concatenate(hash_chunks) if hash_chunks else np.array([], np.uint64)
-    uniq, counts = np.unique(all_h, return_counts=True)
-    dup_hashes = uniq[counts > 1]
-    dup_counts = pd.DataFrame({"clip_id_hash": dup_hashes.astype(np.int64),
-                               "cnt": counts[counts > 1].astype(np.int64)})
+    if with_hashes:
+        dup_counts = _dup_driver(hc_frames, out_dir, completed)
+    else:
+        dup_counts = _dup_shuffle(meta_ds, out_dir, completed)
+    dup_hashes = np.sort(dup_counts["clip_id_hash"].to_numpy(np.int64)
+                         .astype(np.uint64))
 
     # two-level salted codec merge (level 1 happened per batch per salt)
     codec_stats = _fold_welford_keyed(pd.concat(codec_rows, ignore_index=True)) \
@@ -156,7 +227,72 @@ def run_pass_a(meta_ds, cfg: ValidateConfig) -> dict:
         "dur_stats": dur_acc,
         "codec_stats": codec_stats,
         "drift": drift_df,
+        "dup_mode": dup_mode,
     }
+
+
+def _dup_driver(hc_frames: list[pd.DataFrame], out_dir: str | None,
+                completed) -> pd.DataFrame:
+    """Driver fold of per-batch (partition, hash) counts + ledger write."""
+    live = (pd.concat(hc_frames, ignore_index=True)
+            .groupby(["partition_id", "clip_id_hash"], as_index=False)
+            .agg({"cnt": "sum"})) if hc_frames else pd.DataFrame(
+        {"partition_id": [], "clip_id_hash": [], "cnt": []})
+    if out_dir is not None:
+        _persist_hash_ledger_driver(live, out_dir)
+        prior = _load_completed_hashes(out_dir, completed)
+        if prior is not None:
+            live = pd.concat([live[["clip_id_hash", "cnt"]], prior],
+                             ignore_index=True)
+    total = live.groupby("clip_id_hash", as_index=False).agg({"cnt": "sum"})
+    out = total[total["cnt"] > 1].reset_index(drop=True)
+    return out.astype({"clip_id_hash": np.int64, "cnt": np.int64})
+
+
+def _persist_hash_ledger_driver(live: pd.DataFrame, out_dir: str) -> None:
+    import pyarrow.parquet as pq
+    fresh = live["partition_id"].unique()
+    _clear_partition_dirs(_hash_dir(out_dir), fresh)
+    for p, g in live.groupby("partition_id"):
+        d = os.path.join(_hash_dir(out_dir), f"partition_id={int(p)}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table({"clip_id_hash": g["clip_id_hash"].to_numpy(np.int64),
+                      "cnt": g["cnt"].to_numpy(np.int64)}),
+            os.path.join(d, "hashes.parquet"))
+
+
+def _dup_shuffle(meta_ds, out_dir: str | None, completed) -> pd.DataFrame:
+    """At-scale duplicate confirmation: stream hash-count partials to the
+    per-partition ledger (no shuffle — the write splits blocks by partition
+    value), then key-shuffle the READ-BACK to global counts. Disk-backed, so
+    nothing pins the object store and the ledger survives for resume."""
+    partials = meta_ds.map_batches(_hash_count_partial, batch_format="pyarrow")
+    if out_dir is None:
+        merged = partials.groupby("clip_id_hash").sum("cnt")
+    else:
+        hd = _hash_dir(out_dir)
+        os.makedirs(hd, exist_ok=True)
+        # rerun hygiene: every non-completed ledger dir belongs to a partition
+        # being (re)validated this run — clear before the fresh write
+        keep = {int(c) for c in completed}
+        for d in os.listdir(hd):
+            if d.startswith("partition_id=") and int(d.split("=")[1]) not in keep:
+                shutil.rmtree(os.path.join(hd, d))
+        # write FIRST (single consumer drives the stream) ...
+        partials.write_parquet(hd, partition_cols=["partition_id"])
+        # ... then confirm from the read-back (covers completed partitions too)
+        merged = (rd.read_parquet(hd, columns=["clip_id_hash", "cnt"])
+                  .groupby("clip_id_hash").sum("cnt"))
+    dups = merged.map_batches(
+        lambda t: t.filter(pc.greater(t["sum(cnt)"], 1)),
+        batch_format="pyarrow")
+    df = dups.to_pandas()
+    if "sum(cnt)" not in df.columns:  # empty result loses schema
+        return pd.DataFrame({"clip_id_hash": pd.Series(dtype=np.int64),
+                             "cnt": pd.Series(dtype=np.int64)})
+    df = df.rename(columns={"sum(cnt)": "cnt"})
+    return df.astype({"clip_id_hash": np.int64, "cnt": np.int64})
 
 
 def _fold_welford_keyed(df: pd.DataFrame) -> pd.DataFrame:
@@ -172,30 +308,52 @@ def _fold_welford_keyed(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def run_pass_a_shuffle(meta_ds, cfg: ValidateConfig) -> dict:
-    """Multi-execution variant with shuffle-confirmed duplicates (the
-    trillion-row path; each stage is an independent Ray execution)."""
-    dup_df = uniq_mod.find_duplicate_keys(meta_ds, "clip_id")
-    hll_est = uniq_mod.estimate_unique(meta_ds, "clip_id")
-    dur_stats = stats_mod.global_welford(meta_ds, "dur_ms")
-    codec_stats = stats_mod.grouped_welford(meta_ds, "dur_ms", "codec",
-                                            n_salts=cfg.n_salts)
-    drift_df = drift_mod.partition_drift(meta_ds, **cfg.drift)
-    ids = dup_df["clip_id"]
-    dup_hashes = pd.util.hash_pandas_object(
-        ids, index=False).to_numpy(np.uint64) if len(ids) else np.array([], np.uint64)
-    return {
-        "dup_hashes": np.sort(dup_hashes),
-        "dup_counts": dup_df,
-        "hll_estimate": hll_est,
-        "dur_stats": dur_stats,
-        "codec_stats": codec_stats,
-        "drift": drift_df,
-    }
+# --------------------------------------------------------------- pass B
+
+@ray.remote(num_cpus=0)
+class MetricsAccumulator:
+    """Side-output collector for per-batch metric partials (the InfluxOutput
+    analogue without a second pass over the verdicts). ``add`` is idempotent
+    under Ray task retries: the content key of an already-seen batch is
+    dropped, so at-least-once execution still counts each batch once."""
+
+    def __init__(self):
+        self._seen: set[bytes] = set()
+        self._rows: list[dict] = []
+
+    def add(self, key: bytes, rows: list[dict]) -> None:
+        if key in self._seen:
+            return
+        self._seen.add(key)
+        self._rows.extend(rows)
+
+    def total(self) -> pd.DataFrame:
+        if not self._rows:
+            return pd.DataFrame()
+        return (pd.DataFrame(self._rows)
+                .groupby("partition_id", as_index=False).sum())
 
 
-def build_pass_b(full_ds, cfg: ValidateConfig, pass_a: dict):
-    """Wire the per-row check chain onto the full Dataset (lazy)."""
+def _batch_metric_rows(t: pa.Table) -> list[dict]:
+    parts = t["partition_id"].to_numpy(zero_copy_only=False)
+    rows = []
+    for p in np.unique(parts):
+        m = parts == p
+        row = {"partition_id": int(p), "rows": int(m.sum())}
+        for c in CODE_COLS + ["status_code"]:
+            codes = t[c].to_numpy(zero_copy_only=False)[m]
+            row[f"{c}_errors"] = int((codes == ERROR_CODE).sum())
+            row[f"{c}_undefined"] = int((codes == UNDEFINED_CODE).sum())
+        rows.append(row)
+    return rows
+
+
+def build_pass_b(full_ds, cfg: ValidateConfig, pass_a: dict,
+                 metrics_actor=None):
+    """Wire the per-row check chain onto the full Dataset (lazy). With a
+    ``metrics_actor`` the chain also emits per-batch metric partials as a side
+    output, so ONE downstream consumer (the violations write) drives the
+    whole pipeline — no materialize, no second pass."""
     dup_ref = ray.put(np.sort(np.asarray(pass_a["dup_hashes"], dtype=np.uint64)))
     dur_mean = pass_a["dur_stats"].mean
     dur_std = pass_a["dur_stats"].std
@@ -229,7 +387,7 @@ def build_pass_b(full_ds, cfg: ValidateConfig, pass_a: dict):
     ds = ds.map_batches(lambda t: combine_stage(t, CODE_COLS, mode="or"),
                         batch_format="pyarrow")
     # drop the audio payload + transcript before anything downstream consumes
-    # the verdict table twice — the slim table is ~1% of the input bytes
+    # the verdict table — the slim table is ~1% of the input bytes
     slim_cols = [c for c in ["clip_id", "partition_id", "sr_hz", "dur_ms",
                              "codec", "status_code", "anomaly_score", "snr_db",
                              "rv_reason", "bc_status", "cc_status", "tc_status",
@@ -237,25 +395,24 @@ def build_pass_b(full_ds, cfg: ValidateConfig, pass_a: dict):
     ds = ds.map_batches(
         lambda t: t.select([c for c in slim_cols if c in t.column_names]),
         batch_format="pyarrow")
+    if metrics_actor is not None:
+        def emit_metrics(t: pa.Table) -> pa.Table:
+            key = hashlib.md5(
+                b"".join(s.encode() for s in t["clip_id"].to_pylist()
+                         if s is not None)).digest()
+            ray.get(metrics_actor.add.remote(key, _batch_metric_rows(t)))
+            return t
+
+        ds = ds.map_batches(emit_metrics, batch_format="pyarrow")
     return ds
 
 
 def partition_metrics(verdict_ds) -> pd.DataFrame:
-    """Per-partition violation counts via per-batch partials + small groupby."""
-    def batch_counts(t: pa.Table) -> pa.Table:
-        parts = t["partition_id"].to_numpy(zero_copy_only=False)
-        rows = []
-        for p in np.unique(parts):
-            m = parts == p
-            row = {"partition_id": int(p), "rows": int(m.sum())}
-            for c in CODE_COLS + ["status_code"]:
-                codes = t[c].to_numpy(zero_copy_only=False)[m]
-                row[f"{c}_errors"] = int((codes == ERROR_CODE).sum())
-                row[f"{c}_undefined"] = int((codes == UNDEFINED_CODE).sum())
-            rows.append(row)
-        return pa.Table.from_pylist(rows)
-
-    partials = verdict_ds.map_batches(batch_counts, batch_format="pyarrow")
+    """Per-partition violation counts via per-batch partials + small fold
+    (standalone helper for a pre-built verdict Dataset)."""
+    partials = verdict_ds.map_batches(
+        lambda t: pa.Table.from_pylist(_batch_metric_rows(t)),
+        batch_format="pyarrow")
     df = partials.to_pandas()
     if df.empty:
         return df
@@ -276,27 +433,39 @@ def run_validation(path: str, out_dir: str, cfg: ValidateConfig | None = None,
               "out_dir": out_dir}
     if not todo:
         result.update({"verdicts": pd.DataFrame(
-            [{"partition_id": int(p), **e} for p, e in manifest["partitions"].items()]),
+            [{"partition_id": int(p), **{k: v for k, v in e.items()
+                                         if k not in ("metrics", "lineage")}}
+             for p, e in manifest["partitions"].items()]),
             "rows": 0, "wall_sec": 0.0})
         return result
 
+    if cfg.pass_a_mode == "auto":
+        est = estimate_rows(path)
+        dup_mode = ("driver" if est is not None
+                    and est <= cfg.driver_fold_max_rows else "shuffle")
+    else:
+        dup_mode = cfg.pass_a_mode
+
     partitions_filter = todo if done else None  # avoid a no-op filter
     meta_ds = read_clips(path, columns=META_COLUMNS, partitions=partitions_filter)
-    pass_a = run_pass_a(meta_ds, cfg)
+    pass_a = run_pass_a(meta_ds, cfg, out_dir=out_dir, completed=done,
+                        dup_mode=dup_mode)
 
     full_ds = read_clips(path, partitions=partitions_filter)
-    # one streaming execution of the heavy pass; the slim verdict table
-    # (no audio payload) is pinned once and feeds both sinks below
-    verdict_ds = build_pass_b(full_ds, cfg, pass_a).materialize()
+    acc = MetricsAccumulator.remote()
+    verdict_ds = build_pass_b(full_ds, cfg, pass_a, metrics_actor=acc)
 
     viol_path = os.path.join(out_dir, "violations")
     violations = verdict_ds.map_batches(
         lambda t: t.filter(pc.equal(t["status_code"], ERROR_CODE)),
         batch_format="pyarrow")
     os.makedirs(viol_path, exist_ok=True)
+    _clear_partition_dirs(viol_path, todo)
+    # the ONE consumer: drives checks + metrics side output + write
     violations.write_parquet(viol_path, partition_cols=["partition_id"])
+    metrics = ray.get(acc.total.remote())
+    ray.kill(acc)
 
-    metrics = partition_metrics(verdict_ds)
     drift_df = pass_a["drift"]
     drift_fail = set(drift_df.loc[drift_df["drift_code"] == ERROR_CODE, "partition_id"])
 
@@ -329,7 +498,8 @@ def run_validation(path: str, out_dir: str, cfg: ValidateConfig | None = None,
         "verdicts": pd.DataFrame(verdict_rows).sort_values("partition_id").reset_index(drop=True),
         "metrics": metrics,
         "drift": drift_df,
-        "pass_a": {k: pass_a[k] for k in ("hll_estimate", "dup_counts", "codec_stats")},
+        "pass_a": {k: pass_a[k] for k in ("hll_estimate", "dup_counts",
+                                          "codec_stats", "dup_mode")},
         "rows": total_rows,
         "wall_sec": wall,
         "clips_per_sec": total_rows / wall if wall > 0 else None,

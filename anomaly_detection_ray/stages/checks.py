@@ -87,12 +87,14 @@ def transcript_stage(t: pa.Table, seed: int | None = None,
     if seed is not None:
         idx = clip_index(t)
         dur = _float_np(t["dur_ms"])
-        texts = tr.to_pylist()
+        texts = np.asarray(tr.to_pylist(), dtype=object)
         ok_rows = np.nonzero(~missing & ~np.isnan(dur))[0]
-        for r in ok_rows:
-            if texts[r] != synth.transcript_for(seed, int(idx[r]), int(dur[r])):
-                code[r] = ERROR_CODE
-                status[r] = "Error: transcript mismatch"
+        if len(ok_rows):
+            expected = synth.transcripts_for_batch(
+                seed, idx[ok_rows], dur[ok_rows].astype(np.int64))
+            bad = ok_rows[texts[ok_rows] != expected]
+            code[bad] = ERROR_CODE
+            status[bad] = "Error: transcript mismatch"
     return _append(t, prefix, code, status)
 
 

@@ -41,8 +41,15 @@ def find_duplicate_keys(ds, key_col: str = "clip_id") -> pd.DataFrame:
     partials = ds.map_batches(lambda t: _batch_id_counts(t, key_col),
                               batch_format="pyarrow")
     merged = partials.groupby(key_col).sum("cnt")
-    dups = merged.filter(lambda r: r["sum(cnt)"] > 1)
+    # vectorized Arrow filter (no per-row UDF; the column name "sum(cnt)"
+    # can't go through the expression parser)
+    dups = merged.map_batches(
+        lambda t: t.filter(pc.greater(t["sum(cnt)"], 1)),
+        batch_format="pyarrow")
     df = dups.to_pandas()
+    if "sum(cnt)" not in df.columns:  # empty result loses schema
+        return pd.DataFrame({key_col: pd.Series(dtype=object),
+                             "cnt": pd.Series(dtype="int64")})
     return df.rename(columns={"sum(cnt)": "cnt"})
 
 

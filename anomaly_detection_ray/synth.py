@@ -140,6 +140,26 @@ def transcript_for(seed: int, clip_index: int, dur_ms: int) -> str:
     return " ".join(VOCAB[(h % np.uint64(len(VOCAB))).astype(np.int64)])
 
 
+def transcripts_for_batch(seed: int, clip_index: np.ndarray,
+                          dur_ms: np.ndarray) -> np.ndarray:
+    """Vectorized ``transcript_for`` over a batch: ONE hash call over the
+    concatenated token-index space instead of one per clip (the per-row
+    form spends its time in numpy call overhead, not hashing)."""
+    idx = np.asarray(clip_index, dtype=np.int64)
+    dur = np.asarray(dur_ms, dtype=np.int64)
+    if len(idx) == 0:
+        return np.array([], dtype=object)
+    n_tokens = np.maximum(1, dur // 400)
+    offsets = np.concatenate([[0], np.cumsum(n_tokens)])
+    total = int(offsets[-1])
+    j = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], n_tokens)
+    base = np.repeat(idx * np.int64(1_000_003), n_tokens)
+    h = _hash(seed, j + base, 20)
+    words = VOCAB[(h % np.uint64(len(VOCAB))).astype(np.int64)]
+    return np.array([" ".join(words[offsets[k]:offsets[k + 1]])
+                     for k in range(len(idx))], dtype=object)
+
+
 def generate_batch(seed: int, idx: np.ndarray, P: int = 16,
                    with_audio: bool = True) -> pa.Table:
     """Generate clip rows for a batch of indices — pure, parallel-safe."""
