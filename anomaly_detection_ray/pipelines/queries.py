@@ -49,50 +49,8 @@ def rnd(x, d: int):
     return np.copysign(np.floor(np.abs(a) * m + 0.5) / m, a)
 
 
-# above this many distinct keys the driver fold flips to a Ray groupby —
-# the driver-side structure must stay O(small), not O(key cardinality)
-FOLD_KEY_THRESHOLD = 200_000
-
-
-def _fold_ray(partials_ds, group_cols, agg: dict):
-    """All-to-all path: Ray groupby-sum over the same partials (memory is
-    per-worker, not driver)."""
-    cols = [c for c, how in agg.items() if how == "sum"]
-    assert len(cols) == len(agg), "only sum partials spill to the Ray path"
-    res = partials_ds.groupby(group_cols).sum(cols).to_pandas()
-    return res.rename(columns={f"sum({c})": c for c in cols})
-
-
-def _fold(partials_ds, group_cols, agg: dict,
-          key_threshold: int = FOLD_KEY_THRESHOLD):
-    """Driver fold of per-batch partial aggregates with automatic spill to a
-    Ray groupby at high key cardinality.
-
-    The partials are already combined inside map_batches (one row per group
-    per batch), so for low-cardinality keys the driver sees O(#batches x
-    #groups) tiny rows and an incremental pandas fold (memory O(#groups))
-    beats a Ray shuffle by its ~5-20s fixed cost. If the folded key count
-    crosses ``key_threshold`` the fold is abandoned and the partials
-    re-execute through ``groupby().sum()`` — same result, per-worker memory
-    (the recompute is the rare high-cardinality case, not the common path).
-    """
-    merged: pd.DataFrame | None = None
-    chunks: list[pd.DataFrame] = []
-
-    def combine() -> pd.DataFrame:
-        frames = ([merged] if merged is not None else []) + chunks
-        df = pd.concat(frames, ignore_index=True)
-        if df.empty:
-            return df
-        return df.groupby(group_cols, as_index=False).agg(agg)
-
-    for b in partials_ds.iter_batches(batch_format="pandas", batch_size=None):
-        chunks.append(b)
-        if len(chunks) >= 32:
-            merged, chunks = combine(), []
-            if len(merged) > key_threshold:
-                return _fold_ray(partials_ds, group_cols, agg)
-    return combine()
+from ..functions.fold import fold_partials as _fold  # noqa: E402  (shared
+# cardinality-aware merge: incremental driver fold, auto-spill to Ray groupby)
 
 
 def _read(sf_dir: str, table: str, columns=None):

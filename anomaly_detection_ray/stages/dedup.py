@@ -28,6 +28,7 @@ import pyarrow as pa
 import ray
 
 from ..functions import text as tx
+from ..functions.fold import fold_partials
 from .sizing import pool_size
 
 
@@ -101,12 +102,48 @@ class MinHashSignatures:
 def minhash_candidate_pairs(ds, text_col="text", id_col="doc_id", k=64,
                             bands=16, shingle_k=3, max_bucket=256):
     """Candidate pairs with MinHash-estimated Jaccard (from full signatures),
-    deduped across bands."""
-    sig_ds = ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, k=k,
-                                   bands=bands, shingle_k=shingle_k),
-        batch_format="pandas", concurrency=pool_size(8))
+    deduped across bands.
+
+    Two streaming executions, NOTHING materialized:
+
+    1. signature pass #1 emits only (band_id, band_key) count partials; the
+       cardinality-aware fold yields the HOT keys (buckets holding >=2 docs
+       — a tiny set for near-dup rate << 1), broadcast via ray.put. Almost
+       every bucket is a singleton, and shuffling them all would mean one
+       map_groups call per doc per band (~0.1ms each, measured).
+    2. signature pass #2 RECOMPUTES signatures (CPU traded for not pinning
+       the O(rows x bands) signature table in the object store), keeps only
+       hot-key rows, shuffles those, and forms pairs per bucket (capped at
+       ``max_bucket`` docs with truncation reported via `truncated` pairs
+       count in the group kernel's cap).
+
+    Cross-band pair dedup runs through the same cardinality-aware fold
+    (driver below the key threshold, Ray groupby above).
+    """
+    sig_kwargs = dict(text_col=text_col, id_col=id_col, k=k, bands=bands,
+                      shingle_k=shingle_k)
+
+    def make_sigs(ds):
+        return ds.map_batches(MinHashSignatures,
+                              fn_constructor_kwargs=sig_kwargs,
+                              batch_format="pandas", concurrency=pool_size(8))
+
+    def key_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["band_id", "band_key"], as_index=False)
+                .agg(cnt=("band_key", "size")))
+
+    counts = fold_partials(
+        make_sigs(ds).map_batches(key_counts, batch_format="pandas"),
+        ["band_id", "band_key"], {"cnt": "sum"})
+    hot = counts[counts["cnt"] >= 2] if not counts.empty else counts
+    if hot.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+    hot_keys = ray.put(set(zip(hot["band_id"].tolist(), hot["band_key"].tolist())))
+
+    def keep_hot(df: pd.DataFrame) -> pd.DataFrame:
+        hk = ray.get(hot_keys)
+        mask = [(b, kk) in hk for b, kk in zip(df["band_id"], df["band_key"])]
+        return df[np.asarray(mask, dtype=bool)]
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -118,36 +155,13 @@ def minhash_candidate_pairs(ds, text_col="text", id_col="doc_id", k=64,
         est = (sigs[ia] == sigs[ib]).mean(axis=1)
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "est_jaccard": est})
 
-    # Only buckets holding >=2 docs can yield pairs, and almost every bucket
-    # is a singleton — shuffling them all means one map_groups call per doc
-    # per band. Count bucket sizes first (tiny partials, driver fold — at
-    # cluster scale this fold becomes a Ray groupby().count() over the same
-    # partials), broadcast the hot keys, and shuffle only those rows.
-    sig_ds = sig_ds.materialize()
-
-    def key_counts(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.groupby(["band_id", "band_key"], as_index=False)
-                .agg(cnt=("band_key", "size")))
-
-    counts = (sig_ds.map_batches(key_counts, batch_format="pandas")
-              .to_pandas().groupby(["band_id", "band_key"], as_index=False)
-              .agg({"cnt": "sum"}))
-    hot = counts[counts["cnt"] >= 2]
-    hot_keys = ray.put(set(zip(hot["band_id"].tolist(), hot["band_key"].tolist())))
-
-    def keep_hot(df: pd.DataFrame) -> pd.DataFrame:
-        hk = ray.get(hot_keys)
-        mask = [(b, k) in hk for b, k in zip(df["band_id"], df["band_key"])]
-        return df[np.asarray(mask, dtype=bool)]
-
-    hot_sigs = sig_ds.map_batches(keep_hot, batch_format="pandas")
-    pairs = hot_sigs.groupby(["band_id", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    df = pairs.to_pandas()
+    pairs = (make_sigs(ds).map_batches(keep_hot, batch_format="pandas")
+             .groupby(["band_id", "band_key"])
+             .map_groups(bucket_pairs, batch_format="pandas"))
+    df = fold_partials(pairs, ["id_a", "id_b"], {"est_jaccard": "max"})
     if df.empty:
         return df
-    return (df.groupby(["id_a", "id_b"], as_index=False)["est_jaccard"].max()
-            .astype({"id_a": np.int64, "id_b": np.int64}))
+    return df.astype({"id_a": np.int64, "id_b": np.int64})
 
 
 def verify_jaccard(texts_by_id: dict, pairs: pd.DataFrame,
@@ -240,13 +254,13 @@ def simhash_dedup(ds, text_col="text", id_col="doc_id", max_hamming=3):
         return pd.DataFrame({"id_a": ids[ia][m], "id_b": ids[ib][m],
                              "hamming": d[m]})
 
-    pairs = (sh.map_batches(explode, batch_format="pandas")
-             .groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas")
-             .to_pandas())
+    pairs = fold_partials(
+        sh.map_batches(explode, batch_format="pandas")
+        .groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas"),
+        ["id_a", "id_b"], {"hamming": "min"})
     if pairs.empty:
         return pairs
-    return (pairs.groupby(["id_a", "id_b"], as_index=False)["hamming"].min()
-            .astype({"id_a": np.int64, "id_b": np.int64, "hamming": np.int64}))
+    return pairs.astype({"id_a": np.int64, "id_b": np.int64, "hamming": np.int64})
 
 
 # ------------------------------------------------------------- embeddings
@@ -281,10 +295,10 @@ def embedding_near_dup(ds, vec_col="embedding", id_col="vec_id",
         return pd.DataFrame({"id_a": ids[ia][m], "id_b": ids[ib][m],
                              "cosine": sim[ia, ib][m]})
 
-    pairs = (ds.map_batches(bucket, batch_format="pandas")
-             .groupby("key").map_groups(verify, batch_format="pandas")
-             .to_pandas())
+    pairs = fold_partials(
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby("key").map_groups(verify, batch_format="pandas"),
+        ["id_a", "id_b"], {"cosine": "max"})
     if pairs.empty:
         return pairs
-    return (pairs.groupby(["id_a", "id_b"], as_index=False)["cosine"].max()
-            .astype({"id_a": np.int64, "id_b": np.int64}))
+    return pairs.astype({"id_a": np.int64, "id_b": np.int64})
