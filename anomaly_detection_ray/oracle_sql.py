@@ -1,0 +1,757 @@
+"""DuckDB oracle SQL for every SQL-expressible query (driver correctness
+gate; ANSI-ish SQL over the pre-registered table views region nation
+customer supplier part orders lineitem events documents embeddings).
+
+Column names ARE part of the contract: the driver sorts columns by name and
+hash-compares values, so every alias here matches the Ray query's output
+exactly.
+
+Recurrence checks (EMA / MACD / cumulative / IIR filtering / repair) use
+per-user RECURSIVE CTEs that replay the reference recurrence row by row —
+an independent computation path from the engine's vectorized kernels
+(pandas ewm / blocked prefix scans / sliding windows). Float low-bit
+differences between the two paths can not flip a verdict code unless a
+value sits within ~1e-12 of a grading threshold (verified empirically: zero
+mismatches at sf0.001/sf0.01); constants are emitted with repr() so literal
+parsing round-trips to the same double.
+
+Non-SQL-expressible queries (seeded model scorers, sketches, the clip
+table) get fixture oracles from ``fixtures.py`` instead: an independent
+sequential implementation writes expected-result parquet at oracle-build
+time and the SQL is a plain read of that file.
+"""
+
+from __future__ import annotations
+
+EV_UL, EV_LL = 80.0, 20.0
+EV_WS = [0.7, 0.9]
+WF_N, WF_X = 20, 3.0
+
+_MID = (EV_UL + EV_LL) / 2.0
+_RNG = EV_UL - EV_LL
+
+# events-standard grading in SQL given a normalized value column `vn`
+# (grading.py: strict inequalities; warning iff |vn| > smallest stage)
+def _code(vn: str, warn: float | None = 0.7) -> str:
+    w = f"WHEN abs({vn}) > {warn!r} THEN 0 " if warn is not None else ""
+    return (f"CAST(CASE WHEN {vn} > 1 OR {vn} < -1 THEN -1 {w}"
+            f"ELSE 1 END AS TINYINT)")
+
+
+# valid rows (scorer state only sees these) + per-user order (series.py)
+_VALID = """
+  SELECT event_id, user_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+"""
+
+_UNDEF_TAIL = """
+    UNION ALL
+    SELECT event_id, CAST(2 AS TINYINT) AS {col} FROM events
+    WHERE value IS NULL OR isnan(value)
+"""
+
+
+def _ema_recursion(alpha: float, extra_alpha: float | None = None) -> str:
+    """Per-user EMA replay: ema_t = (1-s)*ema_{t-1} + s*v_t, ema_0 = v_0
+    (ema.py:87-126 recurrence; matches pandas ewm(adjust=False) to float
+    low bits). With ``extra_alpha`` carries a second EMA (MACD)."""
+    s = repr(alpha)
+    if extra_alpha is None:
+        return f"""
+    r AS (
+      SELECT user_id, rn, event_id, value, value AS ema FROM v WHERE rn = 1
+      UNION ALL
+      SELECT v.user_id, v.rn, v.event_id, v.value,
+             (1.0-{s})*r.ema + {s}*v.value
+      FROM r JOIN v ON v.user_id = r.user_id AND v.rn = r.rn + 1
+    )"""
+    s2 = repr(extra_alpha)
+    return f"""
+    r AS (
+      SELECT user_id, rn, event_id, value, value AS ema1, value AS ema2
+      FROM v WHERE rn = 1
+      UNION ALL
+      SELECT v.user_id, v.rn, v.event_id, v.value,
+             (1.0-{s})*r.ema1 + {s}*v.value,
+             (1.0-{s2})*r.ema2 + {s2}*v.value
+      FROM r JOIN v ON v.user_id = r.user_id AND v.rn = r.rn + 1
+    )"""
+
+
+def _sql_ema() -> str:
+    s = 2.0 / (10 + 1)
+    return f"""
+    WITH RECURSIVE v AS ({_VALID}),
+    {_ema_recursion(s)},
+    g AS (SELECT event_id, 2.0*(ema - {_MID!r})/{_RNG!r} AS vn FROM r)
+    SELECT event_id, {_code('vn')} AS ema_code FROM g
+    {_UNDEF_TAIL.format(col='ema_code')}
+    """
+
+
+def _sql_macd() -> str:
+    s1, s2 = 2.0 / (5 + 1), 2.0 / (15 + 1)
+    # UL=30 LL=-30 => vn = macd/30; warning stage [0.5]
+    return f"""
+    WITH RECURSIVE v AS ({_VALID}),
+    {_ema_recursion(s1, s2)},
+    g AS (SELECT event_id, 2.0*((ema1 - ema2) - 0.0)/60.0 AS vn FROM r)
+    SELECT event_id, {_code('vn', 0.5)} AS macd_code FROM g
+    {_UNDEF_TAIL.format(col='macd_code')}
+    """
+
+
+def _sql_cumulative() -> str:
+    # decay=0.05, averaging=5, ws=[0.5]: rm = trailing-5 mean (growing),
+    # delta_t = (rm_t - rm_{t-1})/|rm_t| (prev=0 at t=0 => delta_0 = +-1),
+    # cs_t = (cs_{t-1} + delta_t)*(1-decay)  (cumulative.py:41-111)
+    a = repr(1.0 - 0.05)
+    return f"""
+    WITH RECURSIVE v AS ({_VALID}),
+    m AS (
+      SELECT *, AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rm
+      FROM v
+    ),
+    d AS (
+      SELECT *, (rm - COALESCE(LAG(rm) OVER (PARTITION BY user_id ORDER BY rn),
+                               0.0)) / abs(rm) AS delta
+      FROM m
+    ),
+    r AS (
+      SELECT user_id, rn, event_id, ({a})*delta AS cs FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.user_id, d.rn, d.event_id, (r.cs + d.delta)*({a})
+      FROM r JOIN d ON d.user_id = r.user_id AND d.rn = r.rn + 1
+    )
+    SELECT event_id, {_code('cs', 0.5)} AS cum_code FROM r
+    {_UNDEF_TAIL.format(col='cum_code')}
+    """
+
+
+def _sql_filtering() -> str:
+    # Butterworth(order=3, wn=0.4) direct-form-II-transposed replay with the
+    # steady-state zi of dsp.lfilter_zi — coefficients embedded as literals
+    # from the same public design math (dsp.butter_lowpass)
+    from .functions import dsp
+    b, a = dsp.butter_lowpass(3, 0.4)
+    zi = dsp.lfilter_zi(b, a)
+    b0, b1, b2, b3 = (repr(x) for x in b)
+    a1, a2, a3 = (repr(x) for x in a[1:])
+    z0, z1, z2 = (repr(x) for x in zi)
+    return f"""
+    WITH RECURSIVE v AS ({_VALID}),
+    r AS (
+      SELECT user_id, rn, event_id,
+             {b0}*value + {z0} AS y,
+             {b1}*value + {z1} - {a1}*({b0}*value + {z0}) AS s0,
+             {b2}*value + {z2} - {a2}*({b0}*value + {z0}) AS s1,
+             {b3}*value - {a3}*({b0}*value + {z0}) AS s2
+      FROM v WHERE rn = 1
+      UNION ALL
+      SELECT v.user_id, v.rn, v.event_id,
+             {b0}*v.value + r.s0,
+             {b1}*v.value + r.s1 - {a1}*({b0}*v.value + r.s0),
+             {b2}*v.value + r.s2 - {a2}*({b0}*v.value + r.s0),
+             {b3}*v.value - {a3}*({b0}*v.value + r.s0)
+      FROM r JOIN v ON v.user_id = r.user_id AND v.rn = r.rn + 1
+    ),
+    g AS (SELECT event_id, 2.0*(y - {_MID!r})/{_RNG!r} AS vn FROM r)
+    SELECT event_id, {_code('vn')} AS flt_code FROM g
+    {_UNDEF_TAIL.format(col='flt_code')}
+    """
+
+
+def _sql_ema_percentile() -> str:
+    # percentile=95, window=50, start_on=10, period=10 (alpha=2/11): EMA
+    # graded vs the [5th, 95th] percentiles of its own trailing-50 window
+    # (inclusive; growing during warm-up), Undefined before start_on
+    s = 2.0 / (10 + 1)
+    return f"""
+    WITH RECURSIVE v AS ({_VALID}),
+    {_ema_recursion(s)},
+    w AS (
+      SELECT event_id, rn, ema,
+             quantile_cont(ema, 0.05) OVER win AS p_lo,
+             quantile_cont(ema, 0.95) OVER win AS p_hi
+      FROM r
+      WINDOW win AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id,
+           CAST(CASE WHEN rn < 10 THEN 2
+                     WHEN ema > p_hi OR ema < p_lo THEN -1
+                     ELSE 1 END AS TINYINT) AS ep_code
+    FROM w
+    {_UNDEF_TAIL.format(col='ep_code')}
+    """
+
+
+def _sql_repair() -> str:
+    # LastNAverage(N=5): on border Error with FULL memory, replace with
+    # mean(memory) and feed the repaired value back (normalization.py:24-63).
+    # The memory sees raw values incl. NaN (no valid filter in apply_repair),
+    # so value maps NULL->NaN and the list average propagates NaN exactly
+    # like np.mean. Border codes use warning_stages=[] (no warnings).
+    return f"""
+    WITH RECURSIVE v AS (
+      SELECT event_id, user_id, ts,
+             COALESCE(value, 'NaN'::DOUBLE) AS value,
+             CAST(CASE WHEN value IS NULL OR isnan(value) THEN 2
+                       WHEN 2.0*(value - {_MID!r})/{_RNG!r} > 1
+                         OR 2.0*(value - {_MID!r})/{_RNG!r} < -1 THEN -1
+                       ELSE 1 END AS TINYINT) AS bc_code,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, rn, event_id, bc_code, value AS suggested_value,
+             [value] AS mem
+      FROM v WHERE rn = 1
+      UNION ALL
+      SELECT v.user_id, v.rn, v.event_id, v.bc_code,
+             CASE WHEN v.bc_code = -1 AND len(r.mem) = 5
+                  THEN list_sum(r.mem)/5.0 ELSE v.value END,
+             list_slice(
+               list_append(r.mem,
+                           CASE WHEN v.bc_code = -1 AND len(r.mem) = 5
+                                THEN list_sum(r.mem)/5.0 ELSE v.value END),
+               CASE WHEN len(r.mem) = 5 THEN 2 ELSE 1 END, 6)
+      FROM r JOIN v ON v.user_id = r.user_id AND v.rn = r.rn + 1
+    )
+    SELECT event_id, bc_code, suggested_value FROM r
+    """
+
+
+def _sql_percent_score() -> str:
+    # PercentScore over border (ws=[0.7,0.9]) + windowed Welford (N=20, X=3)
+    # verdicts: per-record points (Warning=1, Error=2)/(2K), trailing STRICT
+    # 1h event-time window sum / max(60, n_in_window)
+    # (combination.py:178-218). K=2 => /4. The RANGE frame is 3600s minus
+    # 1 microsecond so ts > t-3600 is strict at the table's us precision.
+    return f"""
+    WITH b AS (
+      SELECT event_id, user_id, ts, value,
+             CAST(CASE WHEN value IS NULL OR isnan(value) THEN 2
+                       WHEN abs(2.0*(value - {_MID!r})/{_RNG!r}) > 1 THEN -1
+                       WHEN abs(2.0*(value - {_MID!r})/{_RNG!r}) > 0.7 THEN 0
+                       ELSE 1 END AS TINYINT) AS bc_code
+      FROM events
+    ),
+    v AS (SELECT event_id, user_id, ts, value FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)),
+    w AS (SELECT event_id, value,
+            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+            AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN {WF_N} PRECEDING AND 1 PRECEDING) AS m,
+            STDDEV_SAMP(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN {WF_N} PRECEDING AND 1 PRECEDING) AS s
+          FROM v),
+    wf AS (SELECT event_id,
+             CAST(CASE WHEN rn <= {WF_N} THEN 2
+                       WHEN value > m + {WF_X!r}*s OR value < m - {WF_X!r}*s
+                       THEN -1 ELSE 1 END AS TINYINT) AS wf_code
+           FROM w),
+    codes AS (
+      SELECT b.event_id, b.user_id, b.ts,
+             ((CASE WHEN b.bc_code = 0 THEN 1.0
+                    WHEN b.bc_code = -1 THEN 2.0 ELSE 0.0 END)
+            + (CASE WHEN wf.wf_code = 0 THEN 1.0
+                    WHEN wf.wf_code = -1 THEN 2.0 ELSE 0.0 END)) / 4.0 AS pts
+      FROM b LEFT JOIN wf ON b.event_id = wf.event_id
+    ),
+    win AS (
+      SELECT event_id,
+             SUM(pts) OVER w AS wsum,
+             COUNT(*) OVER w AS n_in
+      FROM codes
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN to_microseconds(3599999999) PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT event_id, wsum / GREATEST(60.0, CAST(n_in AS DOUBLE)) AS percent_score
+    FROM win
+    """
+
+
+def _sql_forecast_band() -> str:
+    # naive trailing forecast: per 6h-window mean +- 4*std of value; each
+    # event graded vs the band of the NEAREST window center (ties -> earlier
+    # center), Undefined for null/NaN values (asof.py semantics)
+    return """
+    WITH e AS (
+      SELECT event_id, value,
+             CAST(epoch_us(ts) AS DOUBLE)/1000000.0 AS sec
+      FROM events
+    ),
+    f AS (
+      SELECT (CAST(floor(sec/21600.0) AS BIGINT)) AS w,
+             (floor(sec/21600.0) + 0.5) * 21600.0 AS fts,
+             SUM(value) AS s1, SUM(value*value) AS s2,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM e WHERE value IS NOT NULL AND NOT isnan(value)
+      GROUP BY 1, 2
+    ),
+    band AS (
+      SELECT fts, s1/n - 4.0*sqrt(GREATEST(s2/n - (s1/n)*(s1/n), 0.0)) AS lo,
+                  s1/n + 4.0*sqrt(GREATEST(s2/n - (s1/n)*(s1/n), 0.0)) AS hi
+      FROM f
+    )
+    SELECT e.event_id,
+           CAST(CASE WHEN e.value IS NULL OR isnan(e.value) THEN 2
+                     WHEN e.value < nb.lo OR e.value > nb.hi THEN -1
+                     ELSE 1 END AS TINYINT) AS fb_code
+    FROM e, LATERAL (SELECT b.lo, b.hi FROM band b
+                     ORDER BY abs(e.sec - b.fts), b.fts LIMIT 1) nb
+    """
+
+
+def _sql_trend_classification() -> str:
+    # slope classifier over the averaged window (trend_classification.py
+    # mechanics without the Keras MLP; rolling.py:276): a = trailing-3 mean,
+    # window N=20 of a, span = max-min, normalized slope = slope(a)/span,
+    # classes down/flat/up vs half the pure-ramp slope 1/(N-1); prediction
+    # averaged over 5; vn = 1 + (avg_pred - 1)*span/50; Error outside [0,2],
+    # Warning beyond the last stage (0.5)
+    thr = repr(0.5 * (1.0 / 19.0))
+    return f"""
+    WITH v AS ({_VALID}),
+    m AS (
+      SELECT *, AVG(value) OVER (PARTITION BY user_id ORDER BY rn
+                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS a
+      FROM v
+    ),
+    w AS (
+      SELECT *,
+        MAX(a) OVER w20 - MIN(a) OVER w20 AS span,
+        regr_slope(a, rn) OVER w20 AS slope_raw
+      FROM m
+      WINDOW w20 AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    p AS (
+      SELECT *,
+        CASE WHEN span = 0 THEN 1.0
+             WHEN slope_raw/span > {thr} THEN 2.0
+             WHEN slope_raw/span < -{thr} THEN 0.0
+             ELSE 1.0 END AS pred
+      FROM w
+    ),
+    q AS (
+      SELECT event_id, rn, span,
+        AVG(pred) OVER (PARTITION BY user_id ORDER BY rn
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS pred_avg
+      FROM p
+    ),
+    g AS (SELECT event_id, rn, 1.0 + (pred_avg - 1.0)*(span/50.0) AS vn FROM q)
+    SELECT event_id,
+           CAST(CASE WHEN rn < 24 THEN 2
+                     WHEN vn > 2 OR vn < 0 THEN -1
+                     WHEN vn > 1.5 OR vn < 0.5 THEN 0
+                     ELSE 1 END AS TINYINT) AS tc_code
+    FROM g
+    {_UNDEF_TAIL.format(col='tc_code')}
+    """
+
+
+def _sql_drift_psi() -> str:
+    # partition_drift over event_type with fixed edges 25..500 step 25
+    # (21 bins incl. overflow), reference profile = per-bin MEDIAN of
+    # partition proportions renormalized, rest = round(ref_p * others_total),
+    # KS = max |ECDF diff|, PSI with 1e-6 floor, sample-size-aware
+    # thresholds (drift.py:92-131)
+    return """
+    WITH vals AS (
+      SELECT event_type,
+             LEAST(CAST(floor(value/25.0) AS BIGINT), 20) AS bin
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    bins AS (SELECT unnest(generate_series(0, 20)) AS bin),
+    types AS (SELECT DISTINCT event_type FROM vals),
+    h AS (
+      SELECT t.event_type, b.bin,
+             CAST(COALESCE(c.n, 0) AS DOUBLE) AS cnt
+      FROM types t CROSS JOIN bins b
+      LEFT JOIN (SELECT event_type, bin, COUNT(*) AS n
+                 FROM vals GROUP BY 1, 2) c
+        ON c.event_type = t.event_type AND c.bin = b.bin
+    ),
+    tot AS (SELECT event_type, SUM(cnt) AS n FROM h GROUP BY 1),
+    gtot AS (SELECT SUM(cnt) AS g FROM h),
+    ref AS (  -- per-bin median of partition proportions, renormalized
+      SELECT bin, median(cnt / GREATEST(n, 1)) AS med
+      FROM h JOIN tot USING (event_type) GROUP BY bin
+    ),
+    refn AS (SELECT bin, med / (SELECT SUM(med) FROM ref) AS ref_p FROM ref),
+    pair AS (
+      SELECT h.event_type, h.bin, h.cnt,
+             round(refn.ref_p * ((SELECT g FROM gtot) - tot.n)) AS rest
+      FROM h JOIN refn USING (bin) JOIN tot USING (event_type)
+    ),
+    cum AS (
+      SELECT event_type, bin, cnt, rest,
+        SUM(cnt)  OVER (PARTITION BY event_type ORDER BY bin) AS c_cnt,
+        SUM(rest) OVER (PARTITION BY event_type ORDER BY bin) AS c_rest,
+        SUM(cnt)  OVER (PARTITION BY event_type) AS n,
+        SUM(rest) OVER (PARTITION BY event_type) AS m
+      FROM pair
+    ),
+    stats AS (
+      SELECT event_type,
+        MAX(abs(c_rest/m - c_cnt/n)) AS ks,
+        SUM((GREATEST(cnt/n, 1e-6) - GREATEST(rest/m, 1e-6))
+            * ln(GREATEST(cnt/n, 1e-6) / GREATEST(rest/m, 1e-6))) AS psi,
+        ANY_VALUE(n) AS n, ANY_VALUE(m) AS m
+      FROM cum GROUP BY event_type
+    ),
+    graded AS (
+      SELECT event_type, ks, psi,
+        GREATEST(0.1,  1.95*sqrt((n + m)/(n*m))) AS ks_err,
+        GREATEST(0.05, 1.36*sqrt((n + m)/(n*m))) AS ks_warn,
+        GREATEST(0.25, 10.0*20.0*(1.0/n + 1.0/m)) AS psi_err,
+        GREATEST(0.1,   5.0*20.0*(1.0/n + 1.0/m)) AS psi_warn
+      FROM stats
+    )
+    SELECT event_type, 'value' AS column,
+           round(ks, 6) AS ks, round(psi, 6) AS psi,
+           CAST(CASE WHEN ks >= ks_err OR psi >= psi_err THEN -1
+                     WHEN ks >= ks_warn OR psi >= psi_warn THEN 0
+                     ELSE 1 END AS TINYINT) AS drift_code
+    FROM graded
+    ORDER BY event_type
+    """
+
+
+def _sql_lang_detect() -> str:
+    from .functions.text import STOPWORDS
+    langs = list(STOPWORDS)  # argmax tie-break = first in this order
+    counts = []
+    for lg in langs:
+        inlist = ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lg]))
+        counts.append(
+            f"len(list_filter(toks, t -> t IN ({inlist}))) AS c_{lg}")
+    best = "GREATEST(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
+    pick = " ".join(f"WHEN c_{lg} = {best} THEN '{lg}'" for lg in langs)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             regexp_extract_all(lower(coalesce(text, '')),
+                                '[\\p{{L}}\\p{{N}}_'']+') AS toks
+      FROM documents
+    ),
+    c AS (SELECT doc_id, lang, {', '.join(counts)} FROM t)
+    SELECT doc_id, lang,
+           CASE WHEN {best} > 0 THEN (CASE {pick} END)
+                ELSE 'und' END AS lang_pred
+    FROM c
+    """
+
+
+def _sql_reference_config_borders() -> str:
+    return f"""
+    SELECT event_id,
+           CAST(CASE WHEN value IS NULL OR isnan(value) THEN 2
+                     WHEN abs(2.0*(value - {_MID!r})/{_RNG!r}) > 1 THEN -1
+                     WHEN abs(2.0*(value - {_MID!r})/{_RNG!r}) > 0.7 THEN 0
+                     ELSE 1 END AS TINYINT) AS a0_bordercheck_code
+    FROM events
+    """
+
+
+def oracle_sql() -> dict[str, str]:
+    border_status = """
+      CASE WHEN value IS NULL OR isnan(value) THEN 'Undefined'
+           WHEN vn > 1 THEN 'Error: measurement above upper limit'
+           WHEN vn < -1 THEN 'Error: measurement below lower limit'
+           WHEN vn > 0.9 THEN 'Warning1: measurement close to upper limit.'
+           WHEN vn < -0.9 THEN 'Warning1: measurement close to lower limit.'
+           WHEN vn > 0.7 THEN 'Warning0: measurement close to upper limit.'
+           WHEN vn < -0.7 THEN 'Warning0: measurement close to lower limit.'
+           ELSE 'OK' END
+    """
+    punct_class = "[.,!?;:\"''()\\[\\]{}-]"
+    out = {
+        "row_validate_events": """
+            SELECT event_id,
+                   CAST(CASE WHEN value IS NULL OR isnan(value) OR ts IS NULL
+                             THEN 2 ELSE 1 END AS TINYINT) AS rv_code
+            FROM events
+        """,
+        "border_check_events": f"""
+            WITH b AS (SELECT event_id, value,
+                              2*(value - {_MID})/{_RNG} AS vn FROM events)
+            SELECT event_id,
+                   CAST(CASE WHEN value IS NULL OR isnan(value) THEN 2
+                             WHEN vn > 1 OR vn < -1 THEN -1
+                             WHEN abs(vn) > 0.7 THEN 0 ELSE 1 END AS TINYINT) AS bc_code,
+                   {border_status} AS bc_status
+            FROM b
+        """,
+        "grouped_stats_events": """
+            SELECT event_type, CAST(count(value) AS BIGINT) AS n,
+                   round(avg(value), 4) AS mean,
+                   round(stddev_pop(value), 4) AS std,
+                   round(stddev_samp(value), 4) AS std_sample,
+                   round(min(value), 4) AS min,
+                   round(max(value), 4) AS max
+            FROM events GROUP BY event_type
+        """,
+        "welford_window_events": f"""
+            WITH v AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)),
+            w AS (SELECT event_id, value,
+                    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                    AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN {WF_N} PRECEDING AND 1 PRECEDING) AS m,
+                    STDDEV_SAMP(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN {WF_N} PRECEDING AND 1 PRECEDING) AS s
+                  FROM v)
+            SELECT event_id,
+                   CAST(CASE WHEN rn <= {WF_N} THEN 2
+                             WHEN value > m + {WF_X}*s OR value < m - {WF_X}*s THEN -1
+                             ELSE 1 END AS TINYINT) AS wf_code
+            FROM w
+        """,
+        "welford_inf_events": f"""
+            WITH v AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)),
+            w AS (SELECT event_id, value,
+                    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                    AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m,
+                    STDDEV_POP(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s
+                  FROM v)
+            SELECT event_id,
+                   CAST(CASE WHEN rn <= 2 THEN 2
+                             WHEN value > m + {WF_X}*s OR value < m - {WF_X}*s THEN -1
+                             ELSE 1 END AS TINYINT) AS wf_code
+            FROM w
+        """,
+        "percentile_events": """
+            -- trailing-buffer percentile check (intended Percentile
+            -- semantics): window of 30 values ending at current (growing
+            -- during warm-up, exactly like the kernel's prefix), Error when
+            -- the current value falls outside [p2, p98] of its own window
+            WITH v AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)),
+            w AS (SELECT event_id, value,
+                    quantile_cont(value, 0.02) OVER win AS p_lo,
+                    quantile_cont(value, 0.98) OVER win AS p_hi
+                  FROM v
+                  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+            SELECT event_id,
+                   CAST(CASE WHEN value < p_lo OR value > p_hi THEN -1
+                             ELSE 1 END AS TINYINT) AS pct_code
+            FROM w
+            UNION ALL
+            SELECT event_id, CAST(2 AS TINYINT) AS pct_code FROM events
+            WHERE value IS NULL OR isnan(value)
+        """,
+        "linear_fit_events": """
+            -- rolling OLS slope over the last 15 values, graded vs UL=20 /
+            -- LL=-20 with warning stage 0.5; Undefined during warm-up
+            -- (first 15 records) and when SSR/value > confidence_norm=1000
+            WITH v AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS rn
+                  FROM v),
+            w AS (SELECT event_id, value, rn,
+                    regr_slope(value, rn) OVER win AS slope,
+                    regr_syy(value, rn) OVER win AS syy,
+                    regr_sxx(value, rn) OVER win AS sxx
+                  FROM r
+                  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)),
+            g AS (SELECT event_id, value, rn, slope,
+                         slope / 20.0 AS vn,
+                         (syy - slope*slope*sxx) / value AS fit_q
+                  FROM w)
+            SELECT event_id,
+                   CAST(CASE WHEN rn <= 15 THEN 2
+                             WHEN fit_q > 1000 THEN 2
+                             WHEN vn > 1 OR vn < -1 THEN -1
+                             WHEN abs(vn) > 0.5 THEN 0
+                             ELSE 1 END AS TINYINT) AS lf_code
+            FROM g
+            UNION ALL
+            SELECT event_id, CAST(2 AS TINYINT) AS lf_code FROM events
+            WHERE value IS NULL OR isnan(value)
+        """,
+        "hampel_events": """
+            -- centered-window (2W+1=11) median/MAD outlier check grading the
+            -- reference's off-center point memory[W+1] (hampel.py:79-96):
+            -- for the window ending at the current row, the graded value is
+            -- the one 4 rows back; Undefined for the first 11 records
+            WITH v AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)),
+            w AS (SELECT event_id, value,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS rn,
+                    list(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN 10 PRECEDING
+                                      AND CURRENT ROW) AS l
+                  FROM v),
+            m AS (SELECT event_id, rn, l[7] AS pt,
+                         list_aggregate(l, 'median') AS med,
+                         list_aggregate(list_transform(l,
+                             x -> abs(x - list_aggregate(l, 'median'))),
+                             'median') AS mad
+                  FROM w)
+            SELECT event_id,
+                   CAST(CASE WHEN rn <= 11 THEN 2
+                             WHEN abs(pt - med) > 3 * (1.4826 * mad) THEN -1
+                             ELSE 1 END AS TINYINT) AS hp_code
+            FROM m
+            UNION ALL
+            SELECT event_id, CAST(2 AS TINYINT) AS hp_code FROM events
+            WHERE value IS NULL OR isnan(value)
+        """,
+        "uniqueness_events": """
+            SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id, event_type HAVING count(*) > 1
+        """,
+        "referential_orders_customer": """
+            SELECT o.o_orderkey, o.o_custkey
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL
+        """,
+        "time_filter_events": """
+            SELECT event_id FROM events
+            WHERE abs(extract('epoch' FROM CAST(ts AS TIME)) - 43200) < 7200
+        """,
+        "value_histogram_events": """
+            SELECT event_type,
+                   LEAST(CAST(floor(value/50) AS BIGINT), 10) AS bin,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY event_type, LEAST(CAST(floor(value/50) AS BIGINT), 10)
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice*(1-l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)), 2) AS sum_charge,
+                   round(sum(l_quantity)/count(*), 4) AS avg_qty,
+                   round(sum(l_extendedprice)/count(*), 4) AS avg_price,
+                   round(sum(l_discount)/count(*), 6) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers_revenue": """
+            SELECT o.o_custkey, c.c_name,
+                   round(sum(o.o_totalprice), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY o.o_custkey, c.c_name
+            ORDER BY sum(o.o_totalprice) DESC, o.o_custkey
+            LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value)/count(*), 6) AS avg_value
+            FROM events
+            GROUP BY date_trunc('hour', ts), event_type
+        """,
+        "bloom_dedup_documents": """
+            SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT coalesce(text, '') AS text FROM documents)
+            GROUP BY md5(text) HAVING count(*) >= 2
+        """,
+        "exact_dedup_documents": """
+            SELECT md5(text) AS text_hash,
+                   CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+                   CAST(count(*) AS BIGINT) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "token_count_documents": """
+            SELECT doc_id,
+                   CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                             ELSE len(string_split_regex(trim(text), '\\s+'))
+                        END AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "text_quality_documents": f"""
+            WITH t AS (SELECT doc_id, coalesce(text, '') AS s FROM documents)
+            SELECT doc_id,
+                   CAST(length(s) AS BIGINT) AS n_chars,
+                   CAST(CASE WHEN trim(s) = '' THEN 0
+                             ELSE len(string_split_regex(trim(s), '\\s+'))
+                        END AS BIGINT) AS n_tokens,
+                   CAST(length(s) - length(regexp_replace(s, '{punct_class}', '', 'g')) AS BIGINT) AS n_punct,
+                   CAST(length(s) - length(regexp_replace(s, '[0-9]', '', 'g')) AS BIGINT) AS n_digits
+            FROM t
+        """,
+        "feature_construction_events": """
+            -- fv layout: raw, avg2, avg5, periodic(2,[3]), lag1, lag2, then
+            -- time features in the reference's fixed check order: weekday
+            -- (python Monday=0), hour; memory_size = 5
+            WITH w AS (
+              SELECT event_id, value, ts,
+                ROW_NUMBER() OVER win AS rn,
+                AVG(value) OVER (win ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS avg2,
+                AVG(value) OVER (win ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS avg5,
+                LAG(value, 1) OVER win AS lag1,
+                LAG(value, 2) OVER win AS lag2,
+                LAG(value, 4) OVER win AS lag4
+              FROM events
+              WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_id,
+              CASE WHEN rn >= 5 THEN value END AS fv0,
+              CASE WHEN rn >= 5 THEN avg2 END AS fv1,
+              CASE WHEN rn >= 5 THEN avg5 END AS fv2,
+              CASE WHEN rn >= 5 THEN (value + lag2 + lag4) / 3 END AS fv3,
+              CASE WHEN rn >= 5 THEN lag1 END AS fv4,
+              CASE WHEN rn >= 5 THEN lag2 END AS fv5,
+              CASE WHEN rn >= 5 THEN CAST((dayofweek(ts) + 6) % 7 AS DOUBLE) END AS fv6,
+              CASE WHEN rn >= 5 THEN CAST(hour(ts) AS DOUBLE) END AS fv7,
+              rn >= 5 AS fv_valid
+            FROM w
+        """,
+        "embedding_norms": """
+            SELECT vec_id,
+                   round(sqrt(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+            FROM embeddings
+        """,
+        "similarity_topk_embeddings": """
+            -- cosine in DOUBLE via unnest (list_cosine_similarity computes in
+            -- float32, which diverges from the engine's float64 kernels)
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            pe AS (SELECT vec_id, unnest(embedding) AS x,
+                          generate_subscripts(embedding, 1) AS i
+                   FROM embeddings WHERE vec_id <> 0),
+            pq AS (SELECT unnest(qe) AS y, generate_subscripts(qe, 1) AS i FROM q),
+            d AS (SELECT vec_id, sum(x*y) AS dot, sum(x*x) AS nx
+                  FROM pe JOIN pq USING (i) GROUP BY vec_id),
+            nq AS (SELECT sum(y*y) AS ny FROM pq)
+            SELECT vec_id,
+                   round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
+            FROM d, nq
+            ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, vec_id
+            LIMIT 10
+        """,
+        # ------------------- recurrence / window oracles (round 2) --------
+        "ema_check_events": _sql_ema(),
+        "macd_check_events": _sql_macd(),
+        "cumulative_events": _sql_cumulative(),
+        "filtering_events": _sql_filtering(),
+        "ema_percentile_events": _sql_ema_percentile(),
+        "repair_events": _sql_repair(),
+        "percent_score_events": _sql_percent_score(),
+        "forecast_band_events": _sql_forecast_band(),
+        "trend_classification_events": _sql_trend_classification(),
+        "drift_events_psi": _sql_drift_psi(),
+        "lang_detect_documents": _sql_lang_detect(),
+        "reference_config_borders": _sql_reference_config_borders(),
+    }
+    return out
