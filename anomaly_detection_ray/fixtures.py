@@ -1,0 +1,67 @@
+"""Fixture oracles for queries with no SQL-expressible oracle.
+
+The 12 queries here are deterministic (seeded models, fixed hash keys,
+deterministic synth input) but not computable in ANSI SQL — isolation
+forests, RRCF sketches, MinHash/SimHash (pandas siphash keys), t-digest
+merges, and the flagship clip pipeline. For each, ``tools/make_fixtures.py``
+runs the query once per scale factor and freezes the expected result as
+parquet under ``fixtures/`` (committed). The oracle SQL is then a plain
+DuckDB ``read_parquet`` of the frozen table, discriminated by scale factor
+through the events-view row count — so the driver's correctness gate
+hash-compares the *live distributed run* against the frozen expectation.
+
+What this pins (vs. the recursive-CTE oracles in oracle_sql.py, which are
+independent recomputations): bit-exact reproducibility of the distributed
+execution across processes and runs — partitioning-order invariance,
+seed stability, and regressions. Semantic correctness of the underlying
+kernels is pinned separately by the golden/parity pytest suite
+(tests/test_similarity_iforest.py, test_text_dedup.py, test_sketches.py,
+test_pipeline_validate.py) against sequential reference implementations.
+"""
+
+from __future__ import annotations
+
+import os
+
+FIXTURE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "fixtures")
+
+# queries whose oracle is a frozen fixture table (see module docstring).
+# NOT here: tdigest_quantiles_events — a t-digest is an order-dependent
+# mergeable sketch and Ray's streaming executor does not preserve block
+# arrival order (preserve_order=False), so its estimates are legitimately
+# run-varying within the sketch's accuracy bound; a hash-exact oracle would
+# be semantically wrong. Its accuracy is pinned in tests/test_sketches.py.
+FIXTURE_QUERIES = [
+    "minhash_dedup_documents",
+    "simhash_documents",
+    "doc_fingerprints",
+    "ann_ivf_embeddings",
+    "iforest_events",
+    "pca_iforest_events",
+    "clustering_events",
+    "autoencoder_events",
+    "rrcf_events",
+    "clip_validation_verdicts",
+    "clip_audio_features",
+]
+
+
+def fixture_path(name: str) -> str:
+    return os.path.join(FIXTURE_DIR, f"{name}.parquet")
+
+
+def fixture_sql(name: str) -> str:
+    """Oracle SQL: read the frozen expectation for the current scale factor
+    (rows of the events view identify the sf — every test sf dir has a
+    distinct events row count)."""
+    path = fixture_path(name)
+    return (f"SELECT * EXCLUDE (_fx_rows) FROM read_parquet('{path}') "
+            f"WHERE _fx_rows = (SELECT count(*) FROM events)")
+
+
+def available_fixture_oracles() -> dict[str, str]:
+    """Oracle-SQL entries for every fixture that has been generated and
+    committed (missing files simply stay rows-only in the driver gate)."""
+    return {n: fixture_sql(n) for n in FIXTURE_QUERIES
+            if os.path.exists(fixture_path(n))}

@@ -754,4 +754,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_detect_documents": _sql_lang_detect(),
         "reference_config_borders": _sql_reference_config_borders(),
     }
+    # ------------------- frozen-fixture oracles (round 2) -----------------
+    # seeded-model / sketch / clip queries: expectation tables committed
+    # under fixtures/, regenerated by tools/make_fixtures.py (fixtures.py)
+    from .fixtures import available_fixture_oracles
+    out.update(available_fixture_oracles())
     return out
