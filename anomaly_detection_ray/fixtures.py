@@ -41,7 +41,9 @@ FIXTURE_QUERIES = [
     "pca_iforest_events",
     "clustering_events",
     "autoencoder_events",
+    "gan_autoencoder_events",
     "rrcf_events",
+    "trend_mlp_events",
     "clip_validation_verdicts",
     "clip_audio_features",
 ]

@@ -276,14 +276,20 @@ def filtering_check(values: np.ndarray, filter_order: int,
 def trend_classification_check(values: np.ndarray, N: int, averaging: int,
                                prediction_conv: int,
                                warning_stages: list[float],
-                               amp_scale: float) -> dict[str, np.ndarray]:
-    """Trend classification (trend_classification.py:84-151) with the MLP
-    replaced by a closed-form slope classifier — the reference trains a tiny
-    Keras net at configure time on SYNTHETIC pure up/flat/down ramps, so the
-    decision it learns is 'which ramp does the normalized window resemble';
-    the OLS slope of the normalized window against half the pure-ramp slope
-    is that decision without TensorFlow (deliberately absent from the
-    dependency set). Classes: 0=down, 1=flat, 2=up.
+                               amp_scale: float,
+                               num_samples: int | None = None,
+                               train_noise: float = 0.01,
+                               seed: int = 0) -> dict[str, np.ndarray]:
+    """Trend classification (trend_classification.py:84-151). Two classifier
+    paths over the normalized trailing window:
+
+    - ``num_samples`` given → the reference's LEARNED classifier: a numpy
+      MLP trained on synthetic up/flat/down ramps with ``train_noise``
+      (stages/trend.py; trend_classification.py:154-193), memoized per
+      process, batch-predicted over all windows at once.
+    - ``num_samples`` None → closed-form slope classifier: the OLS slope of
+      the normalized window against half the pure-ramp slope, which is the
+      decision the synthetic-ramp net learns. Classes: 0=down, 1=flat, 2=up.
 
     Downstream mechanics reproduced exactly: FV = trailing means, amplitude
     = (max-min)/amp_scale, prediction averaged over ``prediction_conv``,
@@ -305,11 +311,17 @@ def trend_classification_check(values: np.ndarray, N: int, averaging: int,
     sxx = float(np.dot(xc, xc))
     with np.errstate(divide="ignore", invalid="ignore"):
         wn = (w - w.mean(axis=1)[:, None]) / span[:, None]
-    slope = np.where(span > 0, (np.nan_to_num(wn) @ xc) / sxx, 0.0)
-    ramp_slope = 1.0 / (N - 1) if N > 1 else 1.0
-    pred = np.where(span == 0, 1,
-                    np.where(slope > 0.5 * ramp_slope, 2,
-                             np.where(slope < -0.5 * ramp_slope, 0, 1)))
+    wn = np.nan_to_num(wn)
+    if num_samples is not None:
+        from ..stages.trend import trend_model
+        model = trend_model(N, int(num_samples), float(train_noise), seed)
+        pred = np.where(span == 0, 1, model.predict_classes(wn))
+    else:
+        slope = np.where(span > 0, (wn @ xc) / sxx, 0.0)
+        ramp_slope = 1.0 / (N - 1) if N > 1 else 1.0
+        pred = np.where(span == 0, 1,
+                        np.where(slope > 0.5 * ramp_slope, 2,
+                                 np.where(slope < -0.5 * ramp_slope, 0, 1)))
     # averaged prediction over the trailing prediction_conv predictions
     pred_avg = pd.Series(pred.astype(np.float64)).rolling(
         prediction_conv).mean().to_numpy()

@@ -307,6 +307,84 @@ def _sql_forecast_band() -> str:
     """
 
 
+def _sql_seasonal_band() -> str:
+    # seasonal-decomposition band (stages/asof.py seasonal_forecast,
+    # X=4, period 86400 s, 24 bins, step 3600): global OLS y ~ a + b·t over
+    # valid rows (t = days since 2000-01-01 on FLOORED epoch seconds),
+    # per-hour-of-day residual mean (seasonal) and std (band), grid step
+    # 3600 aligned at floor(t_lo/3600)*3600, each event graded vs the band
+    # of its NEAREST grid point (exact fractional-second timestamps).
+    # Expression order mirrors the driver arithmetic so both paths differ
+    # only by summation order (same argument as the recurrence oracles).
+    return """
+    WITH e AS (
+      SELECT event_id, value,
+             CAST(epoch_us(ts) AS DOUBLE)/1000000.0 AS x,
+             CAST(epoch_us(ts) // 1000000 AS DOUBLE) AS sec
+      FROM events
+    ),
+    v AS (
+      SELECT value, sec, (sec - 946684800.0)/86400.0 AS t,
+             CAST(floor(fmod(sec, 86400.0)/3600.0) AS BIGINT) AS bin
+      FROM e WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    m AS (
+      SELECT bin, CAST(COUNT(*) AS DOUBLE) AS n, SUM(t) AS st,
+             SUM(value) AS sy, SUM(t*value) AS sty, SUM(t*t) AS stt,
+             SUM(value*value) AS syy, MIN(sec) AS tmin, MAX(sec) AS tmax
+      FROM v GROUP BY bin
+    ),
+    tot AS (
+      SELECT SUM(n) AS nn, SUM(st) AS st, SUM(sy) AS sy, SUM(sty) AS sty,
+             SUM(stt) AS stt, MIN(tmin) AS t_lo, MAX(tmax) AS t_hi
+      FROM m
+    ),
+    c0 AS (
+      SELECT *, CASE WHEN nn*stt - st*st > 0
+                     THEN (nn*sty - st*sy)/(nn*stt - st*st)
+                     ELSE 0.0 END AS b
+      FROM tot
+    ),
+    coef AS (
+      SELECT b, (sy - b*st)/nn AS a,
+             floor(t_lo/3600.0)*3600.0 AS g0,
+             floor(t_lo/3600.0)*3600.0
+               + 3600.0*ceil((t_hi - floor(t_lo/3600.0)*3600.0)/3600.0) AS gmax
+      FROM c0
+    ),
+    bins AS (
+      SELECT m.bin,
+             (m.sy - c.a*m.n - c.b*m.st)/m.n AS s_b,
+             4.0*sqrt(GREATEST(
+               (m.syy - 2*c.a*m.sy - 2*c.b*m.sty + c.a*c.a*m.n
+                + 2*c.a*c.b*m.st + c.b*c.b*m.stt)/m.n
+               - ((m.sy - c.a*m.n - c.b*m.st)/m.n)
+                 * ((m.sy - c.a*m.n - c.b*m.st)/m.n), 0.0)) AS band
+      FROM m, coef c
+    ),
+    ev AS (
+      SELECT e.event_id, e.value,
+             LEAST(GREATEST(c.g0 + 3600.0*floor((e.x - c.g0)/3600.0 + 0.5),
+                            c.g0), c.gmax) AS ng,
+             c.a AS a, c.b AS b
+      FROM e, coef c
+    ),
+    evb AS (
+      SELECT ev.*,
+             ev.a + ev.b*(ev.ng - 946684800.0)/86400.0
+                  + COALESCE(bn.s_b, 0.0) AS yhat,
+             COALESCE(bn.band, 0.0) AS band
+      FROM ev LEFT JOIN bins bn
+        ON bn.bin = CAST(floor(fmod(ev.ng, 86400.0)/3600.0) AS BIGINT) % 24
+    )
+    SELECT event_id,
+           CAST(CASE WHEN value IS NULL OR isnan(value) THEN 2
+                     WHEN value < yhat - band OR value > yhat + band THEN -1
+                     ELSE 1 END AS TINYINT) AS szn_code
+    FROM evb
+    """
+
+
 def _sql_trend_classification() -> str:
     # slope classifier over the averaged window (trend_classification.py
     # mechanics without the Keras MLP; rolling.py:276): a = trailing-3 mean,
@@ -749,6 +827,7 @@ def oracle_sql() -> dict[str, str]:
         "repair_events": _sql_repair(),
         "percent_score_events": _sql_percent_score(),
         "forecast_band_events": _sql_forecast_band(),
+        "seasonal_band_events": _sql_seasonal_band(),
         "trend_classification_events": _sql_trend_classification(),
         "drift_events_psi": _sql_drift_psi(),
         "lang_detect_documents": _sql_lang_detect(),

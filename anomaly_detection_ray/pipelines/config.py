@@ -19,6 +19,7 @@ SURVEY.md §2.4).
 from __future__ import annotations
 
 import json
+import os
 from typing import Any
 
 import numpy as np
@@ -69,26 +70,37 @@ _KERNEL_ALGS: dict[str, tuple[str, Any]] = {
     "RRCF_trees": ("rrcf", lambda c: {
         "num_trees": c["num_trees"], "tree_size": c["tree_size"],
         "threshold": c["threshold"], "seed": 0}),
-    # slope-classifier stand-in for the Keras MLP (functions/rolling.py
-    # trend_classification_check docstring)
+    # learned ramp classifier (stages/trend.py numpy MLP; the reference
+    # raises when num_samples is absent — trend_classification.py:50-52)
     "Trend_Classification": ("trend_classification", lambda c: {
         "N": c["N"], "averaging": c["averaging"],
         "prediction_conv": c["prediction_conv"],
         "warning_stages": sorted(c.get("warning_stages", [])),
-        "amp_scale": c.get("amp_scale", 1.0)}),
+        "amp_scale": c.get("amp_scale", 1.0),
+        "num_samples": c["num_samples"],
+        "train_noise": c.get("train_noise", 0.01)}),
 }
 
-_UNSUPPORTED = {
-    "GAN": "Keras/TensorFlow not in the dependency set (see stages/"
-           "autoencoder.py for the reconstruction-error mechanics with a "
-           "linear codec)",
-    "fb_Prophet": "Prophet not in the dependency set (see stages/asof.py "
-                  "forecast_band_check for the as-of-join band semantics)",
-}
+_UNSUPPORTED: dict[str, str] = {}
 
 
 def _alg_name(s: str) -> str:
     return s.strip().removesuffix("()")
+
+
+def _z_for_interval(interval: float) -> float:
+    """Two-sided gaussian quantile: P(|Z| <= z) = interval (bisection on
+    math.erf — no scipy)."""
+    import math
+    target = max(min(interval, 1 - 1e-12), 0.0)
+    lo, hi = 0.0, 40.0
+    for _ in range(80):
+        mid = (lo + hi) / 2.0
+        if math.erf(mid / math.sqrt(2.0)) < target:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
 
 
 def parse_config(conf: dict | str) -> list[dict]:
@@ -119,6 +131,27 @@ def _resolve(name: str, c: dict, prefix: str) -> list[dict]:
                  "sub": sub}]
     if name in ("IsolationForest", "PCA", "Clustering"):
         return [{"kind": "model", "name": prefix, "model": name, "conf": c}]
+    if name == "GAN":
+        # numpy MLP autoencoder (stages/autoencoder.py MLPAutoencoder) with
+        # the reference's scoring mechanics (gan.py:151-175)
+        tc = c.get("train_conf", c)
+        return [{"kind": "gan", "name": prefix,
+                 "N_shifts": int(tc.get("N_shifts", 9)),
+                 "N_latent": int(tc.get("N_latent", 3)),
+                 "K": float(tc.get("K", 1.5)),
+                 "len_window": int(tc.get("len_window", 1000)),
+                 "train_data": c.get("train_data")}]
+    if name == "fb_Prophet":
+        # seasonal-decomposition forecaster band check (stages/asof.py;
+        # fb_prophet.py:132-145 uncertainty-band semantics without Prophet).
+        # The reference's uncertainty_interval (Prophet's interval_width,
+        # fb_prophet.py:63) maps to a gaussian z-multiple of the residual std.
+        if "uncertainty_X" in c:
+            x = float(c["uncertainty_X"])
+        else:
+            x = _z_for_interval(float(c.get("uncertainty_interval", 0.95)))
+        return [{"kind": "prophet", "name": prefix, "uncertainty_X": x,
+                 "window_s": float(c.get("window_s", 21600.0))}]
     kernel, mapper = _KERNEL_ALGS[name]
     spec = {"kind": "kernel", "name": prefix, "kernel": kernel,
             "params": mapper(c)}
@@ -142,7 +175,7 @@ def _flatten(checks: list[dict]) -> list[dict]:
 
 def run_reference_config(conf: dict | str, data_path: str | None = None,
                          ds=None, key_col: str | None = None,
-                         value_col: str = "f0"):
+                         value_col: str = "f0", base_dir: str | None = None):
     """Build and run the configured scorer chain.
 
     - ``data_path``: message CSV/JSON (defaults to the config's
@@ -154,11 +187,13 @@ def run_reference_config(conf: dict | str, data_path: str | None = None,
     pair per configured check, plus combination verdicts where configured.
     """
     if isinstance(conf, str):
+        if base_dir is None:
+            base_dir = os.path.dirname(os.path.dirname(os.path.abspath(conf)))
         with open(conf) as f:
             conf = json.load(f)
     checks = parse_config(conf)
     if ds is None:
-        path = data_path or conf.get("file_name")
+        path = _resolve_path(data_path or conf.get("file_name"), base_dir)
         if path is None:
             raise ValueError("no data_path and config has no file_name")
         ds = (read_message_json(path) if path.endswith(".json")
@@ -167,13 +202,29 @@ def run_reference_config(conf: dict | str, data_path: str | None = None,
         key_col = "__stream__"
         ds = ds.add_column(key_col, lambda df: pd.Series(np.zeros(len(df), dtype=np.int8)))
 
+    for c in _flatten(checks):
+        if c.get("train_data"):
+            c["train_data"] = _resolve_path(c["train_data"], base_dir)
     kernel_checks = [c for c in _flatten(checks) if c["kind"] == "kernel"]
     model_checks = [c for c in _flatten(checks) if c["kind"] == "model"]
-    if kernel_checks:
-        ds = series_mod.apply_series_checks(
-            ds, key_col, ["ts"], value_col,
-            [{"name": c["name"], "kernel": c["kernel"], "params": c["params"]}
-             for c in kernel_checks])
+    gan_checks = [c for c in _flatten(checks) if c["kind"] == "gan"]
+    prophet_checks = [c for c in _flatten(checks) if c["kind"] == "prophet"]
+    series_specs = [{"name": c["name"], "kernel": c["kernel"],
+                     "params": c["params"]} for c in kernel_checks]
+    for c in gan_checks:
+        series_specs.append({"name": c["name"], "params": {},
+                             "kernel": _fit_gan_kernel(c, ds, value_col)})
+    if series_specs:
+        ds = series_mod.apply_series_checks(ds, key_col, ["ts"], value_col,
+                                            series_specs)
+    for c in prophet_checks:
+        from ..stages import asof as asof_mod
+        forecast = asof_mod.seasonal_forecast(ds, ts_col="ts",
+                                              value_col=value_col,
+                                              X=c["uncertainty_X"])
+        ds = asof_mod.forecast_band_check(ds, forecast, ts_col="ts",
+                                          value_col=value_col,
+                                          prefix=c["name"])
     for c in model_checks:
         ds = _apply_model_stage(ds, c, value_col)
     for c in kernel_checks:
@@ -186,6 +237,38 @@ def run_reference_config(conf: dict | str, data_path: str | None = None,
         if ch["kind"] == "combination":
             ds = _apply_combination(ds, ch, key_col)
     return ds
+
+
+def _resolve_path(path: str | None, base_dir: str | None) -> str | None:
+    """Reference configs carry data paths relative to the reference root
+    (e.g. ``data/ads-1.csv``); resolve against ``base_dir`` when the literal
+    path does not exist."""
+    if path is None or os.path.isabs(path) or os.path.exists(path):
+        return path
+    if base_dir is not None:
+        cand = os.path.join(base_dir, path)
+        if os.path.exists(cand):
+            return cand
+    return path
+
+
+def _fit_gan_kernel(spec: dict, ds, value_col: str):
+    """Train the numpy MLP autoencoder (reference GAN, gan.py:293-330) from
+    the config's train_data message file or a head sample of the stream,
+    returning a series kernel with the adaptive-threshold scoring."""
+    from ..stages import autoencoder as ae_mod
+    p = spec.get("train_data")
+    if p:
+        tds = read_message_json(p) if p.endswith(".json") else read_message_csv(p)
+    else:
+        tds = ds
+    # head sample: minibatch-SGD fit saturates well below this, and a
+    # bounded sample is the scale-correct default (the reference loads the
+    # whole train file driver-side — gan.py:318)
+    train = tds.limit(8192).to_pandas()[value_col].to_numpy(dtype=np.float64)
+    train = train[~np.isnan(train)]
+    model = ae_mod.MLPAutoencoder(spec["N_shifts"], spec["N_latent"]).fit(train)
+    return ae_mod.make_autoencoder_kernel(model, spec["K"], spec["len_window"])
 
 
 def _apply_model_stage(ds, spec: dict, value_col: str):

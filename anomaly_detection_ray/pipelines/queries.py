@@ -481,6 +481,21 @@ def q_trend_classification_events(sf_dir: str):
                                                "amp_scale": 50.0}}])
 
 
+def q_trend_mlp_events(sf_dir: str):
+    """Trend classification with the reference's LEARNED classifier — the
+    seeded numpy MLP trained on synthetic ramps (stages/trend.py,
+    trend_classification.py:154-193); deterministic ⇒ fixture oracle."""
+    return _series_events(sf_dir, [{"name": "tm",
+                                    "kernel": "trend_classification",
+                                    "params": {"N": 20, "averaging": 3,
+                                               "prediction_conv": 5,
+                                               "warning_stages": [0.5],
+                                               "amp_scale": 50.0,
+                                               "num_samples": 1500,
+                                               "train_noise": 0.01,
+                                               "seed": 0}}])
+
+
 def q_repair_events(sf_dir: str):
     """LastNAverage suggested-value repair of border-check Errors
     (normalization.py semantics; rows-only — the repaired value feeds back
@@ -593,6 +608,35 @@ def q_autoencoder_events(sf_dir: str):
     return out.select_columns(["event_id", "ae_code"])
 
 
+def q_gan_autoencoder_events(sf_dir: str):
+    """GAN-parity check: numpy MLP autoencoder with the reference's layer
+    stack (gan.py:296-325), reconstruction error + exp-weighted adaptive
+    threshold (gan.py:151-175). Seeded fit on a head sample, scored
+    per-series; deterministic ⇒ fixture oracle."""
+    from ..stages import autoencoder as ae_mod
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    train = ds.limit(2048).to_pandas()["value"].to_numpy(dtype=np.float64)
+    model = ae_mod.MLPAutoencoder(N_shifts=9, N_latent=3).fit(
+        train[~np.isnan(train)])
+    kernel = ae_mod.make_autoencoder_kernel(model, K=1.5, len_window=100)
+    out = series_mod.apply_series_checks(
+        ds, "user_id", ["ts", "event_id"], "value",
+        [{"name": "gan", "kernel": kernel, "params": {}}], keep_status=False)
+    return out.select_columns(["event_id", "gan_code"])
+
+
+def q_seasonal_band_events(sf_dir: str):
+    """Seasonal-decomposition forecast-band check: one distributed training
+    pass (OLS trend + daily per-hour seasonal residual ± X·std band,
+    fb_prophet.py:16-199 mechanics), nearest-grid-point as-of match
+    (DuckDB-oracled: closed-form replay in SQL)."""
+    from ..stages import asof as asof_mod
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
+    forecast = asof_mod.seasonal_forecast(ds, X=4.0)
+    out = asof_mod.forecast_band_check(ds, forecast, prefix="szn")
+    return out.select_columns(["event_id", "szn_code"])
+
+
 def q_reference_config_borders(sf_dir: str):
     """Run a reference-schema JSON config (BorderCheck) through the config
     compatibility layer over the events table (rows-only)."""
@@ -695,6 +739,7 @@ QUERIES = {
     "filtering_events": q_filtering_events,
     "ema_percentile_events": q_ema_percentile_events,
     "trend_classification_events": q_trend_classification_events,
+    "trend_mlp_events": q_trend_mlp_events,
     "rrcf_events": q_rrcf_events,
     "repair_events": q_repair_events,
     "percent_score_events": q_percent_score_events,
@@ -703,7 +748,9 @@ QUERIES = {
     "pca_iforest_events": q_pca_iforest_events,
     "clustering_events": q_clustering_events,
     "forecast_band_events": q_forecast_band_events,
+    "seasonal_band_events": q_seasonal_band_events,
     "autoencoder_events": q_autoencoder_events,
+    "gan_autoencoder_events": q_gan_autoencoder_events,
     "reference_config_borders": q_reference_config_borders,
     "clip_validation_verdicts": q_clip_validation_verdicts,
     "clip_audio_features": q_clip_audio_features,

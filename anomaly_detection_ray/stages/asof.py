@@ -78,6 +78,83 @@ def _ts_seconds(arr: pa.ChunkedArray) -> np.ndarray:
     return np.where(ts >= 1e10, ts / 1000.0, ts)
 
 
+T_REF = 946684800.0  # 2000-01-01: center epoch seconds so OLS sums keep precision
+
+
+def seasonal_forecast(ds, ts_col: str = "ts", value_col: str = "value",
+                      period_s: float = 86400.0, n_bins: int = 24,
+                      X: float = 3.0, horizon_s: float = 0.0) -> pd.DataFrame:
+    """Prophet-style trend + seasonality forecaster from one distributed
+    pass (fb_prophet.py:16-199 mechanics — linear trend, one seasonal
+    component, uncertainty band — without the Prophet dependency):
+
+    - trend: global OLS ``y ~ a + b·t`` from mergeable sums
+    - seasonality: per-bin mean of the detrended residual (bin = phase of
+      ``ts`` within ``period_s``, ``n_bins`` bins)
+    - band: yhat ± X·std of the per-bin residual after both components
+
+    One ``map_batches`` partial per batch grouped by bin carrying
+    (n, Σt, Σy, Σty, Σt², Σy²) — merged driver-side (n_bins rows), so the
+    training pass streams and the forecast table stays broadcast-small.
+    Returns a grid forecast table (step = period_s/n_bins) covering
+    [t_min, t_max + horizon_s] with columns (ts, yhat, yhat_lower,
+    yhat_upper) for ``forecast_band_check``.
+    """
+    step = period_s / n_bins
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df[ts_col]
+        if pd.api.types.is_datetime64_any_dtype(ts):
+            sec = ((ts - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
+                   ).to_numpy(dtype=np.float64)
+        else:
+            sec = ts.to_numpy(dtype=np.float64)
+        v = df[value_col].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(v) & ~np.isnan(sec)
+        sec, v = sec[ok], v[ok]
+        t = (sec - T_REF) / 86400.0  # days since 2000 — precision-safe sums
+        b = ((sec % period_s) // step).astype(np.int64)
+        g = pd.DataFrame({"bin": b, "n": 1, "st": t, "sy": v, "sty": t * v,
+                          "stt": t * t, "syy": v * v,
+                          "tmin": sec, "tmax": sec})
+        return g.groupby("bin", as_index=False).agg(
+            n=("n", "sum"), st=("st", "sum"), sy=("sy", "sum"),
+            sty=("sty", "sum"), stt=("stt", "sum"), syy=("syy", "sum"),
+            tmin=("tmin", "min"), tmax=("tmax", "max"))
+
+    from ray.data.aggregate import Max, Min, Sum
+    m = (ds.map_batches(partial, batch_format="pandas")
+         .groupby("bin").aggregate(
+             *[Sum(c, alias_name=c) for c in ["n", "st", "sy", "sty", "stt", "syy"]],
+             Min("tmin", alias_name="tmin"), Max("tmax", alias_name="tmax"),
+         ).to_pandas().sort_values("bin").reset_index(drop=True))
+    N = m["n"].sum()
+    St, Sy, Sty, Stt = (m[c].sum() for c in ["st", "sy", "sty", "stt"])
+    denom = N * Stt - St * St
+    b_slope = (N * Sty - St * Sy) / denom if denom > 0 else 0.0
+    a_int = (Sy - b_slope * St) / N
+    # per-bin residual mean and variance from the same sums
+    n_b = m["n"].to_numpy(dtype=np.float64)
+    r1 = m["sy"] - a_int * n_b - b_slope * m["st"]            # Σ residual
+    r2 = (m["syy"] - 2 * a_int * m["sy"] - 2 * b_slope * m["sty"]
+          + a_int * a_int * n_b + 2 * a_int * b_slope * m["st"]
+          + b_slope * b_slope * m["stt"])                      # Σ residual²
+    s_b = (r1 / n_b).to_numpy()
+    v_b = np.maximum(r2.to_numpy() / n_b - s_b * s_b, 0.0)
+    seasonal = np.zeros(n_bins)
+    band = np.zeros(n_bins)
+    seasonal[m["bin"].to_numpy()] = s_b
+    band[m["bin"].to_numpy()] = X * np.sqrt(v_b)
+    t_lo, t_hi = float(m["tmin"].min()), float(m["tmax"].max()) + horizon_s
+    g0 = np.floor(t_lo / step) * step
+    grid = np.arange(g0, t_hi + step, step)
+    gbin = ((grid % period_s) // step).astype(np.int64) % n_bins
+    yhat = a_int + b_slope * (grid - T_REF) / 86400.0 + seasonal[gbin]
+    return pd.DataFrame({"ts": grid, "yhat": yhat,
+                         "yhat_lower": yhat - band[gbin],
+                         "yhat_upper": yhat + band[gbin]})
+
+
 def naive_forecast(ds, ts_col: str = "ts", value_col: str = "value",
                    window_s: float = 3600.0, X: float = 3.0) -> pd.DataFrame:
     """Prophet-free forecast table: per time-window mean ± X·std of the value

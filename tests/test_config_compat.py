@@ -128,11 +128,88 @@ def test_reference_welford_and_ema_configs_run(ray_session, events_ds):
         assert set(np.unique(out[col])) <= {-1, 0, 1, 2}
 
 
-def test_unsupported_algs_raise(ray_session):
-    from anomaly_detection_ray.pipelines.config import parse_config
-    with pytest.raises(NotImplementedError, match="TensorFlow"):
-        parse_config({"anomaly_detection_alg": ["GAN()"],
-                      "anomaly_detection_conf": [{}]})
+def test_mlp_autoencoder_reference_gan_shape():
+    """Reference GAN functionality test shape (unit_tests.py:556-641):
+    train on 90 near-constant 10-dim vectors (last carries a zero, per
+    create_testing_file withzero=True), then an OK stream scores 1 and an
+    anomalous vector scores -1 under K=1.5 / len_window=1000."""
+    from anomaly_detection_ray.stages.autoencoder import MLPAutoencoder
+    train = np.ones((90, 10))
+    train[-1, -1] = 0.0
+    model = MLPAutoencoder(N_shifts=9, N_latent=3).fit_vectors(train)
+    ok = np.ones((3, 10))
+    bad = np.array([[1, 2, 4, 100, 1, 1, 5, 1, 1, 1]] * 3, dtype=np.float64)
+    errors = model.reconstruction_errors_vectors(np.vstack([ok, bad]))
+    code, _ = adaptive_threshold_codes(errors, K=1.5, len_window=1000)
+    assert code.tolist() == [1, 1, 1, -1, -1, -1]
+
+
+def test_mlp_autoencoder_scalar_stream_flags_outlier():
+    """Scalar-stream path (input_vector_size=1): shift-stacked windows,
+    seeded training is deterministic, injected spike flagged."""
+    from anomaly_detection_ray.stages.autoencoder import MLPAutoencoder
+    v = np.sin(np.linspace(0, 40, 1500)) + rng.normal(0, 0.05, 1500)
+    model = MLPAutoencoder(N_shifts=5, N_latent=2).fit(v[:1000])
+    test = v.copy()
+    test[1200] = 8.0
+    errors = model.reconstruction_errors(test)
+    assert np.nanargmax(errors) in (1200, 1201, 1202, 1203, 1204, 1205)
+    assert errors[1200] > 50 * np.nanmedian(errors)
+    # determinism: same seed -> identical weights -> identical errors
+    model2 = MLPAutoencoder(N_shifts=5, N_latent=2).fit(v[:1000])
+    np.testing.assert_array_equal(errors, model2.reconstruction_errors(test))
+
+
+def test_gan_config_runs_reference_gan_json(ray_session):
+    """The reference's gan.json runs verbatim through the config layer
+    (train_data path resolved against the reference root)."""
+    from anomaly_detection_ray.pipelines.config import run_reference_config
+    out = run_reference_config(
+        os.path.join(REF_CONFIG_DIR, "gan.json")).to_pandas()
+    assert "a0_gan_code" in out.columns
+    assert set(np.unique(out["a0_gan_code"])) <= {-1, 0, 1, 2}
+    assert len(out) == 31416
+
+
+def test_prophet_config_uncertainty_interval(ray_session, events_ds):
+    """fb_Prophet() config: uncertainty_interval maps to the gaussian
+    z-multiple and the seasonal band check runs end-to-end."""
+    from anomaly_detection_ray.pipelines.config import (_z_for_interval,
+                                                        run_reference_config)
+    assert abs(_z_for_interval(0.95) - 1.959964) < 1e-4
+    assert abs(_z_for_interval(0.99) - 2.575829) < 1e-4
+    conf = {"anomaly_detection_alg": ["fb_Prophet()"],
+            "anomaly_detection_conf": [{"uncertainty_interval": 0.9999}]}
+    out = run_reference_config(conf, ds=events_ds, key_col="user_id",
+                               value_col="value").to_pandas()
+    assert "a0_fb_prophet_code" in out.columns
+    codes = out["a0_fb_prophet_code"]
+    assert set(np.unique(codes)) <= {-1, 1, 2}
+    assert (codes == ERROR_CODE).mean() < 0.05
+
+
+def test_seasonal_forecast_recovers_trend_and_seasonality(ray_session):
+    """seasonal_forecast fits trend + daily shape from one distributed
+    pass: grid yhat tracks the true signal and the band flags a spike."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.asof import (forecast_band_check,
+                                                   seasonal_forecast)
+    n = 20000
+    ts = 1.7e9 + np.arange(n) * 300.0
+    true = 10 + 1e-5 * (ts - 1.7e9) + 3 * np.sin(2 * np.pi * (ts % 86400) / 86400)
+    val = true + rng.normal(0, 0.3, n)
+    val[7777] = 60.0
+    ds = rd.from_pandas(pd.DataFrame(
+        {"event_id": np.arange(n), "ts": ts, "value": val}))
+    fc = seasonal_forecast(ds, X=4.0)
+    # grid prediction within noise of the truth at matching timestamps
+    grid_true = (10 + 1e-5 * (fc["ts"] - 1.7e9)
+                 + 3 * np.sin(2 * np.pi * (fc["ts"] % 86400) / 86400))
+    assert float(np.abs(fc["yhat"] - grid_true).mean()) < 0.5
+    out = forecast_band_check(ds, fc, prefix="szn").to_pandas()
+    assert out.loc[out.event_id == 7777, "szn_code"].item() == ERROR_CODE
+    assert (out["szn_code"] == ERROR_CODE).mean() < 0.01
 
 
 def test_forecast_band_pipeline(ray_session, events_ds):

@@ -156,6 +156,54 @@ def test_trend_classification_detects_ramp():
     assert (r_up["status_code"][:19] == 2).all()  # warm-up Undefined
 
 
+def test_trend_mlp_classifier_matches_reference_shape():
+    """Learned path (stages/trend.py, trend_classification.py:154-193):
+    the seeded numpy MLP classifies held-out noisy ramps perfectly and the
+    full check grades a ramp/flat stream like the slope path."""
+    from anomaly_detection_ray.functions.rolling import trend_classification_check
+    from anomaly_detection_ray.stages.trend import trend_model
+    m = trend_model(20, 1500, 0.01, 0)
+    r = np.random.default_rng(5)
+    for cls, gen in [(0, lambda: np.linspace(1, 0, 20)),
+                     (1, lambda: np.full(20, 0.5)),
+                     (2, lambda: np.linspace(0, 1, 20))]:
+        X = []
+        for _ in range(100):
+            s = gen() + r.normal(0, 0.05, 20)
+            X.append((s - s.mean()) / (s.max() - s.min()))
+        assert (m.predict_classes(np.array(X)) == cls).all(), cls
+    flat = np.full(100, 50.0) + rng.normal(0, 0.1, 100)
+    up = 50.0 + np.arange(100) * 5.0
+    params = dict(N=20, averaging=3, prediction_conv=5, warning_stages=[0.5],
+                  amp_scale=10.0, num_samples=1500, train_noise=0.01, seed=0)
+    assert (trend_classification_check(flat, **params)["status_code"][30:] == 1).all()
+    r_up = trend_classification_check(up, **params)
+    assert (r_up["status_code"] == -1).any()
+    assert (r_up["status_code"][:19] == 2).all()
+
+
+def test_trend_config_trains_learned_classifier(ray_session):
+    """The reference's trend_classification.json surface (num_samples,
+    train_noise honored) runs through the config layer."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.config import run_reference_config
+    v = np.concatenate([np.full(200, 50.0), 50.0 + np.arange(200) * 5.0])
+    ds = rd.from_pandas(pd.DataFrame(
+        {"ts": np.arange(400, dtype=np.float64), "value": v}))
+    conf = {"anomaly_detection_alg": ["Trend_Classification()"],
+            "anomaly_detection_conf": [{
+                "num_samples": 1500, "N": 20, "averaging": 3,
+                "prediction_conv": 5, "train_noise": 0.01,
+                "amp_scale": 10.0, "warning_stages": [0.5],
+                "input_vector_size": 1}]}
+    out = (run_reference_config(conf, ds=ds, value_col="value")
+           .to_pandas().sort_values("ts"))
+    col = "a0_trend_classification_code"
+    assert (out[col].to_numpy()[:19] == 2).all()
+    assert (out[col] == -1).any()
+
+
 def test_rrcf_flags_injected_outliers():
     from anomaly_detection_ray.stages.rrcf import RandomCutTree, rrcf_check
     v = rng.normal(50, 2, size=400)

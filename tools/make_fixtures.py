@@ -6,7 +6,9 @@ with a ``_fx_rows`` discriminator column (= events row count of the sf).
 Re-running overwrites; the committed parquet is the expectation the driver's
 correctness gate compares the next live run against.
 
-Usage: python tools/make_fixtures.py [sf_dir ...]   (default sf0.001 sf0.01)
+Usage: python tools/make_fixtures.py [--only name[,name...]] [sf_dir ...]
+(default: all FIXTURE_QUERIES over sf0.001 sf0.01; --only regenerates just
+the named fixtures so committed expectations for other queries stay frozen)
 """
 
 from __future__ import annotations
@@ -19,7 +21,12 @@ import pyarrow.parquet as pq
 
 
 def main():
-    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    argv = sys.argv[1:]
+    only = None
+    if argv and argv[0] == "--only":
+        only = set(argv[1].split(","))
+        argv = argv[2:]
+    sf_dirs = argv or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
     import ray
     if not ray.is_initialized():
@@ -33,7 +40,8 @@ def main():
     from tools.oracle_check import to_df
 
     os.makedirs(fixtures.FIXTURE_DIR, exist_ok=True)
-    for name in fixtures.FIXTURE_QUERIES:
+    names = [n for n in fixtures.FIXTURE_QUERIES if only is None or n in only]
+    for name in names:
         parts = []
         for sf_dir in sf_dirs:
             n_events = pq.read_metadata(
