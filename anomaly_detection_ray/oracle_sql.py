@@ -385,6 +385,49 @@ def _sql_seasonal_band() -> str:
     """
 
 
+def _sql_eval_f1() -> str:
+    # labelled-evaluation harness (pipelines/evaluate.py): ground truth =
+    # border rule on value, prediction = per-user windowed Welford Error,
+    # one-row confusion table with precision/recall/F1
+    return f"""
+    WITH v AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE value IS NOT NULL AND NOT isnan(value)),
+    w AS (SELECT event_id, value,
+            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+            AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN {WF_N} PRECEDING AND 1 PRECEDING) AS m,
+            STDDEV_SAMP(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN {WF_N} PRECEDING AND 1 PRECEDING) AS s
+          FROM v),
+    codes AS (SELECT event_id,
+                     CASE WHEN rn <= {WF_N} THEN 2
+                          WHEN value > m + {WF_X}*s OR value < m - {WF_X}*s
+                          THEN -1 ELSE 1 END AS wf_code
+              FROM w),
+    j AS (SELECT (e.value IS NOT NULL AND NOT isnan(e.value)
+                  AND (e.value > {EV_UL!r} OR e.value < {EV_LL!r})) AS y,
+                 COALESCE(c.wf_code, 2) = -1 AS pred
+          FROM events e LEFT JOIN codes c USING (event_id)),
+    cnt AS (SELECT
+              CAST(sum(CASE WHEN pred AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              CAST(sum(CASE WHEN pred AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              CAST(sum(CASE WHEN NOT pred AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+              CAST(sum(CASE WHEN NOT pred AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM j),
+    pr AS (SELECT *,
+             CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)/(tp + fp)
+                  ELSE 0.0 END AS precision,
+             CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE)/(tp + fn)
+                  ELSE 0.0 END AS recall
+           FROM cnt)
+    SELECT tp, fp, fn, tn, tp + fp + fn + tn AS n, precision, recall,
+           CASE WHEN precision + recall > 0
+                THEN 2*precision*recall/(precision + recall)
+                ELSE 0.0 END AS f1
+    FROM pr
+    """
+
+
 def _sql_trend_classification() -> str:
     # slope classifier over the averaged window (trend_classification.py
     # mechanics without the Keras MLP; rolling.py:276): a = trailing-3 mean,
@@ -828,6 +871,7 @@ def oracle_sql() -> dict[str, str]:
         "percent_score_events": _sql_percent_score(),
         "forecast_band_events": _sql_forecast_band(),
         "seasonal_band_events": _sql_seasonal_band(),
+        "eval_f1_events": _sql_eval_f1(),
         "trend_classification_events": _sql_trend_classification(),
         "drift_events_psi": _sql_drift_psi(),
         "lang_detect_documents": _sql_lang_detect(),

@@ -637,6 +637,31 @@ def q_seasonal_band_events(sf_dir: str):
     return out.select_columns(["event_id", "szn_code"])
 
 
+def q_eval_f1_events(sf_dir: str):
+    """Labelled-evaluation harness (pipelines/evaluate.py; reference
+    Test.py + AnomalyDetectorWrapper.py intent): ground-truth label =
+    border rule (value outside [LL, UL]), predictor = per-user windowed
+    Welford; returns the one-row confusion table with precision/recall/F1
+    (DuckDB-oracled)."""
+    from .evaluate import confusion_counts
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def lab(t: pa.Table) -> pa.Table:
+        v = t["value"]
+        y = pc.and_(pc.invert(pc.is_nan(pc.fill_null(v, 0.0))),
+                    pc.or_(pc.greater(v, EV_UL), pc.less(v, EV_LL)))
+        return t.append_column("label", pc.fill_null(y, False))
+
+    ds = ds.map_batches(lab, batch_format="pyarrow")
+    ds = series_mod.apply_series_checks(
+        ds, "user_id", ["ts", "event_id"], "value",
+        [{"name": "wf", "kernel": "welford",
+          "params": {"X": WF_X, "N": WF_N, "warning_stages": []}}],
+        keep_status=False)
+    m = confusion_counts(ds, ["wf_code"], "label")
+    return pd.DataFrame([m])
+
+
 def q_reference_config_borders(sf_dir: str):
     """Run a reference-schema JSON config (BorderCheck) through the config
     compatibility layer over the events table (rows-only)."""
@@ -752,6 +777,7 @@ QUERIES = {
     "autoencoder_events": q_autoencoder_events,
     "gan_autoencoder_events": q_gan_autoencoder_events,
     "reference_config_borders": q_reference_config_borders,
+    "eval_f1_events": q_eval_f1_events,
     "clip_validation_verdicts": q_clip_validation_verdicts,
     "clip_audio_features": q_clip_audio_features,
 }

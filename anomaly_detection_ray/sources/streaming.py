@@ -1,0 +1,196 @@
+"""Micro-batch streaming ingestion — the Ray Data equivalent of the
+reference's primary run mode, the Kafka consumer loop
+(/root/reference/src/consumer.py:107-221: subscribe, infinite poll,
+per-message ``message_insert`` into each configured scorer).
+
+Kafka itself is deliberately outside the dependency set, and a per-message
+driver loop is the opposite of a Ray design. The equivalent here maps the
+Kafka concepts onto files + Datasets:
+
+- **topic** → a watched directory of message files (CSV/JSON in the
+  reference's message layout). Each file is one producer batch; files are
+  the offset unit.
+- **committed offset** → the processed-file ledger in
+  ``<out_dir>/_stream_manifest.json``, committed only AFTER a poll's
+  output is durably written → **at-least-once**, and a re-processed poll
+  overwrites the same poll directory (named by the hash of its file set)
+  → idempotent, so effectively exactly-once on stable input.
+- **consumer poll** → ``poll_once()``: read only the new files, grade them
+  with the configured per-series kernels, append verdict parquet.
+- **scorer state between polls** (the reference keeps it in each
+  algorithm object) → a per-key state store: the trailing ``state_rows``
+  rows of every series are carried into the next micro-batch (prepended,
+  graded for state only, dropped from output — Structured-Streaming-style).
+
+Exactness: kernels whose memory is bounded by their window (BorderCheck,
+Welford(N), Hampel, Percentile, MACD, LinearFit, Filtering warm-up) give
+verdicts EQUAL to a batch run over the full history when ``state_rows`` ≥
+their window. Infinite-memory recurrences (Welford-inf, Cumulative, EMA's
+geometric tail) converge exponentially but are not bit-equal — callers
+needing exact infinite-memory semantics should run batch over the full
+table. Late data: rows older than the carried tail are graded against the
+warm state as-is; there is no retraction (watermark = oldest carried row).
+
+Scale: state flows through parquet + the object store, never the driver;
+one ``groupby(key).map_groups`` shuffle per poll; the graded micro-batch
+is written ONCE and verdict/state views are column-pruned, predicate-
+pushdown reads of that file.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from ..stages import series as series_mod
+from .messages import read_message_csv, read_message_json
+
+_WARM, _TAIL = "__warm__", "__tail__"
+
+
+def _read_messages(paths: list[str]):
+    csvs = [p for p in paths if not p.endswith(".json")]
+    parts = [read_message_csv(p) for p in sorted(csvs)]
+    parts += [read_message_json(p) for p in sorted(paths) if p.endswith(".json")]
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
+
+
+class StreamRunner:
+    """Continuous validation over a watched directory (see module doc)."""
+
+    def __init__(self, conf: dict, watch_dir: str, out_dir: str,
+                 key_col: str | None = None, value_col: str = "f0",
+                 state_rows: int = 256):
+        from ..pipelines.config import parse_config, _flatten
+        checks = _flatten(parse_config(conf))
+        bad = [c["name"] for c in checks if c["kind"] != "kernel"]
+        if bad:
+            raise NotImplementedError(
+                f"streaming supports per-series kernel checks; {bad} need "
+                "a training pass — run them batch, or pre-train and "
+                "register the fitted kernel")
+        self.specs = [{"name": c["name"], "kernel": c["kernel"],
+                       "params": c["params"]} for c in checks]
+        self.watch_dir, self.out_dir = watch_dir, out_dir
+        self.key_col, self.value_col = key_col, value_col
+        self.state_rows = state_rows
+        self.state_path = os.path.join(out_dir, "_state.parquet")
+        self.manifest_path = os.path.join(out_dir, "_stream_manifest.json")
+        os.makedirs(out_dir, exist_ok=True)
+        self.manifest = {"processed": [], "polls": []}
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                self.manifest = json.load(f)
+
+    # ------------------------------------------------------------ internals
+    def _pending_files(self) -> list[str]:
+        done = set(self.manifest["processed"])
+        try:
+            names = sorted(os.listdir(self.watch_dir))
+        except FileNotFoundError:
+            return []
+        return [os.path.join(self.watch_dir, n) for n in names
+                if n not in done and (n.endswith(".csv") or n.endswith(".json"))]
+
+    def _grade_kernel(self, order_cols: list[str]):
+        base = series_mod.make_series_kernel(self.specs, self.value_col,
+                                             order_cols, valid_col=None,
+                                             keep_status=True)
+        state_rows = self.state_rows
+
+        def per_group(g: pd.DataFrame) -> pd.DataFrame:
+            out = base(g)  # sorted by order_cols inside
+            tail = np.zeros(len(out), dtype=bool)
+            tail[max(0, len(out) - state_rows):] = True
+            out[_TAIL] = tail
+            return out
+
+        return per_group
+
+    # ------------------------------------------------------------ API
+    def poll_once(self) -> dict:
+        """One consumer poll: new files -> graded verdict parquet + updated
+        state store + committed ledger. Returns the poll record."""
+        files = self._pending_files()
+        if not files:
+            return {"files": [], "rows": 0, "violations": 0}
+        poll_id = hashlib.sha256("\n".join(
+            sorted(os.path.basename(f) for f in files)).encode()).hexdigest()[:16]
+        poll_dir = os.path.join(self.out_dir, f"poll={poll_id}")
+
+        ds = _read_messages(files)
+        raw_cols = list(ds.schema().names)
+        key = self.key_col
+        if key is None:
+            key = "__stream__"
+            ds = ds.add_column(key, lambda df: pd.Series(np.zeros(len(df), dtype=np.int8)))
+            raw_cols.append(key)
+        ds = ds.add_column(_WARM, lambda df: pd.Series(np.zeros(len(df), dtype=bool)))
+        if os.path.exists(self.state_path):
+            warm = rd.read_parquet(self.state_path).select_columns(raw_cols)
+            warm = warm.add_column(_WARM, lambda df: pd.Series(np.ones(len(df), dtype=bool)))
+            ds = warm.union(ds)
+
+        graded = ds.groupby(key).map_groups(self._grade_kernel(["ts"]),
+                                            batch_format="pandas")
+        # ONE write of the graded micro-batch; verdict/state are pruned
+        # re-reads (no second shuffle, no materialize)
+        graded.write_parquet(poll_dir)
+
+        verdicts = rd.read_parquet(poll_dir).filter(expr=f"{_WARM} == False")
+        code_cols = [f"{s['name']}_code" for s in self.specs]
+        stats = verdicts.map_batches(
+            lambda df: pd.DataFrame({
+                "rows": [len(df)],
+                "violations": [int(np.any(
+                    np.stack([df[c].to_numpy() == -1 for c in code_cols]),
+                    axis=0).sum())]}),
+            batch_format="pandas").to_pandas().sum()
+
+        new_state = (rd.read_parquet(poll_dir)
+                     .filter(expr=f"{_TAIL} == True")
+                     .select_columns(raw_cols))
+        tmp = self.state_path + ".tmp"
+        new_state.to_pandas().to_parquet(tmp, index=False)
+        os.replace(tmp, self.state_path)
+
+        rec = {"poll": poll_id, "files": [os.path.basename(f) for f in files],
+               "rows": int(stats["rows"]), "violations": int(stats["violations"])}
+        self.manifest["processed"].extend(rec["files"])
+        self.manifest["polls"].append(rec)
+        tmpm = self.manifest_path + ".tmp"
+        with open(tmpm, "w") as f:
+            json.dump(self.manifest, f, indent=1)
+        os.replace(tmpm, self.manifest_path)
+        return rec
+
+    def run(self, max_polls: int | None = None, poll_interval_s: float = 1.0,
+            stop_after_idle: int | None = 3) -> list[dict]:
+        """The consumer loop (consumer.py:164-191). Bounded for tests via
+        ``max_polls`` / ``stop_after_idle``; pass None for both to tail the
+        directory forever."""
+        records: list[dict] = []
+        idle = 0
+        while True:
+            rec = self.poll_once()
+            if rec["rows"] == 0:
+                idle += 1
+                if stop_after_idle is not None and idle >= stop_after_idle:
+                    return records
+                time.sleep(poll_interval_s)
+            else:
+                idle = 0
+                records.append(rec)
+            if max_polls is not None and len(records) >= max_polls:
+                return records

@@ -1,0 +1,66 @@
+"""Labelled-evaluation harness (pipelines/evaluate.py) — reference Test
+consumer + AnomalyDetectorWrapper intent: config -> P/R/F1 vs labels."""
+
+import numpy as np
+import pandas as pd
+
+from anomaly_detection_ray.pipelines.evaluate import (confusion_counts,
+                                                      evaluate_config,
+                                                      grid_search)
+
+rng = np.random.default_rng(21)
+
+
+def _labelled_stream(n=2000, n_anom=40):
+    v = rng.normal(50, 5, n)
+    idx = rng.choice(n, size=n_anom, replace=False)
+    v[idx] = 200.0
+    label = np.zeros(n, dtype=bool)
+    label[idx] = True
+    return pd.DataFrame({"ts": np.arange(n, dtype=np.float64),
+                         "value": v, "label": label})
+
+
+def test_evaluate_config_perfect_detector(ray_session):
+    import ray.data as rd
+    df = _labelled_stream()
+    conf = {"anomaly_detection_alg": ["BorderCheck()"],
+            "anomaly_detection_conf": [{"input_vector_size": 1, "UL": 80.0,
+                                        "LL": 20.0, "warning_stages": []}]}
+    m = evaluate_config(conf, ds=rd.from_pandas(df), value_col="value")
+    assert m["f1"] == 1.0 and m["precision"] == 1.0 and m["recall"] == 1.0
+    assert m["tp"] == int(df["label"].sum())
+    assert m["n"] == len(df)
+
+
+def test_confusion_counts_match_manual(ray_session):
+    import ray.data as rd
+    n = 1000
+    label = rng.random(n) < 0.3
+    code = np.where(rng.random(n) < 0.4, -1, 1).astype(np.int8)
+    ds = rd.from_pandas(pd.DataFrame({"label": label, "c_code": code}))
+    m = confusion_counts(ds, ["c_code"], "label")
+    pred = code == -1
+    tp = int((pred & label).sum())
+    fp = int((pred & ~label).sum())
+    fn = int((~pred & label).sum())
+    assert (m["tp"], m["fp"], m["fn"]) == (tp, fp, fn)
+    p, r = tp / (tp + fp), tp / (tp + fn)
+    assert abs(m["f1"] - 2 * p * r / (p + r)) < 1e-12
+    # string labels (ads-1.csv carries 'True'/'False')
+    ds2 = rd.from_pandas(pd.DataFrame(
+        {"label": np.where(label, "True", "False"), "c_code": code}))
+    assert confusion_counts(ds2, ["c_code"], "label") == m
+
+
+def test_grid_search_picks_true_threshold(ray_session):
+    import ray.data as rd
+    df = _labelled_stream()
+    base = {"anomaly_detection_alg": ["BorderCheck()"],
+            "anomaly_detection_conf": [{"input_vector_size": 1, "LL": -1e9,
+                                        "warning_stages": []}]}
+    out = grid_search(base, {"UL": [30.0, 100.0, 1000.0]},
+                      ds=rd.from_pandas(df), value_col="value")
+    assert out.loc[0, "UL"] == 100.0          # only threshold separating them
+    assert out.loc[0, "f1"] == 1.0
+    assert (out["f1"].to_numpy()[:-1] >= out["f1"].to_numpy()[1:]).all()
