@@ -36,6 +36,7 @@ FIXTURE_QUERIES = [
     "minhash_dedup_documents",
     "simhash_documents",
     "doc_fingerprints",
+    "embedding_dedup_embeddings",
     "ann_ivf_embeddings",
     "iforest_events",
     "pca_iforest_events",

@@ -42,6 +42,8 @@ def fold_partials(partials_ds, group_cols, agg: dict,
 
     def combine() -> pd.DataFrame:
         frames = ([merged] if merged is not None else []) + chunks
+        if not frames:  # zero batches emitted (e.g. no candidate pairs)
+            return pd.DataFrame()
         df = pd.concat(frames, ignore_index=True)
         if df.empty:
             return df

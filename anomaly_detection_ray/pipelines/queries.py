@@ -368,6 +368,41 @@ def q_doc_fingerprints(sf_dir: str):
 
 # ------------------------------------------------------------ embeddings
 
+EMB_DUP_OFFSET = 1_000_000
+
+
+def q_embedding_dedup_embeddings(sf_dir: str):
+    """Embedding near-duplicate pairs: random-hyperplane LSH buckets +
+    exact cosine verification in buckets (stages/dedup.embedding_near_dup).
+    The synthetic embeddings table has no near-dups (max pairwise cosine
+    ≈0.51), so every 10th vector gets a deterministic perturbed copy
+    (id + EMB_DUP_OFFSET, seed = vec_id) injected in the read pass — the
+    operator must recover those pairs. Fixed-seed planes + seeded noise ⇒
+    fixture oracle; cosine rounded so the hash compare is stable across
+    BLAS reduction orders."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def inject(df: pd.DataFrame) -> pd.DataFrame:
+        src = df[df["vec_id"] % 10 == 0]
+        dup_rows = []
+        for vid, emb in zip(src["vec_id"], src["embedding"]):
+            v = np.asarray(emb, dtype=np.float64)
+            noise = np.random.default_rng(int(vid)).normal(0, 0.02, len(v))
+            dup_rows.append({"vec_id": int(vid) + EMB_DUP_OFFSET,
+                             "embedding": v + noise})
+        return pd.concat([df, pd.DataFrame(dup_rows)], ignore_index=True)
+
+    ds = ds.map_batches(inject, batch_format="pandas")
+    pairs = dd.embedding_near_dup(ds, vec_col="embedding", id_col="vec_id",
+                                  threshold=0.9)
+    if pairs.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                             "id_b": pd.Series([], dtype=np.int64),
+                             "cosine": pd.Series([], dtype=np.float64)})
+    pairs["cosine"] = rnd(pairs["cosine"], 6)
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q_embedding_norms(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
@@ -753,6 +788,7 @@ QUERIES = {
     "simhash_documents": q_simhash_documents,
     "doc_fingerprints": q_doc_fingerprints,
     "embedding_norms": q_embedding_norms,
+    "embedding_dedup_embeddings": q_embedding_dedup_embeddings,
     "similarity_topk_embeddings": q_similarity_topk_embeddings,
     "ann_ivf_embeddings": q_ann_ivf_embeddings,
     "ema_check_events": q_ema_check_events,

@@ -25,8 +25,23 @@ import ray.data as rd
 _LABEL_COLS = {"label", "labelInfo"}
 
 
+def _explode_vector_strings(arr: pa.ChunkedArray) -> list[pa.Array]:
+    """Stringified-vector column (the reference's train-file layout,
+    ``ftr_vector = "[2.53, 1.1]"`` parsed with ``literal_eval`` at
+    isolation_forest.py-style train paths) -> one float64 array per
+    element, vectorized (strip brackets, split, cast)."""
+    s = pd.Series(arr.to_pandas()).astype(str).str.strip().str.strip("[]")
+    parts = s.str.split(",", expand=True)
+    return [pa.array(pd.to_numeric(parts[c].str.strip(), errors="coerce")
+                     .to_numpy(dtype=np.float64)) for c in parts.columns]
+
+
 def read_message_csv(path: str, keep_labels: bool = True):
-    """CSV in the reference's message layout -> Dataset(ts, f0..fk, ...)."""
+    """CSV in the reference's message layout -> Dataset(ts, f0..fk, ...).
+
+    Handles both plain value columns (``ads-1.csv``) and stringified-vector
+    columns (``ads-1_train.csv``: ``ftr_vector`` = ``"[v0, v1, ...]"``) —
+    the latter explode into consecutive ``fi`` columns."""
     ds = rd.read_csv(path)
     names = ds.schema().names
     feature_cols = [c for c in names if c != "timestamp" and c not in _LABEL_COLS]
@@ -35,14 +50,27 @@ def read_message_csv(path: str, keep_labels: bool = True):
 
     def project(t: pa.Table) -> pa.Table:
         cols, out_names = [], []
+        fi = 0
         for src in names:
             if src in _LABEL_COLS and not keep_labels:
                 continue
             arr = t[src]
-            if src == "timestamp" or src in rename and rename[src].startswith("f"):
-                arr = pa.compute.cast(arr, pa.float64())
-            cols.append(arr)
-            out_names.append(rename.get(src, src))
+            if src == "timestamp":
+                cols.append(pa.compute.cast(arr, pa.float64()))
+                out_names.append("ts")
+            elif src in rename and rename[src].startswith("f"):
+                if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+                    for sub in _explode_vector_strings(arr):
+                        cols.append(sub)
+                        out_names.append(f"f{fi}")
+                        fi += 1
+                else:
+                    cols.append(pa.compute.cast(arr, pa.float64()))
+                    out_names.append(f"f{fi}")
+                    fi += 1
+            else:
+                cols.append(arr)
+                out_names.append(src)
         return pa.table(dict(zip(out_names, cols)))
 
     return ds.map_batches(project, batch_format="pyarrow")

@@ -75,13 +75,17 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 # ------------------------------------------------------------- MinHash LSH
 
 class MinHashSignatures:
-    """Actor-pool stage: text -> MinHash signature + band keys (exploded to
-    one row per band). Shingle/permutation params fixed in __init__."""
+    """text -> MinHash signature + band keys (exploded to one row per
+    band). Plain task-pool map_batches callable — the only per-process
+    state is the cached permutation table (``tx._minhash_params`` is
+    lru-cached at module level), so an actor pool would pay spawn latency
+    for nothing. ``emit_sig=False`` drops the k*8-byte signature column."""
 
     def __init__(self, text_col="text", id_col="doc_id", k=64, bands=16,
-                 shingle_k=3):
+                 shingle_k=3, emit_sig=True):
         self.text_col, self.id_col = text_col, id_col
         self.k, self.bands, self.shingle_k = k, bands, shingle_k
+        self.emit_sig = emit_sig
         tx._minhash_params(k)  # warm the permutation table once per actor
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
@@ -93,72 +97,90 @@ class MinHashSignatures:
             ids.extend([i] * self.bands)
             band_ids.extend(range(self.bands))
             band_keys.extend(bh.tolist())
-            sigs.extend([sig.tobytes()] * self.bands)
-        return pd.DataFrame({self.id_col: ids, "band_id": band_ids,
-                             "band_key": np.array(band_keys, dtype=np.uint64).astype(np.int64),
-                             "sig": sigs})
+            if self.emit_sig:
+                sigs.extend([sig.tobytes()] * self.bands)
+        out = {self.id_col: ids, "band_id": band_ids,
+               "band_key": np.array(band_keys, dtype=np.uint64).astype(np.int64)}
+        if self.emit_sig:
+            out["sig"] = sigs
+        return pd.DataFrame(out)
 
 
 def minhash_candidate_pairs(ds, text_col="text", id_col="doc_id", k=64,
-                            bands=16, shingle_k=3, max_bucket=256):
+                            bands=16, shingle_k=3, max_bucket=256,
+                            stage_dir: str | None = None):
     """Candidate pairs with MinHash-estimated Jaccard (from full signatures),
     deduped across bands.
 
-    Two streaming executions, NOTHING materialized:
+    ONE signature computation, nothing pinned in the object store, THREE
+    streaming executions (Ray execution count is the dominant cost at small
+    scale; staging disk is the scale story):
 
-    1. signature pass #1 emits only (band_id, band_key) count partials; the
-       cardinality-aware fold yields the HOT keys (buckets holding >=2 docs
-       — a tiny set for near-dup rate << 1), broadcast via ray.put. Almost
+    1. signature pass streams (id, band_id, band_key, sig) to a disk
+       staging dir (write_parquet: spillable, resumable, a shared
+       filesystem at cluster scale; sig adds k*8 B/band-row ≈ 5% of a text
+       corpus — the price of not recomputing).
+    2. bucket counts fold from a COLUMN-PRUNED read (band cols only, 16
+       B/row) of the staging table; HOT keys (buckets holding >=2 docs — a
+       tiny set for near-dup rate << 1) broadcast via ray.put. Almost
        every bucket is a singleton, and shuffling them all would mean one
-       map_groups call per doc per band (~0.1ms each, measured).
-    2. signature pass #2 RECOMPUTES signatures (CPU traded for not pinning
-       the O(rows x bands) signature table in the object store), keeps only
-       hot-key rows, shuffles those, and forms pairs per bucket (capped at
-       ``max_bucket`` docs with truncation reported via `truncated` pairs
-       count in the group kernel's cap).
+       map_groups call per doc per band (~0.1 ms each, measured).
+    3. pairs: read the staging table back, vectorized merge against the
+       hot keys (dup-rate-sized result), shuffle those rows into buckets,
+       form pairs per bucket (capped at ``max_bucket`` docs).
 
     Cross-band pair dedup runs through the same cardinality-aware fold
     (driver below the key threshold, Ray groupby above).
     """
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
     sig_kwargs = dict(text_col=text_col, id_col=id_col, k=k, bands=bands,
                       shingle_k=shingle_k)
+    own_stage = stage_dir is None
+    if own_stage:
+        stage_dir = tempfile.mkdtemp(prefix="adr_minhash_sigs_")
+    try:
+        ds.map_batches(MinHashSignatures(**sig_kwargs),
+                       batch_format="pandas").write_parquet(stage_dir)
 
-    def make_sigs(ds):
-        return ds.map_batches(MinHashSignatures,
-                              fn_constructor_kwargs=sig_kwargs,
-                              batch_format="pandas", concurrency=pool_size(8))
+        def key_counts(df: pd.DataFrame) -> pd.DataFrame:
+            return (df.groupby(["band_id", "band_key"], as_index=False)
+                    .agg(cnt=("band_key", "size")))
 
-    def key_counts(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.groupby(["band_id", "band_key"], as_index=False)
-                .agg(cnt=("band_key", "size")))
-
-    counts = fold_partials(
-        make_sigs(ds).map_batches(key_counts, batch_format="pandas"),
-        ["band_id", "band_key"], {"cnt": "sum"})
-    hot = counts[counts["cnt"] >= 2] if not counts.empty else counts
-    if hot.empty:
-        return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-    hot_keys = ray.put(set(zip(hot["band_id"].tolist(), hot["band_key"].tolist())))
-
-    def keep_hot(df: pd.DataFrame) -> pd.DataFrame:
-        hk = ray.get(hot_keys)
-        mask = [(b, kk) in hk for b, kk in zip(df["band_id"], df["band_key"])]
-        return df[np.asarray(mask, dtype=bool)]
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+        counts = fold_partials(
+            rd.read_parquet(stage_dir, columns=["band_id", "band_key"])
+            .map_batches(key_counts, batch_format="pandas"),
+            ["band_id", "band_key"], {"cnt": "sum"})
+        hot = counts[counts["cnt"] >= 2] if not counts.empty else counts
+        if hot.empty:
             return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        g = g.sort_values(id_col).head(max_bucket)
-        ids = g[id_col].to_numpy()
-        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
-        ia, ib = np.triu_indices(len(ids), 1)
-        est = (sigs[ia] == sigs[ib]).mean(axis=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "est_jaccard": est})
+        hot_ref = ray.put(hot[["band_id", "band_key"]].reset_index(drop=True))
 
-    pairs = (make_sigs(ds).map_batches(keep_hot, batch_format="pandas")
-             .groupby(["band_id", "band_key"])
-             .map_groups(bucket_pairs, batch_format="pandas"))
-    df = fold_partials(pairs, ["id_a", "id_b"], {"est_jaccard": "max"})
+        def hot_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(ray.get(hot_ref), on=["band_id", "band_key"])
+
+        def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            if len(g) < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+            g = g.sort_values(id_col).head(max_bucket)
+            ids = g[id_col].to_numpy()
+            sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
+            ia, ib = np.triu_indices(len(ids), 1)
+            est = (sigs[ia] == sigs[ib]).mean(axis=1)
+            return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib],
+                                 "est_jaccard": est})
+
+        pairs = (rd.read_parquet(stage_dir)
+                 .map_batches(hot_rows, batch_format="pandas")
+                 .groupby(["band_id", "band_key"])
+                 .map_groups(bucket_pairs, batch_format="pandas"))
+        df = fold_partials(pairs, ["id_a", "id_b"], {"est_jaccard": "max"})
+    finally:
+        if own_stage:
+            shutil.rmtree(stage_dir, ignore_errors=True)
     if df.empty:
         return df
     return df.astype({"id_a": np.int64, "id_b": np.int64})
@@ -266,22 +288,34 @@ def simhash_dedup(ds, text_col="text", id_col="doc_id", max_hamming=3):
 # ------------------------------------------------------------- embeddings
 
 def embedding_near_dup(ds, vec_col="embedding", id_col="vec_id",
-                       threshold=0.95, n_planes=16, seed=7):
-    """Near-duplicate embedding pairs: random-hyperplane LSH bucket then
-    exact cosine verification within buckets."""
-    rng = np.random.default_rng(seed)
-    planes_ref = None  # generated lazily per actor from the fixed seed
+                       threshold=0.95, bands=8, bits_per_band=8, seed=7):
+    """Near-duplicate embedding pairs: BANDED random-hyperplane LSH, then
+    exact cosine verification within buckets.
+
+    A pair at angle θ agrees on one hyperplane with p = 1 - θ/π; banding
+    (``bands`` keys of ``bits_per_band`` sign bits each, a pair is a
+    candidate if ANY band matches) drives the miss rate to
+    ``(1 - p^bits)^bands`` — e.g. cosine 0.98 (p≈0.96): single 16-bit key
+    misses ~50%, 8×8 bands miss ~0.02%. Pair dedup across bands goes
+    through the cardinality-aware fold, same as MinHash/SimHash."""
+
+    n_planes = bands * bits_per_band
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         vecs = np.stack(df[vec_col].to_numpy()).astype(np.float64)
         dim = vecs.shape[1]
         planes = np.random.default_rng(seed).normal(size=(dim, n_planes))
-        signs = (vecs @ planes) > 0
-        key = np.packbits(signs, axis=1, bitorder="little")[:, :2]
-        key = key[:, 0].astype(np.int64) | (key[:, 1].astype(np.int64) << 8)
+        signs = ((vecs @ planes) > 0).reshape(len(vecs), bands, bits_per_band)
+        weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+        keys = signs @ weights                       # (rows, bands)
         norm = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
-        return pd.DataFrame({id_col: df[id_col], "key": key,
-                             "vec": [v.tobytes() for v in norm]})
+        n = len(vecs)
+        vec_bytes = [v.tobytes() for v in norm]
+        return pd.DataFrame({
+            id_col: np.repeat(df[id_col].to_numpy(), bands),
+            "band": np.tile(np.arange(bands, dtype=np.int64), n),
+            "key": keys.reshape(-1),
+            "vec": np.repeat(np.array(vec_bytes, dtype=object), bands)})
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -297,7 +331,7 @@ def embedding_near_dup(ds, vec_col="embedding", id_col="vec_id",
 
     pairs = fold_partials(
         ds.map_batches(bucket, batch_format="pandas")
-        .groupby("key").map_groups(verify, batch_format="pandas"),
+        .groupby(["band", "key"]).map_groups(verify, batch_format="pandas"),
         ["id_a", "id_b"], {"cosine": "max"})
     if pairs.empty:
         return pairs

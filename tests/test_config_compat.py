@@ -96,6 +96,18 @@ def test_message_json_roundtrip(ray_session, tmp_path):
 
 @pytest.mark.skipif(not os.path.isdir(REF_CONFIG_DIR),
                     reason="reference configs not present")
+def test_train_file_vector_csv_parses(ray_session):
+    """Stringified-vector train files (ads-1_train.csv layout,
+    ``ftr_vector = "[2.53]"``) explode into float feature columns — the
+    reference's literal_eval train parser, vectorized."""
+    from anomaly_detection_ray.sources.messages import read_message_csv
+    df = read_message_csv("/root/reference/data/ads-1_train.csv").to_pandas()
+    assert list(df.columns) == ["ts", "f0"]
+    assert df["f0"].dtype == np.float64
+    assert abs(df["f0"].iloc[0] - 2.53152119344) < 1e-9
+    assert df["f0"].notna().all()
+
+
 def test_reference_border_check_config_runs_verbatim(ray_session, events_ds):
     """The reference's own border_check.json drives the engine unmodified;
     flags equal the sequential oracle run with the same config."""

@@ -133,3 +133,14 @@ def test_embedding_near_dup(ray_session):
     pairs = dedup.embedding_near_dup(rd.from_pandas(df), threshold=0.98)
     got = {tuple(sorted((int(a), int(b)))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
     assert (7, 13) in got
+
+
+def test_embedding_dedup_query_recovers_all_injected(ray_session):
+    """Banded hyperplane LSH recovers EVERY injected perturbed copy with no
+    false pairs (the synthetic table's max organic cosine is ~0.51)."""
+    from anomaly_detection_ray.pipelines.queries import (EMB_DUP_OFFSET,
+                                                         q_embedding_dedup_embeddings)
+    pairs = q_embedding_dedup_embeddings("/root/testdata/sf0.001")
+    assert (pairs["id_b"] - pairs["id_a"] == EMB_DUP_OFFSET).all()
+    assert len(pairs) == 50  # one pair per injected copy, none missed
+    assert (pairs["cosine"] >= 0.9).all()
