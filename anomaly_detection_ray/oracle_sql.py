@@ -385,6 +385,35 @@ def _sql_seasonal_band() -> str:
     """
 
 
+def _sql_stream_validation() -> str:
+    # streaming micro-batch replay (sources/streaming.py) == batch over the
+    # full history: border check + GLOBAL-order windowed Welford (single
+    # stream, ts unique in the synth tables)
+    return f"""
+    WITH v AS (SELECT event_id, ts, value FROM events
+               WHERE value IS NOT NULL AND NOT isnan(value)),
+    w AS (SELECT event_id, value,
+            ROW_NUMBER() OVER (ORDER BY ts) AS rn,
+            AVG(value) OVER (ORDER BY ts
+                             ROWS BETWEEN {WF_N} PRECEDING AND 1 PRECEDING) AS m,
+            STDDEV_SAMP(value) OVER (ORDER BY ts
+                             ROWS BETWEEN {WF_N} PRECEDING AND 1 PRECEDING) AS s
+          FROM v)
+    SELECT e.event_id,
+           CAST(CASE WHEN e.value IS NULL OR isnan(e.value) THEN 2
+                     WHEN 2*(e.value - {_MID})/{_RNG} > 1
+                       OR 2*(e.value - {_MID})/{_RNG} < -1 THEN -1
+                     WHEN abs(2*(e.value - {_MID})/{_RNG}) > 0.7 THEN 0
+                     ELSE 1 END AS TINYINT) AS sbc_code,
+           CAST(CASE WHEN e.value IS NULL OR isnan(e.value) THEN 2
+                     WHEN w.rn <= {WF_N} THEN 2
+                     WHEN e.value > w.m + {WF_X}*w.s
+                       OR e.value < w.m - {WF_X}*w.s THEN -1
+                     ELSE 1 END AS TINYINT) AS swf_code
+    FROM events e LEFT JOIN w ON e.event_id = w.event_id
+    """
+
+
 def _sql_eval_f1() -> str:
     # labelled-evaluation harness (pipelines/evaluate.py): ground truth =
     # border rule on value, prediction = per-user windowed Welford Error,
@@ -872,6 +901,7 @@ def oracle_sql() -> dict[str, str]:
         "forecast_band_events": _sql_forecast_band(),
         "seasonal_band_events": _sql_seasonal_band(),
         "eval_f1_events": _sql_eval_f1(),
+        "stream_validation_events": _sql_stream_validation(),
         "trend_classification_events": _sql_trend_classification(),
         "drift_events_psi": _sql_drift_psi(),
         "lang_detect_documents": _sql_lang_detect(),

@@ -672,6 +672,57 @@ def q_seasonal_band_events(sf_dir: str):
     return out.select_columns(["event_id", "szn_code"])
 
 
+def q_stream_validation_events(sf_dir: str):
+    """Streaming micro-batch validation (sources/streaming.StreamRunner —
+    the Kafka-loop equivalent): the events table is replayed as 4 message
+    CSVs polled one at a time; BorderCheck + global Welford grade each
+    micro-batch with warm-started state, so the collected verdicts equal a
+    batch run over the full history (DuckDB-oracled). event_id rides the
+    message ``labelInfo`` passthrough column."""
+    import glob
+    import shutil
+    import tempfile
+
+    from ..sources.streaming import StreamRunner
+
+    df = (_read(sf_dir, "events", ["event_id", "ts", "value"])
+          .to_pandas().sort_values("ts").reset_index(drop=True))
+    sec = (df["ts"] - pd.Timestamp(0)).dt.total_seconds()
+    msgs = pd.DataFrame({"timestamp": sec, "ftr_vector": df["value"],
+                         "labelInfo": df["event_id"]})
+    topic = tempfile.mkdtemp(prefix="adr_stream_topic_")
+    staged = tempfile.mkdtemp(prefix="adr_stream_staged_")
+    out = tempfile.mkdtemp(prefix="adr_stream_out_")
+    try:
+        n_files = 4
+        step = (len(msgs) + n_files - 1) // n_files
+        for i in range(n_files):
+            msgs.iloc[i * step:(i + 1) * step].to_csv(
+                os.path.join(topic, f"batch-{i:04d}.csv"), index=False,
+                float_format="%.6f")
+        conf = {"anomaly_detection_alg": ["BorderCheck()", "Welford()"],
+                "anomaly_detection_conf": [
+                    {"input_vector_size": 1, "UL": EV_UL, "LL": EV_LL,
+                     "warning_stages": list(EV_WS)},
+                    {"N": WF_N, "X": WF_X, "warning_stages": []}]}
+        runner = StreamRunner(conf, staged, out, state_rows=4 * WF_N)
+        for f in sorted(os.listdir(topic)):  # one poll per producer batch
+            os.link(os.path.join(topic, f), os.path.join(staged, f))
+            runner.poll_once()
+        parts = [pd.read_parquet(p) for p in
+                 sorted(glob.glob(os.path.join(out, "poll=*")))]
+        got = pd.concat(parts, ignore_index=True)
+        got = got[~got["__warm__"]]
+        return pd.DataFrame({
+            "event_id": got["labelInfo"].astype(np.int64),
+            "sbc_code": got["a0_bordercheck_code"].astype(np.int8),
+            "swf_code": got["a1_welford_code"].astype(np.int8),
+        }).sort_values("event_id").reset_index(drop=True)
+    finally:
+        for d in (topic, staged, out):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def q_eval_f1_events(sf_dir: str):
     """Labelled-evaluation harness (pipelines/evaluate.py; reference
     Test.py + AnomalyDetectorWrapper.py intent): ground-truth label =
@@ -814,6 +865,7 @@ QUERIES = {
     "gan_autoencoder_events": q_gan_autoencoder_events,
     "reference_config_borders": q_reference_config_borders,
     "eval_f1_events": q_eval_f1_events,
+    "stream_validation_events": q_stream_validation_events,
     "clip_validation_verdicts": q_clip_validation_verdicts,
     "clip_audio_features": q_clip_audio_features,
 }

@@ -69,9 +69,26 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
 
 def train_ivf_codebook(ds, n_cells: int = 16, vec_col: str = "embedding",
                        sample_rows: int = 4096, iters: int = 8,
-                       seed: int = 0) -> np.ndarray:
-    """Coarse k-means codebook from a sample (driver-side Lloyd, tiny)."""
-    sample = ds.limit(sample_rows).to_pandas()
+                       seed: int = 0, id_col: str | None = "vec_id") -> np.ndarray:
+    """Coarse k-means codebook from a sample (driver-side Lloyd, tiny).
+
+    The sample is an UNBIASED deterministic hash slice over the id column
+    (every batch contributes ~sample_rows/total of its rows), not a
+    first-blocks ``limit`` — a corpus sorted by source would otherwise
+    train the codebook on one source's manifold."""
+    if id_col is not None and id_col in ds.schema().names:
+        n_total = ds.count()  # parquet metadata, no data read
+        mod = max(1, n_total // sample_rows)
+
+        def slice_batch(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df[id_col].astype(np.int64) % mod == 0]
+
+        # the slice is ~sample_rows by construction; sort driver-side for a
+        # deterministic sample regardless of block completion order
+        sample = (ds.map_batches(slice_batch, batch_format="pandas")
+                  .to_pandas().sort_values(id_col).head(sample_rows))
+    else:
+        sample = ds.limit(sample_rows).to_pandas()
     X = _normalize(_as_matrix(sample[vec_col].to_numpy()))
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
