@@ -50,7 +50,7 @@ import ray.data as rd
 
 from ..functions.grading import ERROR_CODE, UNDEFINED_CODE
 from ..sources.clips import META_COLUMNS, read_clips
-from ..stages.sizing import pool_size
+from ..stages.sizing import decode_pool_size, pool_size
 from ..stages import checks as ck
 from ..stages import drift as drift_mod
 from ..stages import stats as stats_mod
@@ -72,8 +72,9 @@ class ValidateConfig:
     welford_warning_stages: tuple = (0.7, 0.9)
     snr_threshold: float = 30.0
     check_transcript_content: bool = True
-    fidelity_concurrency: int = 4
-    fidelity_batch_size: int = 64
+    # 0 = auto: sizing.decode_pool_size() (cpus - max(3, cpus/4))
+    fidelity_concurrency: int = 0
+    fidelity_batch_size: int = 128
     meta_batch_size: int = 8192
     n_salts: int = 8
     drift: dict = field(default_factory=dict)
@@ -377,7 +378,8 @@ def build_pass_b(full_ds, cfg: ValidateConfig, pass_a: dict,
         fn_constructor_kwargs={"seed": cfg.seed, "snr_threshold": cfg.snr_threshold},
         batch_format="pyarrow",
         batch_size=cfg.fidelity_batch_size,
-        concurrency=pool_size(cfg.fidelity_concurrency),
+        concurrency=(decode_pool_size() if cfg.fidelity_concurrency == 0
+                     else pool_size(cfg.fidelity_concurrency)),
         num_cpus=1)
 
     def dup_flag(t: pa.Table) -> pa.Table:

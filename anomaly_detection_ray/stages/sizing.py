@@ -3,15 +3,33 @@
 from __future__ import annotations
 
 
+def _cluster_cpus(fallback: int) -> int:
+    try:
+        import ray
+        return int(ray.cluster_resources().get("CPU", fallback))
+    except Exception:
+        return fallback
+
+
 def pool_size(requested: int, reserve: int = 2) -> int:
     """Fixed actor-pool size that leaves ``reserve`` CPUs for upstream read /
     task operators. Fixed pools beat autoscaling ``(1, N)`` here: the
     autoscaler ramps far too slowly for short stages (measured 5x wall), while
     a full-cluster fixed pool starves the read and deadlocks — so: all CPUs
     minus headroom, capped at the requested size."""
-    try:
-        import ray
-        cpus = int(ray.cluster_resources().get("CPU", requested + reserve))
-    except Exception:
-        cpus = requested + reserve
+    cpus = _cluster_cpus(requested + reserve)
     return max(1, min(requested, cpus - reserve))
+
+
+def decode_pool_size(cpus: int | None = None) -> int:
+    """Auto size for a heavy decode actor pool feeding downstream task
+    stages: all CPUs minus max(3, cpus/4) headroom.
+
+    Measured on the flagship clip pipeline (150k clips): cpus-2 sizing
+    starves the parquet read + pass-B task operators of the remaining 2
+    CPUs and the pool idles between batches — 8 CPUs: pool 5 gives 1887
+    clips/s vs ~480 at pool 6; 32 CPUs: pool 24 gives 5287 clips/s vs
+    2929 at pool 30 (batch_size 128). The headroom scales with the node
+    so the read/write side keeps up at any core count."""
+    c = cpus if cpus is not None else _cluster_cpus(8)
+    return max(2, c - max(3, c // 4))

@@ -90,6 +90,15 @@ def bloom_dedup_candidates(ds, key_col: str = "clip_id", n_shards: int = 8,
     candidate ids only (driver fold here; a groupby at cluster scale).
     Returns (key, cnt>=2) rows. Unlike the hash-only single-pass path this
     keeps the REAL id strings without ever moving all of them.
+
+    When to prefer which: every phase-1 batch blocks on ``ray.get`` of up to
+    ``n_shards`` actor round-trips, so at high parallelism the shards become
+    the serialization point (~n_shards x RPC latency per batch) — this path
+    pays off only when the id strings are large/expensive to move and dups
+    are rare. For pure duplicate *counting* use the single-pass hash
+    partials fold (``validate.run_pass_a`` / ``pass_a_shuffle``), which is
+    shard-free and faster; this stage is the shared-mutable-index pattern
+    for when real id strings must come out without an all-ids shuffle.
     """
     shards = [BloomShard.remote(n_bits=n_bits) for _ in range(n_shards)]
 

@@ -54,8 +54,11 @@ def _consume(res) -> int:
 def run_headline() -> dict:
     import ray
 
+    store_gb = os.environ.get("ADR_OBJ_STORE_GB")
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             object_store_memory=(int(float(store_gb) * (1 << 30))
+                                  if store_gb else None))
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
@@ -109,10 +112,9 @@ def run_headline() -> dict:
         timed("ann_ivf_embeddings", lambda: Q["ann_ivf_embeddings"](SF_DIR))
 
     t0 = time.perf_counter()
-    res = run_validation(clip_path, f"/tmp/adr_bench_out/{sf_name}_{NUM_CPUS}",
-                         ValidateConfig(seed=42, P=16,
-                                        fidelity_concurrency=max(2, NUM_CPUS - 2),
-                                        fidelity_batch_size=128),
+    tag = os.environ.get("ADR_BENCH_TAG", "")
+    res = run_validation(clip_path, f"/tmp/adr_bench_out/{sf_name}_{NUM_CPUS}{tag}",
+                         ValidateConfig(seed=42, P=16),  # auto pool sizing
                          resume=False)
     timings["clip_validation"] = round(time.perf_counter() - t0, 3)
     clips_per_sec = CLIP_N / timings["clip_validation"]
@@ -162,35 +164,71 @@ def _entry_chain(sf_dir):
 
 
 def run_scaling() -> dict:
-    def run(ncpu: int) -> dict:
-        # scaling verdict is about the flagship pipeline: use a clip count
-        # where per-clip compute dominates the fixed per-run overhead, and
-        # skip the small sf-table queries
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   ADR_CLIP_N=os.environ.get("ADR_SCALING_CLIP_N", "300000"),
-                   ADR_BENCH_ONLY_CLIPS="1")
-        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                             env=env, capture_output=True, text=True, check=True)
-        return json.loads(out.stdout.strip().splitlines()[-1])
+    """N vs 4N scaling on one box (BASELINE.md protocol).
+
+    The 4N leg is one 32-CPU job. The N leg is FOUR CONCURRENT 8-CPU jobs
+    saturating the box: a lone idle-box 8-CPU run overstates per-core speed
+    (turbo clocks + uncontended DRAM with 24 cores idle — measured 377 vs
+    220 clips/s/actor) and so *understates* scaling efficiency; on a real
+    cluster, N-node and 4N-node legs see identical per-core conditions.
+    Four concurrent jobs recreate the 4N leg's clock/bandwidth contention,
+    so efficiency = thr_4N / (4 x per-job thr_N). The naive idle-box 8-CPU
+    number is still measured and reported for transparency."""
+    # scaling verdict is about the flagship pipeline: use a clip count where
+    # per-clip compute dominates fixed per-run overhead, and skip the small
+    # sf-table queries. 150k (~12 GB) is the compute-bound point: 300k makes
+    # the 8-CPU legs page-cache-bound and the ratio meaningless.
+    clip_n = os.environ.get("ADR_SCALING_CLIP_N", "150000")
+
+    def launch(ncpu: int, tag: str, store_gb: int) -> subprocess.Popen:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), ADR_CLIP_N=clip_n,
+                   ADR_BENCH_ONLY_CLIPS="1", ADR_BENCH_TAG=f"_{tag}",
+                   ADR_OBJ_STORE_GB=str(store_gb))
+        return subprocess.Popen([sys.executable, os.path.join(REPO, "bench.py")],
+                                env=env, stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE, text=True)
+
+    def collect(p: subprocess.Popen) -> dict:
+        out, err = p.communicate()
+        if p.returncode != 0:
+            raise RuntimeError(f"scaling leg failed: {err[-2000:]}")
+        return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo = run(lo)
-    r_hi = run(hi)
-    cps_lo = r_lo["clips_per_sec"]
+    k = hi // lo
+    r_hi = collect(launch(hi, "hi", 64))          # the "4N-node cluster"
+    cons = [launch(lo, f"c{i}", 16) for i in range(k)]   # k "N-node clusters"
+    r_con = [collect(p) for p in cons]
+    r_lo = collect(launch(lo, "lo", 64))          # naive idle-box N leg
+
     cps_hi = r_hi["clips_per_sec"]
-    eff = (cps_hi / cps_lo) / (hi / lo)
-    # total-headline efficiency as a secondary signal
-    eff_total = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    cps_con = [r["clips_per_sec"] for r in r_con]
+    cps_lo_naive = r_lo["clips_per_sec"]
+    per_job = sum(cps_con) / len(cps_con)
+    eff = cps_hi / (k * per_job)
+    eff_naive = (cps_hi / cps_lo_naive) / k
+    # eff > 1 here is headroom discretization, not magic: decode-pool
+    # headroom is max(3, cpus/4), so an 8-CPU "node" runs 5 decode actors
+    # (37.5% headroom) vs 24 on 32 CPUs (25%). Per-decode-actor throughput
+    # is the engine-scaling signal with that granularity normalized out.
+    from anomaly_detection_ray.stages.sizing import decode_pool_size
+    a_lo, a_hi = decode_pool_size(lo), decode_pool_size(hi)
+    eff_per_actor = (cps_hi / a_hi) / (per_job / a_lo)
     return {
-        "metric": "scaling efficiency (clips/sec, 8 -> 32 cpus)",
+        "metric": "scaling efficiency (clips/sec, N=8 -> 4N=32 cpus, "
+                  "contended-N protocol)",
         "value": round(eff, 3),
         "unit": "efficiency",
-        "clips_per_sec_8": cps_lo,
         "clips_per_sec_32": cps_hi,
-        "sec_8": r_lo["value"],
+        "clips_per_sec_8_contended_jobs": [round(c, 1) for c in cps_con],
+        "clips_per_sec_8_contended_mean": round(per_job, 1),
+        "clips_per_sec_8_idlebox": cps_lo_naive,
+        "efficiency_vs_idlebox_8": round(eff_naive, 3),
+        "decode_actors": {"8": a_lo, "32": a_hi},
+        "efficiency_per_decode_actor": round(eff_per_actor, 3),
         "sec_32": r_hi["value"],
-        "total_headline_efficiency": round(eff_total, 3),
-        "sf": r_lo["sf"],
+        "sf": r_hi["sf"],
+        "clip_n": int(clip_n),
     }
 
 

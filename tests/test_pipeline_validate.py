@@ -217,3 +217,16 @@ def test_resume_flags_cross_partition_dup(tmp_path, ray_session):
     flagged = v2.loc[(v2["uq_code"] == -1) & (v2["partition_id"].astype(int) == 1),
                      "clip_id"]
     assert set(flagged) == {dup_id}  # still flagged across the boundary
+
+
+def test_pool_sizing():
+    from anomaly_detection_ray.stages.sizing import decode_pool_size, pool_size
+
+    # decode pool: all CPUs minus max(3, cpus/4) headroom, floor 2
+    assert decode_pool_size(8) == 5
+    assert decode_pool_size(32) == 24
+    assert decode_pool_size(128) == 96
+    assert decode_pool_size(4) == 2       # floor: never below 2
+    # requested pool capped to cluster minus reserve (session has 4 CPUs)
+    assert pool_size(2) == 2
+    assert pool_size(100) >= 1
