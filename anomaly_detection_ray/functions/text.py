@@ -121,6 +121,20 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     return np.unique(acc)
 
 
+def word_ngram_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Distinct 64-bit hashes of word n-grams under LITERAL single-space
+    tokenization (``text.split(' ')``, no lowering, empties kept) — exactly
+    the token semantics of DuckDB's ``string_split(text, ' ')``, so a SQL
+    oracle can mirror the set algebra 1:1. (``shingle_hashes`` uses the
+    WORD_RE tokenizer instead and is NOT SQL-mirrorable.)"""
+    words = text.split(" ")
+    if len(words) < n:
+        return np.empty(0, dtype=np.uint64)
+    grams = np.array([" ".join(words[i:i + n])
+                      for i in range(len(words) - n + 1)], dtype=object)
+    return np.unique(_hash_u64(grams))
+
+
 def rolling_fingerprint(text: str, window: int = 8) -> np.uint64:
     """Document fingerprint: xor of rolling-hash window combinations —
     stable under small local edits outside the changed windows."""

@@ -822,6 +822,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_dups
             FROM documents GROUP BY md5(text)
         """,
+        "ngram_jaccard_documents": """
+            -- exact word-trigram Jaccard join, df<=64-filtered sets,
+            -- threshold 0.5; literal single-space tokenization matches the
+            -- engine's word_ngram_hashes exactly
+            WITH words AS (
+              SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+              FROM words
+            ), df AS (
+              SELECT g, count(*) AS df FROM sh GROUP BY g
+            ), kept AS (
+              SELECT sh.doc_id, sh.g FROM sh JOIN df USING (g)
+              WHERE df.df <= 64
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS inter
+              FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter / (sa.n + sb.n - inter) >= 0.5
+            ORDER BY id_a, id_b
+        """,
         "token_count_documents": """
             SELECT doc_id,
                    CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0

@@ -347,6 +347,18 @@ def q_minhash_dedup_documents(sf_dir: str):
     return dd.minhash_dedup(ds, threshold=0.8)
 
 
+def q_ngram_jaccard_documents(sf_dir: str):
+    """EXACT word-trigram Jaccard similarity join (sets filtered to
+    shingles with document frequency <= 64, threshold 0.5) — deterministic
+    set algebra, so the DuckDB oracle mirrors it bit-for-bit (unlike the
+    probabilistic MinHash/SimHash candidate generators).
+    See stages/dedup.ngram_jaccard_pairs for the 100-TB shape."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dd.ngram_jaccard_pairs(ds, n=3, max_df=64, threshold=0.5)
+    out["jaccard"] = rnd(out["jaccard"], 6)
+    return out
+
+
 def q_simhash_documents(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return dd.simhash_table(ds)
@@ -836,6 +848,7 @@ QUERIES = {
     "text_quality_documents": q_text_quality_documents,
     "lang_detect_documents": q_lang_detect_documents,
     "minhash_dedup_documents": q_minhash_dedup_documents,
+    "ngram_jaccard_documents": q_ngram_jaccard_documents,
     "simhash_documents": q_simhash_documents,
     "doc_fingerprints": q_doc_fingerprints,
     "embedding_norms": q_embedding_norms,

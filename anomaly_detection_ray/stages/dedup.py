@@ -237,6 +237,130 @@ def minhash_dedup(ds, text_col="text", id_col="doc_id", k=64, bands=16,
     }).astype(np.int64).sort_values(id_col).reset_index(drop=True)
 
 
+# ------------------------------------------------- exact n-gram Jaccard
+
+def ngram_jaccard_pairs(ds, text_col="text", id_col="doc_id", n=3,
+                        max_df=64, threshold=0.5, stage_dir: str | None = None):
+    """EXACT word-n-gram Jaccard similarity join: all pairs with
+    ``|A ∩ B| / |A ∪ B| >= threshold`` where A/B are each doc's sets of
+    word n-grams whose corpus document frequency is <= ``max_df``.
+
+    The df cutoff is the standard frequency-filtering move for distributed
+    set-similarity joins (cf. prefix filtering): an n-gram present in more
+    than ``max_df`` docs is non-discriminative AND is exactly what makes a
+    shared-shingle inverted index explode (a stopword trigram would pair
+    every doc with every other). With the cutoff, every per-shingle bucket
+    has at most ``max_df`` members *by construction* — no truncation cap,
+    so results are exact and a DuckDB oracle applying the same cutoff
+    matches bit-for-bit (unlike MinHash/SimHash, which are probabilistic
+    candidate generators verified after the fact).
+
+    Shape (reference has no such operator; this is the designed-for-100TB
+    text dedup family, SURVEY.md §2.8/LLM-ops):
+
+    1. shingle pass stages distinct ``(g, id)`` hash rows to disk parquet
+       (16 B/row; spillable, resumable, shared-FS at cluster scale).
+    2. df per shingle via the cardinality-aware fold of per-batch partial
+       counts; the PAIRING set (df in [2, max_df]) and EXCLUDED set
+       (df > max_df) are both tiny for a natural corpus and broadcast via
+       ``ray.put``.
+    3. pair formation: column-pruned re-read, vectorized merge against the
+       pairing set, ``groupby(g).map_groups`` emits in-bucket pairs;
+       intersection sizes via fold over (id_a, id_b).
+    4. union sizes: only docs that appear in some pair need their filtered
+       set size — that id set is pair-sized, broadcast, and sizes fold
+       from a second pruned read. Nothing O(corpus) ever sits on the
+       driver.
+    """
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    own_stage = stage_dir is None
+    if own_stage:
+        stage_dir = tempfile.mkdtemp(prefix="adr_ngram_sh_")
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                          "id_b": pd.Series([], dtype=np.int64),
+                          "jaccard": pd.Series([], dtype=np.float64)})
+    try:
+        def shingle_batch(df: pd.DataFrame) -> pd.DataFrame:
+            ids, gs = [], []
+            for i, t in zip(df[id_col], df[text_col].fillna("")):
+                h = tx.word_ngram_hashes(t, n)
+                ids.extend([i] * len(h))
+                gs.append(h.astype(np.int64))
+            return pd.DataFrame({
+                id_col: np.asarray(ids, dtype=np.int64),
+                "g": (np.concatenate(gs) if gs else np.empty(0, np.int64)),
+            })
+
+        ds.map_batches(shingle_batch, batch_format="pandas").write_parquet(stage_dir)
+
+        def g_counts(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("g", as_index=False).agg(cnt=("g", "size"))
+
+        counts = fold_partials(
+            rd.read_parquet(stage_dir, columns=["g"])
+            .map_batches(g_counts, batch_format="pandas"),
+            "g", {"cnt": "sum"})
+        if counts.empty:
+            return empty
+        pairing = counts[(counts["cnt"] >= 2) & (counts["cnt"] <= max_df)]
+        excluded = counts[counts["cnt"] > max_df]
+        if pairing.empty:
+            return empty
+        pairing_ref = ray.put(pairing[["g"]].reset_index(drop=True))
+        excl_ref = ray.put(excluded[["g"]].reset_index(drop=True))
+
+        def pairing_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(ray.get(pairing_ref), on="g")
+
+        def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            ids = np.sort(g[id_col].to_numpy())  # <= max_df by construction
+            ia, ib = np.triu_indices(len(ids), 1)
+            return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "w": 1})
+
+        inter = fold_partials(
+            rd.read_parquet(stage_dir)
+            .map_batches(pairing_rows, batch_format="pandas")
+            .groupby("g").map_groups(bucket_pairs, batch_format="pandas"),
+            ["id_a", "id_b"], {"w": "sum"})
+        if inter.empty:
+            return empty
+
+        pair_ids = np.unique(np.concatenate([inter["id_a"].to_numpy(),
+                                             inter["id_b"].to_numpy()]))
+        ids_ref = ray.put(pair_ids)
+
+        def size_partial(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df[id_col].isin(ray.get(ids_ref))]
+            if len(df):
+                df = df.merge(ray.get(excl_ref), on="g", how="left",
+                              indicator=True)
+                df = df[df["_merge"] == "left_only"]
+            return (df.groupby(id_col, as_index=False).agg(sz=("g", "size"))
+                    if len(df) else pd.DataFrame({id_col: [], "sz": []}))
+
+        sizes = fold_partials(
+            rd.read_parquet(stage_dir)
+            .map_batches(size_partial, batch_format="pandas"),
+            id_col, {"sz": "sum"}).set_index(id_col)["sz"]
+
+        sa = sizes.reindex(inter["id_a"]).to_numpy(dtype=np.float64)
+        sb = sizes.reindex(inter["id_b"]).to_numpy(dtype=np.float64)
+        w = inter["w"].to_numpy(dtype=np.float64)
+        jac = w / (sa + sb - w)
+        out = pd.DataFrame({"id_a": inter["id_a"].astype(np.int64),
+                            "id_b": inter["id_b"].astype(np.int64),
+                            "jaccard": jac})
+        out = out[out["jaccard"] >= threshold]
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    finally:
+        if own_stage:
+            shutil.rmtree(stage_dir, ignore_errors=True)
+
+
 # ------------------------------------------------------------- SimHash
 
 def simhash_table(ds, text_col="text", id_col="doc_id"):

@@ -73,7 +73,8 @@ def oracle_names():
     "welford_window_events", "welford_inf_events", "uniqueness_events",
     "referential_orders_customer", "value_histogram_events",
     "pricing_summary", "top_customers_revenue", "events_hourly",
-    "exact_dedup_documents", "token_count_documents",
+    "exact_dedup_documents", "ngram_jaccard_documents",
+    "token_count_documents",
     "text_quality_documents", "embedding_norms", "similarity_topk_embeddings",
     "feature_construction_events", "time_filter_events",
     "bloom_dedup_documents", "percentile_events", "linear_fit_events",

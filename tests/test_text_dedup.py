@@ -144,3 +144,32 @@ def test_embedding_dedup_query_recovers_all_injected(ray_session):
     assert (pairs["id_b"] - pairs["id_a"] == EMB_DUP_OFFSET).all()
     assert len(pairs) == 50  # one pair per injected copy, none missed
     assert (pairs["cosine"] >= 0.9).all()
+
+
+def test_ngram_jaccard_pairs(docs_ds):
+    from collections import Counter
+
+    from anomaly_detection_ray.stages import dedup
+
+    out = dedup.ngram_jaccard_pairs(docs_ds, n=3, max_df=8, threshold=0.5)
+
+    # independent brute force: same df-filtered set semantics, all pairs
+    df = docs_ds.to_pandas()
+    sets = {int(i): set(tx.word_ngram_hashes(t, 3).tolist())
+            for i, t in zip(df["doc_id"], df["text"])}
+    dfc = Counter(g for s in sets.values() for g in s)
+    fsets = {i: {g for g in s if dfc[g] <= 8} for i, s in sets.items()}
+    exp = []
+    ids = sorted(fsets)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1:]:
+            inter = len(fsets[a] & fsets[b])
+            if inter and inter / len(fsets[a] | fsets[b]) >= 0.5:
+                exp.append((a, b, inter / len(fsets[a] | fsets[b])))
+
+    got = list(zip(out["id_a"], out["id_b"], out["jaccard"]))
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in exp]
+    assert np.allclose([j for *_, j in got], [j for *_, j in exp])
+    # the exact-duplicate triple must be present with jaccard 1.0
+    perfect = {(a, b) for a, b, j in got if j == 1.0}
+    assert {(3, 10), (3, 20), (10, 20)} <= perfect
