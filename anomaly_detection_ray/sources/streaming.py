@@ -119,12 +119,29 @@ class StreamRunner:
         return per_group
 
     # ------------------------------------------------------------ API
+    def warm_start(self, files: list[str]) -> dict:
+        """Two-phase consumption (reference ``ConsumerFileKafka``,
+        consumer.py:366-412: grade a history FILE fully, then keep
+        consuming the stream with the scorers' state carried over). The
+        history files are graded through the exact same poll machinery —
+        verdicts land in their own ``poll=`` dir, the state store ends
+        holding each series' trailing rows — and subsequent ``poll_once``
+        calls continue from that state. Files may live anywhere (they are
+        not entered in the watch-dir ledger); call before the first poll."""
+        done = set(self.manifest.get("warm_processed", []))
+        if any(os.path.basename(f) in done for f in files):
+            return {"files": [], "rows": 0, "violations": 0}
+        return self._process(files, ledger=False)
+
     def poll_once(self) -> dict:
         """One consumer poll: new files -> graded verdict parquet + updated
         state store + committed ledger. Returns the poll record."""
         files = self._pending_files()
         if not files:
             return {"files": [], "rows": 0, "violations": 0}
+        return self._process(files, ledger=True)
+
+    def _process(self, files: list[str], ledger: bool) -> dict:
         poll_id = hashlib.sha256("\n".join(
             sorted(os.path.basename(f) for f in files)).encode()).hexdigest()[:16]
         poll_dir = os.path.join(self.out_dir, f"poll={poll_id}")
@@ -167,7 +184,11 @@ class StreamRunner:
 
         rec = {"poll": poll_id, "files": [os.path.basename(f) for f in files],
                "rows": int(stats["rows"]), "violations": int(stats["violations"])}
-        self.manifest["processed"].extend(rec["files"])
+        if not ledger:
+            rec["warm_start"] = True
+            self.manifest.setdefault("warm_processed", []).extend(rec["files"])
+        else:
+            self.manifest["processed"].extend(rec["files"])
         self.manifest["polls"].append(rec)
         tmpm = self.manifest_path + ".tmp"
         with open(tmpm, "w") as f:

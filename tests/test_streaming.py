@@ -107,3 +107,42 @@ def test_stream_rejects_training_checks(ray_session, tmp_path):
             "anomaly_detection_conf": [{"train_conf": {"max_samples": 64}}]}
     with pytest.raises(NotImplementedError, match="training pass"):
         StreamRunner(conf, str(tmp_path), str(tmp_path / "o"))
+
+
+def test_two_phase_file_then_stream(ray_session, tmp_path):
+    """ConsumerFileKafka parity (consumer.py:366-412): grade a history file
+    fully, then keep consuming the stream — combined verdicts identical to
+    one batch run over history + stream, state carried across the phases."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.config import run_reference_config
+    from anomaly_detection_ray.sources.streaming import StreamRunner
+
+    topic, full = _make_topic(tmp_path)
+    names = sorted(os.listdir(topic))
+    # first file = the "file" phase (lives outside the watch dir)
+    history = str(tmp_path / "history.csv")
+    os.link(os.path.join(topic, names[0]), history)
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    for n in names[1:]:
+        os.link(os.path.join(topic, n), os.path.join(live, n))
+
+    out = str(tmp_path / "out2")
+    runner = StreamRunner(CONF, live, out, state_rows=64)
+    warm = runner.warm_start([history])
+    assert warm["rows"] == 200 and warm.get("warm_start")
+    recs = runner.run(poll_interval_s=0.01)
+    assert warm["rows"] + sum(r["rows"] for r in recs) == len(full)
+
+    # warm_start is idempotent across a runner restart
+    runner2 = StreamRunner(CONF, live, out, state_rows=64)
+    assert runner2.warm_start([history])["rows"] == 0
+
+    got = _collect_verdicts(out)
+    batch = (run_reference_config(
+        CONF, ds=rd.from_pandas(full.rename(columns={"value": "f0"})))
+        .to_pandas().sort_values("ts").reset_index(drop=True))
+    for col in ["a0_bordercheck_code", "a1_welford_code"]:
+        mism = (got[col].to_numpy() != batch[col].to_numpy()).sum()
+        assert mism == 0, f"{col}: {mism} verdicts differ from batch"
