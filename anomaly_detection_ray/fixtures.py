@@ -47,6 +47,10 @@ FIXTURE_QUERIES = [
     "trend_mlp_events",
     "clip_validation_verdicts",
     "clip_audio_features",
+    "clip_spectral_features",
+    "audio_fingerprint_dedup",
+    "clip_segment_stats",
+    "clip_resample_stats",
 ]
 
 

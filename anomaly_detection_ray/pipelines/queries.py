@@ -827,6 +827,68 @@ def q_clip_audio_features(sf_dir: str):
     return out.select_columns(["clip_id", "rms", "peak", "audio_dur_s", "n_samples"])
 
 
+def q_clip_spectral_features(sf_dir: str):
+    """STFT spectral descriptors + VAD + clipping + 4-valued audio-quality
+    verdict per clip (stages/audio_ops.SpectralFeatures; deterministic =>
+    fixture oracle)."""
+    from ..sources.clips import read_clips
+    from ..stages import audio_ops as ao
+    path = _clip_table_path(sf_dir)
+    ds = read_clips(path, columns=["clip_id", "bytes"])
+    out = ao.spectral_feature_table(ds, concurrency=8)
+    return out.select_columns(
+        ["clip_id", "zcr", "centroid_hz", "bandwidth_hz", "rolloff_hz",
+         "flatness", "speech_ratio", "clipping_ratio", "n_segments",
+         "aq_code"])
+
+
+def q_audio_fingerprint_dedup(sf_dir: str):
+    """Content-duplicate groups by phase/gain-invariant acoustic
+    fingerprint (Haitsma-Kalker band-sign bits): (fp, cnt, keep_id) for
+    groups of >1 distinct content match."""
+    from ..sources.clips import read_clips
+    from ..stages import audio_ops as ao
+    path = _clip_table_path(sf_dir)
+    ds = read_clips(path, columns=["clip_id", "bytes"])
+    return ao.fingerprint_dedup(ds, concurrency=8)
+
+
+def q_clip_segment_stats(sf_dir: str):
+    """Fixed-window segmentation (1 s chunks) of every clip — per-clip
+    segment count + chunked ms via partial counts then a key groupby
+    (payload bytes never leave the decode stage)."""
+    from ..sources.clips import read_clips
+    from ..stages import audio_ops as ao
+    path = _clip_table_path(sf_dir)
+    ds = read_clips(path, columns=["clip_id", "bytes"])
+    segs = ao.segment_clips(ds, seg_ms=1000, min_ms=200, concurrency=8,
+                            emit_bytes=False)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("clip_id", as_index=False).agg(
+            n_segs=("seg_idx", "size"), seg_ms=("seg_dur_ms", "sum"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"clip_id": [g["clip_id"].iloc[0]],
+                             "n_segs": [int(g["n_segs"].sum())],
+                             "seg_ms": [float(g["seg_ms"].sum())]})
+
+    return (segs.map_batches(partial, batch_format="pandas")
+            .groupby("clip_id").map_groups(merge, batch_format="pandas"))
+
+
+def q_clip_resample_stats(sf_dir: str):
+    """Rate-normalization to 16 kHz (linear resample): per-clip output
+    sample count (bytes re-encode skipped — stats only)."""
+    from ..sources.clips import read_clips
+    from ..stages import audio_ops as ao
+    path = _clip_table_path(sf_dir)
+    ds = read_clips(path, columns=["clip_id", "bytes"])
+    out = ao.resample_clips(ds, target_sr=16000, concurrency=8,
+                            emit_bytes=False)
+    return out.select_columns(["clip_id", "n_samples_rs"])
+
+
 QUERIES = {
     "row_validate_events": q_row_validate_events,
     "border_check_events": q_border_check_events,
@@ -881,4 +943,8 @@ QUERIES = {
     "stream_validation_events": q_stream_validation_events,
     "clip_validation_verdicts": q_clip_validation_verdicts,
     "clip_audio_features": q_clip_audio_features,
+    "clip_spectral_features": q_clip_spectral_features,
+    "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
+    "clip_segment_stats": q_clip_segment_stats,
+    "clip_resample_stats": q_clip_resample_stats,
 }

@@ -1,0 +1,453 @@
+"""Audio-native operators over the clip table's binary WAV column.
+
+These are the training-data-pipeline stages an audio corpus needs beyond
+plain validation: spectral feature extraction, voice-activity / silence
+statistics, a clipping+silence quality grade (the reference's 4-valued
+verdict idiom from /root/reference/src/algorithms/anomaly_detection.py:41-50
+applied to signal-quality constraints), content-based acoustic
+fingerprinting with exact and Hamming-banded near-duplicate detection
+(Haitsma & Kalker 2002 band-energy-sign fingerprints — public method),
+linear resampling, and fixed-window segmentation (chunking long clips into
+training-sized rows).
+
+Execution shape: every stage is an actor-pool ``map_batches`` over
+``batch_format="pyarrow"`` with SMALL batches (binary payloads dominate
+block size). Decode is inherently per-clip, but all per-clip math is
+numpy-vectorized over the clip's samples/frames; nothing materializes the
+dataset, and the dedup paths shuffle only (fingerprint, id) pairs — never
+audio bytes.
+
+Scale notes (100 TB):
+- fingerprint dedup shuffles 16-byte rows after a per-batch partial count;
+  bucket sizes are bounded by content collisions, not corpus size.
+- near-dup banding explodes each fingerprint into 4 (band, key) rows —
+  the same pigeonhole design as the SimHash text path (dedup.py); hot
+  buckets are capped with a documented truncation log.
+- segmentation multiplies row count but divides payload size; output rows
+  are written per input partition so resume skips finished shards.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .. import audio
+from ..functions.grading import ERROR_CODE, OK_CODE, UNDEFINED_CODE, WARNING_CODE
+from .sizing import pool_size
+
+# ---------------------------------------------------------------- kernels
+
+FRAME = 512
+HOP = 256
+FP_BANDS = 33          # 33 band edges -> 32 energy bands -> 32 sign bits
+FP_FMIN = 100.0
+FP_FMAX = 2800.0
+
+
+def frame_signal(sig: np.ndarray, frame: int = FRAME, hop: int = HOP) -> np.ndarray:
+    """(n,) -> (n_frames, frame) view via stride tricks (no copy)."""
+    sig = np.ascontiguousarray(sig, dtype=np.float64)
+    if len(sig) < frame:
+        pad = np.zeros(frame, dtype=np.float64)
+        pad[: len(sig)] = sig
+        return pad[None, :]
+    n_frames = 1 + (len(sig) - frame) // hop
+    return np.lib.stride_tricks.as_strided(
+        sig, shape=(n_frames, frame),
+        strides=(sig.strides[0] * hop, sig.strides[0]), writeable=False)
+
+
+def stft_mag(sig: np.ndarray, frame: int = FRAME, hop: int = HOP) -> np.ndarray:
+    """Hann-windowed magnitude spectrogram, shape (n_frames, frame//2+1)."""
+    frames = frame_signal(sig, frame, hop)
+    window = np.hanning(frame)
+    return np.abs(np.fft.rfft(frames * window, axis=1))
+
+
+def spectral_features(sig: np.ndarray, sr: int,
+                      frame: int = FRAME, hop: int = HOP) -> dict[str, float]:
+    """Clip-level spectral descriptors from the time-averaged magnitude
+    spectrum: zero-crossing rate (crossings/sec), spectral centroid /
+    bandwidth / 85% rolloff (Hz), and spectral flatness (geometric/arith
+    mean of power)."""
+    if len(sig) < 2:
+        return {k: float("nan") for k in
+                ("zcr", "centroid_hz", "bandwidth_hz", "rolloff_hz", "flatness")}
+    zcr = float(np.count_nonzero(np.signbit(sig[1:]) != np.signbit(sig[:-1]))
+                / (len(sig) / sr))
+    mag = stft_mag(sig, frame, hop).mean(axis=0)
+    freqs = np.fft.rfftfreq(frame, d=1.0 / sr)
+    power = mag**2
+    total = float(power.sum())
+    if total <= 0.0:
+        return {"zcr": zcr, "centroid_hz": float("nan"),
+                "bandwidth_hz": float("nan"), "rolloff_hz": float("nan"),
+                "flatness": float("nan")}
+    centroid = float((freqs * power).sum() / total)
+    bandwidth = float(np.sqrt(((freqs - centroid) ** 2 * power).sum() / total))
+    rolloff = float(freqs[np.searchsorted(np.cumsum(power), 0.85 * total)])
+    flatness = float(np.exp(np.mean(np.log(power + 1e-20))) / (power.mean() + 1e-20))
+    return {"zcr": zcr, "centroid_hz": centroid, "bandwidth_hz": bandwidth,
+            "rolloff_hz": rolloff, "flatness": flatness}
+
+
+def vad_stats(sig: np.ndarray, sr: int, threshold_db: float = -40.0,
+              frame_ms: float = 25.0, hop_ms: float = 10.0) -> dict[str, float]:
+    """Energy-threshold voice-activity statistics: fraction of active
+    frames, leading/trailing silence (ms), and number of active segments.
+    Threshold is ``threshold_db`` relative to the clip's peak frame RMS."""
+    frame = max(2, int(sr * frame_ms / 1000.0))
+    hop = max(1, int(sr * hop_ms / 1000.0))
+    frames = frame_signal(sig, frame, hop)
+    rms = np.sqrt(np.mean(frames**2, axis=1))
+    peak = float(rms.max(initial=0.0))
+    if peak <= 0.0:
+        return {"speech_ratio": 0.0, "lead_silence_ms": len(sig) / sr * 1000.0,
+                "trail_silence_ms": len(sig) / sr * 1000.0, "n_segments": 0}
+    active = rms > peak * 10.0 ** (threshold_db / 20.0)
+    idx = np.nonzero(active)[0]
+    n_seg = int(np.count_nonzero(np.diff(idx) > 1) + 1) if len(idx) else 0
+    lead = float(idx[0] * hop / sr * 1000.0) if len(idx) else len(sig) / sr * 1000.0
+    tail_frames = len(active) - 1 - idx[-1] if len(idx) else len(active)
+    trail = float(tail_frames * hop / sr * 1000.0)
+    return {"speech_ratio": float(active.mean()), "lead_silence_ms": lead,
+            "trail_silence_ms": trail, "n_segments": n_seg}
+
+
+def clipping_stats(sig: np.ndarray, full_scale: float = 0.999) -> dict[str, float]:
+    """Fraction of samples at/above digital full scale + DC offset (the
+    two classic recording-quality defects)."""
+    if len(sig) == 0:
+        return {"clipping_ratio": float("nan"), "dc_offset": float("nan")}
+    return {"clipping_ratio": float(np.mean(np.abs(sig) >= full_scale)),
+            "dc_offset": float(np.mean(sig))}
+
+
+def band_edges(sr: int, n_edges: int = FP_BANDS, fmin: float = FP_FMIN,
+               fmax: float = FP_FMAX) -> np.ndarray:
+    """Log-spaced band edges clamped to Nyquist."""
+    top = min(fmax, sr / 2.0 - 1.0)
+    return np.geomspace(fmin, max(top, fmin * 1.5), n_edges)
+
+
+def fingerprint(sig: np.ndarray, sr: int) -> int:
+    """Content-based 32-bit acoustic fingerprint: sign of adjacent
+    log-band-energy differences of the time-averaged spectrum over
+    log-spaced bands (Haitsma-Kalker style, collapsed to clip level).
+    Phase- and amplitude-invariant: the same tone mixture at any phase or
+    gain maps to the same fingerprint; different dominant frequencies flip
+    the bits around their band positions."""
+    if len(sig) < 2:
+        return 0
+    mag = stft_mag(sig).mean(axis=0)
+    freqs = np.fft.rfftfreq(FRAME, d=1.0 / sr)
+    edges = band_edges(sr)
+    power = mag**2
+    # sum power per band via searchsorted bucketing (vectorized)
+    pos = np.searchsorted(edges, freqs)
+    valid = (pos > 0) & (pos < len(edges))
+    e = np.zeros(len(edges) - 1)
+    np.add.at(e, pos[valid] - 1, power[valid])
+    loge = np.log(e + 1e-20)
+    bits = (np.diff(loge) > 0).astype(np.uint64)
+    return int(bits @ (np.uint64(1) << np.arange(len(bits), dtype=np.uint64)))
+
+
+def resample_linear(sig: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
+    """Linear-interpolation resample (good enough for rate normalization of
+    band-limited synthetic content; a real deploy would swap in polyphase)."""
+    if sr_from == sr_to or len(sig) == 0:
+        return np.asarray(sig, dtype=np.float64)
+    n_out = max(1, int(round(len(sig) * sr_to / sr_from)))
+    x_out = np.arange(n_out, dtype=np.float64) * (sr_from / sr_to)
+    return np.interp(x_out, np.arange(len(sig), dtype=np.float64), sig)
+
+
+# ---------------------------------------------------------------- stages
+
+
+class SpectralFeatures:
+    """Actor-pool stage: WAV bytes -> spectral + VAD + clipping columns and
+    a 4-valued audio-quality verdict (aq_code/aq_status).
+
+    Grade (documented constraint, reference verdict idiom): Undefined if
+    the payload fails to decode; Error if clipping_ratio > err_clip or the
+    clip is entirely silent; Warning if clipping_ratio > warn_clip or
+    speech_ratio < min_speech; else OK.
+    """
+
+    FLOAT_COLS = ("zcr", "centroid_hz", "bandwidth_hz", "rolloff_hz",
+                  "flatness", "speech_ratio", "lead_silence_ms",
+                  "trail_silence_ms", "clipping_ratio", "dc_offset")
+
+    def __init__(self, bytes_col: str = "bytes", err_clip: float = 0.01,
+                 warn_clip: float = 0.001, min_speech: float = 0.1):
+        self.bytes_col = bytes_col
+        self.err_clip = err_clip
+        self.warn_clip = warn_clip
+        self.min_speech = min_speech
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t[self.bytes_col].to_pylist()
+        n = len(payloads)
+        cols = {c: np.full(n, np.nan) for c in self.FLOAT_COLS}
+        n_seg = np.zeros(n, dtype=np.int32)
+        code = np.full(n, UNDEFINED_CODE, dtype=np.int8)
+        status = np.full(n, "Undefined: audio payload not decodable",
+                         dtype=object)
+        for i, b in enumerate(payloads):
+            if not b:
+                continue
+            sig, sr = audio.decode_wav_lenient(b)
+            if sig is None or not sr:
+                continue
+            feats = spectral_features(sig, sr)
+            feats.update(vad_stats(sig, sr))
+            feats.update(clipping_stats(sig))
+            n_seg[i] = int(feats.pop("n_segments"))
+            for k, v in feats.items():
+                cols[k][i] = v
+            clip_r = cols["clipping_ratio"][i]
+            speech = cols["speech_ratio"][i]
+            if clip_r > self.err_clip or speech == 0.0:
+                code[i] = ERROR_CODE
+                status[i] = ("Error: clipped audio"
+                             if clip_r > self.err_clip else "Error: silent audio")
+            elif clip_r > self.warn_clip or speech < self.min_speech:
+                code[i] = WARNING_CODE
+                status[i] = ("Warning1: audio near full scale"
+                             if clip_r > self.warn_clip
+                             else "Warning1: mostly silent audio")
+            else:
+                code[i] = OK_CODE
+                status[i] = "OK"
+        for k in self.FLOAT_COLS:
+            t = t.append_column(k, pa.array(cols[k], type=pa.float64()))
+        return (t.append_column("n_segments", pa.array(n_seg))
+                 .append_column("aq_code", pa.array(code, type=pa.int8()))
+                 .append_column("aq_status", pa.array(status, type=pa.string())))
+
+
+class AudioFingerprint:
+    """Actor-pool stage: WAV bytes -> fp:uint64 (0 for undecodable)."""
+
+    def __init__(self, bytes_col: str = "bytes"):
+        self.bytes_col = bytes_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        fps = np.zeros(t.num_rows, dtype=np.uint64)
+        for i, b in enumerate(t[self.bytes_col].to_pylist()):
+            if not b:
+                continue
+            sig, sr = audio.decode_wav_lenient(b)
+            if sig is None or not sr:
+                continue
+            fps[i] = fingerprint(sig, sr)
+        return t.append_column("fp", pa.array(fps, type=pa.uint64()))
+
+
+class ResampleAudio:
+    """Actor-pool stage: re-encode every clip at ``target_sr`` (rate
+    normalization for training). Adds bytes_rs / n_samples_rs; undecodable
+    payloads pass through as empty."""
+
+    def __init__(self, target_sr: int = 16000, bytes_col: str = "bytes",
+                 emit_bytes: bool = True):
+        self.target_sr = target_sr
+        self.bytes_col = bytes_col
+        self.emit_bytes = emit_bytes
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out: list[bytes] = []
+        n_out = np.zeros(t.num_rows, dtype=np.int64)
+        for i, b in enumerate(t[self.bytes_col].to_pylist()):
+            sig, sr = audio.decode_wav_lenient(b) if b else (None, None)
+            if sig is None or not sr:
+                out.append(b"")
+                continue
+            rs = resample_linear(sig, sr, self.target_sr)
+            if self.emit_bytes:
+                out.append(audio.encode_wav(rs, self.target_sr))
+            n_out[i] = len(rs)
+        if self.emit_bytes:
+            t = t.append_column("bytes_rs", pa.array(out, type=pa.binary()))
+        return t.append_column("n_samples_rs", pa.array(n_out))
+
+
+class SegmentClips:
+    """Actor-pool stage: chunk each clip into fixed-length segments — one
+    OUTPUT ROW per segment (clip_id, seg_idx, seg_start_ms, seg_dur_ms,
+    seg_bytes). Short remainders below ``min_ms`` are dropped; undecodable
+    clips yield no rows. Row multiplication with payload division: block
+    sizes stay bounded."""
+
+    def __init__(self, seg_ms: int = 1000, min_ms: int = 200,
+                 bytes_col: str = "bytes", id_col: str = "clip_id",
+                 emit_bytes: bool = True):
+        self.seg_ms = seg_ms
+        self.min_ms = min_ms
+        self.bytes_col = bytes_col
+        self.id_col = id_col
+        self.emit_bytes = emit_bytes
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids: list[str] = []
+        seg_idx: list[int] = []
+        start_ms: list[float] = []
+        dur_ms: list[float] = []
+        seg_bytes: list[bytes] = []
+        payloads = t[self.bytes_col].to_pylist()
+        clip_ids = t[self.id_col].to_pylist()
+        for cid, b in zip(clip_ids, payloads):
+            if not b:
+                continue
+            sig, sr = audio.decode_wav_lenient(b)
+            if sig is None or not sr:
+                continue
+            seg_n = max(1, int(sr * self.seg_ms / 1000.0))
+            min_n = int(sr * self.min_ms / 1000.0)
+            for k, s in enumerate(range(0, len(sig), seg_n)):
+                chunk = sig[s: s + seg_n]
+                if len(chunk) < min_n:
+                    break
+                ids.append(cid)
+                seg_idx.append(k)
+                start_ms.append(s / sr * 1000.0)
+                dur_ms.append(len(chunk) / sr * 1000.0)
+                if self.emit_bytes:
+                    seg_bytes.append(audio.encode_wav(chunk, sr))
+        cols = {
+            "clip_id": pa.array(ids, type=pa.string()),
+            "seg_idx": pa.array(seg_idx, type=pa.int32()),
+            "seg_start_ms": pa.array(start_ms, type=pa.float64()),
+            "seg_dur_ms": pa.array(dur_ms, type=pa.float64()),
+        }
+        if self.emit_bytes:
+            cols["seg_bytes"] = pa.array(seg_bytes, type=pa.binary())
+        return pa.table(cols)
+
+
+# ------------------------------------------------------------- pipelines
+
+
+def spectral_feature_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
+                           concurrency: int = 8):
+    """ds -> ds + spectral/VAD/quality columns (actor pool, small batches)."""
+    return ds.map_batches(SpectralFeatures,
+                          fn_constructor_kwargs={"bytes_col": bytes_col},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=pool_size(concurrency), num_cpus=1)
+
+
+def fingerprint_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
+                      concurrency: int = 8):
+    return ds.map_batches(AudioFingerprint,
+                          fn_constructor_kwargs={"bytes_col": bytes_col},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=pool_size(concurrency), num_cpus=1)
+
+
+def fingerprint_dedup(ds, bytes_col: str = "bytes", id_col: str = "clip_id",
+                      concurrency: int = 8) -> pd.DataFrame:
+    """Exact content-duplicate groups by acoustic fingerprint.
+
+    Decode pass emits (fp) only; per-batch partial counts shrink the
+    shuffle to one row per distinct fp per batch; the groupby merges
+    partials. Only (fp, cnt>1) groups reach the driver — bounded by the
+    number of content-collision groups, not corpus size."""
+    fps = fingerprint_table(ds, bytes_col, concurrency=concurrency)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("fp", as_index=False).agg(
+            cnt=(id_col, "size"), keep_id=(id_col, "min"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = int(g["cnt"].sum())
+        if cnt <= 1:  # group filter inside the merge — no driver-side pass
+            return pd.DataFrame({"fp": [], "cnt": [], "keep_id": []})
+        return pd.DataFrame({"fp": [g["fp"].iloc[0]], "cnt": [cnt],
+                             "keep_id": [g["keep_id"].min()]})
+
+    counts = (fps.map_batches(partial, batch_format="pandas")
+              .groupby("fp").map_groups(merge, batch_format="pandas"))
+    out = counts.to_pandas()
+    out["cnt"] = out["cnt"].astype("int64")
+    out["fp"] = out["fp"].astype("uint64")
+    return out.sort_values("fp").reset_index(drop=True)
+
+
+def fingerprint_neardup_pairs(ds, bytes_col: str = "bytes",
+                              id_col: str = "clip_id", max_hamming: int = 3,
+                              bucket_cap: int = 2000,
+                              concurrency: int = 8) -> pd.DataFrame:
+    """Near-duplicate clip pairs: 32-bit fingerprints banded into 4 bytes
+    (pigeonhole: Hamming distance <= 3 across 4 bands guarantees one exact
+    band match), candidate pairs verified by full Hamming distance. Mirrors
+    the SimHash text path (dedup.py:377) on audio content."""
+    fps = fingerprint_table(ds, bytes_col, concurrency=concurrency)
+
+    def explode(t: pa.Table) -> pa.Table:
+        fp = t["fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = np.asarray(t[id_col].to_pylist(), dtype=object)
+        bands, keys, bids, bfps = [], [], [], []
+        for band in range(4):
+            key = (fp >> np.uint64(band * 8)) & np.uint64(0xFF)
+            bands.append(np.full(len(fp), band, dtype=np.int8))
+            keys.append(key)
+            bids.append(ids)
+            bfps.append(fp)
+        return pa.table({
+            "band": pa.array(np.concatenate(bands)),
+            "key": pa.array(np.concatenate(keys), type=pa.uint64()),
+            id_col: pa.array(np.concatenate(bids), type=pa.string()),
+            "fp": pa.array(np.concatenate(bfps), type=pa.uint64())})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col).sort_values(id_col)
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        if len(g) > bucket_cap:  # documented truncation: hot content bucket
+            g = g.head(bucket_cap)
+        ids = g[id_col].to_numpy()
+        fp = g["fp"].to_numpy().astype(np.uint64)
+        ai, bi = np.triu_indices(len(g), k=1)
+        ham = np.array([bin(int(x)).count("1") for x in
+                        (fp[ai] ^ fp[bi])], dtype=np.int32)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"id_a": ids[ai[keep]], "id_b": ids[bi[keep]],
+                             "hamming": ham[keep]})
+
+    pairs = (fps.map_batches(explode, batch_format="pyarrow")
+             .groupby(["band", "key"])
+             .map_groups(bucket_pairs, batch_format="pandas"))
+    out = pairs.to_pandas()
+    if len(out):
+        out = (out.groupby(["id_a", "id_b"], as_index=False)["hamming"].min()
+               .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    out["hamming"] = out.get("hamming", pd.Series(dtype="int64")).astype("int64")
+    return out
+
+
+def segment_clips(ds, seg_ms: int = 1000, min_ms: int = 200,
+                  bytes_col: str = "bytes", batch_size: int = 32,
+                  concurrency: int = 8, emit_bytes: bool = True):
+    return ds.map_batches(SegmentClips,
+                          fn_constructor_kwargs={"seg_ms": seg_ms,
+                                                 "min_ms": min_ms,
+                                                 "bytes_col": bytes_col,
+                                                 "emit_bytes": emit_bytes},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=pool_size(concurrency), num_cpus=1)
+
+
+def resample_clips(ds, target_sr: int = 16000, bytes_col: str = "bytes",
+                   batch_size: int = 32, concurrency: int = 8,
+                   emit_bytes: bool = True):
+    return ds.map_batches(ResampleAudio,
+                          fn_constructor_kwargs={"target_sr": target_sr,
+                                                 "bytes_col": bytes_col,
+                                                 "emit_bytes": emit_bytes},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=pool_size(concurrency), num_cpus=1)

@@ -1,0 +1,180 @@
+"""Audio-native operator tests: spectral kernels against known signals,
+and the Ray actor-pool stages over the deterministic synth clip table."""
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from anomaly_detection_ray import audio, synth
+from anomaly_detection_ray.stages import audio_ops as ao
+
+SR = 16000
+
+
+def tone(freq: float, dur_s: float = 1.0, sr: int = SR, amp: float = 0.5,
+         phase: float = 0.0) -> np.ndarray:
+    t = np.arange(int(sr * dur_s)) / sr
+    return amp * np.sin(2 * np.pi * freq * t + phase)
+
+
+# ---------------------------------------------------------------- kernels
+
+
+def test_spectral_features_pure_tone():
+    f = ao.spectral_features(tone(440.0), SR)
+    assert abs(f["centroid_hz"] - 440.0) < 30.0
+    assert abs(f["zcr"] - 880.0) < 40.0          # 2 crossings per cycle
+    assert f["rolloff_hz"] < 600.0
+    assert f["bandwidth_hz"] < 100.0
+    assert f["flatness"] < 0.05                  # tonal => very peaked
+
+
+def test_spectral_flatness_noise_vs_tone():
+    noise = np.random.default_rng(0).uniform(-0.5, 0.5, SR)
+    assert ao.spectral_features(noise, SR)["flatness"] > 0.5
+
+
+def test_vad_silence_padding():
+    sig = np.concatenate([np.zeros(int(0.2 * SR)), tone(440.0, 0.6),
+                          np.zeros(int(0.2 * SR))])
+    v = ao.vad_stats(sig, SR)
+    assert 150.0 <= v["lead_silence_ms"] <= 250.0
+    assert 150.0 <= v["trail_silence_ms"] <= 250.0
+    assert 0.4 <= v["speech_ratio"] <= 0.8
+    assert v["n_segments"] == 1
+
+
+def test_vad_all_silence():
+    v = ao.vad_stats(np.zeros(SR), SR)
+    assert v["speech_ratio"] == 0.0 and v["n_segments"] == 0
+
+
+def test_clipping_stats():
+    clipped = np.clip(tone(440.0) * 5.0, -1.0, 1.0)
+    c = ao.clipping_stats(clipped)
+    assert c["clipping_ratio"] > 0.3
+    assert ao.clipping_stats(tone(440.0))["clipping_ratio"] == 0.0
+
+
+def test_fingerprint_phase_and_gain_invariant():
+    a = ao.fingerprint(tone(440.0, phase=1.0), SR)
+    b = ao.fingerprint(tone(440.0, phase=2.5), SR)
+    c = ao.fingerprint(tone(440.0, amp=0.25, phase=0.3), SR)
+    d = ao.fingerprint(tone(620.0), SR)
+    assert a == b == c
+    assert a != d
+
+
+def test_resample_linear_tone():
+    sig = tone(440.0)
+    rs = ao.resample_linear(sig, SR, 11025)
+    assert abs(len(rs) - 11025) <= 1
+    ref = 0.5 * np.sin(2 * np.pi * 440.0 * (np.arange(len(rs)) / 11025))
+    assert audio.snr_db(rs, ref) > 25.0
+
+
+# --------------------------------------------------------------- stages
+
+
+@pytest.fixture(scope="module")
+def clip_ds(ray_session):
+    return rd.from_arrow(synth.generate_table(seed=42, n=200, P=4))
+
+
+def test_spectral_feature_table(clip_ds):
+    out = ao.spectral_feature_table(clip_ds, concurrency=2).to_pandas()
+    assert len(out) == 200
+    assert set(out["aq_code"].unique()) <= {-1, 0, 1, 2}
+    # every synth payload decodes (even truncated WAVs decode leniently);
+    # sine clips are tonal (low flatness), corrupt_pcm noise clips are flat
+    ok = out[out["aq_code"] == 1]
+    assert len(ok) > 150
+    tonal = ok[ok["flatness"] < 0.1]
+    assert len(tonal) > 100
+    # sr_range violations encode 48k-generated tones at 192 kHz => content
+    # appears up to 4x higher; bound covers that
+    assert tonal["centroid_hz"].between(150, 6000).all()
+    assert (ok["clipping_ratio"] == 0.0).all()
+
+
+def test_spectral_stage_bad_payload(ray_session):
+    import pyarrow as pa
+    ds = rd.from_arrow(pa.table({"clip_id": ["x", "y"],
+                                 "bytes": [b"not-a-wav", b""]}))
+    out = ao.spectral_feature_table(ds, concurrency=1).to_pandas()
+    assert (out["aq_code"] == 2).all()  # Undefined: undecodable
+
+
+def test_fingerprint_dedup_groups(clip_ds):
+    out = ao.fingerprint_dedup(clip_ds, concurrency=2)
+    # synth duplicates share their source's exact signal; clips with equal
+    # tone frequency (index % 37) collide by design of the content hash
+    assert len(out) > 10
+    assert (out["cnt"] > 1).all()
+    assert out["fp"].is_unique
+    # every group keeps its lexicographically-first clip id
+    assert out["keep_id"].str.startswith("clip-").all()
+
+
+def test_fingerprint_dedup_matches_sequential(clip_ds):
+    """Distributed groups == driver-side recompute over the same table."""
+    df = clip_ds.to_pandas()
+    fps = {}
+    for _, r in df.iterrows():
+        if not r["bytes"]:
+            fps.setdefault(0, []).append(r["clip_id"])
+            continue
+        sig, sr = audio.decode_wav_lenient(r["bytes"])
+        fp = 0 if sig is None or not sr else ao.fingerprint(sig, sr)
+        fps.setdefault(fp, []).append(r["clip_id"])
+    expected = {fp: (len(ids), min(ids)) for fp, ids in fps.items()
+                if len(ids) > 1}
+    got = ao.fingerprint_dedup(clip_ds, concurrency=2)
+    assert {int(r.fp): (int(r.cnt), r.keep_id)
+            for r in got.itertuples()} == expected
+
+
+def test_fingerprint_neardup_pairs(clip_ds):
+    pairs = ao.fingerprint_neardup_pairs(clip_ds, max_hamming=0,
+                                         concurrency=2)
+    # hamming==0 pairs must reproduce the exact-fp group structure over
+    # DISTINCT clip ids (the pair pass dedupes identical ids in-bucket;
+    # synth duplicate rows reuse their source's clip_id)
+    df = clip_ds.to_pandas()
+    fps = {}
+    for _, r in df.iterrows():
+        sig, sr = (audio.decode_wav_lenient(r["bytes"])
+                   if r["bytes"] else (None, None))
+        fp = 0 if sig is None or not sr else ao.fingerprint(sig, sr)
+        fps.setdefault(fp, set()).add(r["clip_id"])
+    n_pairs_expected = sum(len(s) * (len(s) - 1) // 2 for s in fps.values())
+    assert len(pairs) == n_pairs_expected
+    assert (pairs["hamming"] == 0).all()
+    assert (pairs["id_a"] < pairs["id_b"]).all()
+
+
+def test_segment_clips(ray_session):
+    sig = tone(440.0, 1.0, sr=8000)
+    wav = audio.encode_wav(sig, 8000)
+    import pyarrow as pa
+    ds = rd.from_arrow(pa.table({"clip_id": ["a", "b"],
+                                 "bytes": [wav, wav]}))
+    segs = ao.segment_clips(ds, seg_ms=250, concurrency=1).to_pandas()
+    assert len(segs) == 8  # 2 clips x 4 segments
+    assert sorted(segs["seg_idx"].unique()) == [0, 1, 2, 3]
+    one = segs[(segs["clip_id"] == "a") & (segs["seg_idx"] == 2)].iloc[0]
+    sig2, sr2 = audio.decode_wav(one["seg_bytes"])
+    assert sr2 == 8000 and len(sig2) == 2000
+    assert audio.snr_db(sig2, sig[4000:6000]) > 40.0
+
+
+def test_resample_clips(ray_session):
+    import pyarrow as pa
+    wav = audio.encode_wav(tone(440.0, 1.0, sr=8000), 8000)
+    ds = rd.from_arrow(pa.table({"clip_id": ["a"], "bytes": [wav]}))
+    out = ao.resample_clips(ds, target_sr=16000, concurrency=1).to_pandas()
+    assert int(out["n_samples_rs"].iloc[0]) == 16000
+    sig, sr = audio.decode_wav(out["bytes_rs"].iloc[0])
+    assert sr == 16000
+    ref = 0.5 * np.sin(2 * np.pi * 440.0 * (np.arange(16000) / 16000))
+    assert audio.snr_db(sig, ref) > 20.0
