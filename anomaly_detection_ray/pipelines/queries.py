@@ -868,13 +868,11 @@ def q_clip_segment_stats(sf_dir: str):
         return df.groupby("clip_id", as_index=False).agg(
             n_segs=("seg_idx", "size"), seg_ms=("seg_dur_ms", "sum"))
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"clip_id": [g["clip_id"].iloc[0]],
-                             "n_segs": [int(g["n_segs"].sum())],
-                             "seg_ms": [float(g["seg_ms"].sum())]})
-
-    return (segs.map_batches(partial, batch_format="pandas")
-            .groupby("clip_id").map_groups(merge, batch_format="pandas"))
+    from ..functions.fold import fold_partials
+    out = fold_partials(segs.map_batches(partial, batch_format="pandas"),
+                        "clip_id", {"n_segs": "sum", "seg_ms": "sum"})
+    out["n_segs"] = out["n_segs"].astype("int64")
+    return out.sort_values("clip_id").reset_index(drop=True)
 
 
 def q_clip_resample_stats(sf_dir: str):

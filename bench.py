@@ -111,6 +111,20 @@ def run_headline() -> dict:
         timed("similarity_topk_embeddings", lambda: Q["similarity_topk_embeddings"](SF_DIR))
         timed("ann_ivf_embeddings", lambda: Q["ann_ivf_embeddings"](SF_DIR))
 
+    if not only_clips:
+        from anomaly_detection_ray.sources.clips import read_clips
+        from anomaly_detection_ray.stages import audio_ops as ao
+        from anomaly_detection_ray.stages.sizing import decode_pool_size
+        pool = decode_pool_size(NUM_CPUS)
+        timed("clip_spectral_features", lambda: ao.spectral_feature_table(
+            read_clips(clip_path, columns=["clip_id", "bytes"]),
+            concurrency=pool).select_columns(
+                ["clip_id", "centroid_hz", "flatness", "speech_ratio",
+                 "clipping_ratio", "aq_code"]))
+        timed("audio_fingerprint_dedup", lambda: ao.fingerprint_dedup(
+            read_clips(clip_path, columns=["clip_id", "bytes"]),
+            concurrency=pool))
+
     t0 = time.perf_counter()
     tag = os.environ.get("ADR_BENCH_TAG", "")
     res = run_validation(clip_path, f"/tmp/adr_bench_out/{sf_name}_{NUM_CPUS}{tag}",

@@ -230,3 +230,32 @@ def test_pool_sizing():
     # requested pool capped to cluster minus reserve (session has 4 CPUs)
     assert pool_size(2) == 2
     assert pool_size(100) >= 1
+
+
+def test_report_sink(run):
+    """_report.md/_report.json render from the finished run (the batch
+    analog of the reference's visualization sink)."""
+    import json
+
+    from anomaly_detection_ray.pipelines.report import write_report
+    md_path = write_report(run["out"], sample_n=5)
+    assert md_path.endswith("_report.md")
+    text = open(md_path).read()
+    assert "# Validation report" in text
+    assert "Per-partition verdicts" in text
+    assert "Violations by check" in text
+    with open(run["out"] + "/_report.json") as f:
+        summary = json.load(f)
+    manifest = json.load(open(run["out"] + "/_manifest.json"))
+    assert summary["rows"] == sum(e["rows"] for e in manifest["partitions"].values())
+    assert summary["violations"] == sum(
+        e["violations"] for e in manifest["partitions"].values())
+    assert summary["violations"] > 0
+    assert summary["drifted_partitions"] == [
+        int(p) for p, e in manifest["partitions"].items() if e["drifted"]]
+    # status-string counts reconcile with the violations parquet
+    df = _violations_df(run)
+    n_tc = int((df["tc_status"] != "OK").sum())
+    got_tc = sum(v for k, v in summary["status_counts"].items()
+                 if k.startswith("tc:"))
+    assert got_tc == n_tc
