@@ -51,6 +51,7 @@ FIXTURE_QUERIES = [
     "audio_fingerprint_dedup",
     "clip_segment_stats",
     "clip_resample_stats",
+    "audio_prep_segments",
 ]
 
 

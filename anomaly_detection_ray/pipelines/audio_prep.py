@@ -1,0 +1,207 @@
+"""Audio training-data preparation pipeline: quality-gate -> rate-normalize
+-> segment -> partitioned parquet, resumable per partition.
+
+This is the composition a 100 TB audio corpus needs before model training:
+keep only clips that pass the signal-quality gate (clipping / silence /
+optional flatness ceiling), resample every survivor to one target rate,
+chunk into fixed-length training windows, and write one parquet directory
+per input partition with a lineage manifest so a failed run resumes.
+
+Execution shape: ONE fused actor-pool stage (``AudioPrep``) does decode ->
+grade -> resample -> segment per clip — the payload is decoded exactly
+once and re-encoded exactly once per emitted segment (chaining the
+standalone SpectralFeatures/ResampleAudio/SegmentClips stages would decode
+three times and ship intermediate WAV bytes twice through the object
+store). Per-partition metrics flow through a small side-channel actor (the
+validate.py pattern); the segment stream goes straight to
+``write_parquet(partition_cols=["partition_id"])`` — nothing materializes.
+
+Resume mirrors validate.py: config-hashed manifest, completed partitions
+skipped via predicate pushdown at the read, partition dirs cleared before
+rewrite so re-runs are idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import asdict, dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from .. import audio
+from ..sources.clips import read_clips
+from ..stages import audio_ops as ao
+from ..stages.sizing import decode_pool_size
+from . import checkpoint as ckpt
+
+
+@dataclass(frozen=True)
+class AudioPrepConfig:
+    P: int = 16
+    target_sr: int = 16000
+    seg_ms: int = 1000
+    min_ms: int = 200
+    err_clip: float = 0.01          # clipping_ratio above => drop
+    max_flatness: float = 1.0       # spectral flatness above => drop (1.0 = off)
+    min_speech: float = 0.0         # speech_ratio below => drop (0.0 = off)
+    batch_size: int = 32
+    concurrency: int = 0            # 0 = auto (decode_pool_size)
+
+
+@ray.remote(num_cpus=0)
+class _PrepMetrics:
+    """Side-channel accumulator: per-partition prep counters."""
+
+    def __init__(self):
+        self.rows: dict[int, dict] = {}
+
+    def add(self, partials: list[dict]) -> None:
+        for p in partials:
+            pid = int(p["partition_id"])
+            e = self.rows.setdefault(pid, {"clips": 0, "kept": 0, "segments": 0,
+                                           "drop_quality": 0, "drop_decode": 0})
+            for k in e:
+                e[k] += int(p[k])
+
+    def total(self) -> pd.DataFrame:
+        return pd.DataFrame([{"partition_id": p, **e}
+                             for p, e in sorted(self.rows.items())])
+
+
+class AudioPrep:
+    """Fused per-clip prep: decode -> quality grade -> resample -> segment.
+
+    Emits one row per kept segment: (clip_id, partition_id, seg_idx,
+    seg_start_ms, seg_dur_ms, sr_hz, bytes). Metric partials go to the
+    side-channel actor per batch (fire-and-forget)."""
+
+    def __init__(self, cfg_dict: dict, metrics_actor=None):
+        self.cfg = AudioPrepConfig(**cfg_dict)
+        self.metrics = metrics_actor
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        ids, pids, seg_idx, start_ms, dur_ms, payloads = [], [], [], [], [], []
+        stats: dict[int, dict] = {}
+        part_col = t["partition_id"].to_numpy(zero_copy_only=False)
+        for cid, pid, b in zip(t["clip_id"].to_pylist(), part_col,
+                               t["bytes"].to_pylist()):
+            pid = int(pid)
+            st = stats.setdefault(pid, {"clips": 0, "kept": 0, "segments": 0,
+                                        "drop_quality": 0, "drop_decode": 0})
+            st["clips"] += 1
+            sig, sr = (audio.decode_wav_lenient(b) if b else (None, None))
+            if sig is None or not sr or len(sig) == 0:
+                st["drop_decode"] += 1
+                continue
+            clip_r = ao.clipping_stats(sig)["clipping_ratio"]
+            if clip_r > cfg.err_clip:
+                st["drop_quality"] += 1
+                continue
+            if cfg.min_speech > 0.0 or cfg.max_flatness < 1.0:
+                speech = ao.vad_stats(sig, sr)["speech_ratio"]
+                if speech < cfg.min_speech or speech == 0.0:
+                    st["drop_quality"] += 1
+                    continue
+                if cfg.max_flatness < 1.0:
+                    flat = ao.spectral_features(sig, sr)["flatness"]
+                    if not np.isnan(flat) and flat > cfg.max_flatness:
+                        st["drop_quality"] += 1
+                        continue
+            rs = ao.resample_linear(sig, sr, cfg.target_sr)
+            seg_n = max(1, int(cfg.target_sr * cfg.seg_ms / 1000.0))
+            min_n = int(cfg.target_sr * cfg.min_ms / 1000.0)
+            kept_any = False
+            for k, s in enumerate(range(0, len(rs), seg_n)):
+                chunk = rs[s: s + seg_n]
+                if len(chunk) < min_n:
+                    break
+                ids.append(cid)
+                pids.append(pid)
+                seg_idx.append(k)
+                start_ms.append(s / cfg.target_sr * 1000.0)
+                dur_ms.append(len(chunk) / cfg.target_sr * 1000.0)
+                payloads.append(audio.encode_wav(chunk, cfg.target_sr))
+                kept_any = True
+            if kept_any:
+                st["kept"] += 1
+        # segment counts per partition (recount once, vectorized)
+        if pids:
+            u, c = np.unique(np.asarray(pids), return_counts=True)
+            for p, n in zip(u, c):
+                stats[int(p)]["segments"] += int(n)
+        if self.metrics is not None:
+            self.metrics.add.remote(
+                [{"partition_id": p, **e} for p, e in stats.items()])
+        return pa.table({
+            "clip_id": pa.array(ids, type=pa.string()),
+            "partition_id": pa.array(pids, type=pa.int32()),
+            "seg_idx": pa.array(seg_idx, type=pa.int32()),
+            "seg_start_ms": pa.array(start_ms, type=pa.float64()),
+            "seg_dur_ms": pa.array(dur_ms, type=pa.float64()),
+            "sr_hz": pa.array(np.full(len(ids), self.cfg.target_sr,
+                                      dtype=np.int32)),
+            "bytes": pa.array(payloads, type=pa.binary()),
+        })
+
+
+def run_audio_prep(path: str, out_dir: str,
+                   cfg: AudioPrepConfig | None = None,
+                   resume: bool = True) -> dict:
+    """End-to-end prep run. Returns {metrics, segments_path, skipped...}."""
+    cfg = cfg or AudioPrepConfig()
+    cfg_hash = ckpt.config_hash(asdict(cfg))
+    manifest = (ckpt.load_manifest(out_dir) if resume
+                else {"partitions": {}, "config_hash": None})
+    done = ckpt.completed_partitions(manifest, cfg_hash)
+    todo = [p for p in range(cfg.P) if p not in done]
+    t0 = time.time()
+
+    seg_path = os.path.join(out_dir, "segments")
+    result = {"config_hash": cfg_hash, "skipped_partitions": sorted(done),
+              "segments_path": seg_path, "out_dir": out_dir}
+    if not todo:
+        result.update({"metrics": pd.DataFrame(
+            [{"partition_id": int(p), **e["metrics"]}
+             for p, e in manifest["partitions"].items()]), "wall_sec": 0.0})
+        return result
+
+    ds = read_clips(path, columns=["clip_id", "bytes", "partition_id"],
+                    partitions=todo if done else None)
+    acc = _PrepMetrics.remote()
+    pool = cfg.concurrency or decode_pool_size()
+    segs = ds.map_batches(
+        AudioPrep,
+        fn_constructor_kwargs={"cfg_dict": asdict(cfg), "metrics_actor": acc},
+        batch_format="pyarrow", batch_size=cfg.batch_size,
+        concurrency=pool, num_cpus=1)
+
+    os.makedirs(seg_path, exist_ok=True)
+    for p in todo:
+        d = os.path.join(seg_path, f"partition_id={p}")
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                os.unlink(os.path.join(d, f))
+    segs.write_parquet(seg_path, partition_cols=["partition_id"])
+    metrics = ray.get(acc.total.remote())
+    ray.kill(acc)
+
+    wall = time.time() - t0
+    for _, r in metrics.iterrows():
+        pid = int(r["partition_id"])
+        manifest["partitions"][str(pid)] = {
+            "done": True,
+            "metrics": {k: int(r[k]) for k in
+                        ("clips", "kept", "segments", "drop_quality",
+                         "drop_decode")},
+            "lineage": {"input": str(path), "config_hash": cfg_hash},
+        }
+    manifest["config_hash"] = cfg_hash
+    ckpt.save_manifest(out_dir, manifest)
+    result.update({"metrics": metrics, "wall_sec": wall})
+    return result

@@ -875,6 +875,25 @@ def q_clip_segment_stats(sf_dir: str):
     return out.sort_values("clip_id").reset_index(drop=True)
 
 
+def q_audio_prep_segments(sf_dir: str):
+    """Training-data prep pipeline (quality gate -> resample 16k -> 1s
+    segments -> partitioned parquet): per-partition prep metrics."""
+    import tempfile
+
+    from .audio_prep import AudioPrepConfig, run_audio_prep
+    path = _clip_table_path(sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "adr_prep",
+                       os.path.basename(path))
+    cfg = AudioPrepConfig(P=16, target_sr=16000, seg_ms=1000,
+                          max_flatness=0.5, min_speech=0.01)
+    res = run_audio_prep(path, out, cfg, resume=False)
+    m = res["metrics"].copy()
+    for c in ("clips", "kept", "segments", "drop_quality", "drop_decode"):
+        m[c] = m[c].astype("int64")
+    m["partition_id"] = m["partition_id"].astype("int64")
+    return m.sort_values("partition_id").reset_index(drop=True)
+
+
 def q_clip_resample_stats(sf_dir: str):
     """Rate-normalization to 16 kHz (linear resample): per-clip output
     sample count (bytes re-encode skipped — stats only)."""
@@ -944,5 +963,6 @@ QUERIES = {
     "clip_spectral_features": q_clip_spectral_features,
     "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
     "clip_segment_stats": q_clip_segment_stats,
+    "audio_prep_segments": q_audio_prep_segments,
     "clip_resample_stats": q_clip_resample_stats,
 }

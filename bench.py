@@ -125,6 +125,17 @@ def run_headline() -> dict:
             read_clips(clip_path, columns=["clip_id", "bytes"]),
             concurrency=pool))
 
+        from anomaly_detection_ray.pipelines.audio_prep import (
+            AudioPrepConfig, run_audio_prep)
+
+        def _prep():
+            res = run_audio_prep(
+                clip_path, f"/tmp/adr_bench_prep/{sf_name}_{NUM_CPUS}",
+                AudioPrepConfig(P=16, max_flatness=0.5, min_speech=0.01),
+                resume=False)
+            return res["metrics"]
+        timed("audio_prep_pipeline", _prep)
+
     t0 = time.perf_counter()
     tag = os.environ.get("ADR_BENCH_TAG", "")
     res = run_validation(clip_path, f"/tmp/adr_bench_out/{sf_name}_{NUM_CPUS}{tag}",

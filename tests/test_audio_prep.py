@@ -1,0 +1,103 @@
+"""Audio training-data prep pipeline: quality gate, resample, segment,
+partitioned write, per-partition resume."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.dataset as pads
+import pytest
+
+from anomaly_detection_ray import audio, synth
+from anomaly_detection_ray.pipelines import audio_prep as ap
+
+SEED, N, P = 21, 400, 4
+
+
+@pytest.fixture(scope="module")
+def clip_path(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("prep_clips")
+    synth.write_clip_table(str(d), seed=SEED, n=N, P=P, rows_per_file=128)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def run(clip_path, tmp_path_factory):
+    out = tmp_path_factory.mktemp("prep_out")
+    cfg = ap.AudioPrepConfig(P=P, target_sr=16000, seg_ms=1000,
+                             concurrency=2)
+    res = ap.run_audio_prep(clip_path, str(out), cfg, resume=False)
+    res["cfg"] = cfg
+    return res
+
+
+def _segments_df(res) -> pd.DataFrame:
+    return (pads.dataset(res["segments_path"], partitioning="hive")
+            .to_table().to_pandas())
+
+
+def test_segments_written_partitioned(run):
+    seg_dirs = [d for d in os.listdir(run["segments_path"])
+                if d.startswith("partition_id=")]
+    assert len(seg_dirs) == P
+    df = _segments_df(run)
+    assert len(df) > 0
+    assert (df["sr_hz"] == 16000).all()
+    # every segment decodes at the target rate with the declared length
+    row = df.iloc[0]
+    sig, sr = audio.decode_wav(row["bytes"])
+    assert sr == 16000
+    assert abs(len(sig) - row["seg_dur_ms"] * 16) < 16
+
+
+def test_metrics_reconcile(run):
+    m = run["metrics"]
+    assert int(m["clips"].sum()) == N
+    df = _segments_df(run)
+    got = df.groupby(df["partition_id"].astype(int)).size()
+    for _, r in m.iterrows():
+        assert int(r["segments"]) == int(got.get(int(r["partition_id"]), 0))
+    # kept + drops == clips
+    assert ((m["kept"] + m["drop_quality"] + m["drop_decode"]) <=
+            m["clips"]).all()
+
+
+def test_segment_lengths(run):
+    df = _segments_df(run)
+    # all full segments are exactly seg_ms; remainders >= min_ms
+    assert df["seg_dur_ms"].max() <= 1000.0
+    assert df["seg_dur_ms"].min() >= 200.0
+    full = df[df["seg_dur_ms"] == 1000.0]
+    assert len(full) > len(df) * 0.5
+
+
+def test_resume_skips_completed(clip_path, run):
+    res2 = ap.run_audio_prep(clip_path, run["out_dir"], run["cfg"],
+                             resume=True)
+    assert res2["skipped_partitions"] == list(range(P))
+    assert res2["wall_sec"] == 0.0
+    # manifest metrics survive the no-op rerun
+    assert int(res2["metrics"]["segments"].sum()) == \
+        int(run["metrics"]["segments"].sum())
+
+
+def test_config_change_invalidates(clip_path, run, tmp_path):
+    cfg2 = ap.AudioPrepConfig(P=P, target_sr=8000, seg_ms=1000,
+                              concurrency=2)
+    res = ap.run_audio_prep(clip_path, run["out_dir"], cfg2, resume=True)
+    assert res["skipped_partitions"] == []  # hash mismatch => full rerun
+    df = _segments_df(res)
+    assert (df["sr_hz"] == 8000).all()
+
+
+def test_quality_gate_drops_flat_noise(clip_path, tmp_path):
+    """max_flatness gate drops the corrupt_pcm noise clips."""
+    cfg = ap.AudioPrepConfig(P=P, max_flatness=0.5, min_speech=0.01,
+                             concurrency=2)
+    res = ap.run_audio_prep(clip_path, str(tmp_path / "o"), cfg, resume=False)
+    m = res["metrics"]
+    gt = synth.ground_truth(SEED, N, P)
+    assert int(m["drop_quality"].sum()) >= len(gt["corrupt_pcm"])
+    df = _segments_df(res)
+    corrupt_ids = {f"clip-{i:09d}" for i in gt["corrupt_pcm"]}
+    assert not (set(df["clip_id"].unique()) & corrupt_ids)
