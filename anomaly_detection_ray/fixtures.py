@@ -38,6 +38,7 @@ FIXTURE_QUERIES = [
     "doc_fingerprints",
     "embedding_dedup_embeddings",
     "ann_ivf_embeddings",
+    "ann_pq_embeddings",
     "iforest_events",
     "pca_iforest_events",
     "clustering_events",

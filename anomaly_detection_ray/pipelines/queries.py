@@ -451,6 +451,23 @@ def q_ann_ivf_embeddings(sf_dir: str):
     return out
 
 
+def q_ann_pq_embeddings(sf_dir: str):
+    """Product-quantization ANN with exact re-rank (Jegou et al. 2011):
+    32x-compressed coded scan -> ADC shortlist -> exact cosine top-10.
+    The 100-TB embedding path (recall 1.0 at rerank_factor=4 on this
+    corpus, pinned in pytest)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sample = emb.limit(4).to_pandas()
+    queries = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in sample["embedding"]])
+    books = sim.train_pq_codebooks(emb, m=16, ks=256)
+    codes = sim.pq_encode(emb, books)
+    out = sim.pq_topk_rerank(emb, codes, queries, books, k=10,
+                             rerank_factor=4)
+    out["cosine"] = rnd(out["cosine"], 6)
+    return out
+
+
 # ------------------------------------------------------------ series (rows-only)
 
 def _series_events(sf_dir: str, checks):
@@ -934,6 +951,7 @@ QUERIES = {
     "embedding_dedup_embeddings": q_embedding_dedup_embeddings,
     "similarity_topk_embeddings": q_similarity_topk_embeddings,
     "ann_ivf_embeddings": q_ann_ivf_embeddings,
+    "ann_pq_embeddings": q_ann_pq_embeddings,
     "ema_check_events": q_ema_check_events,
     "macd_check_events": q_macd_check_events,
     "hampel_events": q_hampel_events,

@@ -140,3 +140,150 @@ def ivf_topk(ds, queries: np.ndarray, codebook: np.ndarray, k: int = 10,
                             ascending=[True, False, True])
     return (cand.groupby("query_idx", as_index=False).head(k)
             .reset_index(drop=True))
+
+
+# --------------------------------------------------- product quantization
+
+def train_pq_codebooks(ds, m: int = 8, ks: int = 256,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       sample_rows: int = 4096, iters: int = 10,
+                       seed: int = 0) -> np.ndarray:
+    """Per-subspace k-means codebooks (Jegou, Douze & Schmid 2011 product
+    quantization), shape (m, ks, d/m), trained on the same unbiased hash
+    sample as the IVF codebook. Vectors are L2-normalized first so the
+    asymmetric-distance inner product approximates cosine.
+
+    This is the genuine 100-TB embedding path: 64-d float32 vectors (256 B)
+    compress to m uint8 codes (8 B, 32x) — the coded table fits in memory
+    where the raw one cannot, and scan cost per batch is m table lookups
+    per row instead of a d-wide dot product."""
+    if id_col is not None and id_col in ds.schema().names:
+        n_total = ds.count()
+        mod = max(1, n_total // sample_rows)
+
+        def slice_batch(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df[id_col].astype(np.int64) % mod == 0]
+
+        sample = (ds.map_batches(slice_batch, batch_format="pandas")
+                  .to_pandas().sort_values(id_col).head(sample_rows))
+    else:
+        sample = ds.limit(sample_rows).to_pandas()
+    X = _normalize(_as_matrix(sample[vec_col].to_numpy()))
+    n, d = X.shape
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    sub = d // m
+    ks = min(ks, n)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ks, sub))
+    for j in range(m):
+        Xj = X[:, j * sub:(j + 1) * sub]
+        C = Xj[rng.choice(n, size=ks, replace=False)]
+        for _ in range(iters):
+            # squared-L2 assignment, vectorized: |x-c|^2 = |x|^2 -2xc + |c|^2
+            d2 = (-2.0 * Xj @ C.T) + (C**2).sum(axis=1)[None, :]
+            assign = np.argmin(d2, axis=1)
+            for c in range(ks):
+                msk = assign == c
+                if msk.any():
+                    C[c] = Xj[msk].mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(ds, codebooks: np.ndarray, vec_col: str = "embedding",
+              id_col: str = "vec_id"):
+    """Dataset -> Dataset of (id, code list<uint8>): each batch assigns its
+    normalized subvectors to the nearest centroid per subspace. Codebooks
+    are broadcast once via ``ray.put``."""
+    cb_ref = ray.put(np.asarray(codebooks))
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        books = ray.get(cb_ref)
+        m, ks, sub = books.shape
+        V = _normalize(_as_matrix(df[vec_col].to_numpy()))
+        codes = np.empty((len(V), m), dtype=np.uint8)
+        for j in range(m):
+            Vj = V[:, j * sub:(j + 1) * sub]
+            C = books[j]
+            d2 = (-2.0 * Vj @ C.T) + (C**2).sum(axis=1)[None, :]
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "code": list(codes)})
+
+    return ds.map_batches(encode, batch_format="pandas")
+
+
+def pq_topk(codes_ds, queries: np.ndarray, codebooks: np.ndarray,
+            k: int = 10, id_col: str = "vec_id") -> pd.DataFrame:
+    """Asymmetric-distance top-k over the CODED table: per query a lookup
+    table (m, ks) of query-subvector x centroid inner products is broadcast;
+    each batch scores rows with m uint8 gathers + a sum, emits its local
+    top-k. Same return contract as brute_force_topk (query_idx, id, cosine
+    ~ approximated)."""
+    Q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    books = np.asarray(codebooks)
+    m, ks, sub = books.shape
+    # LUT[q, j, c] = <Q[q, subspace j], centroid c of subspace j>
+    lut = np.einsum("qjs,jcs->qjc",
+                    Q.reshape(Q.shape[0], m, sub), books)
+    lut_ref = ray.put(lut)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        L = ray.get(lut_ref)
+        codes = np.stack(df["code"].to_numpy()).astype(np.int64)  # (n, m)
+        ids = df[id_col].to_numpy()
+        out_q, out_i, out_s = [], [], []
+        cols = np.arange(m)
+        for qi in range(L.shape[0]):
+            s = L[qi][cols[None, :], codes].sum(axis=1)  # (n,)
+            kk = min(k, len(ids))
+            part = np.argpartition(-s, kk - 1)[:kk]
+            out_q.extend([qi] * kk)
+            out_i.extend(ids[part])
+            out_s.extend(s[part])
+        return pd.DataFrame({"query_idx": np.array(out_q, dtype=np.int64),
+                             id_col: np.array(out_i, dtype=np.int64),
+                             "cosine": out_s})
+
+    cand = codes_ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    if cand.empty:
+        return cand
+    cand = cand.sort_values(["query_idx", "cosine", id_col],
+                            ascending=[True, False, True])
+    return (cand.groupby("query_idx", as_index=False).head(k)
+            .reset_index(drop=True))
+
+
+def pq_topk_rerank(ds, codes_ds, queries: np.ndarray, codebooks: np.ndarray,
+                   k: int = 10, rerank_factor: int = 4,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> pd.DataFrame:
+    """Two-stage retrieval: ADC shortlist of k*rerank_factor per query over
+    the coded table, then EXACT cosine re-rank of only the shortlisted raw
+    vectors (one predicate-pushdown-ish pass over ``ds`` that keeps just
+    nq*k*rerank_factor rows). Standard PQ + re-rank; recall ~1.0 at small
+    rerank factors while the wide scan stays on 8-32 B codes."""
+    short = pq_topk(codes_ds, queries, codebooks, k=k * rerank_factor,
+                    id_col=id_col)
+    if short.empty:
+        return short
+    wanted = frozenset(short[id_col].tolist())
+    w_ref = ray.put(wanted)
+
+    def fetch(df: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(w_ref)
+        return df.loc[df[id_col].isin(ids), [id_col, vec_col]]
+
+    raw = ds.map_batches(fetch, batch_format="pandas").to_pandas()
+    V = _normalize(_as_matrix(raw[vec_col].to_numpy()))
+    by_id = {i: v for i, v in zip(raw[id_col].to_numpy(), V)}
+    Q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    rows = []
+    for qi, grp in short.groupby("query_idx"):
+        ids = grp[id_col].to_numpy()
+        M = np.stack([by_id[i] for i in ids])
+        s = M @ Q[qi]
+        order = np.lexsort((ids, -s))[:k]
+        rows.append(pd.DataFrame({"query_idx": qi, id_col: ids[order],
+                                  "cosine": s[order]}))
+    return pd.concat(rows, ignore_index=True)

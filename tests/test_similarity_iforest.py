@@ -125,3 +125,35 @@ def test_image_video_stubs(ray_session):
         batch_format="pyarrow", concurrency=1).to_pandas()
     assert len(frames) == 8
     assert set(frames["frame_idx"]) == {0, 1, 2, 3}
+
+
+def test_pq_roundtrip_and_recall(emb_ds):
+    """PQ codebooks/encode/ADC: coded scan recall, then exact re-rank
+    recovers the brute-force result (recall 1.0 on this corpus)."""
+    from anomaly_detection_ray.stages import similarity as sim
+    ds, vecs = emb_ds
+    q = vecs[:5]
+    books = sim.train_pq_codebooks(ds, m=8, ks=64, sample_rows=300)
+    assert books.shape == (8, 64, 3)  # 24-d -> 8 subspaces of 3
+    codes = sim.pq_encode(ds, books)
+    cdf = codes.to_pandas()
+    assert len(cdf) == 300
+    assert all(len(c) == 8 for c in cdf["code"])
+    exact = sim.brute_force_topk(ds, q, k=10)
+    approx = sim.pq_topk(codes, q, books, k=10)
+    rec = np.mean([
+        len(set(exact.loc[exact.query_idx == i, "vec_id"]) &
+            set(approx.loc[approx.query_idx == i, "vec_id"])) / 10
+        for i in range(5)])
+    assert rec >= 0.4  # coded-only scan on gaussian data
+    rr = sim.pq_topk_rerank(ds, codes, q, books, k=10, rerank_factor=4)
+    rec_rr = np.mean([
+        len(set(exact.loc[exact.query_idx == i, "vec_id"]) &
+            set(rr.loc[rr.query_idx == i, "vec_id"])) / 10
+        for i in range(5)])
+    assert rec_rr >= 0.9
+    # re-ranked cosines are EXACT for the rows it returns
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for _, r in rr[rr.query_idx == 0].iterrows():
+        want = float(norm[int(r["vec_id"])] @ norm[0])
+        assert abs(r["cosine"] - want) < 1e-9
