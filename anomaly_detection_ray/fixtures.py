@@ -53,6 +53,7 @@ FIXTURE_QUERIES = [
     "clip_segment_stats",
     "clip_resample_stats",
     "audio_prep_segments",
+    "clip_stream_replay",
 ]
 
 

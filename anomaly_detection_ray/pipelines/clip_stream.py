@@ -1,0 +1,271 @@
+"""Continuous (micro-batch) clip-table validation — the flagship pipeline's
+streaming run mode, completing the reference's primary deployment shape
+(/root/reference/src/consumer.py:164-191 infinite Kafka poll) for the AUDIO
+table the same way sources/streaming.StreamRunner does for message streams.
+
+Concepts (same mapping as StreamRunner):
+- **topic** → a watched directory into which clip parquet shards land.
+- **offset** → the processed-file ledger in ``_stream_manifest.json``,
+  committed only AFTER the poll's outputs are durably written
+  (at-least-once); a re-processed poll overwrites its own poll directory
+  (named by the hash of its file set) → idempotent.
+- **poll** → read ONLY the new shards, run the full check chain on them.
+- **carried state** → what the batch flagship computes in pass A becomes
+  cumulative cross-poll state:
+    * duplicate detection: per-poll hash-count partials appended to a
+      disk-backed ledger; each poll key-groups the ledger read-back, so an
+      arriving clip whose twin came in an EARLIER poll is still flagged
+      (the historical copy was already emitted and is not retracted).
+    * dur_ms z-score baseline: a mergeable Welford partial folded over all
+      polls (grading accuracy grows with history; the first poll grades
+      against itself exactly like a fresh batch run).
+    * drift: the arriving poll's fixed-edge histograms are PSI-graded
+      against the CUMULATIVE history histogram (warm-up below
+      ``drift_min_rows`` rows skips grading) — "is the arriving data
+      distributed like everything seen so far".
+    * HLL keeps the running distinct-clip estimate.
+
+Scale: per-poll work is O(new rows) streaming + one small key groupby over
+the hash ledger (O(distinct ids) rows on disk, never on the driver);
+cumulative state is a few KB of sketch registers. Violations append under
+``violations/poll=<id>/partition_id=*`` so a consumer can tail them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import pickle
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..functions.sketches import HyperLogLog, WelfordPartial, psi
+from ..stages import drift as drift_mod
+from ..stages import stats as stats_mod
+from . import validate as vp
+from .validate import ValidateConfig
+
+
+def _state_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_stream_state.pkl")
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_stream_manifest.json")
+
+
+class ClipStreamValidator:
+    """Continuous validation over a watched clip-shard directory."""
+
+    def __init__(self, watch_dir: str, out_dir: str,
+                 cfg: ValidateConfig | None = None,
+                 drift_min_rows: int = 512, drift_psi_error: float = 0.25):
+        self.watch_dir = watch_dir
+        self.out_dir = out_dir
+        self.cfg = cfg or ValidateConfig()
+        self.drift_min_rows = drift_min_rows
+        self.drift_psi_error = drift_psi_error
+        os.makedirs(out_dir, exist_ok=True)
+        self.manifest = self._load_manifest()
+        self.state = self._load_state()
+
+    # ------------------------------------------------------------ state io
+
+    def _load_manifest(self) -> dict:
+        if os.path.exists(_manifest_path(self.out_dir)):
+            with open(_manifest_path(self.out_dir)) as f:
+                return json.load(f)
+        return {"files": [], "polls": {}}
+
+    def _save_manifest(self) -> None:
+        tmp = _manifest_path(self.out_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, _manifest_path(self.out_dir))
+
+    def _load_state(self) -> dict:
+        if os.path.exists(_state_path(self.out_dir)):
+            with open(_state_path(self.out_dir), "rb") as f:
+                return pickle.load(f)
+        return {"hll": HyperLogLog(14), "dur": WelfordPartial(),
+                "hist": None, "rows": 0}
+
+    def _save_state(self) -> None:
+        tmp = _state_path(self.out_dir) + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(self.state, f)
+        os.replace(tmp, _state_path(self.out_dir))
+
+    # --------------------------------------------------------------- poll
+
+    def _new_files(self) -> list[str]:
+        seen = set(self.manifest["files"])
+        return sorted(os.path.join(self.watch_dir, f)
+                      for f in os.listdir(self.watch_dir)
+                      if f.endswith(".parquet")
+                      and os.path.join(self.watch_dir, f) not in seen)
+
+    def poll_once(self) -> dict | None:
+        """Validate newly-arrived shards. Returns the poll summary, or
+        None when nothing new arrived."""
+        files = self._new_files()
+        if not files:
+            return None
+        poll_id = hashlib.sha256("\n".join(
+            os.path.basename(f) for f in files).encode()).hexdigest()[:12]
+        t0 = time.time()
+        cfg = self.cfg
+
+        ds = rd.read_parquet(files)
+
+        # ---- pass A over the micro-batch: partials for sketches + hashes
+        drift_cols = cfg.drift.get("columns") or drift_mod.DEFAULT_EDGES
+
+        def composite_partial(t: pa.Table) -> pa.Table:
+            hll = HyperLogLog(14)
+            hll.add_hashes(vp._id_hashes(t["clip_id"].to_pandas()))
+            payload = {
+                "hll": hll.registers.tobytes(),
+                "dur": stats_mod.welford_partial_batch(t, "dur_ms").to_pydict(),
+                "hist": drift_mod._hist_partial_batch(
+                    t, drift_cols, "partition_id").to_pydict(),
+                "hashes": vp._hash_count_partial(t),
+                "rows": t.num_rows,
+            }
+            return pa.table({"payload": pa.array([pickle.dumps(payload)],
+                                                 type=pa.binary())})
+
+        hll_new = HyperLogLog(14)
+        dur_new = WelfordPartial()
+        hist_rows: list[pd.DataFrame] = []
+        hash_frames: list[pd.DataFrame] = []
+        rows_new = 0
+        parts = ds.map_batches(composite_partial, batch_format="pyarrow")
+        for b in parts.iter_batches(batch_format="pyarrow", batch_size=256):
+            for buf in b["payload"].to_pylist():
+                p = pickle.loads(buf)
+                other = HyperLogLog(14)
+                other.registers = np.frombuffer(p["hll"], dtype=np.uint8).copy()
+                hll_new = hll_new.merge(other)
+                d = p["dur"]
+                for i in range(len(d["n"])):
+                    dur_new = dur_new.merge(WelfordPartial(
+                        int(d["n"][i]), d["mean"][i], d["M2"][i],
+                        d["min"][i], d["max"][i]))
+                hist_rows.append(pd.DataFrame(p["hist"]))
+                hash_frames.append(p["hashes"])
+                rows_new += p["rows"]
+
+        # ---- hash ledger append + global duplicate confirmation
+        ledger_dir = os.path.join(self.out_dir, "id_hashes")
+        poll_ledger = os.path.join(ledger_dir, f"poll={poll_id}")
+        os.makedirs(poll_ledger, exist_ok=True)
+        for f in os.listdir(poll_ledger):  # idempotent re-poll
+            os.unlink(os.path.join(poll_ledger, f))
+        live = (pd.concat(hash_frames, ignore_index=True)
+                .groupby("clip_id_hash", as_index=False).agg(cnt=("cnt", "sum")))
+        import pyarrow.parquet as pq
+        pq.write_table(pa.table({
+            "clip_id_hash": live["clip_id_hash"].to_numpy(np.int64),
+            "cnt": live["cnt"].to_numpy(np.int64)}),
+            os.path.join(poll_ledger, "hashes.parquet"))
+        merged = (rd.read_parquet(ledger_dir, columns=["clip_id_hash", "cnt"])
+                  .groupby("clip_id_hash").sum("cnt"))
+        import pyarrow.compute as pc
+        dups = merged.map_batches(
+            lambda t: t.filter(pc.greater(t["sum(cnt)"], 1)),
+            batch_format="pyarrow").to_pandas()
+        dup_hashes = (np.sort(dups["clip_id_hash"].to_numpy(np.int64)
+                              .astype(np.uint64))
+                      if len(dups) else np.array([], dtype=np.uint64))
+
+        # ---- drift of the arriving poll vs cumulative history
+        hist_new = (pd.concat(hist_rows, ignore_index=True)
+                    .groupby("column", as_index=False)
+                    .agg(counts=("counts", lambda s: np.sum(
+                        np.stack([np.asarray(c) for c in s]), axis=0))))
+        drift_psi: dict[str, float] = {}
+        drifted = False
+        prior_hist = self.state["hist"]
+        if prior_hist is not None and self.state["rows"] >= self.drift_min_rows:
+            prior = {r["column"]: np.asarray(r["counts"])
+                     for _, r in prior_hist.iterrows()}
+            for _, r in hist_new.iterrows():
+                col = r["column"]
+                if col in prior:
+                    v = float(psi(prior[col], np.asarray(r["counts"])))
+                    drift_psi[col] = round(v, 4)
+                    drifted |= v > self.drift_psi_error
+
+        # ---- pass B on the new rows (cumulative dur baseline)
+        dur_cum = self.state["dur"].merge(dur_new)
+        pass_a = {"dup_hashes": dup_hashes, "dur_stats": dur_cum}
+        acc = vp.MetricsAccumulator.remote()
+        verdicts = vp.build_pass_b(ds, cfg, pass_a, metrics_actor=acc)
+        violations = verdicts.map_batches(
+            lambda t: t.filter(pc.equal(t["status_code"], vp.ERROR_CODE)),
+            batch_format="pyarrow")
+        viol_dir = os.path.join(self.out_dir, "violations", f"poll={poll_id}")
+        if os.path.isdir(viol_dir):  # idempotent re-poll
+            import shutil
+            shutil.rmtree(viol_dir)
+        os.makedirs(viol_dir, exist_ok=True)
+        violations.write_parquet(viol_dir, partition_cols=["partition_id"])
+        metrics = ray.get(acc.total.remote())
+        ray.kill(acc)
+        n_viol = (int(metrics["status_code_errors"].sum())
+                  if not metrics.empty else 0)
+
+        # ---- fold state, record poll, THEN commit offsets (at-least-once)
+        self.state["hll"] = self.state["hll"].merge(hll_new)
+        self.state["dur"] = dur_cum
+        if prior_hist is None:
+            self.state["hist"] = hist_new
+        else:
+            both = pd.concat([prior_hist, hist_new], ignore_index=True)
+            self.state["hist"] = (both.groupby("column", as_index=False)
+                                  .agg(counts=("counts", lambda s: np.sum(
+                                      np.stack([np.asarray(c) for c in s]),
+                                      axis=0))))
+        self.state["rows"] += rows_new
+        self._save_state()
+
+        entry = {
+            "files": [os.path.basename(f) for f in files],
+            "rows": int(rows_new),
+            "violations": n_viol,
+            "drift_psi": drift_psi,
+            "drifted": bool(drifted),
+            "pass": not (n_viol > 0 or drifted),
+            "wall_sec": round(time.time() - t0, 3),
+        }
+        self.manifest["polls"][poll_id] = entry
+        self.manifest["files"].extend(files)
+        self._save_manifest()
+        return {"poll_id": poll_id, **entry,
+                "hll_estimate": self.state["hll"].estimate(),
+                "rows_total": self.state["rows"]}
+
+    def run(self, max_polls: int | None = None, idle_sleep: float = 1.0,
+            idle_limit: int | None = 1):
+        """Poll loop: validate new shards as they land; stop after
+        ``idle_limit`` consecutive empty polls (None = run forever)."""
+        results, idle = [], 0
+        while max_polls is None or len(results) < max_polls:
+            r = self.poll_once()
+            if r is None:
+                idle += 1
+                if idle_limit is not None and idle >= idle_limit:
+                    break
+                time.sleep(idle_sleep)
+                continue
+            idle = 0
+            results.append(r)
+        return results

@@ -911,6 +911,44 @@ def q_audio_prep_segments(sf_dir: str):
     return m.sort_values("partition_id").reset_index(drop=True)
 
 
+def q_clip_stream_replay(sf_dir: str):
+    """Continuous clip validation replayed over two arrival waves: per-poll
+    summary (rows, violations, drifted). Cross-poll duplicate ledger and
+    cumulative drift state are exercised; wall times excluded so the
+    result is deterministic."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from .. import synth
+    from .clip_stream import ClipStreamValidator
+    from .validate import ValidateConfig
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    n = _CLIP_N.get(sf, 1200)
+    base = os.path.join(tempfile.gettempdir(), "adr_clip_stream", f"sf{sf}")
+    watch, out = os.path.join(base, "watch"), os.path.join(base, "out")
+    for d in (watch, out):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+    cut = n // 2
+    pq.write_table(synth.generate_batch(42, np.arange(0, cut), 16),
+                   os.path.join(watch, "wave1.parquet"), compression="none")
+    v = ClipStreamValidator(watch, out, ValidateConfig(seed=42, P=16),
+                            drift_min_rows=256)
+    r1 = v.poll_once()
+    pq.write_table(synth.generate_batch(42, np.arange(cut, n), 16),
+                   os.path.join(watch, "wave2.parquet"), compression="none")
+    r2 = v.poll_once()
+    rows = []
+    for k, r in (("wave1", r1), ("wave2", r2)):
+        rows.append({"wave": k, "rows": int(r["rows"]),
+                     "violations": int(r["violations"]),
+                     "drifted": bool(r["drifted"])})
+    return pd.DataFrame(rows)
+
+
 def q_clip_resample_stats(sf_dir: str):
     """Rate-normalization to 16 kHz (linear resample): per-clip output
     sample count (bytes re-encode skipped — stats only)."""
@@ -982,5 +1020,6 @@ QUERIES = {
     "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
     "clip_segment_stats": q_clip_segment_stats,
     "audio_prep_segments": q_audio_prep_segments,
+    "clip_stream_replay": q_clip_stream_replay,
     "clip_resample_stats": q_clip_resample_stats,
 }

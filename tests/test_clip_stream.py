@@ -1,0 +1,127 @@
+"""Continuous clip-table validation: micro-batch polls, cross-poll
+duplicate detection, cumulative drift, restart/offset semantics."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import pytest
+
+from anomaly_detection_ray import synth
+from anomaly_detection_ray.pipelines import validate as vp
+from anomaly_detection_ray.pipelines.clip_stream import ClipStreamValidator
+
+SEED, N, P = 42, 1500, 8
+
+
+def _write_wave(d: str, name: str, idx: np.ndarray) -> None:
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(synth.generate_batch(SEED, idx, P), os.path.join(d, name),
+                   compression="none")
+
+
+@pytest.fixture(scope="module")
+def split_point():
+    """A split so wave 2 contains a duplicate whose source is in wave 1."""
+    gt = synth.ground_truth(SEED, N, P)
+    dups = gt["dup"]
+    srcs = synth.dup_source(SEED, dups)
+    for cut in range(N // 3, N - 1):
+        m = (dups >= cut) & (srcs < cut)
+        if m.any():
+            return cut, int(dups[m][0]), int(srcs[m][0])
+    pytest.fail("no cross-wave dup found")
+
+
+@pytest.fixture(scope="module")
+def stream(tmp_path_factory, ray_session, split_point):
+    cut, dup_idx, src_idx = split_point
+    watch = str(tmp_path_factory.mktemp("watch"))
+    out = str(tmp_path_factory.mktemp("stream_out"))
+    cfg = vp.ValidateConfig(seed=SEED, P=P, fidelity_concurrency=2,
+                            fidelity_batch_size=128)
+    v = ClipStreamValidator(watch, out, cfg, drift_min_rows=256)
+    _write_wave(watch, "wave1.parquet", np.arange(0, cut))
+    r1 = v.poll_once()
+    _write_wave(watch, "wave2.parquet", np.arange(cut, N))
+    r2 = v.poll_once()
+    return {"v": v, "watch": watch, "out": out, "cfg": cfg,
+            "r1": r1, "r2": r2, "cut": cut, "dup_idx": dup_idx,
+            "src_idx": src_idx}
+
+
+def _viols(out_dir: str, poll_id: str) -> pd.DataFrame:
+    return (pads.dataset(os.path.join(out_dir, "violations", f"poll={poll_id}"),
+                         partitioning="hive").to_table().to_pandas())
+
+
+def test_polls_cover_all_rows(stream):
+    assert stream["r1"]["rows"] == stream["cut"]
+    assert stream["r2"]["rows"] == N - stream["cut"]
+    assert stream["r2"]["rows_total"] == N
+
+
+def test_cross_poll_duplicate_flagged(stream):
+    """The wave-2 copy of a wave-1 clip is flagged by the ledger."""
+    df = _viols(stream["out"], stream["r2"]["poll_id"])
+    dup_id = f"clip-{stream['src_idx']:09d}"  # dup rows reuse source's id
+    flagged = df[(df["clip_id"] == dup_id) & (df["uq_code"] == -1)]
+    assert len(flagged) >= 1
+
+
+def test_empty_poll_returns_none(stream):
+    assert stream["v"].poll_once() is None
+
+
+def test_restart_resumes_offsets(stream):
+    """A new validator on the same dirs skips processed files and keeps
+    cumulative state (rows, HLL)."""
+    v2 = ClipStreamValidator(stream["watch"], stream["out"], stream["cfg"])
+    assert v2.poll_once() is None
+    assert v2.state["rows"] == N
+    est = v2.state["hll"].estimate()
+    assert 0.8 * N < est < 1.1 * N  # distinct ids = N - #dups, HLL ±2%
+
+
+def test_flags_match_batch_for_stateless_checks(stream):
+    """Per-clip rv/bc/cc/tc/fid flags from the two polls equal a one-shot
+    batch run over the same rows (these checks carry no cross-poll state)."""
+    import ray.data as rd
+    full = synth.generate_batch(SEED, np.arange(N), P)
+    # batch reference: run the same chain, compare the stateless columns
+    batch = vp.build_pass_b(rd.from_arrow(full), stream["cfg"],
+                            {"dup_hashes": np.array([], dtype=np.uint64),
+                             "dur_stats": stream["v"].state["dur"]}).to_pandas()
+    streamed = pd.concat(
+        [_viols(stream["out"], stream["r1"]["poll_id"]),
+         _viols(stream["out"], stream["r2"]["poll_id"])], ignore_index=True)
+    b_err = batch[batch[["rv_code", "bc_code", "cc_code", "tc_code",
+                         "fid_code"]].eq(-1).any(axis=1)]
+    # every batch-flagged stateless violation appears in a streamed poll
+    merged = b_err.merge(streamed, on="clip_id", how="left",
+                         suffixes=("_b", "_s"))
+    assert merged["status_code_s"].notna().all()
+    for c in ("rv_code", "bc_code", "cc_code", "tc_code", "fid_code"):
+        same = merged[f"{c}_b"] == merged[f"{c}_s"]
+        assert same.mean() == 1.0
+
+
+def test_drift_detected_on_shifted_wave(stream):
+    """A wave drawn from the drifted partition's distribution (sr 22050,
+    longer durations) PSI-flags against the cumulative history."""
+    t = synth.generate_batch(SEED, np.arange(N, N + 2000), P)
+    mask = np.asarray(t["partition_id"].to_numpy(zero_copy_only=False)) == P - 1
+    shifted = t.filter(pa_mask(mask))
+    pq.write_table(shifted, os.path.join(stream["watch"], "wave3.parquet"),
+                   compression="none")
+    r3 = stream["v"].poll_once()
+    assert r3 is not None
+    assert r3["drift_psi"].get("sr_hz", 0) > 0.25
+    assert r3["drifted"] is True
+
+
+def pa_mask(m):
+    import pyarrow as pa
+    return pa.array(m)
