@@ -933,6 +933,21 @@ def oracle_sql() -> dict[str, str]:
         "percent_score_events": _sql_percent_score(),
         "forecast_band_events": _sql_forecast_band(),
         "seasonal_band_events": _sql_seasonal_band(),
+        "asof_join_events": """
+            -- distributed as-of join parity: DuckDB's native ASOF JOIN is
+            -- the independent computation path (inner, greatest r.ts <= l.ts)
+            WITH l AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'error'),
+                 r AS (SELECT user_id, ts, value FROM events
+                       WHERE event_type = 'signup')
+            SELECT l.event_id, l.user_id,
+                   round(l.value, 4) AS value,
+                   round(r.value, 4) AS signup_value,
+                   round(date_diff('microsecond', r.ts, l.ts) / 1000000.0, 3)
+                       AS lag_s
+            FROM l ASOF JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
         "eval_f1_events": _sql_eval_f1(),
         "stream_validation_events": _sql_stream_validation(),
         "trend_classification_events": _sql_trend_classification(),

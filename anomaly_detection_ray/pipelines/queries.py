@@ -701,6 +701,34 @@ def q_seasonal_band_events(sf_dir: str):
     return out.select_columns(["event_id", "szn_code"])
 
 
+def q_asof_join_events(sf_dir: str):
+    """Distributed as-of join (large right side — no broadcast): each
+    'error' event matched to the most recent 'signup' event with
+    ``signup.ts <= error.ts`` by the same user. One co-partitioning
+    shuffle (tag + union + groupby(user_id)), vectorized searchsorted per
+    group (stages/asof.asof_join); oracle = DuckDB ``ASOF JOIN``."""
+    from ..stages import asof as asof_mod
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type",
+                                  "value"])
+    left = ev.filter(expr="event_type == 'error'").drop_columns(["event_type"])
+    right = ev.filter(expr="event_type == 'signup'").drop_columns(["event_type"])
+    out = asof_mod.asof_join(left, right, key="user_id", ts_col="ts",
+                             left_cols=["event_id", "value"],
+                             right_cols=["value"], suffix="_signup",
+                             lag_col="lag_s")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype(np.int64),
+            "user_id": df["user_id"].astype(np.int64),
+            "value": rnd(df["value"], 4),
+            "signup_value": rnd(df["value_signup"], 4),
+            "lag_s": rnd(df["lag_s"], 3),
+        })
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def q_stream_validation_events(sf_dir: str):
     """Streaming micro-batch validation (sources/streaming.StreamRunner —
     the Kafka-loop equivalent): the events table is replayed as 4 message
@@ -1009,6 +1037,7 @@ QUERIES = {
     "clustering_events": q_clustering_events,
     "forecast_band_events": q_forecast_band_events,
     "seasonal_band_events": q_seasonal_band_events,
+    "asof_join_events": q_asof_join_events,
     "autoencoder_events": q_autoencoder_events,
     "gan_autoencoder_events": q_gan_autoencoder_events,
     "reference_config_borders": q_reference_config_borders,

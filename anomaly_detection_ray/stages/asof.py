@@ -155,6 +155,83 @@ def seasonal_forecast(ds, ts_col: str = "ts", value_col: str = "value",
                          "yhat_upper": yhat + band[gbin]})
 
 
+def asof_join(left, right, key: str, ts_col: str,
+              left_cols: list[str], right_cols: list[str],
+              suffix: str = "_r", lag_col: str | None = None):
+    """Distributed backward as-of join for a LARGE right side (the
+    broadcast path above stops working when the forecast/right table no
+    longer fits in one object): every left row is matched to the right row
+    with the greatest ``ts <= left.ts`` for the same ``key`` (inner —
+    unmatched left rows are dropped, DuckDB ``ASOF JOIN`` semantics).
+
+    Shape: both sides are pruned to the needed columns, tagged, padded to a
+    common schema and unioned, so ONE ``groupby(key)`` shuffle co-partitions
+    them; the per-group kernel is a vectorized ``np.searchsorted`` over the
+    in-group sort — no driver materialization, no second shuffle. Skew is
+    bounded by per-key group size (same assumption as every series kernel,
+    stages/series.py:12-16); ``right_cols`` values arrive renamed with
+    ``suffix``, and ``lag_col`` (optional) emits ``left.ts - matched.ts``
+    in seconds.
+
+    Re-expresses /root/reference/src/algorithms/fb_prophet.py:132-136
+    (nearest-forecast lookup) as a general distributed operator.
+    """
+    lkeep = [key, ts_col, *left_cols]
+    rout = [c + suffix for c in right_cols]
+    # pad types come from the owning side's schema so the union is exact
+    # (filter/read datasets resolve schema from metadata — no execution)
+    def _pa_type(sch, c):
+        if hasattr(sch, "field"):  # pyarrow schema
+            return sch.field(c).type
+        return pa.from_numpy_dtype(sch.types[sch.names.index(c)])  # pandas blocks
+
+    lsch, rsch = left.schema().base_schema, right.schema().base_schema
+    ltype = {c: _pa_type(lsch, c) for c in left_cols}
+    rtype = {c: _pa_type(rsch, c) for c in right_cols}
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = t.select(lkeep).append_column(
+            "__side", pa.array(np.ones(t.num_rows, dtype=np.int8)))
+        for c, rc in zip(right_cols, rout):
+            t = t.append_column(rc, pa.nulls(t.num_rows, rtype[c]))
+        return t
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        out = t.select([key, ts_col])
+        for c in left_cols:
+            out = out.append_column(c, pa.nulls(t.num_rows, ltype[c]))
+        out = out.append_column(
+            "__side", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+        for c, rc in zip(right_cols, rout):
+            out = out.append_column(rc, t[c])
+        return out
+
+    u = (left.map_batches(tag_left, batch_format="pyarrow")
+         .union(right.map_batches(tag_right, batch_format="pyarrow")))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ts_col, "__side"], kind="mergesort")
+        r = df[df["__side"] == 0]
+        lf = df[df["__side"] == 1]
+        if not len(lf):
+            return pd.DataFrame({c: [] for c in [*lkeep, *rout]})
+        r_ts = r[ts_col].to_numpy()
+        idx = np.searchsorted(r_ts, lf[ts_col].to_numpy(), side="right") - 1
+        hit = idx >= 0
+        out = lf.loc[hit, lkeep].copy()
+        take = idx[hit]
+        for rc in rout:
+            out[rc] = r[rc].to_numpy()[take]
+        if lag_col is not None:
+            lag = (out[ts_col].to_numpy() - r_ts[take])
+            if np.issubdtype(lag.dtype, np.timedelta64):
+                lag = lag / np.timedelta64(1, "s")
+            out[lag_col] = lag.astype(np.float64)
+        return out.reset_index(drop=True)
+
+    return u.groupby(key).map_groups(merge, batch_format="pandas")
+
+
 def naive_forecast(ds, ts_col: str = "ts", value_col: str = "value",
                    window_s: float = 3600.0, X: float = 3.0) -> pd.DataFrame:
     """Prophet-free forecast table: per time-window mean ± X·std of the value

@@ -222,3 +222,52 @@ def test_rrcf_flags_injected_outliers():
         t.insert_point(np.array([float(i % 7), float(i % 3)]), index=i)
     assert len(t.leaves) == 32
     assert t.root.size == 32
+
+
+def test_asof_join_matches_merge_asof(ray_session):
+    """Distributed asof_join (tag+union+groupby+searchsorted) must equal
+    pandas merge_asof(direction='backward', allow_exact_matches=True) per
+    key, with unmatched left rows dropped (DuckDB ASOF JOIN semantics)."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.asof import asof_join
+
+    r = np.random.default_rng(11)
+    n_l, n_r = 600, 400
+    left = pd.DataFrame({
+        "k": r.integers(0, 8, n_l),
+        "ts": r.integers(0, 10_000, n_l).astype(np.int64),
+        "lid": np.arange(n_l, dtype=np.int64),
+        "lv": r.normal(size=n_l),
+    })
+    right = pd.DataFrame({
+        "k": r.integers(0, 10, n_r),  # keys 8,9 exist only on the right
+        "ts": r.integers(0, 10_000, n_r).astype(np.int64),
+        "rv": r.normal(size=n_r),
+    })
+    # exact-match tie coverage: clone some right ts onto left rows
+    left.loc[:50, "ts"] = right["ts"].iloc[:51].to_numpy()
+    left.loc[:50, "k"] = right["k"].iloc[:51].to_numpy()
+    # dedupe (k, ts) on the right so the expected match is unambiguous
+    right = right.drop_duplicates(["k", "ts"]).reset_index(drop=True)
+
+    got = (asof_join(rd.from_pandas(left).repartition(6),
+                     rd.from_pandas(right).repartition(5),
+                     key="k", ts_col="ts", left_cols=["lid", "lv"],
+                     right_cols=["rv"], suffix="_r", lag_col="lag_s")
+           .to_pandas())
+
+    want = (pd.merge_asof(left.sort_values("ts", kind="mergesort"),
+                          right.sort_values("ts", kind="mergesort")
+                          .rename(columns={"rv": "rv_r"}),
+                          on="ts", by="k", direction="backward",
+                          allow_exact_matches=True)
+            .dropna(subset=["rv_r"]))
+
+    got = got.sort_values("lid").reset_index(drop=True)
+    want = want.sort_values("lid").reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert (got["lid"].to_numpy() == want["lid"].to_numpy()).all()
+    np.testing.assert_allclose(got["rv_r"], want["rv_r"])
+    np.testing.assert_allclose(got["lv"], want["lv"])
+    assert (got["lag_s"].to_numpy() >= 0).all()
