@@ -46,6 +46,7 @@ FIXTURE_QUERIES = [
     "gan_autoencoder_events",
     "rrcf_events",
     "trend_mlp_events",
+    "image_decode_features",
     "clip_validation_verdicts",
     "clip_audio_features",
     "clip_spectral_features",

@@ -852,6 +852,59 @@ def _clip_table_path(sf_dir: str) -> str:
     return path
 
 
+_IMG_N = {"0.001": 400, "0.01": 1000, "0.1": 4000}
+
+
+def _image_table_path(sf_dir: str) -> str:
+    """Deterministic PNG image table (idempotent /tmp cache, like the clip
+    table): one row per image, seed = row index — independent of
+    partitioning, so any parallelism yields identical bytes."""
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    n = _IMG_N.get(sf, 400)
+    path = f"/tmp/adr_imgs/sf{sf}"
+    done = os.path.join(path, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        from .. import image as img
+
+        def gen(b: pd.DataFrame) -> pd.DataFrame:
+            ids, payloads = [], []
+            for i in b["id"]:
+                ids.append(f"img{int(i):06d}")
+                payloads.append(img.encode_png(img.synth_image(seed=int(i))))
+            return pd.DataFrame({"img_id": ids, "image": payloads})
+
+        rd.range(n).map_batches(gen, batch_size=128,
+                                batch_format="pandas").write_parquet(path)
+        open(done, "w").close()
+    return path
+
+
+def q_image_decode_features(sf_dir: str):
+    """REAL PNG decode over the deterministic image table (stdlib codec,
+    image.py — no PIL): dimensions + Rec.601 mean luma per image via the
+    ImageDecode actor pool, payload-aware small batches. Deterministic
+    => fixture oracle."""
+    from ..stages.multimodal import ImageDecode
+    from ..stages.sizing import pool_size
+    path = _image_table_path(sf_dir)
+    ds = rd.read_parquet(path)
+    out = ds.map_batches(ImageDecode,
+                         fn_constructor_kwargs={"bytes_col": "image"},
+                         batch_format="pyarrow", batch_size=64,
+                         concurrency=pool_size(4), num_cpus=1)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("mean_luma"),
+                            "mean_luma", pa.array(rnd(t["mean_luma"].to_numpy(
+                                zero_copy_only=False), 4)))
+
+    return (out.map_batches(fin, batch_format="pyarrow")
+            .select_columns(["img_id", "height", "width", "channels",
+                             "mean_luma"]))
+
+
 def q_clip_validation_verdicts(sf_dir: str):
     """Flagship pipeline per-partition verdicts on the deterministic clip
     table scaled to the sf (rows-only; ground truth tested in pytest)."""
@@ -1043,6 +1096,7 @@ QUERIES = {
     "reference_config_borders": q_reference_config_borders,
     "eval_f1_events": q_eval_f1_events,
     "stream_validation_events": q_stream_validation_events,
+    "image_decode_features": q_image_decode_features,
     "clip_validation_verdicts": q_clip_validation_verdicts,
     "clip_audio_features": q_clip_audio_features,
     "clip_spectral_features": q_clip_spectral_features,

@@ -59,12 +59,14 @@ class AudioFeatures:
 
 
 class ImageDecode:
-    """Actor-pool stage: image binary -> (height, width, channels).
+    """Actor-pool stage: image binary -> (height, width, channels,
+    mean_luma) + optional nearest-neighbor resize stats.
 
-    STUB: no image codec in this container. ``fake="deterministic"``
-    exercises the full Ray plumbing with dimensions derived from a stable
-    hash of the payload; ``fake=None`` raises NotImplementedError exactly
-    where a real PIL/libjpeg decode would go.
+    REAL for PNG via the stdlib codec in ``image.py`` (8-bit gray / RGB /
+    RGBA / palette, all five scanline filters). JPEG/WebP payloads are the
+    remaining STUB — those codecs aren't in this container — so non-PNG
+    magic raises NotImplementedError (or, with ``fake="deterministic"``,
+    falls back to crc-derived dimensions to keep exercising the plumbing).
     """
 
     def __init__(self, bytes_col: str = "image", fake: str | None = None,
@@ -74,29 +76,37 @@ class ImageDecode:
         self.resize_to = resize_to
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        from .. import image as img
         payloads = t[self.bytes_col].to_pylist()
-        if self.fake is None:
-            if not HAVE_PIL:
-                raise NotImplementedError(
-                    "image decode requires an image codec (PIL) — not in this "
-                    "container; construct with fake='deterministic' to test plumbing")
-            raise NotImplementedError("real PIL path intentionally unimplemented here")
-        h = np.zeros(len(payloads), dtype=np.int32)
-        w = np.zeros(len(payloads), dtype=np.int32)
-        c = np.zeros(len(payloads), dtype=np.int32)
+        n = len(payloads)
+        h = np.zeros(n, dtype=np.int32)
+        w = np.zeros(n, dtype=np.int32)
+        c = np.zeros(n, dtype=np.int32)
+        luma = np.full(n, np.nan)
         import zlib
         for i, b in enumerate(payloads):
             if not b:
                 continue
-            # crc32, not hash(): Python's hash is salted per process, which
-            # would make the "deterministic" fake differ across Ray workers
-            hv = zlib.crc32(bytes(b[:64])) & 0xFFFF
-            h[i], w[i], c[i] = 64 + hv % 512, 64 + (hv >> 4) % 512, 3
-        if self.resize_to is not None:
-            h[:], w[:] = self.resize_to
+            if bytes(b[:8]) == img.PNG_MAGIC:
+                arr, meta = img.decode_png(bytes(b))
+                if self.resize_to is not None:
+                    arr = img.resize_nearest(arr, self.resize_to)
+                h[i], w[i] = arr.shape[:2]
+                c[i] = arr.shape[2]
+                luma[i] = float(img.luminance(arr).mean())
+            elif self.fake == "deterministic":
+                # crc32, not hash(): Python's hash is salted per process,
+                # which would break determinism across Ray workers
+                hv = zlib.crc32(bytes(b[:64])) & 0xFFFF
+                h[i], w[i], c[i] = 64 + hv % 512, 64 + (hv >> 4) % 512, 3
+            else:
+                raise NotImplementedError(
+                    "non-PNG image payload: JPEG/WebP codecs are not in this "
+                    "container; use PNG or fake='deterministic'")
         return (t.append_column("height", pa.array(h))
                  .append_column("width", pa.array(w))
-                 .append_column("channels", pa.array(c)))
+                 .append_column("channels", pa.array(c))
+                 .append_column("mean_luma", pa.array(luma)))
 
 
 class VideoFrameSample:
