@@ -811,6 +811,37 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY date_trunc('hour', ts), event_type
         """,
+        "sessionize_events": """
+            -- gaps-and-islands in SQL (independent path from the engine's
+            -- per-group diff/cumsum kernel); microsecond-exact boundary
+            WITH e AS (SELECT user_id, ts,
+                              lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts) AS prev
+                       FROM events),
+            s AS (SELECT user_id, ts,
+                         CASE WHEN prev IS NULL OR date_diff('microsecond',
+                                   prev, ts) > 28800000000
+                              THEN 1 ELSE 0 END AS new_s FROM e),
+            g AS (SELECT user_id, ts,
+                         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING)
+                             AS session_id FROM s)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(session_id AS BIGINT) AS session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   epoch_us(min(ts)) AS start_us,
+                   epoch_us(max(ts)) AS end_us,
+                   round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0,
+                         6) AS duration_s
+            FROM g GROUP BY user_id, session_id
+        """,
+        "join_orders_lineitem": """
+            SELECT o_orderpriority, l_returnflag,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority, l_returnflag
+        """,
         "bloom_dedup_documents": """
             SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS cnt
             FROM (SELECT coalesce(text, '') AS text FROM documents)

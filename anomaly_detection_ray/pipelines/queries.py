@@ -273,6 +273,61 @@ def q_top_customers_revenue(sf_dir: str):
     return top[["o_custkey", "c_name", "revenue", "n_orders"]].reset_index(drop=True)
 
 
+def q_sessionize_events(sf_dir: str):
+    """Gap-window sessionization of the per-user event stream (8h gap):
+    one row per session with count/span (stages/sessions.sessionize — one
+    series-key shuffle, vectorized gaps-and-islands kernel; DuckDB
+    window-function oracle)."""
+    from ..stages.sessions import sessionize
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    out = sessionize(ds, key="user_id", ts_col="ts", gap_s=8 * 3600.0)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ["user_id", "session_id", "n_events", "start_us", "end_us"]:
+            df[c] = df[c].astype("int64")
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def q_join_orders_lineitem(sf_dir: str):
+    """Large×large co-partitioned hash join (native ``Dataset.join``
+    shuffle — neither side is broadcast-small at the north-star scale):
+    revenue by (order priority, return flag). Payload is minimized BEFORE
+    the exchange: per-batch partial aggregation collapses lineitem to
+    (orderkey, flag, revenue, n_items) rows, so the all-to-all moves
+    pre-reduced rows, not raw line items; the post-join aggregate is again
+    partial-then-fold."""
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "l_orderkey": df["l_orderkey"],
+            "l_returnflag": df["l_returnflag"],
+            "revenue": df["l_extendedprice"] * (1 - df["l_discount"]),
+            "n_items": 1,
+        }).groupby(["l_orderkey", "l_returnflag"], as_index=False).sum())
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    j = li.map_batches(pre, batch_format="pandas").join(
+        orders, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["o_orderpriority", "l_returnflag"],
+                          as_index=False).agg(revenue=("revenue", "sum"),
+                                              n_items=("n_items", "sum"))
+
+    merged = _fold(j.map_batches(post, batch_format="pandas"),
+                   ["o_orderpriority", "l_returnflag"],
+                   {"revenue": "sum", "n_items": "sum"})
+    merged["revenue"] = rnd(merged["revenue"], 2)
+    merged["n_items"] = merged["n_items"].astype("int64")
+    return (merged.sort_values(["o_orderpriority", "l_returnflag"])
+            .reset_index(drop=True))
+
+
 def q_events_hourly(sf_dir: str):
     """Tumbling 1-hour event-time window per event_type: count + mean."""
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
@@ -1058,6 +1113,8 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_customers_revenue": q_top_customers_revenue,
     "events_hourly": q_events_hourly,
+    "join_orders_lineitem": q_join_orders_lineitem,
+    "sessionize_events": q_sessionize_events,
     "exact_dedup_documents": q_exact_dedup_documents,
     "token_count_documents": q_token_count_documents,
     "text_quality_documents": q_text_quality_documents,

@@ -78,7 +78,8 @@ def oracle_names():
     "text_quality_documents", "embedding_norms", "similarity_topk_embeddings",
     "feature_construction_events", "time_filter_events",
     "bloom_dedup_documents", "percentile_events", "linear_fit_events",
-    "hampel_events", "asof_join_events",
+    "hampel_events", "asof_join_events", "join_orders_lineitem",
+    "sessionize_events",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]

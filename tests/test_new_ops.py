@@ -271,3 +271,35 @@ def test_asof_join_matches_merge_asof(ray_session):
     np.testing.assert_allclose(got["rv_r"], want["rv_r"])
     np.testing.assert_allclose(got["lv"], want["lv"])
     assert (got["lag_s"].to_numpy() >= 0).all()
+
+
+def test_sessionize_gap_boundary(ray_session):
+    """Strict-gap semantics: gap == gap_s stays in-session, gap just over
+    starts a new one; session ids are 1-based per key in time order."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.sessions import sessionize
+
+    base = pd.Timestamp("2024-01-01")
+    gap = 60.0
+    rows = []
+    # user 1: 3 events exactly 60s apart (one session), then +60.000001s
+    t = base
+    for i in range(3):
+        rows.append({"user_id": 1, "ts": t})
+        t += pd.Timedelta(seconds=60)
+    rows.append({"user_id": 1, "ts": rows[-1]["ts"] + pd.Timedelta(seconds=60, microseconds=1)})
+    # user 2: single event
+    rows.append({"user_id": 2, "ts": base})
+    df = pd.DataFrame(rows)
+    out = (sessionize(rd.from_pandas(df).repartition(3), key="user_id",
+                      ts_col="ts", gap_s=gap)
+           .to_pandas().sort_values(["user_id", "session_id"])
+           .reset_index(drop=True))
+    u1 = out[out["user_id"] == 1]
+    assert list(u1["session_id"]) == [1, 2]
+    assert list(u1["n_events"]) == [3, 1]
+    assert u1["duration_s"].iloc[0] == pytest.approx(120.0)
+    u2 = out[out["user_id"] == 2]
+    assert list(u2["n_events"]) == [1]
+    assert u2["duration_s"].iloc[0] == 0.0
