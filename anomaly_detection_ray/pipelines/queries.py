@@ -770,7 +770,10 @@ def q_asof_join_events(sf_dir: str):
     out = asof_mod.asof_join(left, right, key="user_id", ts_col="ts",
                              left_cols=["event_id", "value"],
                              right_cols=["value"], suffix="_signup",
-                             lag_col="lag_s")
+                             lag_col="lag_s",
+                             left_types={"event_id": pa.int64(),
+                                         "value": pa.float64()},
+                             right_types={"value": pa.float64()})
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

@@ -157,7 +157,9 @@ def seasonal_forecast(ds, ts_col: str = "ts", value_col: str = "value",
 
 def asof_join(left, right, key: str, ts_col: str,
               left_cols: list[str], right_cols: list[str],
-              suffix: str = "_r", lag_col: str | None = None):
+              suffix: str = "_r", lag_col: str | None = None,
+              left_types: dict | None = None,
+              right_types: dict | None = None):
     """Distributed backward as-of join for a LARGE right side (the
     broadcast path above stops working when the forecast/right table no
     longer fits in one object): every left row is matched to the right row
@@ -185,9 +187,13 @@ def asof_join(left, right, key: str, ts_col: str,
             return sch.field(c).type
         return pa.from_numpy_dtype(sch.types[sch.names.index(c)])  # pandas blocks
 
-    lsch, rsch = left.schema().base_schema, right.schema().base_schema
-    ltype = {c: _pa_type(lsch, c) for c in left_cols}
-    rtype = {c: _pa_type(rsch, c) for c in right_cols}
+    if left_types is None or right_types is None:
+        # schema() on a transformed dataset EXECUTES a 1-row probe per side
+        # — pass explicit types on hot paths to keep the plan single-pass
+        lsch, rsch = left.schema().base_schema, right.schema().base_schema
+        left_types = left_types or {c: _pa_type(lsch, c) for c in left_cols}
+        right_types = right_types or {c: _pa_type(rsch, c) for c in right_cols}
+    ltype, rtype = left_types, right_types
 
     def tag_left(t: pa.Table) -> pa.Table:
         t = t.select(lkeep).append_column(

@@ -110,6 +110,10 @@ def run_headline() -> dict:
         timed("lang_detect_documents", lambda: Q["lang_detect_documents"](SF_DIR))
         timed("similarity_topk_embeddings", lambda: Q["similarity_topk_embeddings"](SF_DIR))
         timed("ann_ivf_embeddings", lambda: Q["ann_ivf_embeddings"](SF_DIR))
+        timed("asof_join_events", lambda: Q["asof_join_events"](SF_DIR))
+        timed("join_orders_lineitem", lambda: Q["join_orders_lineitem"](SF_DIR))
+        timed("sessionize_events", lambda: Q["sessionize_events"](SF_DIR))
+        timed("image_decode_features", lambda: Q["image_decode_features"](SF_DIR))
 
     if not only_clips:
         from anomaly_detection_ray.sources.clips import read_clips
