@@ -835,6 +835,49 @@ def oracle_sql() -> dict[str, str]:
                          6) AS duration_s
             FROM g GROUP BY user_id, session_id
         """,
+        "stratified_sample_documents": """
+            -- deterministic hash-threshold sample: lexicographic compare of
+            -- the md5 hex prefix == numeric compare at equal length
+            SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        """,
+        "top_events_per_user": """
+            WITH v AS (SELECT user_id, event_id, value FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)),
+            r AS (SELECT user_id, event_id, value,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY value DESC, event_id)
+                             AS rk
+                  FROM v)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   round(value, 4) AS value, CAST(rk AS BIGINT) AS rk
+            FROM r WHERE rk <= 3
+        """,
+        "props_extract_events": """
+            WITH k AS (SELECT event_type,
+                              TRY_CAST(regexp_extract(props, '"k": ([0-9]+)',
+                                                      1) AS BIGINT) AS kv
+                       FROM events)
+            SELECT event_type, CAST(count(kv) AS BIGINT) AS n,
+                   round(sum(kv) / count(kv), 6) AS avg_k,
+                   CAST(max(kv) AS BIGINT) AS max_k
+            FROM k GROUP BY event_type
+        """,
+        "interval_join_events": """
+            -- range-containment join: native BETWEEN join is the
+            -- independent path vs the engine's bucket-replication join
+            WITH w AS (SELECT event_id AS incident_id, user_id, ts AS s,
+                              ts + INTERVAL 4 HOUR AS e
+                       FROM events
+                       WHERE event_type = 'error' AND value > 200.0)
+            SELECT CAST(ev.event_id AS BIGINT) AS event_id,
+                   CAST(ev.user_id AS BIGINT) AS user_id,
+                   CAST(w.incident_id AS BIGINT) AS incident_id
+            FROM events ev JOIN w
+              ON ev.user_id = w.user_id AND ev.ts >= w.s AND ev.ts <= w.e
+        """,
         "join_orders_lineitem": """
             SELECT o_orderpriority, l_returnflag,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

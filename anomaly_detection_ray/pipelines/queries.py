@@ -290,6 +290,105 @@ def q_sessionize_events(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def q_stratified_sample_documents(sf_dir: str):
+    """Deterministic hash-threshold sampling (training-data op): keep ~25%
+    of documents per source stratum by comparing the first 8 hex chars of
+    md5(doc_id) against a hex threshold — reproducible across runs,
+    cluster sizes and partitionings, no RNG state, no shuffle, and exactly
+    SQL-mirrorable (lexicographic hex compare == numeric compare)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    THRESH = "40000000"  # 0x40000000 / 2^32 = 25%
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        h = dd.md5_hex(df["doc_id"].astype(str)).str[:8]
+        return df.loc[(h < THRESH).to_numpy(),
+                      ["doc_id", "source", "n_chars"]]
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def q_top_events_per_user(sf_dir: str):
+    """Per-group top-k (k=3 events by value per user): per-batch partial
+    top-k shrinks the shuffle to <= k rows per (user, batch), then one
+    small groupby merge re-ranks the candidates — no global sort."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    K = 3
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["value"])
+        df = df.sort_values(["value", "event_id"], ascending=[False, True],
+                            kind="mergesort")
+        return df.groupby("user_id", as_index=False).head(K)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["value", "event_id"], ascending=[False, True],
+                            kind="mergesort").head(K).copy()
+        df["rk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        df["value"] = rnd(df["value"], 4)
+        return df
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("user_id").map_groups(merge, batch_format="pandas"))
+
+
+def q_props_extract_events(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` out of the JSON
+    ``props`` column with a vectorized compiled-regex extract, then
+    per-type partial aggregation (the engine's semi-structured scalar-fn
+    surface; DuckDB regexp_extract oracle — no JSON extension needed)."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = pd.to_numeric(df["props"].str.extract(r'"k": (\d+)', expand=False),
+                          errors="coerce")
+        g = pd.DataFrame({"event_type": df["event_type"], "sum_k": k,
+                          "max_k": k, "n": k.notna().astype(np.int64)})
+        return g.groupby("event_type", as_index=False).agg(
+            sum_k=("sum_k", "sum"), max_k=("max_k", "max"), n=("n", "sum"))
+
+    merged = _fold(ds.map_batches(partial, batch_format="pandas"),
+                   ["event_type"], {"sum_k": "sum", "max_k": "max", "n": "sum"})
+    merged["avg_k"] = rnd(merged["sum_k"] / merged["n"], 6)
+    merged["n"] = merged["n"].astype("int64")
+    merged["max_k"] = merged["max_k"].astype("int64")
+    return (merged[["event_type", "n", "avg_k", "max_k"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+def q_interval_join_events(sf_dir: str):
+    """Interval (range) join: every event falling inside a 4h 'incident
+    window' opened by an error event with value > 200 for the same user
+    (stages/intervals.interval_join — time-bucket replication, exactly-once
+    pair emission; DuckDB BETWEEN-join oracle). The window table is built
+    distributed, collected small, broadcast via ray.put."""
+    from ..stages.intervals import interval_join
+    from ..stages.sessions import _epoch_us
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type",
+                                  "value"])
+
+    def win_part(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["event_type"] == "error") & (df["value"] > 200.0)
+        sub = df.loc[m]
+        s = _epoch_us(sub["ts"])
+        return pd.DataFrame({"user_id": sub["user_id"],
+                             "incident_id": sub["event_id"],
+                             "start_us": s,
+                             "end_us": s + 4 * 3600 * 1_000_000})
+
+    windows = ev.map_batches(win_part, batch_format="pandas").to_pandas()
+    out = interval_join(ev.drop_columns(["event_type", "value"]), windows,
+                        key="user_id", ts_col="ts",
+                        left_cols=["event_id", "user_id"],
+                        id_col="incident_id", bucket_s=4 * 3600.0)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        for c in df.columns:
+            df[c] = df[c].astype("int64")
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def q_join_orders_lineitem(sf_dir: str):
     """Large×large co-partitioned hash join (native ``Dataset.join``
     shuffle — neither side is broadcast-small at the north-star scale):
@@ -1118,6 +1217,10 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "join_orders_lineitem": q_join_orders_lineitem,
     "sessionize_events": q_sessionize_events,
+    "interval_join_events": q_interval_join_events,
+    "stratified_sample_documents": q_stratified_sample_documents,
+    "top_events_per_user": q_top_events_per_user,
+    "props_extract_events": q_props_extract_events,
     "exact_dedup_documents": q_exact_dedup_documents,
     "token_count_documents": q_token_count_documents,
     "text_quality_documents": q_text_quality_documents,

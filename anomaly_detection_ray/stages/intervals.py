@@ -1,0 +1,82 @@
+"""Distributed interval (range) join.
+
+Completes the join family (broadcast lookup, anti-join, equi-shuffle,
+as-of): match left rows whose timestamp falls inside [start, end] of any
+right-side interval with the same key — the classic event-in-window
+containment join neither ``Dataset.join`` (equi only) nor merge_asof
+(nearest only) expresses.
+
+Scale shape — time-bucket replication, the standard distributed interval
+join: each interval row is replicated to every length-``bucket_s`` time
+bucket it overlaps (cost = interval_span/bucket_s copies, small when
+bucket_s ≈ typical span); each left row goes to exactly ONE bucket, so
+every matching pair materializes in exactly one group and no dedup pass is
+needed. One union + groupby((bucket, key)) shuffle co-partitions both
+sides; the in-group containment test is a vectorized numpy broadcast
+(bounded by per-bucket×key counts). Timestamps compare in integer
+microseconds — boundary-exact vs a SQL BETWEEN oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .sessions import _epoch_us
+
+US = 1_000_000
+
+
+def interval_join(left, intervals: pd.DataFrame, key: str, ts_col: str,
+                  left_cols: list[str], id_col: str,
+                  start_col: str = "start_us", end_col: str = "end_us",
+                  bucket_s: float = 3600.0):
+    """Left Dataset × small-to-medium interval table (driver pandas —
+    broadcast via closure capture; for a LARGE interval side, feed the
+    replicated interval rows through the same union/groupby path as
+    stages/asof.asof_join instead).
+
+    ``intervals`` columns: key, id_col, start_col, end_col (epoch µs
+    int64). Returns one row per (left row ∈ interval): ``left_cols`` +
+    ``id_col`` — inclusive bounds, exactly SQL ``BETWEEN``.
+    """
+    bucket_us = int(round(bucket_s * US))
+    iv = intervals[[key, id_col, start_col, end_col]].reset_index(drop=True)
+    # replicate each interval to every bucket it overlaps
+    b0 = (iv[start_col] // bucket_us).to_numpy(np.int64)
+    b1 = (iv[end_col] // bucket_us).to_numpy(np.int64)
+    reps = (b1 - b0 + 1).astype(np.int64)
+    rep_idx = np.repeat(np.arange(len(iv)), reps)
+    offs = np.concatenate([np.arange(n) for n in reps]) if len(iv) else \
+        np.array([], dtype=np.int64)
+    ivr = iv.iloc[rep_idx].reset_index(drop=True)
+    ivr["__bucket"] = b0[rep_idx] + offs
+    # group the replicated intervals by (bucket, key) for O(1) group lookup;
+    # broadcast ONCE via ray.put (zero-copy read per worker), not per batch
+    import ray
+    iv_ref = ray.put({k: g for k, g in ivr.groupby(["__bucket", key])})
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        iv_groups = ray.get(iv_ref)
+        us = _epoch_us(df[ts_col])
+        bucket = us // bucket_us
+        out = []
+        for (b, k), rows in pd.DataFrame(
+                {"__bucket": bucket, key: df[key],
+                 "__row": np.arange(len(df))}).groupby(["__bucket", key]):
+            g = iv_groups.get((b, k))
+            if g is None:
+                continue
+            l_us = us[rows["__row"].to_numpy()]
+            hit = ((l_us[:, None] >= g[start_col].to_numpy()[None, :])
+                   & (l_us[:, None] <= g[end_col].to_numpy()[None, :]))
+            li, ri = np.nonzero(hit)
+            if len(li):
+                part = df.iloc[rows["__row"].to_numpy()[li]][left_cols].copy()
+                part[id_col] = g[id_col].to_numpy()[ri]
+                out.append(part)
+        if not out:
+            return pd.DataFrame(columns=[*left_cols, id_col])
+        return pd.concat(out, ignore_index=True)
+
+    return left.map_batches(probe, batch_format="pandas")

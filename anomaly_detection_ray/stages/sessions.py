@@ -28,7 +28,9 @@ def _epoch_us(ts: pd.Series) -> np.ndarray:
     if pd.api.types.is_datetime64_any_dtype(ts):
         return ((ts - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
                 ).to_numpy(dtype=np.int64)
-    return (ts.to_numpy(dtype=np.float64) * US).astype(np.int64)
+    # round, don't truncate: float-second inputs like 123.449999999
+    # (a µs value round-tripped through division) must land on the µs
+    return np.round(ts.to_numpy(dtype=np.float64) * US).astype(np.int64)
 
 
 def sessionize(ds, key: str, ts_col: str, gap_s: float,

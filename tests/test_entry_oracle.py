@@ -79,7 +79,9 @@ def oracle_names():
     "feature_construction_events", "time_filter_events",
     "bloom_dedup_documents", "percentile_events", "linear_fit_events",
     "hampel_events", "asof_join_events", "join_orders_lineitem",
-    "sessionize_events",
+    "sessionize_events", "interval_join_events",
+    "stratified_sample_documents", "top_events_per_user",
+    "props_extract_events",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]

@@ -303,3 +303,48 @@ def test_sessionize_gap_boundary(ray_session):
     u2 = out[out["user_id"] == 2]
     assert list(u2["n_events"]) == [1]
     assert u2["duration_s"].iloc[0] == 0.0
+
+
+def test_interval_join_bucket_boundaries(ray_session):
+    """Bucket-replication interval join: pairs that straddle bucket edges
+    are found exactly once; inclusive bounds; per-key isolation. Checked
+    against a brute-force O(n*m) pandas join."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.intervals import interval_join
+
+    r = np.random.default_rng(23)
+    n_l, n_w = 500, 40
+    bucket_s = 100.0
+    left = pd.DataFrame({
+        "k": r.integers(0, 5, n_l),
+        "ts": r.uniform(0, 10_000, n_l),  # float epoch seconds
+        "lid": np.arange(n_l, dtype=np.int64),
+    })
+    s = r.uniform(0, 9_500, n_w)
+    win = pd.DataFrame({
+        "k": r.integers(0, 6, n_w),
+        "wid": np.arange(n_w, dtype=np.int64),
+        "start_us": (s * 1e6).astype(np.int64),
+        # spans 0.3-4.7 buckets => plenty of edge-straddling windows
+        "end_us": ((s + r.uniform(30, 470, n_w)) * 1e6).astype(np.int64),
+    })
+    # pin one exact-boundary pair: left ts == window end
+    left.loc[0, ["k", "ts"]] = [0, win["end_us"].iloc[0] / 1e6]
+    win.loc[0, "k"] = 0
+
+    got = (interval_join(rd.from_pandas(left).repartition(7), win,
+                         key="k", ts_col="ts", left_cols=["lid", "k"],
+                         id_col="wid", bucket_s=bucket_s)
+           .to_pandas())
+
+    l_us = np.round(left["ts"].to_numpy() * 1e6).astype(np.int64)
+    want = {
+        (int(l), int(w))
+        for i, l in enumerate(left["lid"])
+        for w, ks, a, b in win[["wid", "k", "start_us", "end_us"]].itertuples(index=False)
+        if left["k"].iloc[i] == ks and a <= l_us[i] <= b
+    }
+    assert set(zip(got["lid"], got["wid"])) == want
+    assert len(got) == len(want)  # exactly-once: no duplicate pairs
+    assert (0, 0) in want  # the pinned inclusive-boundary pair exists
