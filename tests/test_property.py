@@ -1,0 +1,68 @@
+"""Property-based tests (hypothesis) for the codec and kernel surfaces:
+random inputs, invariants that must hold for EVERY input — complements the
+golden/parity suites which pin specific vectors."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from anomaly_detection_ray import audio
+from anomaly_detection_ray import image as img
+
+
+@settings(max_examples=40, deadline=None)
+@given(arrays(np.uint8, st.tuples(st.integers(1, 40), st.integers(1, 40),
+                                  st.sampled_from([1, 3, 4]))))
+def test_png_roundtrip_any_uint8(a):
+    dec, meta = img.decode_png(img.encode_png(a))
+    np.testing.assert_array_equal(dec, a)
+    assert (meta["height"], meta["width"]) == a.shape[:2]
+
+
+@settings(max_examples=40, deadline=None)
+@given(arrays(np.int16, st.integers(1, 5000)),
+       st.sampled_from([8000, 16000, 44100]))
+def test_wav_roundtrip_any_pcm(pcm, sr):
+    f = pcm.astype(np.float64) / 32768.0
+    dec, dec_sr = audio.decode_wav(audio.encode_wav(f, sr))
+    assert dec_sr == sr
+    # PCM16 quantization: exact to within one quantization step
+    np.testing.assert_allclose(dec, f, atol=1.0 / 32768.0)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.floats(0, 1e6, allow_nan=False), min_size=1, max_size=200),
+       st.floats(0.5, 100.0))
+def test_sessionize_kernel_invariants(ts_list, gap_s):
+    """For any event-time sequence: sessions partition the events, ids are
+    contiguous from 1, spans never overlap, and consecutive sessions are
+    separated by more than gap_s."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.sessions import sessionize
+
+    df = pd.DataFrame({"user_id": 1, "ts": sorted(ts_list)})
+    out = (sessionize(rd.from_pandas(df), key="user_id", ts_col="ts",
+                      gap_s=gap_s)
+           .to_pandas().sort_values("session_id").reset_index(drop=True))
+    assert out["n_events"].sum() == len(df)
+    assert list(out["session_id"]) == list(range(1, len(out) + 1))
+    assert (out["end_us"] >= out["start_us"]).all()
+    gap_us = int(round(gap_s * 1e6))
+    gaps = out["start_us"].to_numpy()[1:] - out["end_us"].to_numpy()[:-1]
+    assert (gaps > gap_us).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.floats(-1e9, 1e9, allow_nan=False), min_size=1,
+                max_size=100))
+def test_tdigest_quantiles_bounded(values):
+    """t-digest quantile estimates always lie within [min, max] and are
+    monotone in q."""
+    from anomaly_detection_ray.functions.sketches import TDigest
+    td = TDigest()
+    td.add_values(np.asarray(values, dtype=np.float64))
+    qs = [td.quantile(q) for q in (0.1, 0.5, 0.9)]
+    assert min(values) <= qs[0] <= qs[1] <= qs[2] <= max(values)
