@@ -64,3 +64,32 @@ def test_grid_search_picks_true_threshold(ray_session):
     assert out.loc[0, "UL"] == 100.0          # only threshold separating them
     assert out.loc[0, "f1"] == 1.0
     assert (out["f1"].to_numpy()[:-1] >= out["f1"].to_numpy()[1:]).all()
+
+
+def test_evaluate_on_reference_ads1(ray_session):
+    """The reference's OWN labelled eval corpus (data/ads-1.csv, 31,416
+    rows): a BorderCheck config graded end-to-end through the distributed
+    harness must produce exactly the confusion counts of an independent
+    vectorized computation of the same check on the same file."""
+    import pandas as pd
+
+    from anomaly_detection_ray.pipelines.evaluate import evaluate_config
+
+    UL, LL = 2.5, -2.0
+    conf = {"anomaly_detection_alg": ["BorderCheck()"],
+            "anomaly_detection_conf": [{
+                "input_vector_size": 1, "warning_stages": [0.9],
+                "UL": UL, "LL": LL, "output": [], "output_conf": []}]}
+    m = evaluate_config(conf, data_path="/root/reference/data/ads-1.csv")
+
+    df = pd.read_csv("/root/reference/data/ads-1.csv")
+    v = df["ftr_vector"].to_numpy()
+    vn = 2 * (v - (UL + LL) / 2) / (UL - LL)
+    pred = (vn > 1) | (vn < -1)
+    y = df["label"].astype(str).str.strip().str.lower().eq("true").to_numpy()
+    assert m["n"] == len(df) == 31416
+    assert m["tp"] == int((pred & y).sum())
+    assert m["fp"] == int((pred & ~y).sum())
+    assert m["fn"] == int((~pred & y).sum())
+    assert m["tn"] == int((~pred & ~y).sum())
+    assert m["tp"] > 0 and m["tn"] > 0  # both classes actually exercised
