@@ -835,6 +835,24 @@ def oracle_sql() -> dict[str, str]:
                          6) AS duration_s
             FROM g GROUP BY user_id, session_id
         """,
+        "sliding_window_events": """
+            -- sliding windows via explicit window-id replication
+            -- (generate_series), the independent path vs np.repeat
+            WITH e AS (SELECT event_type, value, epoch_us(ts) AS us
+                       FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)),
+            x AS (SELECT event_type, value,
+                         unnest(generate_series(
+                             CAST(floor((us - 10800000000) / 3600000000.0)
+                                  AS BIGINT) + 1,
+                             CAST(floor(us / 3600000000.0) AS BIGINT)))
+                             AS window_id
+                  FROM e)
+            SELECT window_id, event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value) / count(*), 6) AS avg_value
+            FROM x GROUP BY window_id, event_type
+        """,
         "stratified_sample_documents": """
             -- deterministic hash-threshold sample: lexicographic compare of
             -- the md5 hex prefix == numeric compare at equal length

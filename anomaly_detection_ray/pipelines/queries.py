@@ -355,6 +355,22 @@ def q_props_extract_events(sf_dir: str):
             .sort_values("event_type").reset_index(drop=True))
 
 
+def q_sliding_window_events(sf_dir: str):
+    """3h event-time windows sliding every 1h, per event_type: count +
+    mean (stages/sessions.sliding_window_agg — in-batch window
+    replication, partial agg, no row shuffle; generate_series oracle)."""
+    from ..stages.sessions import sliding_window_agg
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    merged = sliding_window_agg(ds, key="event_type", ts_col="ts",
+                                value_col="value", window_s=3 * 3600.0,
+                                slide_s=3600.0)
+    merged["avg_value"] = rnd(merged["sum_v"] / merged["n"], 6)
+    merged["n"] = merged["n"].astype("int64")
+    merged["window_id"] = merged["window_id"].astype("int64")
+    return (merged.drop(columns=["sum_v"])
+            .sort_values(["window_id", "event_type"]).reset_index(drop=True))
+
+
 def q_interval_join_events(sf_dir: str):
     """Interval (range) join: every event falling inside a 4h 'incident
     window' opened by an error event with value > 200 for the same user
@@ -1221,6 +1237,7 @@ QUERIES = {
     "stratified_sample_documents": q_stratified_sample_documents,
     "top_events_per_user": q_top_events_per_user,
     "props_extract_events": q_props_extract_events,
+    "sliding_window_events": q_sliding_window_events,
     "exact_dedup_documents": q_exact_dedup_documents,
     "token_count_documents": q_token_count_documents,
     "text_quality_documents": q_text_quality_documents,

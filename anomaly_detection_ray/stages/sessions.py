@@ -33,6 +33,42 @@ def _epoch_us(ts: pd.Series) -> np.ndarray:
     return np.round(ts.to_numpy(dtype=np.float64) * US).astype(np.int64)
 
 
+def sliding_window_agg(ds, key: str, ts_col: str, value_col: str,
+                       window_s: float, slide_s: float):
+    """Event-time SLIDING window aggregate (count + sum per (window, key)):
+    window k covers [k·slide, k·slide + window). Completes the window
+    family: tumbling (= slide == window, q_events_hourly), session
+    (sessionize), sliding (this).
+
+    Scale shape: each row is replicated to its window/slide ≈ constant
+    number of covering windows INSIDE map_batches (np.repeat — no Python
+    loop), partially aggregated per batch, then merged by the
+    cardinality-aware fold; no row-level shuffle ever happens. Window
+    membership is computed on integer µs so edges match a SQL
+    generate_series oracle exactly."""
+    from ..functions.fold import fold_partials
+    w_us, s_us = int(round(window_s * US)), int(round(slide_s * US))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(v)
+        us = _epoch_us(df[ts_col])[ok]
+        v = v[ok]
+        keys = df[key].to_numpy()[ok]
+        k_lo = (us - w_us) // s_us + 1   # first covering window
+        k_hi = us // s_us                # last covering window
+        reps = (k_hi - k_lo + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(us)), reps)
+        offs = np.concatenate([np.arange(n) for n in reps]) if len(us) else \
+            np.array([], dtype=np.int64)
+        g = pd.DataFrame({"window_id": k_lo[idx] + offs, key: keys[idx],
+                          "sum_v": v[idx], "n": 1})
+        return g.groupby(["window_id", key], as_index=False).sum()
+
+    return fold_partials(ds.map_batches(partial, batch_format="pandas"),
+                         ["window_id", key], {"sum_v": "sum", "n": "sum"})
+
+
 def sessionize(ds, key: str, ts_col: str, gap_s: float,
                order_cols: list[str] | None = None):
     """Dataset -> one row per (key, session): ``session_id`` (1-based per

@@ -81,7 +81,7 @@ def oracle_names():
     "hampel_events", "asof_join_events", "join_orders_lineitem",
     "sessionize_events", "interval_join_events",
     "stratified_sample_documents", "top_events_per_user",
-    "props_extract_events",
+    "props_extract_events", "sliding_window_events",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]
