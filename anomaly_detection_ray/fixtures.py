@@ -47,6 +47,7 @@ FIXTURE_QUERIES = [
     "rrcf_events",
     "trend_mlp_events",
     "image_decode_features",
+    "approx_distinct_events",
     "clip_validation_verdicts",
     "clip_audio_features",
     "clip_spectral_features",

@@ -835,6 +835,10 @@ def oracle_sql() -> dict[str, str]:
                          6) AS duration_s
             FROM g GROUP BY user_id, session_id
         """,
+        "deterministic_shuffle_documents": """
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+            FROM documents ORDER BY shuffle_key LIMIT 100
+        """,
         "sliding_window_events": """
             -- sliding windows via explicit window-id replication
             -- (generate_series), the independent path vs np.repeat

@@ -355,6 +355,58 @@ def q_props_extract_events(sf_dir: str):
             .sort_values("event_type").reset_index(drop=True))
 
 
+def q_approx_distinct_events(sf_dir: str):
+    """HLL approximate distinct users per event_type next to the exact
+    count: per-batch HLL partials merged by register-max — order- and
+    partitioning-invariant (registers are maxima), so the estimate is
+    bit-deterministic across runs and cluster sizes => fixture oracle.
+    Exact side from the same pass's key partials."""
+    from ..functions.sketches import HyperLogLog
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type"):
+            h = HyperLogLog(p=12)
+            h.add_hashes(pd.util.hash_pandas_object(
+                g["user_id"], index=False).to_numpy(np.uint64))
+            rows.append({"event_type": et, "regs": h.registers.tobytes(),
+                         "exact_part": g["user_id"].unique()})
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_size=8192,
+                           batch_format="pandas").to_pandas()
+    out = []
+    for et, g in parts.groupby("event_type"):
+        h = HyperLogLog(p=12)
+        for r in g["regs"]:
+            h.registers = np.maximum(h.registers,
+                                     np.frombuffer(r, dtype=np.uint8))
+        exact = len(set(np.concatenate(g["exact_part"].to_list())))
+        out.append({"event_type": et, "hll_estimate": round(h.estimate(), 2),
+                    "exact": exact})
+    df = pd.DataFrame(out).sort_values("event_type").reset_index(drop=True)
+    df["exact"] = df["exact"].astype("int64")
+    return df
+
+
+def q_deterministic_shuffle_documents(sf_dir: str):
+    """Training-data shuffle as a DETERMINISTIC global sort: order by
+    md5(doc_id) (seeded, partitioning-invariant, reproducible — unlike
+    random_shuffle) and take the first 100. Exercises the engine's global
+    ``Dataset.sort`` + limit; DuckDB ORDER BY md5 LIMIT oracle verifies
+    the global order boundary exactly."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "shuffle_key": dd.md5_hex(
+                                 df["doc_id"].astype(str))})
+
+    return (ds.map_batches(keyed, batch_format="pandas")
+            .sort("shuffle_key").limit(100))
+
+
 def q_sliding_window_events(sf_dir: str):
     """3h event-time windows sliding every 1h, per event_type: count +
     mean (stages/sessions.sliding_window_agg — in-batch window
@@ -1238,6 +1290,8 @@ QUERIES = {
     "top_events_per_user": q_top_events_per_user,
     "props_extract_events": q_props_extract_events,
     "sliding_window_events": q_sliding_window_events,
+    "approx_distinct_events": q_approx_distinct_events,
+    "deterministic_shuffle_documents": q_deterministic_shuffle_documents,
     "exact_dedup_documents": q_exact_dedup_documents,
     "token_count_documents": q_token_count_documents,
     "text_quality_documents": q_text_quality_documents,
