@@ -360,7 +360,10 @@ def q_approx_distinct_events(sf_dir: str):
     count: per-batch HLL partials merged by register-max — order- and
     partitioning-invariant (registers are maxima), so the estimate is
     bit-deterministic across runs and cluster sizes => fixture oracle.
-    Exact side from the same pass's key partials."""
+    The exact column is the small-scale cross-check only (driver union of
+    per-batch uniques, O(distinct keys)); at the north-star scale you run
+    the HLL alone — O(types × 4 KB) regardless of cardinality — or the
+    shuffle-exact path of q_uniqueness_events."""
     from ..functions.sketches import HyperLogLog
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
 
