@@ -1,0 +1,99 @@
+"""Distributed connected components over a duplicate-pair edge list.
+
+Dedup pipelines (MinHash / SimHash / embedding / fingerprint) emit PAIRS;
+turning pairs into duplicate GROUPS is a connected-components problem. For
+a near-dup rate ≪ 1 the edge list is tiny and a driver union-find is
+optimal — but on a dup-heavy corpus (crawl snapshots, boilerplate farms)
+the edge list is unbounded, the round-1 verdict's one remaining
+driver-side liability. Both regimes live here behind one call, switched by
+edge count like functions/fold.fold_partials:
+
+- small: path-compressed union-find on the driver (exact, O(E α(E))).
+- large: min-label propagation as Ray Data iterations — labels start as
+  each node's own id; every iteration ships each endpoint's label across
+  its edges (two hash joins), takes the min per node, and stops when the
+  global label sum stops falling (the sum is strictly decreasing until
+  fixed point, so convergence needs one cheap aggregate, no driver diff).
+  O(diameter) iterations; per-iteration state is the (node, label) table —
+  worker-resident, never on the driver.
+
+Both regimes return component = MIN node id, so they are bit-identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _union_find(pairs: pd.DataFrame, a_col: str, b_col: str) -> pd.DataFrame:
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs[a_col], pairs[b_col]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    nodes = sorted(set(pairs[a_col]) | set(pairs[b_col]))
+    return pd.DataFrame({"node": nodes,
+                         "component": [find(n) for n in nodes]})
+
+
+def _label_propagation(edges, a_col: str, b_col: str,
+                       max_iters: int) -> pd.DataFrame:
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": np.concatenate([df[a_col].to_numpy(),
+                                    df[b_col].to_numpy()])})
+
+    def arrowize(ds):
+        # canonicalize block type: join outputs Arrow blocks, pandas-born
+        # aggregates produce pandas blocks, and union refuses to mix them
+        return ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+    labels = (arrowize(edges.map_batches(endpoints, batch_format="pandas"))
+              .groupby("node").aggregate(Min("node", alias_name="label"))
+              .materialize())
+    prev_sum = None
+    for _ in range(max_iters):
+        # ship labels across edges in both directions, then min per node
+        fwd = (edges.join(labels, join_type="inner", num_partitions=8,
+                          on=(a_col,), right_on=("node",))
+               .select_columns([b_col, "label"]).rename_columns(["node", "label"]))
+        bwd = (edges.join(labels, join_type="inner", num_partitions=8,
+                          on=(b_col,), right_on=("node",))
+               .select_columns([a_col, "label"]).rename_columns(["node", "label"]))
+        labels = (arrowize(labels).union(arrowize(fwd)).union(arrowize(bwd))
+                  .groupby("node").aggregate(Min("label", alias_name="label"))
+                  .materialize())
+        s = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    out = labels.to_pandas().rename(columns={"label": "component"})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def connected_components(pairs, a_col: str = "id_a", b_col: str = "id_b",
+                         edge_threshold: int = 200_000,
+                         max_iters: int = 50) -> pd.DataFrame:
+    """(node, component=min id in component) from an edge list — pandas
+    DataFrame or Ray Dataset. Small edge lists fold on the driver; past
+    ``edge_threshold`` edges the Ray label-propagation path runs."""
+    import ray.data as rd
+
+    if isinstance(pairs, pd.DataFrame):
+        if len(pairs) <= edge_threshold:
+            return (_union_find(pairs, a_col, b_col)
+                    .sort_values("node").reset_index(drop=True))
+        pairs = rd.from_pandas(pairs)
+    return _label_propagation(pairs, a_col, b_col, max_iters)

@@ -4,7 +4,8 @@
    full shuffle, and it moves (hash, id) pairs after per-batch hashing.
  - minhash_lsh_dedup: shingle → MinHash → LSH band bucketing → candidate
    pairs inside buckets → exact-Jaccard verification → connected components
-   (union-find over the verified pair list, which is small by construction).
+   (stages/cc.py: driver union-find while the verified pair list is small,
+   Ray label propagation past the edge threshold — dup-heavy corpora).
  - simhash_dedup: 64-bit SimHash, banded into 4×16-bit keys so any pair
    within Hamming distance 3 shares ≥1 band bucket; verified by Hamming.
  - embedding near-dup: cosine over normalized vectors, bucketed by random
@@ -205,36 +206,22 @@ def verify_jaccard(texts_by_id: dict, pairs: pd.DataFrame,
     return out
 
 
-def union_find_clusters(pairs: pd.DataFrame) -> dict:
-    """id -> cluster representative (min id) from verified duplicate pairs."""
-    parent: dict = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs["id_a"], pairs["id_b"]):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = min(ra, rb), max(ra, rb)
-            parent[hi] = lo
-    return {x: find(x) for x in parent}
-
-
 def minhash_dedup(ds, text_col="text", id_col="doc_id", k=64, bands=16,
                   shingle_k=3, threshold=0.8):
     """Full near-dup pipeline -> DataFrame of (id, cluster_rep) for docs in
     near-duplicate clusters (est_jaccard >= threshold)."""
+    from .cc import connected_components
     pairs = minhash_candidate_pairs(ds, text_col, id_col, k, bands, shingle_k)
     if pairs.empty:
         return pd.DataFrame({id_col: [], "cluster_rep": []})
     kept = pairs[pairs["est_jaccard"] >= threshold]
-    clusters = union_find_clusters(kept)
-    return pd.DataFrame({
-        id_col: list(clusters), "cluster_rep": [clusters[i] for i in clusters],
-    }).astype(np.int64).sort_values(id_col).reset_index(drop=True)
+    # groups via the two-regime CC (driver union-find here, Ray label
+    # propagation on a dup-heavy corpus); output keeps the historical
+    # semantics: one row per NON-representative member -> its kept rep
+    comp = connected_components(kept, "id_a", "id_b")
+    comp = comp[comp["node"] != comp["component"]]
+    return (comp.rename(columns={"node": id_col, "component": "cluster_rep"})
+            .astype(np.int64).sort_values(id_col).reset_index(drop=True))
 
 
 # ------------------------------------------------- exact n-gram Jaccard

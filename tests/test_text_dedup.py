@@ -173,3 +173,30 @@ def test_ngram_jaccard_pairs(docs_ds):
     # the exact-duplicate triple must be present with jaccard 1.0
     perfect = {(a, b) for a, b, j in got if j == 1.0}
     assert {(3, 10), (3, 20), (10, 20)} <= perfect
+
+
+def test_connected_components_regimes_agree(ray_session):
+    """stages/cc.py: driver union-find and Ray label propagation produce
+    bit-identical (node, component=min id) tables on a random multi-
+    component graph; known chain/star components come out right."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.cc import (_label_propagation,
+                                                 connected_components)
+
+    r = np.random.default_rng(9)
+    e = pd.DataFrame({"id_a": r.integers(0, 400, 300),
+                      "id_b": r.integers(0, 400, 300)})
+    uf = connected_components(e)  # small => union-find regime
+    lp = _label_propagation(rd.from_pandas(e).repartition(5),
+                            "id_a", "id_b", max_iters=50)
+    m = uf.merge(lp, on="node", suffixes=("_uf", "_lp"))
+    assert len(m) == len(uf) == len(lp)
+    assert (m["component_uf"] == m["component_lp"]).all()
+
+    # chain 10-11-12-13 and star 20-{21,22,23}: min-id components
+    known = pd.DataFrame({"id_a": [11, 12, 13, 21, 22, 23],
+                          "id_b": [10, 11, 12, 20, 20, 20]})
+    got = connected_components(known).set_index("node")["component"]
+    assert all(got[n] == 10 for n in (10, 11, 12, 13))
+    assert all(got[n] == 20 for n in (20, 21, 22, 23))
