@@ -900,6 +900,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events ev JOIN w
               ON ev.user_id = w.user_id AND ev.ts >= w.s AND ev.ts <= w.e
         """,
+        "skew_join_lineitem_supplier": """
+            SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_nationkey
+        """,
         "join_orders_lineitem": """
             SELECT o_orderpriority, l_returnflag,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

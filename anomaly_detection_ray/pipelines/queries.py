@@ -273,6 +273,34 @@ def q_top_customers_revenue(sf_dir: str):
     return top[["o_custkey", "c_name", "revenue", "n_orders"]].reset_index(drop=True)
 
 
+def q_skew_join_lineitem_supplier(sf_dir: str):
+    """Skew-aware hybrid join (stages/joins.skew_aware_join): lineitem ⋈
+    supplier on suppkey with a threshold that classifies the busiest
+    supplier keys HOT (broadcast path) and the rest COLD (hash shuffle) —
+    both paths exercised at every sf; revenue by supplier nation. The
+    split is invisible to semantics, so a plain SQL join is the oracle."""
+    from ..stages.joins import skew_aware_join
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice",
+                                    "l_discount"])
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    j = skew_aware_join(li, sup, "l_suppkey", "s_suppkey",
+                        hot_threshold=620, num_partitions=16)
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "s_nationkey": df["s_nationkey"],
+            "revenue": df["l_extendedprice"] * (1 - df["l_discount"]),
+            "n_items": 1,
+        }).groupby("s_nationkey", as_index=False).sum())
+
+    merged = _fold(j.map_batches(post, batch_format="pandas"),
+                   ["s_nationkey"], {"revenue": "sum", "n_items": "sum"})
+    merged["revenue"] = rnd(merged["revenue"], 2)
+    for c in ["s_nationkey", "n_items"]:
+        merged[c] = merged[c].astype("int64")
+    return merged.sort_values("s_nationkey").reset_index(drop=True)
+
+
 def q_sessionize_events(sf_dir: str):
     """Gap-window sessionization of the per-user event stream (8h gap):
     one row per session with count/span (stages/sessions.sessionize — one
@@ -1302,6 +1330,7 @@ QUERIES = {
     "top_customers_revenue": q_top_customers_revenue,
     "events_hourly": q_events_hourly,
     "join_orders_lineitem": q_join_orders_lineitem,
+    "skew_join_lineitem_supplier": q_skew_join_lineitem_supplier,
     "sessionize_events": q_sessionize_events,
     "interval_join_events": q_interval_join_events,
     "stratified_sample_documents": q_stratified_sample_documents,

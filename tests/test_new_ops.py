@@ -348,3 +348,27 @@ def test_interval_join_bucket_boundaries(ray_session):
     assert set(zip(got["lid"], got["wid"])) == want
     assert len(got) == len(want)  # exactly-once: no duplicate pairs
     assert (0, 0) in want  # the pinned inclusive-boundary pair exists
+
+
+def test_skew_aware_join_parity(ray_session):
+    """Hybrid join == plain pandas merge on a half-the-rows-one-key skewed
+    input; both the broadcast (hot) and shuffle (cold) paths carry rows."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.joins import skew_aware_join
+
+    r = np.random.default_rng(1)
+    k = np.where(r.random(4000) < 0.5, 7, r.integers(0, 200, 4000))
+    left = pd.DataFrame({"lk": k, "lv": r.normal(size=4000)})
+    right = pd.DataFrame({"rk": np.arange(150), "rv": r.normal(size=150)})
+    got = (skew_aware_join(rd.from_pandas(left).repartition(6),
+                           rd.from_pandas(right).repartition(3),
+                           "lk", "rk", hot_threshold=500, num_partitions=4)
+           .to_pandas().sort_values(["lk", "lv"]).reset_index(drop=True))
+    want = (left.merge(right, left_on="lk", right_on="rk", how="inner")
+            .sort_values(["lk", "lv"]).reset_index(drop=True))
+    assert len(got) == len(want)
+    np.testing.assert_allclose(got[["lk", "lv", "rv"]].to_numpy(),
+                               want[["lk", "lv", "rv"]].to_numpy())
+    assert (got["lk"] == 7).sum() > 1500      # hot path produced rows
+    assert (got["lk"] != 7).sum() > 1000      # cold path produced rows
