@@ -38,10 +38,17 @@ def word_counts(ds, text_col: str = "text") -> pd.DataFrame:
 
 
 def train_bpe(counts: pd.DataFrame, num_merges: int = 50,
-              min_freq: int = 2) -> pd.DataFrame:
+              min_freq: int = 2, max_words: int = 100_000) -> pd.DataFrame:
     """Merge-rule table (rank, left, right, freq) from word counts.
     Words are character sequences terminated by EOW; each step merges the
-    most frequent adjacent symbol pair (ties: lexicographically smallest)."""
+    most frequent adjacent symbol pair (ties: lexicographically smallest).
+    ``max_words`` bounds driver memory on open-vocabulary corpora (URLs,
+    typos): keep the most frequent words, deterministic tie-break — the
+    tail it drops is exactly the tail standard BPE trainers ignore."""
+    if len(counts) > max_words:
+        counts = (counts.sort_values(["cnt", "word"],
+                                     ascending=[False, True])
+                  .head(max_words))
     vocab: dict[tuple, int] = {
         (*w, EOW): int(c) for w, c in zip(counts["word"], counts["cnt"])}
     rules = []
