@@ -49,6 +49,7 @@ FIXTURE_QUERIES = [
     "image_decode_features",
     "approx_distinct_events",
     "bpe_vocab_documents",
+    "kmeans_embeddings",
     "clip_validation_verdicts",
     "clip_audio_features",
     "clip_spectral_features",

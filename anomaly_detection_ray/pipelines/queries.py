@@ -383,6 +383,23 @@ def q_props_extract_events(sf_dir: str):
             .sort_values("event_type").reset_index(drop=True))
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """Full-corpus distributed k-means over the embedding table (Lloyd's,
+    one streaming pass per iteration, k×dim driver merge —
+    stages/similarity.kmeans_fit) + final assignment pass. Seeded
+    deterministic => fixture oracle."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    C = sim.kmeans_fit(emb, k=8, iters=5, seed=0)
+    out = sim.kmeans_assign(emb, C)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["vec_id"] = df["vec_id"].astype("int64")
+        df["dist"] = rnd(df["dist"], 6)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def q_bpe_vocab_documents(sf_dir: str):
     """Trainable BPE vocabulary over the document corpus: one distributed
     word-count pass, then Sennrich-style merges on the bounded (word,
@@ -1339,6 +1356,7 @@ QUERIES = {
     "sliding_window_events": q_sliding_window_events,
     "approx_distinct_events": q_approx_distinct_events,
     "bpe_vocab_documents": q_bpe_vocab_documents,
+    "kmeans_embeddings": q_kmeans_embeddings,
     "deterministic_shuffle_documents": q_deterministic_shuffle_documents,
     "exact_dedup_documents": q_exact_dedup_documents,
     "token_count_documents": q_token_count_documents,

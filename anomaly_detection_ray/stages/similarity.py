@@ -287,3 +287,88 @@ def pq_topk_rerank(ds, codes_ds, queries: np.ndarray, codebooks: np.ndarray,
         rows.append(pd.DataFrame({"query_idx": qi, id_col: ids[order],
                                   "cosine": s[order]}))
     return pd.concat(rows, ignore_index=True)
+
+
+# ------------------------------------------------------- full-data k-means
+
+def kmeans_fit(ds, k: int = 8, iters: int = 5, vec_col: str = "embedding",
+               id_col: str = "vec_id", seed: int = 0) -> np.ndarray:
+    """Distributed Lloyd's k-means over the FULL corpus (euclidean) — the
+    first-class clustering op the sample-trained IVF codebook refines
+    into: each iteration is ONE streaming pass, per-batch assignment
+    (vectorized ||x-c||² via the x²-2xc+c² expansion) + per-centroid
+    partial (sum-vector, count); only k×(dim+1) floats per batch reach the
+    driver merge, so the pass is corpus-size-independent on the driver.
+    Init = unbiased hash-sliced sample (train_ivf_codebook slice), seeded
+    => fully deterministic centroids."""
+    import ray as _ray
+
+    if id_col in ds.schema().names:
+        n_total = ds.count()
+        mod = max(1, n_total // 2048)
+
+        def slice_batch(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df[id_col].astype(np.int64) % mod == 0]
+
+        sample = (ds.map_batches(slice_batch, batch_format="pandas")
+                  .to_pandas().sort_values(id_col).head(2048))
+    else:
+        sample = ds.limit(2048).to_pandas()
+    X0 = _as_matrix(sample[vec_col].to_numpy())
+    rng = np.random.default_rng(seed)
+    # farthest-point (deterministic k-means++ flavor) init on the sample:
+    # a uniform draw can put two seeds in one cluster and Lloyd then sticks
+    # in the split-blob local optimum
+    C = [X0[int(rng.integers(len(X0)))]]
+    d2 = ((X0 - C[0]) ** 2).sum(1)
+    for _ in range(min(k, len(X0)) - 1):
+        C.append(X0[int(np.argmax(d2))])
+        d2 = np.minimum(d2, ((X0 - C[-1]) ** 2).sum(1))
+    C = np.array(C)
+
+    for _ in range(iters):
+        C_ref = _ray.put(C)
+
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            Cc = _ray.get(C_ref)
+            X = _as_matrix(df[vec_col].to_numpy())
+            d = (X * X).sum(1)[:, None] - 2.0 * X @ Cc.T + (Cc * Cc).sum(1)[None, :]
+            a = np.argmin(d, axis=1)
+            rows = []
+            for c in range(len(Cc)):
+                m = a == c
+                if m.any():
+                    rows.append({"cid": c, "n": int(m.sum()),
+                                 "vsum": X[m].sum(axis=0).tobytes()})
+            return pd.DataFrame(rows, columns=["cid", "n", "vsum"])
+
+        p = ds.map_batches(part, batch_format="pandas").to_pandas()
+        newC = C.copy()
+        for cid, g in p.groupby("cid"):
+            s = np.sum([np.frombuffer(b) for b in g["vsum"]], axis=0)
+            newC[cid] = s / g["n"].sum()
+        # round each iteration's centroids: float-sum low bits depend on
+        # batch/block boundaries (and those on cluster size); 9 decimals is
+        # ~1e3x above the noise floor and makes every downstream assignment
+        # bit-identical across runs, partitionings and CPU counts
+        C = np.round(newC, 9)
+    return C
+
+
+def kmeans_assign(ds, C: np.ndarray, vec_col: str = "embedding",
+                  id_col: str = "vec_id"):
+    """Final assignment pass: (id, cluster, dist rounded) per vector."""
+    import ray as _ray
+    C_ref = _ray.put(C)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        Cc = _ray.get(C_ref)
+        X = _as_matrix(df[vec_col].to_numpy())
+        d = (X * X).sum(1)[:, None] - 2.0 * X @ Cc.T + (Cc * Cc).sum(1)[None, :]
+        a = np.argmin(d, axis=1)
+        return pd.DataFrame({id_col: df[id_col],
+                             "cluster": a.astype(np.int64),
+                             "dist": np.sqrt(np.maximum(
+                                 d[np.arange(len(a)), a], 0.0))})
+
+    return ds.map_batches(assign, batch_format="pandas")

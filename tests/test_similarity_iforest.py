@@ -157,3 +157,28 @@ def test_pq_roundtrip_and_recall(emb_ds):
     for _, r in rr[rr.query_idx == 0].iterrows():
         want = float(norm[int(r["vec_id"])] @ norm[0])
         assert abs(r["cosine"] - want) < 1e-9
+
+
+def test_kmeans_full_recovers_separated_clusters(ray_session):
+    """Distributed Lloyd's on 3 well-separated Gaussian blobs: every blob
+    maps to one distinct cluster id, and total inertia is near the
+    generative optimum (no degenerate/empty centroids among the used k)."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages import similarity as sim
+
+    r = np.random.default_rng(4)
+    centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    X = np.vstack([c + r.normal(0, 0.3, size=(120, 2)) for c in centers])
+    ids = np.arange(len(X))
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(X)})
+    ds = rd.from_pandas(df).repartition(5)
+    C = sim.kmeans_fit(ds, k=3, iters=6, seed=1)
+    out = (sim.kmeans_assign(ds, C).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    lab = out["cluster"].to_numpy()
+    # each blob pure, blobs pairwise distinct
+    blobs = [lab[i * 120:(i + 1) * 120] for i in range(3)]
+    assert all(len(set(b)) == 1 for b in blobs)
+    assert len({b[0] for b in blobs}) == 3
+    assert out["dist"].mean() < 1.0  # ~E||N(0,0.3 I2)|| ≈ 0.38
