@@ -93,3 +93,29 @@ def test_evaluate_on_reference_ads1(ray_session):
     assert m["fn"] == int((~pred & y).sum())
     assert m["tn"] == int((~pred & ~y).sum())
     assert m["tp"] > 0 and m["tn"] > 0  # both classes actually exercised
+
+
+def test_evaluate_sweeps_all_ads_sets(ray_session):
+    """Harness robustness over the reference's ENTIRE labelled corpus
+    (ads-1..9): every set evaluates end-to-end, confusion counts cover all
+    rows, and the Welford dynamic-limit config flags at least part of the
+    labelled anomalies on each set that has any."""
+    import glob
+
+    import pandas as pd
+
+    from anomaly_detection_ray.pipelines.evaluate import evaluate_config
+
+    conf = {"anomaly_detection_alg": ["Welford()"],
+            "anomaly_detection_conf": [{
+                "input_vector_size": 1, "N": 200, "X": 4,
+                "warning_stages": [], "output": [], "output_conf": []}]}
+    paths = sorted(p for p in glob.glob("/root/reference/data/ads-[0-9].csv"))
+    assert len(paths) == 9
+    for p in paths:
+        m = evaluate_config(conf, data_path=p)
+        n_rows = len(pd.read_csv(p))
+        assert m["n"] == n_rows, p
+        y_pos = m["tp"] + m["fn"]
+        if y_pos:  # labelled anomalies exist => recall must be non-trivial
+            assert m["recall"] > 0.0, (p, m)
