@@ -42,8 +42,10 @@ def fold_partials(partials_ds, group_cols, agg: dict,
 
     def combine() -> pd.DataFrame:
         frames = ([merged] if merged is not None else []) + chunks
-        if not frames:  # zero batches emitted (e.g. no candidate pairs)
-            return pd.DataFrame()
+        if not frames:  # zero batches emitted (e.g. no candidate pairs):
+            # keep the declared columns so callers can index them
+            keys = group_cols if isinstance(group_cols, list) else [group_cols]
+            return pd.DataFrame(columns=[*keys, *agg])
         df = pd.concat(frames, ignore_index=True)
         if df.empty:
             return df

@@ -47,24 +47,28 @@ def _union_find(pairs: pd.DataFrame, a_col: str, b_col: str) -> pd.DataFrame:
 
 def _label_propagation(edges, a_col: str, b_col: str,
                        max_iters: int) -> pd.DataFrame:
-    import ray.data as rd
     from ray.data.aggregate import Min, Sum
+
+    from ..functions.rayutil import arrowize
 
     def endpoints(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "node": np.concatenate([df[a_col].to_numpy(),
                                     df[b_col].to_numpy()])})
 
-    def arrowize(ds):
-        # canonicalize block type: join outputs Arrow blocks, pandas-born
-        # aggregates produce pandas blocks, and union refuses to mix them
-        return ds.map_batches(lambda t: t, batch_format="pyarrow")
-
     labels = (arrowize(edges.map_batches(endpoints, batch_format="pandas"))
               .groupby("node").aggregate(Min("node", alias_name="label"))
               .materialize())
+    # the Sum convergence check needs numeric node ids; the union-find
+    # regime handles strings — pre-map string ids to ints to use this path
+    first = labels.take(1)
+    if first and not np.issubdtype(np.asarray([first[0]["node"]]).dtype,
+                                   np.number):
+        raise TypeError("label propagation requires numeric node ids; "
+                        "map string ids to ints first (the union-find "
+                        "regime accepts strings)")
     prev_sum = None
-    for _ in range(max_iters):
+    for it in range(max_iters):
         # ship labels across edges in both directions, then min per node
         fwd = (edges.join(labels, join_type="inner", num_partitions=8,
                           on=(a_col,), right_on=("node",))
@@ -75,10 +79,30 @@ def _label_propagation(edges, a_col: str, b_col: str,
         labels = (arrowize(labels).union(arrowize(fwd)).union(arrowize(bwd))
                   .groupby("node").aggregate(Min("label", alias_name="label"))
                   .materialize())
+        # pointer jumping: label <- label(label). Every label is itself a
+        # node (a min over node ids), so the self-join is total; this
+        # contracts chains geometrically — O(log diameter) iterations
+        # instead of O(diameter) for the edge hops alone.
+        lbl_map = labels.rename_columns(["jnode", "jlabel"])
+
+        def relabel(t):
+            import pyarrow as pa
+            return pa.table({"node": t["node"], "label": t["jlabel"]})
+
+        labels = (labels.join(lbl_map, join_type="inner", num_partitions=8,
+                              on=("label",), right_on=("jnode",))
+                  .map_batches(relabel, batch_format="pyarrow")
+                  .materialize())
         s = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if s == prev_sum:
             break
         prev_sum = s
+    else:
+        # exhausting the cap without the sum stabilizing would silently
+        # return split components — refuse instead
+        raise RuntimeError(
+            f"connected components did not converge in {max_iters} "
+            f"iterations; raise max_iters")
     out = labels.to_pandas().rename(columns={"label": "component"})
     return out.sort_values("node").reset_index(drop=True)
 

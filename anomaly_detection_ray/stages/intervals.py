@@ -47,8 +47,9 @@ def interval_join(left, intervals: pd.DataFrame, key: str, ts_col: str,
     b1 = (iv[end_col] // bucket_us).to_numpy(np.int64)
     reps = (b1 - b0 + 1).astype(np.int64)
     rep_idx = np.repeat(np.arange(len(iv)), reps)
-    offs = np.concatenate([np.arange(n) for n in reps]) if len(iv) else \
-        np.array([], dtype=np.int64)
+    # vectorized per-row 0..reps[i]-1 ramps (no per-row np.arange)
+    offs = (np.arange(reps.sum()) -
+            np.repeat(np.cumsum(reps) - reps, reps))
     ivr = iv.iloc[rep_idx].reset_index(drop=True)
     ivr["__bucket"] = b0[rep_idx] + offs
     # group the replicated intervals by (bucket, key) for O(1) group lookup;

@@ -39,7 +39,8 @@ def skew_aware_join(left, right, left_on: str, right_on: str,
 
     counts = fold_partials(left.map_batches(key_part, batch_format="pandas"),
                            [left_on], {"n": "sum"})
-    hot_keys = set(counts.loc[counts["n"] >= hot_threshold, left_on])
+    hot_keys = (set() if counts.empty
+                else set(counts.loc[counts["n"] >= hot_threshold, left_on]))
 
     if not hot_keys:
         return left.join(right, join_type="inner",
@@ -79,7 +80,5 @@ def skew_aware_join(left, right, left_on: str, right_on: str,
                       join_type="inner", num_partitions=num_partitions,
                       on=(left_on,), right_on=(right_on,)))
 
-    def arrowize(ds):
-        return ds.map_batches(lambda t: t, batch_format="pyarrow")
-
+    from ..functions.rayutil import arrowize
     return arrowize(hot_out).union(arrowize(cold_out))

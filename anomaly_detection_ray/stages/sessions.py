@@ -59,8 +59,9 @@ def sliding_window_agg(ds, key: str, ts_col: str, value_col: str,
         k_hi = us // s_us                # last covering window
         reps = (k_hi - k_lo + 1).astype(np.int64)
         idx = np.repeat(np.arange(len(us)), reps)
-        offs = np.concatenate([np.arange(n) for n in reps]) if len(us) else \
-            np.array([], dtype=np.int64)
+        # vectorized per-row 0..reps[i]-1 ramps (no per-row np.arange)
+        offs = (np.arange(reps.sum()) -
+                np.repeat(np.cumsum(reps) - reps, reps))
         g = pd.DataFrame({"window_id": k_lo[idx] + offs, key: keys[idx],
                           "sum_v": v[idx], "n": 1})
         return g.groupby(["window_id", key], as_index=False).sum()

@@ -28,6 +28,31 @@ def _normalize(M: np.ndarray) -> np.ndarray:
     return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
 
 
+def _hash_slice_sample(ds, sample_rows: int, id_col: str | None,
+                       vec_col: str = "embedding") -> pd.DataFrame:
+    """Unbiased deterministic sample for codebook/centroid training: an
+    id-modulus slice over the whole dataset (every batch contributes
+    ~sample_rows/total of its rows), NOT a first-blocks ``limit`` — a
+    corpus sorted by source would otherwise train on one source's
+    manifold. Shared by IVF/PQ/k-means trainers. Falls back to
+    ``limit`` when the slice comes back empty (sparse/offset id spaces
+    where ``id % mod == 0`` can match nothing)."""
+    if id_col is not None and id_col in ds.schema().names:
+        n_total = ds.count()  # parquet metadata, no data read
+        mod = max(1, n_total // sample_rows)
+
+        def slice_batch(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df[id_col].astype(np.int64) % mod == 0]
+
+        # sort driver-side for a deterministic sample regardless of block
+        # completion order
+        sample = (ds.map_batches(slice_batch, batch_format="pandas")
+                  .to_pandas().sort_values(id_col).head(sample_rows))
+        if len(sample):
+            return sample
+    return ds.limit(sample_rows).to_pandas()
+
+
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id",
                      exclude_ids: set | None = None) -> pd.DataFrame:
@@ -72,23 +97,9 @@ def train_ivf_codebook(ds, n_cells: int = 16, vec_col: str = "embedding",
                        seed: int = 0, id_col: str | None = "vec_id") -> np.ndarray:
     """Coarse k-means codebook from a sample (driver-side Lloyd, tiny).
 
-    The sample is an UNBIASED deterministic hash slice over the id column
-    (every batch contributes ~sample_rows/total of its rows), not a
-    first-blocks ``limit`` — a corpus sorted by source would otherwise
-    train the codebook on one source's manifold."""
-    if id_col is not None and id_col in ds.schema().names:
-        n_total = ds.count()  # parquet metadata, no data read
-        mod = max(1, n_total // sample_rows)
-
-        def slice_batch(df: pd.DataFrame) -> pd.DataFrame:
-            return df[df[id_col].astype(np.int64) % mod == 0]
-
-        # the slice is ~sample_rows by construction; sort driver-side for a
-        # deterministic sample regardless of block completion order
-        sample = (ds.map_batches(slice_batch, batch_format="pandas")
-                  .to_pandas().sort_values(id_col).head(sample_rows))
-    else:
-        sample = ds.limit(sample_rows).to_pandas()
+    The sample is the unbiased deterministic hash slice of
+    ``_hash_slice_sample`` (not a first-blocks ``limit``)."""
+    sample = _hash_slice_sample(ds, sample_rows, id_col, vec_col)
     X = _normalize(_as_matrix(sample[vec_col].to_numpy()))
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
@@ -157,17 +168,7 @@ def train_pq_codebooks(ds, m: int = 8, ks: int = 256,
     compress to m uint8 codes (8 B, 32x) — the coded table fits in memory
     where the raw one cannot, and scan cost per batch is m table lookups
     per row instead of a d-wide dot product."""
-    if id_col is not None and id_col in ds.schema().names:
-        n_total = ds.count()
-        mod = max(1, n_total // sample_rows)
-
-        def slice_batch(df: pd.DataFrame) -> pd.DataFrame:
-            return df[df[id_col].astype(np.int64) % mod == 0]
-
-        sample = (ds.map_batches(slice_batch, batch_format="pandas")
-                  .to_pandas().sort_values(id_col).head(sample_rows))
-    else:
-        sample = ds.limit(sample_rows).to_pandas()
+    sample = _hash_slice_sample(ds, sample_rows, id_col, vec_col)
     X = _normalize(_as_matrix(sample[vec_col].to_numpy()))
     n, d = X.shape
     assert d % m == 0, f"dim {d} not divisible by m={m}"
@@ -303,17 +304,9 @@ def kmeans_fit(ds, k: int = 8, iters: int = 5, vec_col: str = "embedding",
     => fully deterministic centroids."""
     import ray as _ray
 
-    if id_col in ds.schema().names:
-        n_total = ds.count()
-        mod = max(1, n_total // 2048)
-
-        def slice_batch(df: pd.DataFrame) -> pd.DataFrame:
-            return df[df[id_col].astype(np.int64) % mod == 0]
-
-        sample = (ds.map_batches(slice_batch, batch_format="pandas")
-                  .to_pandas().sort_values(id_col).head(2048))
-    else:
-        sample = ds.limit(2048).to_pandas()
+    sample = _hash_slice_sample(ds, 2048, id_col, vec_col)
+    if not len(sample):
+        raise ValueError("kmeans_fit: empty dataset")
     X0 = _as_matrix(sample[vec_col].to_numpy())
     rng = np.random.default_rng(seed)
     # farthest-point (deterministic k-means++ flavor) init on the sample:

@@ -219,7 +219,9 @@ def test_bpe_training_and_encode(ray_session):
     rules = bpe.train_bpe(counts, num_merges=10, min_freq=2)
     # 'es' (freq 6) or 'est'-chain dominates early; 'lo'+'w' merges exist
     assert len(rules) == 10
-    assert rules["freq"].is_monotonic_decreasing or True  # freq can plateau
+    # BPE invariant: a post-merge pair's count never exceeds the pair it
+    # came from, so chosen frequencies are non-increasing across ranks
+    assert rules["freq"].is_monotonic_decreasing
     first = (rules["left"].iloc[0], rules["right"].iloc[0])
     assert first in {("e", "s"), ("s", "t"), ("l", "o"), ("o", "w"),
                      ("n", "e"), ("w", "e"), ("t", "</w>"), ("e", "w")}
@@ -228,3 +230,19 @@ def test_bpe_training_and_encode(ray_session):
         assert "".join(toks) == w + bpe.EOW
     # frequent whole word collapses to few tokens
     assert len(bpe.encode_word("newest", rules)) <= 3
+
+
+def test_connected_components_long_chain_converges(ray_session):
+    """Pointer jumping: a 200-node chain (diameter 199) converges within
+    the default iteration budget and labels every node with the chain
+    minimum."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.cc import _label_propagation
+
+    n = 200
+    e = pd.DataFrame({"id_a": np.arange(1, n), "id_b": np.arange(0, n - 1)})
+    out = _label_propagation(rd.from_pandas(e).repartition(4),
+                             "id_a", "id_b", max_iters=20)
+    assert len(out) == n
+    assert (out["component"] == 0).all()
