@@ -835,6 +835,14 @@ def oracle_sql() -> dict[str, str]:
                          6) AS duration_s
             FROM g GROUP BY user_id, session_id
         """,
+        "exact_quantiles_events": """
+            SELECT event_type, CAST(count(value) AS BIGINT) AS n,
+                   quantile_disc(value, 0.5) AS p50,
+                   quantile_disc(value, 0.9) AS p90,
+                   quantile_disc(value, 0.99) AS p99
+            FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY event_type
+        """,
         "deterministic_shuffle_documents": """
             SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
             FROM documents ORDER BY shuffle_key LIMIT 100

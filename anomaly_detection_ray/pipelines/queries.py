@@ -415,6 +415,38 @@ def q_bpe_vocab_documents(sf_dir: str):
     return rules
 
 
+def q_exact_quantiles_events(sf_dir: str):
+    """EXACT distributed quantiles for bounded-cardinality numerics (the
+    complement of the t-digest, which serves unbounded cardinality): one
+    pass of per-batch (type, value) count partials -> fold -> cumulative
+    selection per type. No sort of the data, exact by construction;
+    DuckDB quantile_disc oracle (element at 0-based index ceil(q·n)-1)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["value"])
+        g = (df.groupby(["event_type", "value"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        return g
+
+    merged = _fold(ds.map_batches(partial, batch_format="pandas"),
+                   ["event_type", "value"], {"n": "sum"})
+    rows = []
+    for et, g in merged.groupby("event_type"):
+        g = g.sort_values("value")
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        vals = g["value"].to_numpy()
+        row = {"event_type": et, "n": total}
+        for q, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            idx = int(np.ceil(q * total - 1e-9)) - 1
+            row[name] = float(vals[np.searchsorted(cum, idx + 1)])
+        rows.append(row)
+    out = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return out[["event_type", "n", "p50", "p90", "p99"]]
+
+
 def q_approx_distinct_events(sf_dir: str):
     """HLL approximate distinct users per event_type next to the exact
     count: per-batch HLL partials merged by register-max — order- and
@@ -1357,6 +1389,7 @@ QUERIES = {
     "approx_distinct_events": q_approx_distinct_events,
     "bpe_vocab_documents": q_bpe_vocab_documents,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "exact_quantiles_events": q_exact_quantiles_events,
     "deterministic_shuffle_documents": q_deterministic_shuffle_documents,
     "exact_dedup_documents": q_exact_dedup_documents,
     "token_count_documents": q_token_count_documents,
