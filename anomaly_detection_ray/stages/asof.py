@@ -159,12 +159,15 @@ def asof_join(left, right, key: str, ts_col: str,
               left_cols: list[str], right_cols: list[str],
               suffix: str = "_r", lag_col: str | None = None,
               left_types: dict | None = None,
-              right_types: dict | None = None):
+              right_types: dict | None = None,
+              how: str = "inner"):
     """Distributed backward as-of join for a LARGE right side (the
     broadcast path above stops working when the forecast/right table no
     longer fits in one object): every left row is matched to the right row
-    with the greatest ``ts <= left.ts`` for the same ``key`` (inner —
-    unmatched left rows are dropped, DuckDB ``ASOF JOIN`` semantics).
+    with the greatest ``ts <= left.ts`` for the same ``key``.
+    ``how="inner"`` drops unmatched left rows (DuckDB ``ASOF JOIN``);
+    ``how="left"`` keeps them with null right columns (``ASOF LEFT JOIN``
+    / ``pd.merge_asof`` semantics).
 
     Shape: both sides are pruned to the needed columns, tagged, padded to a
     common schema and unioned, so ONE ``groupby(key)`` shuffle co-partitions
@@ -220,19 +223,28 @@ def asof_join(left, right, key: str, ts_col: str,
         r = df[df["__side"] == 0]
         lf = df[df["__side"] == 1]
         if not len(lf):
-            return pd.DataFrame({c: [] for c in [*lkeep, *rout]})
+            cols = [*lkeep, *rout] + ([lag_col] if lag_col else [])
+            return pd.DataFrame({c: [] for c in cols})
         r_ts = r[ts_col].to_numpy()
         idx = np.searchsorted(r_ts, lf[ts_col].to_numpy(), side="right") - 1
-        hit = idx >= 0
+        hit = idx >= 0 if how == "inner" else np.ones(len(lf), dtype=bool)
         out = lf.loc[hit, lkeep].copy()
-        take = idx[hit]
+        take = np.clip(idx[hit], 0, None)
+        matched = idx[hit] >= 0
         for rc in rout:
-            out[rc] = r[rc].to_numpy()[take]
+            vals = r[rc].to_numpy()[take] if len(r) else np.full(
+                int(hit.sum()), np.nan)
+            out[rc] = np.where(matched, vals, np.nan) if how == "left" \
+                else vals
         if lag_col is not None:
-            lag = (out[ts_col].to_numpy() - r_ts[take])
-            if np.issubdtype(lag.dtype, np.timedelta64):
-                lag = lag / np.timedelta64(1, "s")
-            out[lag_col] = lag.astype(np.float64)
+            if len(r):
+                lag = (out[ts_col].to_numpy() - r_ts[take])
+                if np.issubdtype(lag.dtype, np.timedelta64):
+                    lag = lag / np.timedelta64(1, "s")
+                lag = lag.astype(np.float64)
+            else:
+                lag = np.full(int(hit.sum()), np.nan)
+            out[lag_col] = np.where(matched, lag, np.nan)
         return out.reset_index(drop=True)
 
     return u.groupby(key).map_groups(merge, batch_format="pandas")

@@ -372,3 +372,26 @@ def test_skew_aware_join_parity(ray_session):
                                want[["lk", "lv", "rv"]].to_numpy())
     assert (got["lk"] == 7).sum() > 1500      # hot path produced rows
     assert (got["lk"] != 7).sum() > 1000      # cold path produced rows
+
+
+def test_asof_join_left_outer(ray_session):
+    """how='left' keeps unmatched left rows with null right columns —
+    pd.merge_asof semantics (which is left by default)."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.asof import asof_join
+
+    left = pd.DataFrame({"k": [1, 1, 2, 3], "ts": [5, 50, 10, 10],
+                         "lid": np.arange(4, dtype=np.int64)})
+    right = pd.DataFrame({"k": [1, 2], "ts": [20, 4],
+                          "rv": [1.5, 2.5]})
+    got = (asof_join(rd.from_pandas(left).repartition(2),
+                     rd.from_pandas(right), key="k", ts_col="ts",
+                     left_cols=["lid"], right_cols=["rv"], suffix="_r",
+                     lag_col="lag_s", how="left")
+           .to_pandas().sort_values("lid").reset_index(drop=True))
+    assert len(got) == 4  # every left row survives
+    # lid 0 (k=1, ts=5 < 20) and lid 3 (k=3, no right) unmatched
+    assert np.isnan(got.loc[0, "rv_r"]) and np.isnan(got.loc[3, "rv_r"])
+    assert got.loc[1, "rv_r"] == 1.5 and got.loc[1, "lag_s"] == 30.0
+    assert got.loc[2, "rv_r"] == 2.5 and got.loc[2, "lag_s"] == 6.0
