@@ -40,6 +40,9 @@ def interval_join(left, intervals: pd.DataFrame, key: str, ts_col: str,
     int64). Returns one row per (left row ∈ interval): ``left_cols`` +
     ``id_col`` — inclusive bounds, exactly SQL ``BETWEEN``.
     """
+    if not isinstance(intervals, pd.DataFrame):
+        return interval_join_large(left, intervals, key, ts_col, left_cols,
+                                   id_col, start_col, end_col, bucket_s)
     bucket_us = int(round(bucket_s * US))
     iv = intervals[[key, id_col, start_col, end_col]].reset_index(drop=True)
     # replicate each interval to every bucket it overlaps
@@ -81,3 +84,79 @@ def interval_join(left, intervals: pd.DataFrame, key: str, ts_col: str,
         return pd.concat(out, ignore_index=True)
 
     return left.map_batches(probe, batch_format="pandas")
+
+
+def interval_join_large(left, intervals, key: str, ts_col: str,
+                        left_cols: list[str], id_col: str,
+                        start_col: str = "start_us", end_col: str = "end_us",
+                        bucket_s: float = 3600.0):
+    """Interval join for a LARGE interval Dataset (no broadcast): the
+    replicated interval rows and the bucketed left rows meet in ONE
+    ``groupby((bucket, key))`` shuffle (the asof_join co-partition
+    pattern); the in-group containment test is the same numpy broadcast.
+    Exactly-once pair emission holds for the same reason as the broadcast
+    path — a left row lives in exactly one bucket."""
+    import numpy as np
+
+    from ..functions.rayutil import arrowize
+
+    bucket_us = int(round(bucket_s * US))
+
+    # pads force float64 on both sides so the union schema is exact;
+    # numeric values are exact in float64 up to 2^53 — callers cast back
+    def rep_intervals(df: pd.DataFrame) -> pd.DataFrame:
+        b0 = (df[start_col] // bucket_us).to_numpy(np.int64)
+        b1 = (df[end_col] // bucket_us).to_numpy(np.int64)
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(df)), reps)
+        offs = (np.arange(reps.sum()) -
+                np.repeat(np.cumsum(reps) - reps, reps))
+        out = df.iloc[idx][[key, id_col, start_col, end_col]].copy()
+        for c in [id_col, start_col, end_col]:
+            out[c] = out[c].astype(np.float64)
+        out["__bucket"] = b0[idx] + offs
+        out["__side"] = np.int8(0)
+        for c in left_cols:
+            if c not in out.columns:
+                out[c] = np.nan
+        out["__ts_us"] = np.int64(0)
+        return out.reset_index(drop=True)
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        us = _epoch_us(df[ts_col])
+        out = df[[key, *[c for c in left_cols if c != key]]].copy()
+        for c in out.columns:
+            if c != key:
+                out[c] = out[c].astype(np.float64)
+        out["__bucket"] = us // bucket_us
+        out["__side"] = np.int8(1)
+        out[id_col] = np.nan
+        out[start_col] = 0.0
+        out[end_col] = 0.0
+        out["__ts_us"] = us
+        return out
+
+    cols = [key, id_col, start_col, end_col, "__bucket", "__side",
+            *[c for c in left_cols if c != key], "__ts_us"]
+    u = (arrowize(left.map_batches(
+            lambda df: tag_left(df)[cols], batch_format="pandas"))
+         .union(arrowize(intervals.map_batches(
+            lambda df: rep_intervals(df)[cols], batch_format="pandas"))))
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        iv = df[df["__side"] == 0]
+        lf = df[df["__side"] == 1]
+        if not len(iv) or not len(lf):
+            return pd.DataFrame(columns=[*left_cols, id_col])
+        l_us = lf["__ts_us"].to_numpy(np.int64)
+        hit = ((l_us[:, None] >= iv[start_col].to_numpy()[None, :])
+               & (l_us[:, None] <= iv[end_col].to_numpy()[None, :]))
+        li, ri = np.nonzero(hit)
+        if not len(li):
+            return pd.DataFrame(columns=[*left_cols, id_col])
+        out = lf.iloc[li][left_cols].copy()
+        out[id_col] = iv[id_col].to_numpy()[ri]
+        return out.reset_index(drop=True)
+
+    return (u.groupby(["__bucket", key])
+            .map_groups(probe, batch_format="pandas"))

@@ -395,3 +395,37 @@ def test_asof_join_left_outer(ray_session):
     assert np.isnan(got.loc[0, "rv_r"]) and np.isnan(got.loc[3, "rv_r"])
     assert got.loc[1, "rv_r"] == 1.5 and got.loc[1, "lag_s"] == 30.0
     assert got.loc[2, "rv_r"] == 2.5 and got.loc[2, "lag_s"] == 6.0
+
+
+def test_interval_join_large_matches_broadcast(ray_session):
+    """interval_join_large (union co-partition shuffle) returns exactly
+    the broadcast path's pair set on the same random input."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.intervals import (interval_join,
+                                                        interval_join_large)
+
+    r = np.random.default_rng(31)
+    left = pd.DataFrame({
+        "k": r.integers(0, 5, 400),
+        "ts": r.uniform(0, 5_000, 400),
+        "lid": np.arange(400, dtype=np.int64),
+    })
+    s = r.uniform(0, 4_500, 30)
+    win = pd.DataFrame({
+        "k": r.integers(0, 6, 30),
+        "wid": np.arange(30, dtype=np.int64),
+        "start_us": (s * 1e6).astype(np.int64),
+        "end_us": ((s + r.uniform(50, 400, 30)) * 1e6).astype(np.int64),
+    })
+    small = (interval_join(rd.from_pandas(left).repartition(4), win,
+                           key="k", ts_col="ts", left_cols=["lid", "k"],
+                           id_col="wid", bucket_s=100.0).to_pandas())
+    large = (interval_join_large(rd.from_pandas(left).repartition(4),
+                                 rd.from_pandas(win).repartition(3),
+                                 key="k", ts_col="ts",
+                                 left_cols=["lid", "k"], id_col="wid",
+                                 bucket_s=100.0).to_pandas())
+    a = {(int(l), int(w)) for l, w in zip(small["lid"], small["wid"])}
+    b = {(int(l), int(w)) for l, w in zip(large["lid"], large["wid"])}
+    assert a == b and len(large) == len(b) > 0
