@@ -46,7 +46,8 @@ def _union_find(pairs: pd.DataFrame, a_col: str, b_col: str) -> pd.DataFrame:
 
 
 def _label_propagation(edges, a_col: str, b_col: str,
-                       max_iters: int) -> pd.DataFrame:
+                       max_iters: int,
+                       num_partitions: int = 8) -> pd.DataFrame:
     from ray.data.aggregate import Min, Sum
 
     from ..functions.rayutil import arrowize
@@ -70,10 +71,10 @@ def _label_propagation(edges, a_col: str, b_col: str,
     prev_sum = None
     for it in range(max_iters):
         # ship labels across edges in both directions, then min per node
-        fwd = (edges.join(labels, join_type="inner", num_partitions=8,
+        fwd = (edges.join(labels, join_type="inner", num_partitions=num_partitions,
                           on=(a_col,), right_on=("node",))
                .select_columns([b_col, "label"]).rename_columns(["node", "label"]))
-        bwd = (edges.join(labels, join_type="inner", num_partitions=8,
+        bwd = (edges.join(labels, join_type="inner", num_partitions=num_partitions,
                           on=(b_col,), right_on=("node",))
                .select_columns([a_col, "label"]).rename_columns(["node", "label"]))
         labels = (arrowize(labels).union(arrowize(fwd)).union(arrowize(bwd))
@@ -89,7 +90,7 @@ def _label_propagation(edges, a_col: str, b_col: str,
             import pyarrow as pa
             return pa.table({"node": t["node"], "label": t["jlabel"]})
 
-        labels = (labels.join(lbl_map, join_type="inner", num_partitions=8,
+        labels = (labels.join(lbl_map, join_type="inner", num_partitions=num_partitions,
                               on=("label",), right_on=("jnode",))
                   .map_batches(relabel, batch_format="pyarrow")
                   .materialize())
@@ -109,7 +110,8 @@ def _label_propagation(edges, a_col: str, b_col: str,
 
 def connected_components(pairs, a_col: str = "id_a", b_col: str = "id_b",
                          edge_threshold: int = 200_000,
-                         max_iters: int = 50) -> pd.DataFrame:
+                         max_iters: int = 50,
+                         num_partitions: int = 8) -> pd.DataFrame:
     """(node, component=min id in component) from an edge list — pandas
     DataFrame or Ray Dataset. Small edge lists fold on the driver; past
     ``edge_threshold`` edges the Ray label-propagation path runs."""
@@ -120,4 +122,5 @@ def connected_components(pairs, a_col: str = "id_a", b_col: str = "id_b",
             return (_union_find(pairs, a_col, b_col)
                     .sort_values("node").reset_index(drop=True))
         pairs = rd.from_pandas(pairs)
-    return _label_propagation(pairs, a_col, b_col, max_iters)
+    return _label_propagation(pairs, a_col, b_col, max_iters,
+                              num_partitions)

@@ -185,11 +185,12 @@ def test_connected_components_regimes_agree(ray_session):
                                                  connected_components)
 
     r = np.random.default_rng(9)
-    e = pd.DataFrame({"id_a": r.integers(0, 400, 300),
-                      "id_b": r.integers(0, 400, 300)})
+    e = pd.DataFrame({"id_a": r.integers(0, 120, 90),
+                      "id_b": r.integers(0, 120, 90)})
     uf = connected_components(e)  # small => union-find regime
     lp = _label_propagation(rd.from_pandas(e).repartition(5),
-                            "id_a", "id_b", max_iters=50)
+                            "id_a", "id_b", max_iters=50,
+                            num_partitions=2)
     m = uf.merge(lp, on="node", suffixes=("_uf", "_lp"))
     assert len(m) == len(uf) == len(lp)
     assert (m["component_uf"] == m["component_lp"]).all()
@@ -240,9 +241,10 @@ def test_connected_components_long_chain_converges(ray_session):
 
     from anomaly_detection_ray.stages.cc import _label_propagation
 
-    n = 200
+    n = 64
     e = pd.DataFrame({"id_a": np.arange(1, n), "id_b": np.arange(0, n - 1)})
     out = _label_propagation(rd.from_pandas(e).repartition(4),
-                             "id_a", "id_b", max_iters=20)
+                             "id_a", "id_b", max_iters=12,
+                             num_partitions=2)
     assert len(out) == n
     assert (out["component"] == 0).all()
