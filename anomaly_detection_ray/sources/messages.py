@@ -100,7 +100,27 @@ def write_verdicts(ds, out_dir: str, fmt: str = "parquet",
     non-OK rows — the reference's ``send_ok=False`` gate, output.py:203-206).
     Partitioned files, not one giant file (resumable layout)."""
     if violations_only:
-        ds = ds.filter(expr=f"{code_col} != 1")
+        names = ds.schema().names
+        if code_col in names:
+            ds = ds.filter(expr=f"{code_col} != 1")
+        else:
+            # no combined verdict column: keep rows where ANY check is
+            # non-OK (the reference's gate applies per configured output)
+            code_cols = [c for c in names if c.endswith("_code")]
+            if not code_cols:
+                raise ValueError(f"no '{code_col}' or '*_code' columns to "
+                                 "gate violations on")
+
+            def keep(t):
+                import pyarrow as pa
+                import pyarrow.compute as pc
+                mask = None
+                for c in code_cols:
+                    m = pc.not_equal(pc.fill_null(t[c], 2), 1)
+                    mask = m if mask is None else pc.or_(mask, m)
+                return t.filter(mask)
+
+            ds = ds.map_batches(keep, batch_format="pyarrow")
     if fmt == "parquet":
         ds.write_parquet(out_dir)
     elif fmt == "csv":

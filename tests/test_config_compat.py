@@ -349,3 +349,30 @@ def test_every_reference_config_runs_verbatim(ray_session, cfg, tmp_path_factory
     assert code_cols, f"{cfg}: no verdict columns in {list(d.columns)}"
     for c in code_cols:
         assert set(pd.unique(d[c].dropna())) <= {-1, 0, 1, 2}, (cfg, c)
+
+
+def test_cli_main_runs_reference_config(ray_session, tmp_path, capsys):
+    """python -m anomaly_detection_ray (main.py -f parity): reference
+    config + message CSV -> summary + violations-only sink (per-check
+    any-non-OK gate when no combined status_code exists)."""
+    import glob
+
+    from anomaly_detection_ray.__main__ import main
+
+    rng = np.random.default_rng(2)
+    data = tmp_path / "msgs.csv"
+    pd.DataFrame({"timestamp": np.arange(200) * 60.0,
+                  "ftr_vector": np.r_[rng.normal(3, 0.1, 197),
+                                      [9.0, -5.0, 3.0]]}).to_csv(
+        data, index=False)
+    out = tmp_path / "verdicts"
+    rc = main(["-c", os.path.join(REF_CONFIG_DIR, "border_check.json"),
+               "--data", str(data), "--out", str(out),
+               "--violations-only"])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "a0_bordercheck_code" in printed and "Error=" in printed
+    df = pd.concat([pd.read_parquet(p)
+                    for p in glob.glob(str(out / "*.parquet"))])
+    assert (df["a0_bordercheck_code"] != 1).all()
+    assert {9.0, -5.0} <= set(df["f0"])  # the injected outliers made it out
