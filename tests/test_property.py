@@ -66,3 +66,62 @@ def test_tdigest_quantiles_bounded(values):
     td.add_values(np.asarray(values, dtype=np.float64))
     qs = [td.quantile(q) for q in (0.1, 0.5, 0.9)]
     assert min(values) <= qs[0] <= qs[1] <= qs[2] <= max(values)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.floats(20.0, 5000.0), st.integers(1, 6))
+def test_interval_join_any_bucket_size(bucket_s, n_keys):
+    """Bucket size is a pure performance knob: the pair set must be
+    identical for ANY bucket_s (tiny => heavy replication, huge => one
+    bucket)."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.intervals import interval_join
+
+    r = np.random.default_rng(17)
+    left = pd.DataFrame({"k": r.integers(0, n_keys, 120),
+                         "ts": r.uniform(0, 3000, 120),
+                         "lid": np.arange(120, dtype=np.int64)})
+    s = r.uniform(0, 2800, 15)
+    win = pd.DataFrame({"k": r.integers(0, n_keys, 15),
+                        "wid": np.arange(15, dtype=np.int64),
+                        "start_us": (s * 1e6).astype(np.int64),
+                        "end_us": ((s + r.uniform(10, 600, 15)) * 1e6
+                                   ).astype(np.int64)})
+    got = (interval_join(rd.from_pandas(left).repartition(3), win, key="k",
+                         ts_col="ts", left_cols=["lid"], id_col="wid",
+                         bucket_s=bucket_s).to_pandas())
+    l_us = np.round(left["ts"].to_numpy() * 1e6).astype(np.int64)
+    want = {(int(l), int(w))
+            for i, l in enumerate(left["lid"])
+            for w, ks, a, b in win[["wid", "k", "start_us", "end_us"]]
+            .itertuples(index=False, name=None)
+            if left["k"].iloc[i] == ks and a <= l_us[i] <= b}
+    assert set(zip(got["lid"], got["wid"])) == want
+    assert len(got) == len(want)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(1, 5), st.integers(1, 5))
+def test_sliding_window_counts_any_geometry(w_mult, slide_div):
+    """Every event appears in exactly ceil(window/slide) windows; total
+    replicated count equals n_events x windows-per-event for any
+    window/slide geometry."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.sessions import sliding_window_agg
+
+    slide_s = 3600.0 / slide_div
+    window_s = slide_s * w_mult
+    r = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(r.uniform(0, 86400, 300), unit="s"),
+        "event_type": "x",
+        "value": r.normal(size=300),
+    })
+    out = sliding_window_agg(rd.from_pandas(df).repartition(3),
+                             key="event_type", ts_col="ts",
+                             value_col="value", window_s=window_s,
+                             slide_s=slide_s)
+    assert out["n"].sum() == 300 * w_mult  # windows covering each event
