@@ -50,6 +50,7 @@ FIXTURE_QUERIES = [
     "approx_distinct_events",
     "bpe_vocab_documents",
     "kmeans_embeddings",
+    "text_prep_documents",
     "clip_validation_verdicts",
     "clip_audio_features",
     "clip_spectral_features",

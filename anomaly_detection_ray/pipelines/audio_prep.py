@@ -136,8 +136,10 @@ class AudioPrep:
             for p, n in zip(u, c):
                 stats[int(p)]["segments"] += int(n)
         if self.metrics is not None:
-            self.metrics.add.remote(
-                [{"partition_id": p, **e} for p, e in stats.items()])
+            # block on the ack so the driver's total() cannot outrun
+            # in-flight adds from other workers (validate.py:405)
+            ray.get(self.metrics.add.remote(
+                [{"partition_id": p, **e} for p, e in stats.items()]))
         return pa.table({
             "clip_id": pa.array(ids, type=pa.string()),
             "partition_id": pa.array(pids, type=pa.int32()),

@@ -400,6 +400,22 @@ def q_kmeans_embeddings(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def q_text_prep_documents(sf_dir: str):
+    """Document-curation flagship (pipelines/text_prep): global dedup
+    discovery (exact + MinHash near-dup) -> per-partition lang/quality
+    gate -> partitioned parquet with manifest/resume; returns the
+    per-partition curation metrics (deterministic => fixture oracle)."""
+    from .text_prep import TextPrepConfig, run_text_prep
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join("/tmp/adr_text_prep", sf)
+    res = run_text_prep(os.path.join(sf_dir, "documents.parquet"), out,
+                        TextPrepConfig(P=8), resume=False)
+    m = res["metrics"]
+    for c in m.columns:
+        m[c] = m[c].astype("int64")
+    return m
+
+
 def q_bpe_vocab_documents(sf_dir: str):
     """Trainable BPE vocabulary over the document corpus: one distributed
     word-count pass, then Sennrich-style merges on the bounded (word,
@@ -1388,6 +1404,7 @@ QUERIES = {
     "sliding_window_events": q_sliding_window_events,
     "approx_distinct_events": q_approx_distinct_events,
     "bpe_vocab_documents": q_bpe_vocab_documents,
+    "text_prep_documents": q_text_prep_documents,
     "kmeans_embeddings": q_kmeans_embeddings,
     "exact_quantiles_events": q_exact_quantiles_events,
     "deterministic_shuffle_documents": q_deterministic_shuffle_documents,

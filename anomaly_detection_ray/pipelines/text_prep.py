@@ -1,0 +1,210 @@
+"""Document corpus curation pipeline: dedup discovery -> quality/lang gate
+-> partitioned parquet, resumable per partition.
+
+The text counterpart of audio_prep.py — the composition a 100 TB document
+corpus needs before LLM training: drop exact duplicates (md5 groups) and
+MinHash near-duplicates (keep each cluster's representative), gate on
+language and on quality heuristics (token count, punctuation density,
+stopword ratio), and write one parquet directory per partition with a
+lineage manifest so a failed run resumes.
+
+Two-pass shape (the validate.py pass-A/pass-B design):
+
+- **Pass A (global, always runs)** — duplicate discovery. Exact victims
+  from per-batch (hash, id) partials + the cardinality-aware fold; near
+  victims from the staged MinHash-LSH pipeline + connected components.
+  Output is the DROP SET: O(duplicates) ids, broadcast once via
+  ``ray.put``. It must be global (duplicates straddle partitions — the
+  round-1 resume-dup-scope lesson) and is cheap because it never touches
+  more than hashes/signatures.
+- **Pass B (per partition, resumable)** — curation. Partition =
+  ``doc_id % P`` (deterministic; a production corpus would be stored
+  partition-keyed like the clip table, turning the vectorized partition
+  filter into a real scan pushdown). One ``map_batches`` applies the drop
+  set + gates, emits metric partials to a side-channel actor, and streams
+  survivors straight to ``write_parquet(partition_cols=...)``.
+
+Resume mirrors validate.py: config-hashed manifest, completed partitions
+skipped, partition dirs cleared before rewrite so re-runs are idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import asdict, dataclass
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+from ..functions import text as tx
+from ..stages import dedup as dd
+from . import checkpoint as ckpt
+
+
+@dataclass(frozen=True)
+class TextPrepConfig:
+    P: int = 8
+    langs: tuple = ("en",)          # () = keep every detected language
+    min_tokens: int = 10
+    max_punct_ratio: float = 0.3
+    min_stopword_ratio: float = 0.0
+    near_dup_threshold: float = 0.8  # MinHash est-jaccard; 0 disables
+    batch_size: int = 2048
+    concurrency: int = 0             # 0 = auto (pool_size)
+
+
+@ray.remote(num_cpus=0)
+class _CurateMetrics:
+    """Side-channel accumulator: per-partition curation counters."""
+
+    def __init__(self):
+        self.rows: dict[int, dict] = {}
+
+    def add(self, partials: list[dict]) -> None:
+        for p in partials:
+            pid = int(p["partition_id"])
+            e = self.rows.setdefault(pid, {
+                "docs": 0, "kept": 0, "drop_dup": 0, "drop_lang": 0,
+                "drop_quality": 0})
+            for k in e:
+                e[k] += int(p[k])
+
+    def total(self) -> pd.DataFrame:
+        return pd.DataFrame([{"partition_id": p, **e}
+                             for p, e in sorted(self.rows.items())])
+
+
+def discover_drop_ids(ds, text_col: str = "text", id_col: str = "doc_id",
+                      near_dup_threshold: float = 0.8) -> set:
+    """Pass A: ids to drop — exact-dup non-minimum members plus MinHash
+    near-dup non-representative members. O(duplicates) on the driver."""
+    victims = set()
+    # victims = every member of a >=2 group except the kept (min) id:
+    # ship (hash, id) only for dup groups — small by construction
+    dup = (dd.exact_dedup_groups(ds, text_col=text_col, id_col=id_col)
+           .filter(expr="n_dups > 1").to_pandas())
+    # an all-empty-blocks filter result loses its columns in to_pandas
+    dup_hashes = set(dup["text_hash"]) if "text_hash" in dup else set()
+    if dup_hashes:
+        h_ref = ray.put(dup_hashes)
+
+        def members(df: pd.DataFrame) -> pd.DataFrame:
+            hs = ray.get(h_ref)
+            th = dd.md5_hex(df[text_col].fillna(""))
+            m = th.isin(hs)
+            return pd.DataFrame({id_col: df.loc[m.to_numpy(), id_col],
+                                 "h": th[m]})
+
+        mem = ds.map_batches(members, batch_format="pandas").to_pandas()
+        keep = mem.groupby("h")[id_col].min()
+        victims |= set(mem[id_col]) - set(keep)
+    if near_dup_threshold > 0:
+        clusters = dd.minhash_dedup(ds, text_col=text_col, id_col=id_col,
+                                    threshold=near_dup_threshold)
+        victims |= set(clusters[id_col])  # non-representative members
+    return victims
+
+
+def run_text_prep(path: str, out_dir: str,
+                  cfg: TextPrepConfig | None = None,
+                  resume: bool = True) -> dict:
+    """End-to-end curation run. Returns {metrics, docs_path, ...}."""
+    import ray.data as rd
+
+    cfg = cfg or TextPrepConfig()
+    cfg_hash = ckpt.config_hash(asdict(cfg))
+    manifest = (ckpt.load_manifest(out_dir) if resume
+                else {"partitions": {}, "config_hash": None})
+    done = ckpt.completed_partitions(manifest, cfg_hash)
+    todo = [p for p in range(cfg.P) if p not in done]
+    t0 = time.time()
+
+    docs_path = os.path.join(out_dir, "docs")
+    result = {"config_hash": cfg_hash, "skipped_partitions": sorted(done),
+              "docs_path": docs_path, "out_dir": out_dir}
+    if not todo:
+        cols = ["partition_id", "docs", "kept", "drop_dup", "drop_lang",
+                "drop_quality"]
+        result.update({"metrics": pd.DataFrame(
+            [{"partition_id": int(p), **e["metrics"]}
+             for p, e in manifest["partitions"].items()])[cols],
+            "wall_sec": 0.0})
+        return result
+
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    # pass A: global drop set (dup scope must span ALL partitions even on
+    # a resumed run — recomputed each run, deterministic and cheap)
+    drop_ids = discover_drop_ids(ds, near_dup_threshold=cfg.near_dup_threshold)
+    drop_ref = ray.put(np.array(sorted(drop_ids), dtype=np.int64))
+
+    acc = _CurateMetrics.remote()
+    cfg_d = asdict(cfg)
+    todo_arr = np.array(todo, dtype=np.int64)
+
+    def curate(df: pd.DataFrame) -> pd.DataFrame:
+        pid = (df["doc_id"].to_numpy(np.int64) % cfg_d["P"])
+        df = df.loc[np.isin(pid, todo_arr)].copy()
+        if not len(df):
+            return pd.DataFrame(columns=["doc_id", "partition_id", "text",
+                                         "lang", "n_tokens"])
+        pid = df["doc_id"].to_numpy(np.int64) % cfg_d["P"]
+        drop = ray.get(drop_ref)
+        is_dup = np.isin(df["doc_id"].to_numpy(np.int64), drop)
+        lang = np.asarray(tx.detect_language(df["text"]))
+        lang_ok = (np.ones(len(df), dtype=bool) if not cfg_d["langs"]
+                   else np.isin(lang, list(cfg_d["langs"])))
+        q = tx.quality_features(df["text"])
+        q_ok = ((q["n_tokens"] >= cfg_d["min_tokens"])
+                & (q["punct_ratio"] <= cfg_d["max_punct_ratio"])
+                & (q["stopword_ratio"] >= cfg_d["min_stopword_ratio"]))
+        keep = ~is_dup & lang_ok & q_ok
+        stats: dict[int, dict] = {}
+        for p in np.unique(pid):
+            m = pid == p
+            stats[int(p)] = {
+                "docs": int(m.sum()),
+                "kept": int((m & keep).sum()),
+                "drop_dup": int((m & is_dup).sum()),
+                "drop_lang": int((m & ~is_dup & ~lang_ok).sum()),
+                "drop_quality": int((m & ~is_dup & lang_ok & ~q_ok).sum()),
+            }
+        # BLOCK on the ack: a fire-and-forget add can lose the race with
+        # the driver's total() after the write finishes (validate.py:405)
+        ray.get(acc.add.remote(
+            [{"partition_id": p, **e} for p, e in stats.items()]))
+        out = df.loc[keep, ["doc_id", "text"]].copy()
+        out.insert(1, "partition_id", pid[keep].astype(np.int32))
+        out["lang"] = lang[keep]
+        out["n_tokens"] = q["n_tokens"][keep].astype(np.int64)
+        return out
+
+    survivors = ds.map_batches(curate, batch_format="pandas",
+                               batch_size=cfg.batch_size)
+
+    os.makedirs(docs_path, exist_ok=True)
+    for p in todo:
+        d = os.path.join(docs_path, f"partition_id={p}")
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                os.unlink(os.path.join(d, f))
+    survivors.write_parquet(docs_path, partition_cols=["partition_id"])
+    metrics = ray.get(acc.total.remote())
+    ray.kill(acc)
+
+    wall = time.time() - t0
+    for _, r in metrics.iterrows():
+        pid = int(r["partition_id"])
+        manifest["partitions"][str(pid)] = {
+            "done": True,
+            "metrics": {k: int(r[k]) for k in
+                        ("docs", "kept", "drop_dup", "drop_lang",
+                         "drop_quality")},
+            "lineage": {"input": str(path), "config_hash": cfg_hash},
+        }
+    manifest["config_hash"] = cfg_hash
+    ckpt.save_manifest(out_dir, manifest)
+    result.update({"metrics": metrics, "wall_sec": wall})
+    return result

@@ -1,0 +1,91 @@
+"""Document-curation pipeline tests (pipelines/text_prep): ground-truth
+drop decisions, cross-partition dedup scope, metric reconciliation,
+resume + config-hash invalidation."""
+
+import glob
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+DOCS = os.path.join(SF_DIR, "documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def run(ray_session, tmp_path_factory):
+    from anomaly_detection_ray.pipelines.text_prep import (TextPrepConfig,
+                                                           run_text_prep)
+    out = str(tmp_path_factory.mktemp("tp"))
+    cfg = TextPrepConfig(P=4)
+    res = run_text_prep(DOCS, out, cfg, resume=False)
+    return {"out": out, "cfg": cfg, "res": res}
+
+
+def _written(out: str) -> pd.DataFrame:
+    return pd.concat([pd.read_parquet(p) for p in
+                      glob.glob(os.path.join(out, "docs",
+                                             "partition_id=*", "*.parquet"))],
+                     ignore_index=True)
+
+
+def test_metrics_reconcile_with_written_output(run):
+    m = run["res"]["metrics"]
+    df = _written(run["out"])
+    assert m["docs"].sum() == 500  # every sf0.001 doc accounted for
+    assert m["kept"].sum() == len(df)
+    assert (m["docs"] == m[["kept", "drop_dup", "drop_lang",
+                            "drop_quality"]].sum(axis=1)).all()
+
+
+def test_near_dup_victims_dropped_across_partitions(run, ray_session):
+    """Cross-partition dedup scope: the synth documents carry NEAR
+    duplicates (no exact md5 twins at sf0.001); every non-representative
+    member of a MinHash cluster must be gone from the survivors, and the
+    clusters genuinely straddle the doc_id%P partitions."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages import dedup as dd
+
+    df = _written(run["out"])
+    ds = rd.read_parquet(DOCS, columns=["doc_id", "text"])
+    clusters = dd.minhash_dedup(ds, threshold=0.8)
+    assert len(clusters) > 0
+    victims = set(int(i) for i in clusters["doc_id"])
+    surv = set(df["doc_id"])
+    assert not (victims & surv)
+    assert run["res"]["metrics"]["drop_dup"].sum() == len(victims)
+    # clusters really straddle partitions (the scope being tested)
+    pairs = zip(clusters["doc_id"], clusters["cluster_rep"])
+    assert any(int(a) % 4 != int(b) % 4 for a, b in pairs)
+
+
+def test_lang_gate_drops_non_english(run):
+    df = _written(run["out"])
+    assert (df["lang"] == "en").all()
+    non_en = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{DOCS}') WHERE lang <> 'en'"
+    ).fetchone()[0]
+    # every drop_lang row corresponds to a genuinely non-en doc (our
+    # detector vs the generator's label can differ slightly; bound it)
+    m = run["res"]["metrics"]
+    assert 0 < m["drop_lang"].sum() <= non_en + 10
+
+
+def test_resume_skips_completed_and_config_invalidates(run, ray_session):
+    from anomaly_detection_ray.pipelines.text_prep import (TextPrepConfig,
+                                                           run_text_prep)
+    res2 = run_text_prep(DOCS, run["out"], run["cfg"], resume=True)
+    assert res2["skipped_partitions"] == [0, 1, 2, 3]
+    assert res2["wall_sec"] == 0.0
+    pd.testing.assert_frame_equal(
+        res2["metrics"].sort_values("partition_id").reset_index(drop=True),
+        run["res"]["metrics"].sort_values("partition_id").reset_index(drop=True),
+        check_dtype=False)
+    # different config hash => full revalidation
+    res3 = run_text_prep(DOCS, run["out"],
+                         TextPrepConfig(P=4, min_tokens=12), resume=True)
+    assert res3["skipped_partitions"] == []
+    assert res3["metrics"]["docs"].sum() == 500
