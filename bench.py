@@ -115,6 +115,12 @@ def run_headline() -> dict:
         timed("sessionize_events", lambda: Q["sessionize_events"](SF_DIR))
         timed("image_decode_features", lambda: Q["image_decode_features"](SF_DIR))
 
+        def _text_prep():
+            import shutil
+            shutil.rmtree(f"/tmp/adr_text_prep/{sf_name}", ignore_errors=True)
+            return Q["text_prep_documents"](SF_DIR)
+        timed("text_prep_pipeline", _text_prep)
+
     if not only_clips:
         from anomaly_detection_ray.sources.clips import read_clips
         from anomaly_detection_ray.stages import audio_ops as ao
