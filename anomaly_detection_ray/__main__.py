@@ -49,6 +49,9 @@ def main(argv: list[str] | None = None) -> int:
     from anomaly_detection_ray.pipelines.config import run_reference_config
     ds = run_reference_config(args.config, data_path=args.data,
                               key_col=args.key_col)
+    # two consumers (sink + summary): materialize once so the scorer chain
+    # doesn't execute twice (pinned blocks spill if large)
+    ds = ds.materialize()
 
     import pandas as pd
 

@@ -11,3 +11,12 @@ def arrowize(ds):
     blocks — pass every union branch through this first.
     """
     return ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+
+def ramp_offsets(reps):
+    """Vectorized concatenation of per-row ramps 0..reps[i]-1 (the
+    replication-offset pattern used by interval joins and sliding
+    windows) without a per-row np.arange."""
+    import numpy as np
+    reps = np.asarray(reps, dtype=np.int64)
+    return np.arange(reps.sum()) - np.repeat(np.cumsum(reps) - reps, reps)

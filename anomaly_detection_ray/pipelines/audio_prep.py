@@ -158,19 +158,19 @@ def run_audio_prep(path: str, out_dir: str,
     """End-to-end prep run. Returns {metrics, segments_path, skipped...}."""
     cfg = cfg or AudioPrepConfig()
     cfg_hash = ckpt.config_hash(asdict(cfg))
-    manifest = (ckpt.load_manifest(out_dir) if resume
-                else {"partitions": {}, "config_hash": None})
-    done = ckpt.completed_partitions(manifest, cfg_hash)
-    todo = [p for p in range(cfg.P) if p not in done]
+    manifest, done, todo = ckpt.begin_partitioned_run(
+        out_dir, cfg_hash, cfg.P, resume, data_subdir="segments")
     t0 = time.time()
 
     seg_path = os.path.join(out_dir, "segments")
     result = {"config_hash": cfg_hash, "skipped_partitions": sorted(done),
               "segments_path": seg_path, "out_dir": out_dir}
+    METRIC_KEYS = ["clips", "kept", "segments", "drop_quality", "drop_decode"]
     if not todo:
         result.update({"metrics": pd.DataFrame(
             [{"partition_id": int(p), **e["metrics"]}
-             for p, e in manifest["partitions"].items()]), "wall_sec": 0.0})
+             for p, e in manifest["partitions"].items()])
+            [["partition_id", *METRIC_KEYS]], "wall_sec": 0.0})
         return result
 
     ds = read_clips(path, columns=["clip_id", "bytes", "partition_id"],
@@ -183,27 +183,11 @@ def run_audio_prep(path: str, out_dir: str,
         batch_format="pyarrow", batch_size=cfg.batch_size,
         concurrency=pool, num_cpus=1)
 
-    os.makedirs(seg_path, exist_ok=True)
-    for p in todo:
-        d = os.path.join(seg_path, f"partition_id={p}")
-        if os.path.isdir(d):
-            for f in os.listdir(d):
-                os.unlink(os.path.join(d, f))
     segs.write_parquet(seg_path, partition_cols=["partition_id"])
     metrics = ray.get(acc.total.remote())
     ray.kill(acc)
 
-    wall = time.time() - t0
-    for _, r in metrics.iterrows():
-        pid = int(r["partition_id"])
-        manifest["partitions"][str(pid)] = {
-            "done": True,
-            "metrics": {k: int(r[k]) for k in
-                        ("clips", "kept", "segments", "drop_quality",
-                         "drop_decode")},
-            "lineage": {"input": str(path), "config_hash": cfg_hash},
-        }
-    manifest["config_hash"] = cfg_hash
-    ckpt.save_manifest(out_dir, manifest)
-    result.update({"metrics": metrics, "wall_sec": wall})
+    ckpt.finish_partitioned_run(out_dir, manifest, cfg_hash, metrics, todo,
+                                METRIC_KEYS, path)
+    result.update({"metrics": metrics, "wall_sec": time.time() - t0})
     return result

@@ -52,3 +52,49 @@ def completed_partitions(manifest: dict, cfg_hash: str) -> set[int]:
     if manifest.get("config_hash") != cfg_hash:
         return set()
     return {int(p) for p, e in manifest["partitions"].items() if e.get("done")}
+
+
+def begin_partitioned_run(out_dir: str, cfg_hash: str, P: int,
+                          resume: bool, data_subdir: str):
+    """Shared resume bootstrap for partitioned prep pipelines
+    (audio_prep/text_prep): load the manifest, compute done/todo under the
+    CURRENT config, and — on a config change or non-resume run — purge
+    stale manifest entries AND stale ``data_subdir/partition_id=*`` dirs
+    (a P=8 run's partitions 4..7 must not survive into a P=4 run's output
+    or a later resume would double-count them). Clears the todo partitions'
+    dirs so re-runs are idempotent. Returns (manifest, done, todo)."""
+    import shutil
+
+    manifest = (load_manifest(out_dir) if resume
+                else {"partitions": {}, "config_hash": None})
+    if manifest.get("config_hash") != cfg_hash:
+        manifest = {"partitions": {}, "config_hash": None}
+        shutil.rmtree(os.path.join(out_dir, data_subdir), ignore_errors=True)
+    done = completed_partitions(manifest, cfg_hash)
+    todo = [p for p in range(P) if p not in done]
+    d_root = os.path.join(out_dir, data_subdir)
+    os.makedirs(d_root, exist_ok=True)
+    for p in todo:
+        shutil.rmtree(os.path.join(d_root, f"partition_id={p}"),
+                      ignore_errors=True)
+    return manifest, done, todo
+
+
+def finish_partitioned_run(out_dir: str, manifest: dict, cfg_hash: str,
+                           metrics, todo: list[int], metric_keys: list[str],
+                           input_path: str) -> None:
+    """Mark EVERY todo partition done — including partitions that received
+    zero input rows (absent from the metrics actor), which would otherwise
+    be re-run forever — and persist the manifest atomically."""
+    by_pid = {int(r["partition_id"]): r for _, r in metrics.iterrows()} \
+        if len(metrics) else {}
+    for pid in todo:
+        r = by_pid.get(pid)
+        manifest["partitions"][str(pid)] = {
+            "done": True,
+            "metrics": {k: (int(r[k]) if r is not None else 0)
+                        for k in metric_keys},
+            "lineage": {"input": str(input_path), "config_hash": cfg_hash},
+        }
+    manifest["config_hash"] = cfg_hash
+    save_manifest(out_dir, manifest)

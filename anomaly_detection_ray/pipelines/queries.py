@@ -447,6 +447,10 @@ def q_exact_quantiles_events(sf_dir: str):
 
     merged = _fold(ds.map_batches(partial, batch_format="pandas"),
                    ["event_type", "value"], {"n": "sum"})
+    if merged.empty:
+        return pd.DataFrame({"event_type": pd.Series(dtype=str),
+                             "n": pd.Series(dtype="int64"),
+                             "p50": [], "p90": [], "p99": []})
     rows = []
     for et, g in merged.groupby("event_type"):
         g = g.sort_values("value")

@@ -116,22 +116,19 @@ def run_text_prep(path: str, out_dir: str,
 
     cfg = cfg or TextPrepConfig()
     cfg_hash = ckpt.config_hash(asdict(cfg))
-    manifest = (ckpt.load_manifest(out_dir) if resume
-                else {"partitions": {}, "config_hash": None})
-    done = ckpt.completed_partitions(manifest, cfg_hash)
-    todo = [p for p in range(cfg.P) if p not in done]
+    manifest, done, todo = ckpt.begin_partitioned_run(
+        out_dir, cfg_hash, cfg.P, resume, data_subdir="docs")
     t0 = time.time()
 
     docs_path = os.path.join(out_dir, "docs")
     result = {"config_hash": cfg_hash, "skipped_partitions": sorted(done),
               "docs_path": docs_path, "out_dir": out_dir}
+    METRIC_KEYS = ["docs", "kept", "drop_dup", "drop_lang", "drop_quality"]
     if not todo:
-        cols = ["partition_id", "docs", "kept", "drop_dup", "drop_lang",
-                "drop_quality"]
         result.update({"metrics": pd.DataFrame(
             [{"partition_id": int(p), **e["metrics"]}
-             for p, e in manifest["partitions"].items()])[cols],
-            "wall_sec": 0.0})
+             for p, e in manifest["partitions"].items()])
+            [["partition_id", *METRIC_KEYS]], "wall_sec": 0.0})
         return result
 
     ds = rd.read_parquet(path, columns=["doc_id", "text"])
@@ -183,28 +180,11 @@ def run_text_prep(path: str, out_dir: str,
 
     survivors = ds.map_batches(curate, batch_format="pandas",
                                batch_size=cfg.batch_size)
-
-    os.makedirs(docs_path, exist_ok=True)
-    for p in todo:
-        d = os.path.join(docs_path, f"partition_id={p}")
-        if os.path.isdir(d):
-            for f in os.listdir(d):
-                os.unlink(os.path.join(d, f))
     survivors.write_parquet(docs_path, partition_cols=["partition_id"])
     metrics = ray.get(acc.total.remote())
     ray.kill(acc)
 
-    wall = time.time() - t0
-    for _, r in metrics.iterrows():
-        pid = int(r["partition_id"])
-        manifest["partitions"][str(pid)] = {
-            "done": True,
-            "metrics": {k: int(r[k]) for k in
-                        ("docs", "kept", "drop_dup", "drop_lang",
-                         "drop_quality")},
-            "lineage": {"input": str(path), "config_hash": cfg_hash},
-        }
-    manifest["config_hash"] = cfg_hash
-    ckpt.save_manifest(out_dir, manifest)
-    result.update({"metrics": metrics, "wall_sec": wall})
+    ckpt.finish_partitioned_run(out_dir, manifest, cfg_hash, metrics, todo,
+                                METRIC_KEYS, path)
+    result.update({"metrics": metrics, "wall_sec": time.time() - t0})
     return result

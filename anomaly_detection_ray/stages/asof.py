@@ -166,8 +166,10 @@ def asof_join(left, right, key: str, ts_col: str,
     longer fits in one object): every left row is matched to the right row
     with the greatest ``ts <= left.ts`` for the same ``key``.
     ``how="inner"`` drops unmatched left rows (DuckDB ``ASOF JOIN``);
-    ``how="left"`` keeps them with null right columns (``ASOF LEFT JOIN``
-    / ``pd.merge_asof`` semantics).
+    ``how="left"`` keeps them with NaN right columns (``ASOF LEFT JOIN``
+    / ``pd.merge_asof`` semantics) — in left mode ``right_cols`` must be
+    numeric and come back float64, so unmatched-group blocks and matched
+    blocks carry one consistent schema.
 
     Shape: both sides are pruned to the needed columns, tagged, padded to a
     common schema and unioned, so ONE ``groupby(key)`` shuffle co-partitions
@@ -232,10 +234,13 @@ def asof_join(left, right, key: str, ts_col: str,
         take = np.clip(idx[hit], 0, None)
         matched = idx[hit] >= 0
         for rc in rout:
-            vals = r[rc].to_numpy()[take] if len(r) else np.full(
-                int(hit.sum()), np.nan)
-            out[rc] = np.where(matched, vals, np.nan) if how == "left" \
-                else vals
+            if how == "left":
+                vals = (r[rc].to_numpy(dtype=np.float64) if len(r)
+                        else np.empty(0))
+                out[rc] = np.where(matched,
+                                   vals[take] if len(r) else np.nan, np.nan)
+            else:
+                out[rc] = r[rc].to_numpy()[take]
         if lag_col is not None:
             if len(r):
                 lag = (out[ts_col].to_numpy() - r_ts[take])

@@ -69,7 +69,9 @@ def _label_propagation(edges, a_col: str, b_col: str,
                         "map string ids to ints first (the union-find "
                         "regime accepts strings)")
     prev_sum = None
-    for it in range(max_iters):
+    # +1: a graph converging exactly at iteration max_iters still needs one
+    # confirming pass to observe the unchanged sum — don't false-alarm
+    for it in range(max_iters + 1):
         # ship labels across edges in both directions, then min per node
         fwd = (edges.join(labels, join_type="inner", num_partitions=num_partitions,
                           on=(a_col,), right_on=("node",))

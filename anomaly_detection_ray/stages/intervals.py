@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from ..functions.rayutil import ramp_offsets
 from .sessions import _epoch_us
 
 US = 1_000_000
@@ -50,9 +51,7 @@ def interval_join(left, intervals: pd.DataFrame, key: str, ts_col: str,
     b1 = (iv[end_col] // bucket_us).to_numpy(np.int64)
     reps = (b1 - b0 + 1).astype(np.int64)
     rep_idx = np.repeat(np.arange(len(iv)), reps)
-    # vectorized per-row 0..reps[i]-1 ramps (no per-row np.arange)
-    offs = (np.arange(reps.sum()) -
-            np.repeat(np.cumsum(reps) - reps, reps))
+    offs = ramp_offsets(reps)
     ivr = iv.iloc[rep_idx].reset_index(drop=True)
     ivr["__bucket"] = b0[rep_idx] + offs
     # group the replicated intervals by (bucket, key) for O(1) group lookup;
@@ -95,7 +94,12 @@ def interval_join_large(left, intervals, key: str, ts_col: str,
     ``groupby((bucket, key))`` shuffle (the asof_join co-partition
     pattern); the in-group containment test is the same numpy broadcast.
     Exactly-once pair emission holds for the same reason as the broadcast
-    path — a left row lives in exactly one bucket."""
+    path — a left row lives in exactly one bucket.
+
+    Schema contract: ``left_cols`` (except ``key``) and ``id_col`` must be
+    NUMERIC — both sides pad missing columns and the union schema is
+    aligned by casting to float64 (exact up to 2^53; cast ids back in the
+    caller). String payloads belong on the broadcast path."""
     import numpy as np
 
     from ..functions.rayutil import arrowize
@@ -109,8 +113,7 @@ def interval_join_large(left, intervals, key: str, ts_col: str,
         b1 = (df[end_col] // bucket_us).to_numpy(np.int64)
         reps = (b1 - b0 + 1).astype(np.int64)
         idx = np.repeat(np.arange(len(df)), reps)
-        offs = (np.arange(reps.sum()) -
-                np.repeat(np.cumsum(reps) - reps, reps))
+        offs = ramp_offsets(reps)
         out = df.iloc[idx][[key, id_col, start_col, end_col]].copy()
         for c in [id_col, start_col, end_col]:
             out[c] = out[c].astype(np.float64)
@@ -127,6 +130,11 @@ def interval_join_large(left, intervals, key: str, ts_col: str,
         out = df[[key, *[c for c in left_cols if c != key]]].copy()
         for c in out.columns:
             if c != key:
+                if not np.issubdtype(out[c].dtype, np.number):
+                    raise TypeError(
+                        f"interval_join_large: left column {c!r} is "
+                        f"{out[c].dtype} — non-key columns must be numeric "
+                        "(use the broadcast interval_join for string payloads)")
                 out[c] = out[c].astype(np.float64)
         out["__bucket"] = us // bucket_us
         out["__side"] = np.int8(1)

@@ -20,6 +20,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from ..functions.rayutil import ramp_offsets
+
 US = 1_000_000
 
 
@@ -59,9 +61,7 @@ def sliding_window_agg(ds, key: str, ts_col: str, value_col: str,
         k_hi = us // s_us                # last covering window
         reps = (k_hi - k_lo + 1).astype(np.int64)
         idx = np.repeat(np.arange(len(us)), reps)
-        # vectorized per-row 0..reps[i]-1 ramps (no per-row np.arange)
-        offs = (np.arange(reps.sum()) -
-                np.repeat(np.cumsum(reps) - reps, reps))
+        offs = ramp_offsets(reps)
         g = pd.DataFrame({"window_id": k_lo[idx] + offs, key: keys[idx],
                           "sum_v": v[idx], "n": 1})
         return g.groupby(["window_id", key], as_index=False).sum()

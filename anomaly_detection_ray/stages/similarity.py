@@ -28,8 +28,8 @@ def _normalize(M: np.ndarray) -> np.ndarray:
     return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
 
 
-def _hash_slice_sample(ds, sample_rows: int, id_col: str | None,
-                       vec_col: str = "embedding") -> pd.DataFrame:
+def _hash_slice_sample(ds, sample_rows: int,
+                       id_col: str | None) -> pd.DataFrame:
     """Unbiased deterministic sample for codebook/centroid training: an
     id-modulus slice over the whole dataset (every batch contributes
     ~sample_rows/total of its rows), NOT a first-blocks ``limit`` — a
@@ -99,7 +99,7 @@ def train_ivf_codebook(ds, n_cells: int = 16, vec_col: str = "embedding",
 
     The sample is the unbiased deterministic hash slice of
     ``_hash_slice_sample`` (not a first-blocks ``limit``)."""
-    sample = _hash_slice_sample(ds, sample_rows, id_col, vec_col)
+    sample = _hash_slice_sample(ds, sample_rows, id_col)
     X = _normalize(_as_matrix(sample[vec_col].to_numpy()))
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
@@ -168,7 +168,7 @@ def train_pq_codebooks(ds, m: int = 8, ks: int = 256,
     compress to m uint8 codes (8 B, 32x) — the coded table fits in memory
     where the raw one cannot, and scan cost per batch is m table lookups
     per row instead of a d-wide dot product."""
-    sample = _hash_slice_sample(ds, sample_rows, id_col, vec_col)
+    sample = _hash_slice_sample(ds, sample_rows, id_col)
     X = _normalize(_as_matrix(sample[vec_col].to_numpy()))
     n, d = X.shape
     assert d % m == 0, f"dim {d} not divisible by m={m}"
@@ -304,7 +304,7 @@ def kmeans_fit(ds, k: int = 8, iters: int = 5, vec_col: str = "embedding",
     => fully deterministic centroids."""
     import ray as _ray
 
-    sample = _hash_slice_sample(ds, 2048, id_col, vec_col)
+    sample = _hash_slice_sample(ds, 2048, id_col)
     if not len(sample):
         raise ValueError("kmeans_fit: empty dataset")
     X0 = _as_matrix(sample[vec_col].to_numpy())

@@ -89,3 +89,43 @@ def test_resume_skips_completed_and_config_invalidates(run, ray_session):
                          TextPrepConfig(P=4, min_tokens=12), resume=True)
     assert res3["skipped_partitions"] == []
     assert res3["metrics"]["docs"].sum() == 500
+
+
+def test_config_P_change_purges_stale_partitions(ray_session, tmp_path):
+    """Shrinking P must purge the old run's extra partitions from both the
+    manifest and the output dirs — a later resume must not resurrect or
+    double-count them."""
+    from anomaly_detection_ray.pipelines.text_prep import (TextPrepConfig,
+                                                           run_text_prep)
+    out = str(tmp_path)
+    run_text_prep(DOCS, out, TextPrepConfig(P=8), resume=False)
+    assert os.path.isdir(os.path.join(out, "docs", "partition_id=7"))
+    res = run_text_prep(DOCS, out, TextPrepConfig(P=4), resume=True)
+    assert sorted(res["metrics"]["partition_id"]) == [0, 1, 2, 3]
+    assert not os.path.isdir(os.path.join(out, "docs", "partition_id=7"))
+    res2 = run_text_prep(DOCS, out, TextPrepConfig(P=4), resume=True)
+    assert res2["skipped_partitions"] == [0, 1, 2, 3]
+    assert sorted(res2["metrics"]["partition_id"]) == [0, 1, 2, 3]
+    assert res2["metrics"]["docs"].sum() == 500  # no double counting
+
+
+def test_empty_partition_marked_done(ray_session, tmp_path):
+    """A todo partition that receives zero rows still gets a manifest entry
+    (zero-filled) so resume does not re-run the pipeline forever."""
+    import duckdb as d
+
+    from anomaly_detection_ray.pipelines.text_prep import (TextPrepConfig,
+                                                           run_text_prep)
+
+    # craft a corpus whose doc_ids are all even => partitions 1,3 empty at P=4
+    src = str(tmp_path / "docs.parquet")
+    d.sql(f"COPY (SELECT doc_id * 2 AS doc_id, text "
+          f"FROM read_parquet('{DOCS}') LIMIT 100) TO '{src}' (FORMAT PARQUET)")
+    out = str(tmp_path / "out")
+    cfg = TextPrepConfig(P=4, near_dup_threshold=0.0)
+    res = run_text_prep(src, out, cfg, resume=False)
+    assert sorted(res["metrics"]["partition_id"]) == [0, 1, 2, 3] or \
+        res["metrics"]["docs"].sum() == 100
+    res2 = run_text_prep(src, out, cfg, resume=True)
+    assert res2["skipped_partitions"] == [0, 1, 2, 3]
+    assert res2["wall_sec"] == 0.0
