@@ -429,3 +429,38 @@ def test_interval_join_large_matches_broadcast(ray_session):
     a = {(int(l), int(w)) for l, w in zip(small["lid"], small["wid"])}
     b = {(int(l), int(w)) for l, w in zip(large["lid"], large["wid"])}
     assert a == b and len(large) == len(b) > 0
+
+
+def test_interval_join_large_rejects_string_payload(ray_session):
+    """The large path's float64 union contract refuses string left
+    columns with a clear error instead of a deep arrow failure."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.intervals import interval_join_large
+
+    left = pd.DataFrame({"k": [1], "ts": [5.0], "name": ["x"]})
+    win = pd.DataFrame({"k": [1], "wid": [0], "start_us": [0],
+                        "end_us": [10_000_000]})
+    with pytest.raises(Exception, match="numeric"):
+        interval_join_large(rd.from_pandas(left), rd.from_pandas(win),
+                            key="k", ts_col="ts", left_cols=["name"],
+                            id_col="wid").to_pandas()
+
+
+def test_asof_left_schema_consistent_when_key_has_no_right_rows(ray_session):
+    """how='left' groups with zero right rows emit float64 NaN right
+    columns matching matched groups' dtype — one consistent schema."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.asof import asof_join
+
+    left = pd.DataFrame({"k": [1, 2], "ts": [10, 10],
+                         "lid": np.array([0, 1], dtype=np.int64)})
+    right = pd.DataFrame({"k": [1], "ts": [5], "rv": [7.0]})
+    got = (asof_join(rd.from_pandas(left), rd.from_pandas(right), key="k",
+                     ts_col="ts", left_cols=["lid"], right_cols=["rv"],
+                     how="left").to_pandas()
+           .sort_values("lid").reset_index(drop=True))
+    assert len(got) == 2
+    assert got["rv_r"].dtype == np.float64
+    assert got.loc[0, "rv_r"] == 7.0 and np.isnan(got.loc[1, "rv_r"])
