@@ -558,7 +558,10 @@ def q_interval_join_events(sf_dir: str):
                              "start_us": s,
                              "end_us": s + 4 * 3600 * 1_000_000})
 
-    windows = ev.map_batches(win_part, batch_format="pandas").to_pandas()
+    # the window side stays a DATASET -> auto-dispatch to the union
+    # co-partition (large-side) path: the whole range join is D-verified
+    # with no broadcast anywhere
+    windows = ev.map_batches(win_part, batch_format="pandas")
     out = interval_join(ev.drop_columns(["event_type", "value"]), windows,
                         key="user_id", ts_col="ts",
                         left_cols=["event_id", "user_id"],
