@@ -847,6 +847,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
             FROM documents ORDER BY shuffle_key LIMIT 100
         """,
+        "temporal_drift_events": """
+            -- day-over-previous-OBSERVED-day PSI, identical bins/smoothing
+            WITH e AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                              LEAST(GREATEST(CAST(floor(value / 25.0)
+                                    AS BIGINT), 0), 19) AS bin
+                       FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)),
+            c AS (SELECT day, bin, count(*) AS n FROM e GROUP BY day, bin),
+            grid AS (SELECT d.day, b.bin, coalesce(c.n, 0) AS n
+                     FROM (SELECT DISTINCT day FROM c) d
+                     CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS bin) b
+                     LEFT JOIN c ON c.day = d.day AND c.bin = b.bin),
+            tot AS (SELECT day, sum(n) AS t FROM grid GROUP BY day),
+            p AS (SELECT g.day, g.bin,
+                         (g.n + 0.5) / (t.t + 0.5 * 20) AS p, t.t
+                  FROM grid g JOIN tot t ON g.day = t.day),
+            lagged AS (SELECT day, bin, p, t,
+                              lag(p) OVER (PARTITION BY bin ORDER BY day) AS q
+                       FROM p)
+            SELECT day, CAST(max(t) AS BIGINT) AS n,
+                   round(sum((p - q) * ln(p / q)), 6) AS psi
+            FROM lagged WHERE q IS NOT NULL
+            GROUP BY day
+        """,
         "sliding_window_events": """
             -- sliding windows via explicit window-id replication
             -- (generate_series), the independent path vs np.repeat

@@ -522,6 +522,43 @@ def q_deterministic_shuffle_documents(sf_dir: str):
             .sort("shuffle_key").limit(100))
 
 
+def q_temporal_drift_events(sf_dir: str):
+    """Day-over-day distribution drift: PSI of each day's value histogram
+    vs the previous day (fixed 20 bins over [0,500), clipped; Laplace
+    eps=0.5 smoothing so empty bins are defined). One partial-counts pass
+    -> fold -> tiny driver PSI; DuckDB window-join oracle recomputes the
+    identical formula."""
+    N_BINS, LO, W, EPS = 20, 0.0, 25.0, 0.5
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(v)
+        day = ((df["ts"].dt.floor("D") - pd.Timestamp(0))
+               // pd.Timedelta(days=1)).to_numpy(np.int64)[ok]
+        b = np.clip(((v[ok] - LO) // W).astype(np.int64), 0, N_BINS - 1)
+        return (pd.DataFrame({"day": day, "bin": b, "n": 1})
+                .groupby(["day", "bin"], as_index=False).sum())
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["day", "bin"], {"n": "sum"})
+    # dense (day × bin) grid so empty bins participate via smoothing
+    days = np.sort(m["day"].unique())
+    grid = (m.set_index(["day", "bin"])["n"]
+            .reindex(pd.MultiIndex.from_product([days, range(N_BINS)],
+                                                names=["day", "bin"]),
+                     fill_value=0).unstack())
+    tot = grid.sum(axis=1).to_numpy(dtype=np.float64)
+    p = (grid.to_numpy(dtype=np.float64) + EPS) / (tot[:, None]
+                                                   + EPS * N_BINS)
+    rows = []
+    for i in range(1, len(days)):
+        psi = float(np.sum((p[i] - p[i - 1]) * np.log(p[i] / p[i - 1])))
+        rows.append({"day": int(days[i]), "n": int(tot[i]),
+                     "psi": float(rnd(psi, 6))})
+    return pd.DataFrame(rows, columns=["day", "n", "psi"])
+
+
 def q_sliding_window_events(sf_dir: str):
     """3h event-time windows sliding every 1h, per event_type: count +
     mean (stages/sessions.sliding_window_agg — in-batch window
@@ -1409,6 +1446,7 @@ QUERIES = {
     "top_events_per_user": q_top_events_per_user,
     "props_extract_events": q_props_extract_events,
     "sliding_window_events": q_sliding_window_events,
+    "temporal_drift_events": q_temporal_drift_events,
     "approx_distinct_events": q_approx_distinct_events,
     "bpe_vocab_documents": q_bpe_vocab_documents,
     "text_prep_documents": q_text_prep_documents,

@@ -83,7 +83,7 @@ def oracle_names():
     "stratified_sample_documents", "top_events_per_user",
     "props_extract_events", "sliding_window_events",
     "deterministic_shuffle_documents", "skew_join_lineitem_supplier",
-    "exact_quantiles_events",
+    "exact_quantiles_events", "temporal_drift_events",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]
