@@ -835,6 +835,17 @@ def oracle_sql() -> dict[str, str]:
                          6) AS duration_s
             FROM g GROUP BY user_id, session_id
         """,
+        "refined_quantiles_norms": """
+            WITH n AS (SELECT round(sqrt(list_sum(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4)
+                           AS norm
+                       FROM embeddings)
+            SELECT 0.25 AS q, quantile_disc(norm, 0.25) AS norm FROM n
+            UNION ALL
+            SELECT 0.5, quantile_disc(norm, 0.5) FROM n
+            UNION ALL
+            SELECT 0.9, quantile_disc(norm, 0.9) FROM n
+        """,
         "exact_quantiles_events": """
             SELECT event_type, CAST(count(value) AS BIGINT) AS n,
                    quantile_disc(value, 0.5) AS p50,

@@ -467,6 +467,26 @@ def q_exact_quantiles_events(sf_dir: str):
     return out[["event_type", "n", "p50", "p90", "p99"]]
 
 
+def q_refined_quantiles_norms(sf_dir: str):
+    """Exact quantiles of a CONTINUOUS (unbounded-cardinality) column —
+    embedding L2 norms — by multi-pass histogram-refinement selection
+    (stages/quantile.refined_quantile; quantile_disc semantics). Norms
+    rounded to 4 first so both computation paths select from the
+    identical multiset (list_sum vs numpy low-bit independence)."""
+    from ..stages.quantile import refined_quantile
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def norms(df: pd.DataFrame) -> pd.DataFrame:
+        V = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in df["embedding"]])
+        return pd.DataFrame({"norm": rnd(np.linalg.norm(V, axis=1), 4)})
+
+    nds = ds.map_batches(norms, batch_format="pandas")
+    got = refined_quantile(nds, "norm", [0.25, 0.5, 0.9], bins=32,
+                           max_collect=64)
+    return pd.DataFrame({"q": list(got), "norm": [got[q] for q in got]})
+
+
 def q_approx_distinct_events(sf_dir: str):
     """HLL approximate distinct users per event_type next to the exact
     count: per-batch HLL partials merged by register-max — order- and
@@ -1452,6 +1472,7 @@ QUERIES = {
     "text_prep_documents": q_text_prep_documents,
     "kmeans_embeddings": q_kmeans_embeddings,
     "exact_quantiles_events": q_exact_quantiles_events,
+    "refined_quantiles_norms": q_refined_quantiles_norms,
     "deterministic_shuffle_documents": q_deterministic_shuffle_documents,
     "exact_dedup_documents": q_exact_dedup_documents,
     "token_count_documents": q_token_count_documents,

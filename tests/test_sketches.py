@@ -1,4 +1,5 @@
 import numpy as np
+import pandas as pd
 
 from anomaly_detection_ray.functions import sketches as sk
 
@@ -78,3 +79,23 @@ def test_histogram_ks_psi():
     assert sk.psi(a.counts, c.counts) > 1.0
     merged = a.merge(b)
     assert merged.counts.sum() == 40_000
+
+
+def test_refined_quantile_exact_vs_sort(ray_session):
+    """Histogram-refinement selection returns the EXACT quantile_disc
+    element (sorted[ceil(q*n)-1]) on a heavy-tailed mixture with mass
+    duplicates, for every q including the extremes."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.quantile import refined_quantile
+
+    r = np.random.default_rng(2)
+    v = np.concatenate([r.normal(0, 1, 12000), r.exponential(5, 8000),
+                        np.full(500, 3.0)])
+    ds = rd.from_pandas(pd.DataFrame({"x": v})).repartition(6)
+    got = refined_quantile(ds, "x", [0.001, 0.25, 0.5, 0.99, 1.0],
+                           bins=32, max_collect=200)
+    sv = np.sort(v)
+    for q, val in got.items():
+        want = sv[max(int(np.ceil(q * len(sv) - 1e-9)), 1) - 1]
+        assert val == want, (q, val, want)
