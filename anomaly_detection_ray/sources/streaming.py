@@ -28,8 +28,12 @@ verdicts EQUAL to a batch run over the full history when ``state_rows`` ≥
 their window. Infinite-memory recurrences (Welford-inf, Cumulative, EMA's
 geometric tail) converge exponentially but are not bit-equal — callers
 needing exact infinite-memory semantics should run batch over the full
-table. Late data: rows older than the carried tail are graded against the
-warm state as-is; there is no retraction (watermark = oldest carried row).
+table. Late data: by default rows older than the carried tail are graded
+against the warm state as-is (no retraction; watermark = oldest carried
+row). With ``allowed_lateness_s`` set, an explicit event-time watermark is
+kept in the manifest (max seen ``ts`` minus the lateness); rows behind it
+are diverted to ``<out_dir>/late/poll=*`` — never graded, never entering
+state — so in-time verdicts keep batch parity even under disorder.
 
 Scale: state flows through parquet + the object store, never the driver;
 one ``groupby(key).map_groups`` shuffle per poll; the graded micro-batch
@@ -71,7 +75,8 @@ class StreamRunner:
 
     def __init__(self, conf: dict, watch_dir: str, out_dir: str,
                  key_col: str | None = None, value_col: str = "f0",
-                 state_rows: int = 256):
+                 state_rows: int = 256,
+                 allowed_lateness_s: float | None = None):
         from ..pipelines.config import parse_config, _flatten
         checks = _flatten(parse_config(conf))
         bad = [c["name"] for c in checks if c["kind"] != "kernel"]
@@ -85,6 +90,7 @@ class StreamRunner:
         self.watch_dir, self.out_dir = watch_dir, out_dir
         self.key_col, self.value_col = key_col, value_col
         self.state_rows = state_rows
+        self.allowed_lateness_s = allowed_lateness_s
         self.state_path = os.path.join(out_dir, "_state.parquet")
         self.manifest_path = os.path.join(out_dir, "_stream_manifest.json")
         os.makedirs(out_dir, exist_ok=True)
@@ -148,6 +154,33 @@ class StreamRunner:
 
         ds = _read_messages(files)
         raw_cols = list(ds.schema().names)
+        n_late = 0
+        if self.allowed_lateness_s is not None:
+            # event-time watermark (Structured-Streaming-style): rows older
+            # than max-seen-ts − lateness are routed to a late-rows side
+            # output — never graded, never entering kernel state, so
+            # bounded-window batch-parity is preserved for in-time rows
+            wm = self.manifest.get("watermark_ts")
+            if wm is not None:
+                cutoff = float(wm) - self.allowed_lateness_s
+                late = ds.filter(expr=f"ts < {cutoff!r}")
+                n_late = late.count()
+                if n_late:
+                    # side output stays in Ray (never the driver); one dir
+                    # per poll so a replayed poll overwrites idempotently
+                    late.write_parquet(
+                        os.path.join(self.out_dir, "late", f"poll={poll_id}"))
+                    ds = ds.filter(expr=f"ts >= {cutoff!r}")
+                    if ds.count() == 0:
+                        # every row was late: the files ARE processed (into
+                        # the side output) — commit them, leave kernel state
+                        # and the watermark untouched
+                        return self._commit(poll_id, files, ledger,
+                                            rows=0, violations=0,
+                                            n_late=n_late)
+            batch_max = ds.max("ts")
+            self.manifest["watermark_ts"] = float(
+                max(wm, batch_max) if wm is not None else batch_max)
         key = self.key_col
         if key is None:
             key = "__stream__"
@@ -182,8 +215,17 @@ class StreamRunner:
         new_state.to_pandas().to_parquet(tmp, index=False)
         os.replace(tmp, self.state_path)
 
+        return self._commit(poll_id, files, ledger, rows=int(stats["rows"]),
+                            violations=int(stats["violations"]), n_late=n_late)
+
+    def _commit(self, poll_id: str, files: list[str], ledger: bool,
+                rows: int, violations: int, n_late: int) -> dict:
+        """Durably record a finished poll (output is already written):
+        append the poll record and commit the file ledger atomically."""
         rec = {"poll": poll_id, "files": [os.path.basename(f) for f in files],
-               "rows": int(stats["rows"]), "violations": int(stats["violations"])}
+               "rows": rows, "violations": violations}
+        if self.allowed_lateness_s is not None:
+            rec["late"] = int(n_late)
         if not ledger:
             rec["warm_start"] = True
             self.manifest.setdefault("warm_processed", []).extend(rec["files"])

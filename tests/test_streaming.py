@@ -109,6 +109,73 @@ def test_stream_rejects_training_checks(ray_session, tmp_path):
         StreamRunner(conf, str(tmp_path), str(tmp_path / "o"))
 
 
+def test_stream_watermark_diverts_late_rows(ray_session, tmp_path):
+    """With ``allowed_lateness_s``, rows behind the event-time watermark go
+    to the late side-output — not graded, not entering kernel state — and
+    the watermark itself survives in the manifest."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.sources.streaming import StreamRunner
+
+    topic = tmp_path / "topic"
+    topic.mkdir()
+    out = str(tmp_path / "out")
+    # constant in-band values: any violation can only come from a late row
+    pd.DataFrame({"timestamp": np.arange(100.0),
+                  "ftr_vector": np.full(100, 50.0)}).to_csv(
+        topic / "b-0000.csv", index=False)
+    runner = StreamRunner(CONF, str(topic), out, state_rows=64,
+                          allowed_lateness_s=10.0)
+    rec1 = runner.poll_once()
+    assert rec1["rows"] == 100 and rec1["late"] == 0
+    assert runner.manifest["watermark_ts"] == 99.0
+
+    # poll 2: ts 50/80 are behind watermark(99) - lateness(10) = 89; their
+    # value 500 would be a BorderCheck violation IF graded
+    ts2 = np.concatenate([[50.0, 80.0], np.arange(100.0, 150.0)])
+    v2 = np.concatenate([[500.0, 500.0], np.full(50, 50.0)])
+    pd.DataFrame({"timestamp": ts2, "ftr_vector": v2}).to_csv(
+        topic / "b-0001.csv", index=False)
+    rec2 = runner.poll_once()
+    assert rec2["rows"] == 50 and rec2["late"] == 2
+    assert rec2["violations"] == 0, "late rows leaked into grading"
+    assert runner.manifest["watermark_ts"] == 149.0
+
+    late_dirs = glob.glob(os.path.join(out, "late", "poll=*"))
+    assert len(late_dirs) == 1
+    late = rd.read_parquet(late_dirs[0]).to_pandas()
+    assert sorted(late["ts"].tolist()) == [50.0, 80.0]
+    # late ts appear in verdicts only once (from poll 1), never regraded
+    got = _collect_verdicts(out)
+    assert (got["ts"] == 50.0).sum() == 1 and (got["ts"] == 80.0).sum() == 1
+
+    # poll 3: ENTIRELY late — files committed to the ledger, but state and
+    # watermark untouched
+    state_before = pd.read_parquet(runner.state_path)["ts"].tolist()
+    pd.DataFrame({"timestamp": [10.0, 20.0],
+                  "ftr_vector": [999.0, 999.0]}).to_csv(
+        topic / "b-0002.csv", index=False)
+    rec3 = runner.poll_once()
+    assert rec3["rows"] == 0 and rec3["late"] == 2 and rec3["violations"] == 0
+    assert runner.manifest["watermark_ts"] == 149.0
+    assert "b-0002.csv" in runner.manifest["processed"]
+    assert pd.read_parquet(runner.state_path)["ts"].tolist() == state_before
+    assert runner.poll_once()["rows"] == 0  # ledger holds: nothing pending
+
+    # stream keeps flowing normally after an all-late poll
+    pd.DataFrame({"timestamp": [150.0, 151.0],
+                  "ftr_vector": [50.0, 500.0]}).to_csv(
+        topic / "b-0003.csv", index=False)
+    rec4 = runner.poll_once()
+    assert rec4["rows"] == 2 and rec4["violations"] == 1 and rec4["late"] == 0
+
+    # without lateness configured there is no watermark and no 'late' key
+    out2 = str(tmp_path / "out_nolate")
+    r2 = StreamRunner(CONF, str(topic), out2, state_rows=64)
+    recn = r2.poll_once()
+    assert "late" not in recn and "watermark_ts" not in r2.manifest
+
+
 def test_two_phase_file_then_stream(ray_session, tmp_path):
     """ConsumerFileKafka parity (consumer.py:366-412): grade a history file
     fully, then keep consuming the stream — combined verdicts identical to
