@@ -10,10 +10,11 @@ edge count like functions/fold.fold_partials:
 
 - small: path-compressed union-find on the driver (exact, O(E α(E))).
 - large: min-label propagation as Ray Data iterations — labels start as
-  each node's own id; every iteration ships each endpoint's label across
-  its edges (two hash joins), takes the min per node, and stops when the
-  global label sum stops falling (the sum is strictly decreasing until
-  fixed point, so convergence needs one cheap aggregate, no driver diff).
+  each node's own id; the edge list is symmetrized ONCE (both directions,
+  2|E| rows), then every iteration ships labels across it with a single
+  hash join, takes the min per node, and stops when the global label sum
+  stops falling (the sum is strictly decreasing until fixed point, so
+  convergence needs one cheap aggregate, no driver diff).
   O(diameter) iterations; per-iteration state is the (node, label) table —
   worker-resident, never on the driver.
 
@@ -52,13 +53,19 @@ def _label_propagation(edges, a_col: str, b_col: str,
 
     from ..functions.rayutil import arrowize
 
-    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "node": np.concatenate([df[a_col].to_numpy(),
-                                    df[b_col].to_numpy()])})
+    def symmetrize(df: pd.DataFrame) -> pd.DataFrame:
+        a, b = df[a_col].to_numpy(), df[b_col].to_numpy()
+        return pd.DataFrame({"src": np.concatenate([a, b]),
+                             "dst": np.concatenate([b, a])})
 
-    labels = (arrowize(edges.map_batches(endpoints, batch_format="pandas"))
-              .groupby("node").aggregate(Min("node", alias_name="label"))
+    # both directions materialized ONCE (2|E| rows): the loop then needs a
+    # single edges⋈labels join per iteration instead of one per direction —
+    # half the join operations and label-side hash builds per hop
+    sym = (arrowize(edges.map_batches(symmetrize, batch_format="pandas"))
+           .materialize())
+    labels = (sym.groupby("src").aggregate(Min("src", alias_name="label"))
+              .map_batches(lambda t: t.rename_columns(["node", "label"]),
+                           batch_format="pyarrow")
               .materialize())
     # the Sum convergence check needs numeric node ids; the union-find
     # regime handles strings — pre-map string ids to ints to use this path
@@ -68,18 +75,20 @@ def _label_propagation(edges, a_col: str, b_col: str,
         raise TypeError("label propagation requires numeric node ids; "
                         "map string ids to ints first (the union-find "
                         "regime accepts strings)")
+    def hop_project(t):
+        import pyarrow as pa
+        return pa.table({"node": t["dst"], "label": t["label"]})
+
     prev_sum = None
     # +1: a graph converging exactly at iteration max_iters still needs one
     # confirming pass to observe the unchanged sum — don't false-alarm
     for it in range(max_iters + 1):
-        # ship labels across edges in both directions, then min per node
-        fwd = (edges.join(labels, join_type="inner", num_partitions=num_partitions,
-                          on=(a_col,), right_on=("node",))
-               .select_columns([b_col, "label"]).rename_columns(["node", "label"]))
-        bwd = (edges.join(labels, join_type="inner", num_partitions=num_partitions,
-                          on=(b_col,), right_on=("node",))
-               .select_columns([a_col, "label"]).rename_columns(["node", "label"]))
-        labels = (arrowize(labels).union(arrowize(fwd)).union(arrowize(bwd))
+        # ship labels across the pre-symmetrized edges (one join covers
+        # both directions), then min per node
+        hop = (sym.join(labels, join_type="inner", num_partitions=num_partitions,
+                        on=("src",), right_on=("node",))
+               .map_batches(hop_project, batch_format="pyarrow"))
+        labels = (arrowize(labels).union(arrowize(hop))
                   .groupby("node").aggregate(Min("label", alias_name="label"))
                   .materialize())
         # pointer jumping: label <- label(label). Every label is itself a
