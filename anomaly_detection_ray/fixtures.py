@@ -47,6 +47,7 @@ FIXTURE_QUERIES = [
     "rrcf_events",
     "trend_mlp_events",
     "image_decode_features",
+    "jpeg_decode_features",
     "approx_distinct_events",
     "bpe_vocab_documents",
     "kmeans_embeddings",

@@ -1305,6 +1305,67 @@ def q_image_decode_features(sf_dir: str):
                              "mean_luma"]))
 
 
+_JPEG_N = {"0.001": 200, "0.01": 500, "0.1": 2000}
+
+
+def _jpeg_table_path(sf_dir: str) -> str:
+    """Deterministic JPEG image table: per-row quality / subsampling /
+    grayscale mix so the decoder's full surface (4:4:4/4:2:2/4:2:0, gray,
+    restart markers) is exercised distributed. Seed = row index —
+    partitioning-invariant bytes, same pattern as the PNG table."""
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    n = _JPEG_N.get(sf, 200)
+    path = f"/tmp/adr_jpegs/sf{sf}"
+    done = os.path.join(path, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        from .. import image as img
+        from .. import jpeg
+
+        def gen(b: pd.DataFrame) -> pd.DataFrame:
+            ids, payloads = [], []
+            subs = ["444", "422", "420"]
+            for i in b["id"]:
+                i = int(i)
+                ids.append(f"jpg{i:06d}")
+                a = img.synth_image(seed=i, channels=1 if i % 5 == 4 else 3)
+                payloads.append(jpeg.encode_jpeg(
+                    a[:, :, 0] if i % 5 == 4 else a,
+                    quality=70 + (i * 7) % 30, subsample=subs[i % 3],
+                    restart_interval=4 if i % 7 == 0 else 0))
+            return pd.DataFrame({"img_id": ids, "image": payloads})
+
+        rd.range(n).map_batches(gen, batch_size=64,
+                                batch_format="pandas").write_parquet(path)
+        open(done, "w").close()
+    return path
+
+
+def q_jpeg_decode_features(sf_dir: str):
+    """REAL baseline-JPEG decode over the deterministic JPEG table
+    (stdlib+numpy codec, jpeg.py — no libjpeg/PIL): dimensions + Rec.601
+    mean luma per image via the same ImageDecode actor pool as the PNG
+    path. Deterministic => fixture oracle."""
+    from ..stages.multimodal import ImageDecode
+    from ..stages.sizing import pool_size
+    path = _jpeg_table_path(sf_dir)
+    ds = rd.read_parquet(path)
+    out = ds.map_batches(ImageDecode,
+                         fn_constructor_kwargs={"bytes_col": "image"},
+                         batch_format="pyarrow", batch_size=64,
+                         concurrency=pool_size(4), num_cpus=1)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("mean_luma"),
+                            "mean_luma", pa.array(rnd(t["mean_luma"].to_numpy(
+                                zero_copy_only=False), 4)))
+
+    return (out.map_batches(fin, batch_format="pyarrow")
+            .select_columns(["img_id", "height", "width", "channels",
+                             "mean_luma"]))
+
+
 def q_clip_validation_verdicts(sf_dir: str):
     """Flagship pipeline per-partition verdicts on the deterministic clip
     table scaled to the sf (rows-only; ground truth tested in pytest)."""
@@ -1513,6 +1574,7 @@ QUERIES = {
     "eval_f1_events": q_eval_f1_events,
     "stream_validation_events": q_stream_validation_events,
     "image_decode_features": q_image_decode_features,
+    "jpeg_decode_features": q_jpeg_decode_features,
     "clip_validation_verdicts": q_clip_validation_verdicts,
     "clip_audio_features": q_clip_audio_features,
     "clip_spectral_features": q_clip_spectral_features,

@@ -432,10 +432,12 @@ def fingerprint_neardup_pairs(ds, bytes_col: str = "bytes",
     pairs = (fps.map_batches(explode, batch_format="pyarrow")
              .groupby(["band", "key"])
              .map_groups(bucket_pairs, batch_format="pandas"))
-    out = pairs.to_pandas()
+    # cardinality-aware pair dedup (same pattern as dedup.py minhash):
+    # driver fold while pairs are few, automatic Ray groupby past threshold
+    from ..functions.fold import fold_partials
+    out = fold_partials(pairs, ["id_a", "id_b"], {"hamming": "min"})
     if len(out):
-        out = (out.groupby(["id_a", "id_b"], as_index=False)["hamming"].min()
-               .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+        out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     out["hamming"] = out.get("hamming", pd.Series(dtype="int64")).astype("int64")
     return out
 

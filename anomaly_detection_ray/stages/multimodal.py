@@ -4,11 +4,12 @@ Images/audio/video are opaque ``binary`` columns with typed metadata;
 decode / feature-extract / resize / frame-sample run as actor-pool
 map_batches stages with SMALL batch sizes (payloads dominate block size).
 
-Audio decode is REAL (stdlib WAV, stages/checks.FidelityCheck). Image and
-video codecs are not available in this container, so those decoders are
-STUBS behind ``NotImplementedError`` with a deterministic fake mode for
-testing the Ray-side plumbing (schema, batch size, actor signature,
-output layout) — clearly marked per the build instructions.
+Audio decode is REAL (stdlib WAV, stages/checks.FidelityCheck). Image
+decode is REAL for PNG (``image.py``) and baseline JPEG (``jpeg.py``).
+WebP and video codecs are not available in this container, so those
+decoders are STUBS behind ``NotImplementedError`` with a deterministic
+fake mode for testing the Ray-side plumbing (schema, batch size, actor
+signature, output layout) — clearly marked per the build instructions.
 """
 
 from __future__ import annotations
@@ -62,11 +63,13 @@ class ImageDecode:
     """Actor-pool stage: image binary -> (height, width, channels,
     mean_luma) + optional nearest-neighbor resize stats.
 
-    REAL for PNG via the stdlib codec in ``image.py`` (8-bit gray / RGB /
-    RGBA / palette, all five scanline filters). JPEG/WebP payloads are the
-    remaining STUB — those codecs aren't in this container — so non-PNG
-    magic raises NotImplementedError (or, with ``fake="deterministic"``,
-    falls back to crc-derived dimensions to keep exercising the plumbing).
+    REAL for PNG (stdlib codec in ``image.py``: 8-bit gray / RGB / RGBA /
+    palette, all five scanline filters) and for baseline JPEG (``jpeg.py``:
+    SOF0 grayscale/YCbCr at 4:4:4 / 4:2:2 / 4:2:0, stream DQT/DHT tables,
+    restart markers). WebP payloads are the remaining STUB — that codec
+    isn't in this container — so unknown magic raises NotImplementedError
+    (or, with ``fake="deterministic"``, falls back to crc-derived
+    dimensions to keep exercising the plumbing).
     """
 
     def __init__(self, bytes_col: str = "image", fake: str | None = None,
@@ -87,8 +90,13 @@ class ImageDecode:
         for i, b in enumerate(payloads):
             if not b:
                 continue
+            arr = None
             if bytes(b[:8]) == img.PNG_MAGIC:
                 arr, meta = img.decode_png(bytes(b))
+            elif bytes(b[:2]) == b"\xff\xd8":
+                from .. import jpeg
+                arr, meta = jpeg.decode_jpeg(bytes(b))
+            if arr is not None:
                 if self.resize_to is not None:
                     arr = img.resize_nearest(arr, self.resize_to)
                 h[i], w[i] = arr.shape[:2]
@@ -101,8 +109,9 @@ class ImageDecode:
                 h[i], w[i], c[i] = 64 + hv % 512, 64 + (hv >> 4) % 512, 3
             else:
                 raise NotImplementedError(
-                    "non-PNG image payload: JPEG/WebP codecs are not in this "
-                    "container; use PNG or fake='deterministic'")
+                    "unknown image payload: PNG and baseline JPEG decode "
+                    "are built in; WebP isn't in this container — use "
+                    "fake='deterministic' to exercise the plumbing")
         return (t.append_column("height", pa.array(h))
                  .append_column("width", pa.array(w))
                  .append_column("channels", pa.array(c))

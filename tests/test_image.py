@@ -128,3 +128,30 @@ def test_image_decode_stage_real_png(ray_session):
                                             "resize_to": (16, 16)},
         batch_format="pyarrow", concurrency=1).to_pandas())
     assert (out2["height"] == 16).all() and (out2["width"] == 16).all()
+
+
+def test_image_decode_stage_mixed_png_jpeg(ray_session):
+    """One batch mixing PNG and baseline-JPEG payloads: both decode REAL
+    through the same actor stage (magic-dispatched), no fake mode."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomaly_detection_ray import jpeg
+    from anomaly_detection_ray.stages.multimodal import ImageDecode
+
+    arrs = [img.synth_image(seed=s) for s in range(4)]
+    payloads = [img.encode_png(arrs[0]),
+                jpeg.encode_jpeg(arrs[1], quality=90, subsample="444"),
+                jpeg.encode_jpeg(arrs[2], quality=85, subsample="420"),
+                jpeg.encode_jpeg(arrs[3][:, :, 0], quality=90)]  # gray
+    t = pa.table({"img_id": [f"m{s}" for s in range(4)], "image": payloads})
+    out = (rd.from_arrow(t).map_batches(
+        ImageDecode, fn_constructor_kwargs={"bytes_col": "image"},
+        batch_format="pyarrow", concurrency=2, batch_size=2)
+        .to_pandas().set_index("img_id"))
+    for s, a in enumerate(arrs):
+        row = out.loc[f"m{s}"]
+        assert (row["height"], row["width"]) == a.shape[:2]
+        assert row["channels"] == (1 if s == 3 else 3)
+        # JPEG is lossy: luma within quantization error, not exact
+        assert abs(row["mean_luma"] - img.luminance(a).mean()) < 2.0
