@@ -835,6 +835,52 @@ def oracle_sql() -> dict[str, str]:
                          6) AS duration_s
             FROM g GROUP BY user_id, session_id
         """,
+        "expectations_orders": """
+            -- mirrors the q_expectations_orders suite check by check;
+            -- 'mostly' tolerance only on the in_range check (0.95)
+            WITH s AS (
+              SELECT 'dtype' AS check_name, 'o_orderkey' AS column_name,
+                     0 AS n_rows, 0 AS violations
+              UNION ALL
+              SELECT 'not_null', 'o_custkey', count(*),
+                     count(*) - count(o_custkey) FROM orders
+              UNION ALL
+              SELECT 'in_range', 'o_totalprice', count(*),
+                     sum(CASE WHEN o_totalprice < 900.0
+                              OR o_totalprice > 200000.0
+                              THEN 1 ELSE 0 END) FROM orders
+              UNION ALL
+              SELECT 'in_set', 'o_orderstatus', count(*),
+                     sum(CASE WHEN o_orderstatus NOT IN ('O', 'F')
+                              THEN 1 ELSE 0 END) FROM orders
+              UNION ALL
+              SELECT 'regex', 'o_orderpriority', count(*),
+                     sum(CASE WHEN NOT regexp_full_match(
+                              o_orderpriority, '[1-5]-[A-Z]+')
+                              THEN 1 ELSE 0 END) FROM orders
+              UNION ALL
+              SELECT 'str_len_between', 'o_orderstatus', count(*),
+                     sum(CASE WHEN length(o_orderstatus) NOT BETWEEN 1 AND 1
+                              THEN 1 ELSE 0 END) FROM orders
+              UNION ALL
+              SELECT 'unique', 'o_orderkey', count(o_orderkey),
+                     count(o_orderkey) - count(DISTINCT o_orderkey)
+              FROM orders
+              UNION ALL
+              SELECT 'referential', 'o_custkey', count(*),
+                     sum(CASE WHEN o_custkey NOT IN
+                              (SELECT c_custkey FROM customer)
+                              THEN 1 ELSE 0 END) FROM orders
+            )
+            SELECT check_name, column_name,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(violations AS BIGINT) AS violations,
+                   CASE WHEN check_name = 'dtype' THEN TRUE
+                        WHEN check_name = 'in_range'
+                          THEN 1.0 - violations * 1.0 / n_rows >= 0.95
+                        ELSE violations = 0 END AS passed
+            FROM s ORDER BY check_name, column_name
+        """,
         "refined_quantiles_norms": """
             WITH n AS (SELECT round(sqrt(list_sum(list_transform(embedding,
                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4)

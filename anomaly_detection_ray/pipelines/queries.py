@@ -1305,6 +1305,36 @@ def q_image_decode_features(sf_dir: str):
                              "mean_luma"]))
 
 
+def q_expectations_orders(sf_dir: str):
+    """Declarative constraint suite over orders (stages/expectations.py):
+    schema dtype, not-null, range (with a GE-style 'mostly' tolerance),
+    value-set, full-match regex, string length, key uniqueness, and a
+    broadcast referential check against customer — all row-local checks
+    compiled into ONE vectorized Arrow pass, partial counts folded
+    cardinality-aware. Summary is fully D-oracled (counts + pass/fail)."""
+    from ..stages import expectations as ex
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_totalprice", "o_orderpriority"])
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey"]).to_pandas()["c_custkey"].to_numpy()
+    suite = [
+        {"check": "dtype", "column": "o_orderkey", "type": "int64"},
+        {"check": "not_null", "column": "o_custkey"},
+        {"check": "in_range", "column": "o_totalprice",
+         "min": 900.0, "max": 200000.0, "mostly": 0.95},
+        {"check": "in_set", "column": "o_orderstatus",
+         "values": ["O", "F"]},
+        {"check": "regex", "column": "o_orderpriority",
+         "pattern": "[1-5]-[A-Z]+"},
+        {"check": "str_len_between", "column": "o_orderstatus",
+         "min": 1, "max": 1},
+        {"check": "unique", "column": "o_orderkey"},
+        {"check": "referential", "column": "o_custkey", "ref": cust},
+    ]
+    return ex.run_expectations(orders, suite)
+
+
 _JPEG_N = {"0.001": 200, "0.01": 500, "0.1": 2000}
 
 
@@ -1575,6 +1605,7 @@ QUERIES = {
     "stream_validation_events": q_stream_validation_events,
     "image_decode_features": q_image_decode_features,
     "jpeg_decode_features": q_jpeg_decode_features,
+    "expectations_orders": q_expectations_orders,
     "clip_validation_verdicts": q_clip_validation_verdicts,
     "clip_audio_features": q_clip_audio_features,
     "clip_spectral_features": q_clip_spectral_features,

@@ -1,0 +1,232 @@
+"""Declarative schema + constraint suites over any Dataset — the generic
+face of the north-star "schema + constraint validation engine".
+
+The clip flagship (pipelines/validate.py) hard-codes its checks; this
+module takes a JSON-able SUITE (list of check specs) and compiles it once
+into ONE vectorized ``map_batches`` pass over zero-copy Arrow batches,
+emitting per-batch partial counts that merge associatively — the same
+partials-then-fold shape as every other wide aggregate here (no driver
+row loops, no per-check dataset scans). Reference lineage: the per-record
+validity grading of /root/reference/src/anomaly_detection.py:204-263
+generalized to declarative column constraints.
+
+Check kinds
+-----------
+Row-local (compiled to a vectorized pyarrow.compute mask; value sets /
+regexes are prepared ONCE at compile time and ride Ray's closure
+serialization into each task — put to the object store once, not
+re-shipped per batch):
+
+- ``{"check": "not_null", "column": c}``
+- ``{"check": "in_range", "column": c, "min": x, "max": y}`` (either
+  bound optional; nulls are NOT violations — pair with not_null)
+- ``{"check": "in_set", "column": c, "values": [...]}``
+- ``{"check": "regex", "column": c, "pattern": p}`` (full match)
+- ``{"check": "str_len_between", "column": c, "min": a, "max": b}``
+- ``{"check": "referential", "column": c, "ref": <iterable of keys>}``
+  — broadcast membership against the small side, never a shuffle join.
+
+Table-level:
+
+- ``{"check": "unique", "column": c}`` — violations = rows beyond the
+  first per value (count − distinct), via per-batch value-count partials
+  merged by the cardinality-aware ``fold_partials`` (driver fold for
+  small key sets, automatic Ray groupby past the threshold — the same
+  regime switch as exact dedup).
+- ``{"check": "dtype", "column": c, "type": "int64"}`` — schema-level,
+  evaluated once against ``ds.schema()`` (zero data passes).
+
+Every check accepts ``"mostly": f`` (Great-Expectations-style tolerance):
+it passes when the non-violating fraction ≥ f (default 1.0).
+
+Outputs: ``run_expectations`` returns a summary DataFrame
+(check_name, column_name, n_rows, violations, passed) in deterministic
+order — directly SQL-oracle-able; ``flag_violations`` appends one boolean
+``<check>:<column>__bad`` column per row-local check so violating rows
+can be filtered to a sink (the reference's ``send_ok=False`` gate shape,
+output.py:203-206).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_ROW_LOCAL = {"not_null", "in_range", "in_set", "regex",
+              "str_len_between", "referential"}
+_KINDS = _ROW_LOCAL | {"unique", "dtype"}
+
+
+def _check_key(spec: dict) -> str:
+    return f"{spec['check']}:{spec['column']}"
+
+
+def _compile_mask(spec: dict) -> Callable[[pa.Table], np.ndarray]:
+    """Row-local spec -> fn(Table) -> bool mask (True = row violates).
+    Nulls violate only not_null; everything heavy is prepared here, once."""
+    col_name = spec["column"]
+    kind = spec["check"]
+
+    def _np(arr) -> np.ndarray:
+        return pc.fill_null(arr, False).to_numpy(zero_copy_only=False)
+
+    if kind == "not_null":
+        return lambda t: pc.is_null(t[col_name]).to_numpy(
+            zero_copy_only=False)
+    if kind == "in_range":
+        lo, hi = spec.get("min"), spec.get("max")
+        if lo is None and hi is None:
+            raise ValueError("in_range needs min and/or max")
+
+        def mask(t: pa.Table) -> np.ndarray:
+            col = t[col_name]
+            bad = None
+            if lo is not None:
+                bad = pc.less(col, lo)
+            if hi is not None:
+                b = pc.greater(col, hi)
+                bad = b if bad is None else pc.or_(bad, b)
+            return _np(bad)
+
+        return mask
+    if kind == "in_set":
+        vals = pa.array(list(spec["values"]))
+        return lambda t: _np(pc.invert(pc.is_in(t[col_name],
+                                                value_set=vals)))
+    if kind == "regex":
+        pat = f"^(?:{spec['pattern']})$"
+        return lambda t: _np(pc.invert(
+            pc.match_substring_regex(t[col_name], pat)))
+    if kind == "str_len_between":
+        lo, hi = spec.get("min", 0), spec.get("max")
+
+        def mask(t: pa.Table) -> np.ndarray:
+            ln = pc.utf8_length(t[col_name])
+            bad = pc.less(ln, lo)
+            if hi is not None:
+                bad = pc.or_(bad, pc.greater(ln, hi))
+            return _np(bad)
+
+        return mask
+    if kind == "referential":
+        ref = pa.array(sorted(set(spec["ref"])))
+        return lambda t: _np(pc.invert(pc.is_in(t[col_name],
+                                                value_set=ref)))
+    raise ValueError(f"unknown row-local check {kind!r}")
+
+
+def _schema_types(ds) -> dict[str, Any]:
+    """name -> type. Arrow-backed datasets give pa.DataType; pandas-block
+    datasets may give numpy dtypes / python types — normalized at use."""
+    s = ds.schema()
+    return dict(zip(s.names, s.types))
+
+
+def _type_str(t: Any) -> str:
+    if isinstance(t, pa.DataType):
+        return str(t)
+    try:
+        return np.dtype(t).name
+    except TypeError:
+        return str(t)
+
+
+def _validate_suite(suite: list[dict], names) -> None:
+    names = set(names)
+    for spec in suite:
+        if spec.get("check") not in _KINDS:
+            raise ValueError(f"unknown check kind {spec.get('check')!r}")
+        if spec["column"] not in names:
+            raise ValueError(
+                f"check {spec['check']!r}: column {spec['column']!r} not in "
+                f"schema {sorted(names)}")
+
+
+def flag_violations(ds, suite: list[dict]):
+    """Input Dataset + one ``<check>:<column>__bad`` bool column per
+    row-local check (table-level checks have no per-row meaning here)."""
+    row_checks = [s for s in suite if s["check"] in _ROW_LOCAL]
+    _validate_suite(row_checks, ds.schema().names)
+    compiled = [(_check_key(s), _compile_mask(s)) for s in row_checks]
+
+    def flag(t: pa.Table) -> pa.Table:
+        for key, mask in compiled:
+            t = t.append_column(f"{key}__bad", pa.array(mask(t)))
+        return t
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def run_expectations(ds, suite: list[dict]) -> pd.DataFrame:
+    """Evaluate a suite in one streaming pass (plus one value-count fold
+    per ``unique`` check). Returns (check_name, column_name, n_rows,
+    violations, passed) sorted by (check_name, column_name)."""
+    from ..functions.fold import fold_partials
+
+    types = _schema_types(ds)
+    _validate_suite(suite, types.keys())
+    row_checks = [s for s in suite if s["check"] in _ROW_LOCAL]
+    uniq_checks = [s for s in suite if s["check"] == "unique"]
+    dtype_checks = [s for s in suite if s["check"] == "dtype"]
+
+    records: list[dict[str, Any]] = []
+
+    for spec in dtype_checks:  # schema-level: zero data passes
+        actual = _type_str(types[spec["column"]])
+        ok = actual == spec["type"]
+        records.append({"check_name": "dtype",
+                        "column_name": spec["column"], "n_rows": 0,
+                        "violations": 0 if ok else 1, "passed": ok})
+
+    if row_checks:
+        keys = [_check_key(s) for s in row_checks]
+        compiled = [_compile_mask(s) for s in row_checks]
+        needed = sorted({s["column"] for s in row_checks})
+
+        def partial(t: pa.Table) -> pd.DataFrame:
+            out: dict[str, list] = {"_g": [0], "n_rows": [len(t)]}
+            for k, mask in zip(keys, compiled):
+                out[k] = [int(mask(t).sum())]
+            return pd.DataFrame(out)
+
+        folded = fold_partials(
+            ds.select_columns(needed).map_batches(
+                partial, batch_format="pyarrow"),
+            "_g", {c: "sum" for c in ["n_rows", *keys]})
+        n_rows = int(folded["n_rows"].iloc[0]) if len(folded) else 0
+        for spec, k in zip(row_checks, keys):
+            v = int(folded[k].iloc[0]) if len(folded) else 0
+            frac_ok = 1.0 if n_rows == 0 else 1.0 - v / n_rows
+            records.append({"check_name": spec["check"],
+                            "column_name": spec["column"], "n_rows": n_rows,
+                            "violations": v,
+                            "passed": frac_ok >= spec.get("mostly", 1.0)})
+
+    for spec in uniq_checks:
+        col = spec["column"]
+
+        def vc(t: pa.Table, col=col) -> pd.DataFrame:
+            s = t[col].to_pandas()
+            g = s.groupby(s, dropna=True).size()
+            return pd.DataFrame({"v": g.index.to_numpy(),
+                                 "n": g.to_numpy()})
+
+        counts = fold_partials(
+            ds.select_columns([col]).map_batches(vc, batch_format="pyarrow"),
+            "v", {"n": "sum"})
+        n_rows = int(counts["n"].sum()) if len(counts) else 0
+        v = int((counts["n"] - 1).clip(lower=0).sum()) if len(counts) else 0
+        frac_ok = 1.0 if n_rows == 0 else 1.0 - v / n_rows
+        records.append({"check_name": "unique", "column_name": col,
+                        "n_rows": n_rows, "violations": v,
+                        "passed": frac_ok >= spec.get("mostly", 1.0)})
+
+    out = pd.DataFrame.from_records(
+        records, columns=["check_name", "column_name", "n_rows",
+                          "violations", "passed"])
+    return (out.sort_values(["check_name", "column_name"])
+            .reset_index(drop=True))

@@ -84,7 +84,7 @@ def oracle_names():
     "props_extract_events", "sliding_window_events",
     "deterministic_shuffle_documents", "skew_join_lineitem_supplier",
     "exact_quantiles_events", "temporal_drift_events",
-    "refined_quantiles_norms",
+    "refined_quantiles_norms", "expectations_orders",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]

@@ -1,0 +1,128 @@
+"""Declarative constraint suites (stages/expectations.py): every check
+kind against a table with INJECTED violations of each kind, the 'mostly'
+tolerance, row-level violation flags, and spec validation errors."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from anomaly_detection_ray.stages import expectations as ex
+
+
+def _table():
+    # 10 rows; deliberate defects: one null id, one dup key, one negative
+    # amount, one out-of-set status, one bad code format, one long name,
+    # one orphan fk
+    return pd.DataFrame({
+        "key": [1, 2, 3, 4, 5, 6, 7, 8, 9, 9],
+        "user": pd.Series([10, 20, 30, 40, None, 60, 70, 80, 90, 100],
+                          dtype="object"),  # -> arrow int64 with one null
+        "amount": [5.0, 1.0, 2.5, -3.0, 4.0, 9.9, 0.0, 7.0, 8.0, 6.0],
+        "status": ["ok", "ok", "bad", "ok", "ok", "weird", "ok", "ok",
+                   "ok", "ok"],
+        "code": ["A-1", "B-2", "C-3", "D-4", "E-5", "F-6", "g7", "H-8",
+                 "I-9", "J-0"],
+        "name": ["a", "bb", "cc", "dd", "ee", "ff", "gg", "hh", "ii",
+                 "jjjjjjjjjj"],
+        "fk": [1, 1, 2, 2, 3, 3, 4, 4, 5, 99],
+    })
+
+
+SUITE = [
+    {"check": "dtype", "column": "key", "type": "int64"},
+    {"check": "dtype", "column": "amount", "type": "string"},  # wrong
+    {"check": "not_null", "column": "user"},
+    {"check": "in_range", "column": "amount", "min": 0.0},
+    {"check": "in_set", "column": "status", "values": ["ok", "bad"]},
+    {"check": "regex", "column": "code", "pattern": "[A-Z]-[0-9]"},
+    {"check": "str_len_between", "column": "name", "min": 1, "max": 5},
+    {"check": "unique", "column": "key"},
+    {"check": "referential", "column": "fk", "ref": [1, 2, 3, 4, 5]},
+]
+
+
+def test_every_check_kind_counts(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    # arrow-backed dataset (the production read_parquet path)
+    res = (ex.run_expectations(
+        rd.from_arrow(pa.Table.from_pandas(_table())).repartition(4), SUITE)
+           .set_index(["check_name", "column_name"]))
+    exp = {
+        ("dtype", "key"): (0, True),
+        ("dtype", "amount"): (1, False),
+        ("not_null", "user"): (1, False),
+        ("in_range", "amount"): (1, False),
+        ("in_set", "status"): (1, False),
+        ("regex", "code"): (1, False),
+        ("str_len_between", "name"): (1, False),
+        ("unique", "key"): (1, False),
+        ("referential", "fk"): (1, False),
+    }
+    assert len(res) == len(exp)
+    for k, (v, passed) in exp.items():
+        assert res.loc[k, "violations"] == v, k
+        assert res.loc[k, "passed"] == passed, k
+    # row counts: data passes see all 10 rows; dtype sees none
+    assert (res.loc[("not_null", "user"), "n_rows"] == 10)
+    assert (res.loc[("dtype", "key"), "n_rows"] == 0)
+
+
+def test_mostly_tolerance(ray_session):
+    import ray.data as rd
+    ds = rd.from_pandas(_table())
+    strict = [{"check": "in_range", "column": "amount", "min": 0.0}]
+    loose = [{"check": "in_range", "column": "amount", "min": 0.0,
+              "mostly": 0.85}]
+    assert not ex.run_expectations(ds, strict)["passed"].iloc[0]
+    assert ex.run_expectations(ds, loose)["passed"].iloc[0]  # 9/10 >= 0.85
+
+
+def test_null_semantics(ray_session):
+    """Nulls violate not_null but are NOT double-counted by range/set."""
+    import ray.data as rd
+    df = pd.DataFrame({"x": [1.0, np.nan, 50.0]})  # NaN -> arrow null
+    res = ex.run_expectations(rd.from_pandas(df), [
+        {"check": "not_null", "column": "x"},
+        {"check": "in_range", "column": "x", "min": 0.0, "max": 10.0},
+    ]).set_index("check_name")
+    assert res.loc["not_null", "violations"] == 1
+    assert res.loc["in_range", "violations"] == 1  # only the 50.0
+
+
+def test_flag_violations_rows(ray_session):
+    import ray.data as rd
+    out = (ex.flag_violations(rd.from_pandas(_table()), SUITE)
+           .to_pandas().sort_values("key", na_position="last")
+           .reset_index(drop=True))
+    # table-level checks add no columns; 6 row-local flags appended
+    flags = [c for c in out.columns if c.endswith("__bad")]
+    assert len(flags) == 6
+    assert out.loc[out["amount"] < 0, "in_range:amount__bad"].all()
+    assert out["referential:fk__bad"].sum() == 1
+    assert out.loc[out["fk"] == 99, "referential:fk__bad"].all()
+    # the reference's send_ok=False shape: filter any-bad rows
+    bad_rows = out[out[flags].any(axis=1)]
+    # null-user, neg-amount, weird, g7, and the long-name+orphan-fk row
+    assert len(bad_rows) == 5
+
+
+def test_empty_dataset(ray_session):
+    import ray.data as rd
+    ds = rd.from_pandas(_table().head(0))
+    res = ex.run_expectations(ds, [
+        {"check": "not_null", "column": "user"},
+        {"check": "unique", "column": "key"},
+    ])
+    assert (res["violations"] == 0).all() and res["passed"].all()
+
+
+def test_spec_validation_errors(ray_session):
+    import ray.data as rd
+    ds = rd.from_pandas(_table())
+    with pytest.raises(ValueError, match="unknown check kind"):
+        ex.run_expectations(ds, [{"check": "nope", "column": "key"}])
+    with pytest.raises(ValueError, match="not in"):
+        ex.run_expectations(ds, [{"check": "not_null", "column": "zz"}])
+    with pytest.raises(ValueError, match="min and/or max"):
+        ex.run_expectations(ds, [{"check": "in_range", "column": "key"}])
