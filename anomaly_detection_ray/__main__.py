@@ -10,6 +10,15 @@ over the message CSV/JSON (or the config's own ``file_name``), writes the
 verdict table (optionally violations only — the reference's
 ``send_ok=False`` gate), and prints a per-status summary. Owns its Ray
 session (guarded — safe under an outer ray.init as well).
+
+Second mode — declarative constraint suites over any parquet table
+(stages/expectations.py):
+
+    python -m anomaly_detection_ray --expect-suite suite.json \
+        --data table_dir/ [--out violations_dir] [--num-cpus N]
+
+Prints the per-check summary; exit code 1 if any check failed; with
+``--out`` writes the rows violating any row-local check.
 """
 
 from __future__ import annotations
@@ -23,8 +32,13 @@ def main(argv: list[str] | None = None) -> int:
         prog="python -m anomaly_detection_ray",
         description="Run a reference-schema validation config over a "
                     "message stream (batch replay, main.py -f mode).")
-    p.add_argument("-c", "--config", required=True,
+    p.add_argument("-c", "--config",
                    help="reference-schema JSON config path")
+    p.add_argument("--expect-suite", default=None,
+                   help="JSON constraint-suite path (stages/expectations "
+                        "check specs); --data must be a parquet table. "
+                        "Alternative mode to -c: prints the summary and, "
+                        "with --out, writes rows violating any check")
     p.add_argument("--data", default=None,
                    help="message CSV/JSON (default: the config's file_name)")
     p.add_argument("--out", default=None,
@@ -38,6 +52,8 @@ def main(argv: list[str] | None = None) -> int:
                         "(default: one global stream, reference semantics)")
     p.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
+    if (args.config is None) == (args.expect_suite is None):
+        p.error("exactly one of -c/--config or --expect-suite is required")
 
     import ray
     if not ray.is_initialized():
@@ -45,6 +61,9 @@ def main(argv: list[str] | None = None) -> int:
                  include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
+
+    if args.expect_suite:
+        return _expect_mode(args)
 
     from anomaly_detection_ray.pipelines.config import run_reference_config
     ds = run_reference_config(args.config, data_path=args.data,
@@ -80,6 +99,42 @@ def main(argv: list[str] | None = None) -> int:
     if args.out:
         print(f"verdicts written to {args.out}")
     return 0
+
+
+def _expect_mode(args) -> int:
+    """Constraint-suite mode: summary to stdout, optional violating-row
+    sink (rows failing ANY row-local check — the send_ok=False shape)."""
+    import json
+
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages import expectations as ex
+
+    if not args.data:
+        sys.stderr.write("--expect-suite needs --data <parquet path>\n")
+        return 2
+    with open(args.expect_suite) as f:
+        suite = json.load(f)
+    ds = rd.read_parquet(args.data)
+    summary = ex.run_expectations(ds, suite)
+    print(summary.to_string(index=False))
+    failed = int((~summary["passed"]).sum())
+    if args.out:
+        flagged = ex.flag_violations(ds, suite)
+        flags = [c for c in flagged.schema().names if c.endswith("__bad")]
+
+        def any_bad(t):
+            import pyarrow.compute as pc
+            mask = None
+            for c in flags:
+                m = pc.fill_null(t[c], False)
+                mask = m if mask is None else pc.or_(mask, m)
+            return t.filter(mask) if mask is not None else t.slice(0, 0)
+
+        flagged.map_batches(any_bad, batch_format="pyarrow").write_parquet(
+            args.out)
+        print(f"violating rows written to {args.out}")
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

@@ -1335,6 +1335,37 @@ def q_expectations_orders(sf_dir: str):
     return ex.run_expectations(orders, suite)
 
 
+CLIP_SUITE = [
+    # the north-star input contract (BASELINE.json input_hint) as a
+    # declarative suite: each check catches one injected synth defect class
+    {"check": "dtype", "column": "sr_hz", "type": "int32"},
+    {"check": "regex", "column": "clip_id", "pattern": "clip-[0-9]{9}"},
+    {"check": "unique", "column": "clip_id"},                 # dup
+    {"check": "not_null", "column": "sr_hz"},                 # null_meta
+    {"check": "in_set", "column": "sr_hz",
+     "values": [8000, 16000, 22050, 44100]},                  # sr_range
+    {"check": "in_range", "column": "dur_ms",
+     "min": 200, "max": 15000},                               # dur_outlier
+    {"check": "in_set", "column": "codec",
+     "values": ["pcm_s16le", "flac", "opus", "mp3", "amr"]},
+    {"check": "not_null", "column": "transcript"},            # missing (None)
+    {"check": "str_len_between", "column": "transcript",
+     "min": 1},                                               # missing ("")
+]
+
+
+def q_expectations_clips(sf_dir: str):
+    """The declarative suite over the north-star clip table: metadata-only
+    pruned read (bytes never leave storage), every injected defect class
+    caught by its constraint. Deterministic synth => fixture oracle;
+    ground-truth parity pinned in tests/test_expectations.py."""
+    from ..stages import expectations as ex
+    path = _clip_table_path(sf_dir)
+    ds = rd.read_parquet(path, columns=["clip_id", "sr_hz", "dur_ms",
+                                        "codec", "transcript"])
+    return ex.run_expectations(ds, CLIP_SUITE)
+
+
 _JPEG_N = {"0.001": 200, "0.01": 500, "0.1": 2000}
 
 
@@ -1606,6 +1637,7 @@ QUERIES = {
     "image_decode_features": q_image_decode_features,
     "jpeg_decode_features": q_jpeg_decode_features,
     "expectations_orders": q_expectations_orders,
+    "expectations_clips": q_expectations_clips,
     "clip_validation_verdicts": q_clip_validation_verdicts,
     "clip_audio_features": q_clip_audio_features,
     "clip_spectral_features": q_clip_spectral_features,

@@ -24,6 +24,8 @@ re-shipped per batch):
 - ``{"check": "regex", "column": c, "pattern": p}`` (full match)
 - ``{"check": "str_len_between", "column": c, "min": a, "max": b}``
 - ``{"check": "referential", "column": c, "ref": <iterable of keys>}``
+  (or the JSON-able form ``"ref_table": <parquet path>, "ref_column": c2``
+  — the small side is read once at compile, pruned to the key column)
   — broadcast membership against the small side, never a shuffle join.
 
 Table-level:
@@ -113,7 +115,16 @@ def _compile_mask(spec: dict) -> Callable[[pa.Table], np.ndarray]:
 
         return mask
     if kind == "referential":
-        ref = pa.array(sorted(set(spec["ref"])))
+        if "ref" in spec:
+            keys = spec["ref"]
+        else:
+            # JSON-able form: the small side is a parquet path + column,
+            # read ONCE at compile time (pruned to the key column)
+            import ray.data as rd
+            keys = (rd.read_parquet(spec["ref_table"],
+                                    columns=[spec["ref_column"]])
+                    .to_pandas()[spec["ref_column"]].to_numpy())
+        ref = pa.array(sorted(set(keys)))
         return lambda t: _np(pc.invert(pc.is_in(t[col_name],
                                                 value_set=ref)))
     raise ValueError(f"unknown row-local check {kind!r}")

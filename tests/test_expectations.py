@@ -126,3 +126,77 @@ def test_spec_validation_errors(ray_session):
         ex.run_expectations(ds, [{"check": "not_null", "column": "zz"}])
     with pytest.raises(ValueError, match="min and/or max"):
         ex.run_expectations(ds, [{"check": "in_range", "column": "key"}])
+
+
+def test_ref_table_json_form(ray_session, tmp_path):
+    """referential via the JSON-able ref_table/ref_column form resolves the
+    small side at compile time (pruned read, broadcast membership)."""
+    import ray.data as rd
+    ref = str(tmp_path / "ref")
+    rd.from_pandas(pd.DataFrame({"k": [1, 2, 3, 4, 5],
+                                 "junk": ["x"] * 5})).write_parquet(ref)
+    res = ex.run_expectations(rd.from_pandas(_table()), [
+        {"check": "referential", "column": "fk",
+         "ref_table": ref, "ref_column": "k"},
+    ])
+    assert res["violations"].iloc[0] == 1  # the fk=99 orphan
+
+
+def test_clip_suite_matches_ground_truth(ray_session, tmp_path):
+    """expectations_clips' suite over a synth clip table reproduces the
+    injected defect counts, independently recomputed in pandas."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from anomaly_detection_ray import synth
+    from anomaly_detection_ray.pipelines.queries import CLIP_SUITE
+
+    path = str(tmp_path / "clips")
+    synth.write_clip_table(path, seed=11, n=800, P=8, rows_per_file=256)
+    cols = ["clip_id", "sr_hz", "dur_ms", "codec", "transcript"]
+    res = (ex.run_expectations(rd.read_parquet(path, columns=cols),
+                               CLIP_SUITE)
+           .set_index(["check_name", "column_name"]))
+
+    df = pq.read_table(path, columns=cols).to_pandas()
+    exp = {
+        ("not_null", "sr_hz"): df["sr_hz"].isna().sum(),
+        ("in_set", "sr_hz"): (~df["sr_hz"].isin([8000, 16000, 22050, 44100])
+                              & df["sr_hz"].notna()).sum(),
+        ("in_range", "dur_ms"): ((df["dur_ms"] < 200)
+                                 | (df["dur_ms"] > 15000)).sum(),
+        ("in_set", "codec"): 0,
+        ("regex", "clip_id"): 0,
+        ("not_null", "transcript"): df["transcript"].isna().sum(),
+        ("str_len_between", "transcript"): (df["transcript"].str.len() == 0
+                                            ).sum(),
+        ("unique", "clip_id"): len(df) - df["clip_id"].nunique(),
+        ("dtype", "sr_hz"): 0,
+    }
+    for k, v in exp.items():
+        assert res.loc[k, "violations"] == v, (k, res.loc[k, "violations"], v)
+    # the synth table must actually exercise the defect classes
+    assert res["violations"].sum() > 0
+    assert not res.loc[("unique", "clip_id"), "passed"]
+
+
+def test_cli_expect_mode(ray_session, tmp_path, capsys):
+    import json
+
+    import ray.data as rd
+
+    from anomaly_detection_ray.__main__ import main
+
+    table = str(tmp_path / "t")
+    rd.from_pandas(_table()).write_parquet(table)
+    suite_path = str(tmp_path / "suite.json")
+    suite = [s for s in SUITE if s["check"] != "referential"]
+    with open(suite_path, "w") as f:
+        json.dump(suite, f)
+    out = str(tmp_path / "bad")
+    rc = main(["--expect-suite", suite_path, "--data", table, "--out", out])
+    assert rc == 1  # failing checks -> nonzero exit
+    printed = capsys.readouterr().out
+    assert "in_range" in printed and "violations" in printed
+    bad = rd.read_parquet(out).to_pandas()
+    assert len(bad) == 5 and (bad["key"] != 1).all()
