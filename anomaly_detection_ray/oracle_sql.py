@@ -989,6 +989,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events ev JOIN w
               ON ev.user_id = w.user_id AND ev.ts >= w.s AND ev.ts <= w.e
         """,
+        "anti_join_customer_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderstatus = 'P')
+            ORDER BY c_custkey
+        """,
         "skew_join_lineitem_supplier": """
             SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
                    round(sum(l_extendedprice * (1 - l_discount)), 2)

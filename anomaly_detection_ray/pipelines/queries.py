@@ -273,6 +273,28 @@ def q_top_customers_revenue(sf_dir: str):
     return top[["o_custkey", "c_name", "revenue", "n_orders"]].reset_index(drop=True)
 
 
+def q_anti_join_customer_orders(sf_dir: str):
+    """Customers with NO pending ('P') order via the native shuffle
+    ``left_anti`` join — the fully distributed large-large referential
+    path (the ``referential_orders_customer`` query is the broadcast
+    small-side variant). The fact side is predicate-filtered at the read
+    and pre-reduced to per-batch distinct keys before the exchange, so
+    the shuffle moves O(distinct) not O(rows)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    ords = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keys = pc.unique(t.filter(pc.equal(t["o_orderstatus"],
+                                           "P"))["o_custkey"])
+        return pa.table({"o_custkey": keys})
+
+    keys = ords.map_batches(distinct_keys, batch_format="pyarrow")
+    out = cust.join(keys, join_type="left_anti", num_partitions=16,
+                    on=("c_custkey",), right_on=("o_custkey",))
+    return out.sort("c_custkey")
+
+
 def q_skew_join_lineitem_supplier(sf_dir: str):
     """Skew-aware hybrid join (stages/joins.skew_aware_join): lineitem ⋈
     supplier on suppkey with a threshold that classifies the busiest
@@ -1582,6 +1604,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "join_orders_lineitem": q_join_orders_lineitem,
     "skew_join_lineitem_supplier": q_skew_join_lineitem_supplier,
+    "anti_join_customer_orders": q_anti_join_customer_orders,
     "sessionize_events": q_sessionize_events,
     "interval_join_events": q_interval_join_events,
     "stratified_sample_documents": q_stratified_sample_documents,

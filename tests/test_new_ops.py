@@ -464,3 +464,27 @@ def test_asof_left_schema_consistent_when_key_has_no_right_rows(ray_session):
     assert len(got) == 2
     assert got["rv_r"].dtype == np.float64
     assert got.loc[0, "rv_r"] == 7.0 and np.isnan(got.loc[1, "rv_r"])
+
+
+def test_semi_anti_join_partition_left(ray_session):
+    """Native left_semi + left_anti on the same keys partition the left
+    side exactly (every left row lands in exactly one output)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.default_rng(17)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 300),
+                         "payload": np.arange(300)})
+    right = pd.DataFrame({"rk": rng.integers(25, 60, 100)})
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+    semi = lds.join(rds, join_type="left_semi", num_partitions=4,
+                    on=("k",), right_on=("rk",)).to_pandas()
+    anti = lds.join(rds, join_type="left_anti", num_partitions=4,
+                    on=("k",), right_on=("rk",)).to_pandas()
+    assert len(semi) + len(anti) == len(left)
+    rset = set(right["rk"])
+    assert semi["k"].isin(rset).all()
+    assert (~anti["k"].isin(rset)).all()
+    got = sorted([*semi["payload"], *anti["payload"]])
+    assert got == sorted(left["payload"])
