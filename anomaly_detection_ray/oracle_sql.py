@@ -881,6 +881,37 @@ def oracle_sql() -> dict[str, str]:
                         ELSE violations = 0 END AS passed
             FROM s ORDER BY check_name, column_name
         """,
+        "expectations_lineitem": """
+            WITH s AS (
+              SELECT 'not_null' AS check_name,
+                     'l_orderkey' AS column_name, count(*) AS n_rows,
+                     count(*) - count(l_orderkey) AS violations,
+                     NULL AS mostly FROM lineitem
+              UNION ALL
+              SELECT 'in_range', 'l_quantity', count(*),
+                     sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                              THEN 1 ELSE 0 END), NULL FROM lineitem
+              UNION ALL
+              SELECT 'in_range', 'l_discount', count(*),
+                     sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+                              THEN 1 ELSE 0 END), NULL FROM lineitem
+              UNION ALL
+              SELECT 'col_compare', 'l_extendedprice >= 1000*l_quantity',
+                     count(*),
+                     sum(CASE WHEN NOT (l_extendedprice >= 1000 * l_quantity)
+                              THEN 1 ELSE 0 END), 0.7 FROM lineitem
+              UNION ALL
+              SELECT 'col_compare', 'l_discount <= l_tax', count(*),
+                     sum(CASE WHEN NOT (l_discount <= l_tax)
+                              THEN 1 ELSE 0 END), NULL FROM lineitem
+            )
+            SELECT check_name, column_name,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(violations AS BIGINT) AS violations,
+                   1.0 - violations * 1.0 / n_rows
+                       >= coalesce(mostly, 1.0) AS passed
+            FROM s ORDER BY check_name, column_name
+        """,
         "refined_quantiles_norms": """
             WITH n AS (SELECT round(sqrt(list_sum(list_transform(embedding,
                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4)

@@ -1357,6 +1357,27 @@ def q_expectations_orders(sf_dir: str):
     return ex.run_expectations(orders, suite)
 
 
+def q_expectations_lineitem(sf_dir: str):
+    """Cross-column invariants (col_compare) over lineitem: unit price
+    floor (extendedprice >= 1000×quantity, with tolerance) and the
+    discount-vs-tax comparison — plus range/null basics. D-oracled."""
+    from ..stages import expectations as ex
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_quantity", "l_extendedprice",
+                "l_discount", "l_tax"])
+    suite = [
+        {"check": "not_null", "column": "l_orderkey"},
+        {"check": "in_range", "column": "l_quantity", "min": 1, "max": 50},
+        {"check": "in_range", "column": "l_discount",
+         "min": 0.0, "max": 0.1},
+        {"check": "col_compare", "column": "l_extendedprice", "op": ">=",
+         "other": "l_quantity", "scale": 1000, "mostly": 0.7},
+        {"check": "col_compare", "column": "l_discount", "op": "<=",
+         "other": "l_tax"},
+    ]
+    return ex.run_expectations(li, suite)
+
+
 CLIP_SUITE = [
     # the north-star input contract (BASELINE.json input_hint) as a
     # declarative suite: each check catches one injected synth defect class
@@ -1661,6 +1682,7 @@ QUERIES = {
     "jpeg_decode_features": q_jpeg_decode_features,
     "expectations_orders": q_expectations_orders,
     "expectations_clips": q_expectations_clips,
+    "expectations_lineitem": q_expectations_lineitem,
     "clip_validation_verdicts": q_clip_validation_verdicts,
     "clip_audio_features": q_clip_audio_features,
     "clip_spectral_features": q_clip_spectral_features,

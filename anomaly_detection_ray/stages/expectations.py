@@ -23,6 +23,9 @@ re-shipped per batch):
 - ``{"check": "in_set", "column": c, "values": [...]}``
 - ``{"check": "regex", "column": c, "pattern": p}`` (full match)
 - ``{"check": "str_len_between", "column": c, "min": a, "max": b}``
+- ``{"check": "col_compare", "column": a, "op": "<=", "other": b,
+  "scale": s}`` — cross-column invariant: violates where NOT
+  ``a <op> s*b`` (ops: < <= == != > >=; nulls are not violations)
 - ``{"check": "referential", "column": c, "ref": <iterable of keys>}``
   (or the JSON-able form ``"ref_table": <parquet path>, "ref_column": c2``
   — the small side is read once at compile, pruned to the key column)
@@ -59,12 +62,25 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _ROW_LOCAL = {"not_null", "in_range", "in_set", "regex",
-              "str_len_between", "referential"}
+              "str_len_between", "referential", "col_compare"}
 _KINDS = _ROW_LOCAL | {"unique", "dtype"}
+
+_CMP_OPS = {"<": pc.less, "<=": pc.less_equal, "==": pc.equal,
+            "!=": pc.not_equal, ">": pc.greater, ">=": pc.greater_equal}
+
+
+def _col_label(spec: dict) -> str:
+    """Summary column_name — for col_compare the whole comparison, so two
+    checks on the same left column stay distinct (deterministic sort)."""
+    if spec["check"] == "col_compare":
+        scale = spec.get("scale", 1)
+        rhs = (f"{scale}*{spec['other']}" if scale != 1 else spec["other"])
+        return f"{spec['column']} {spec['op']} {rhs}"
+    return spec["column"]
 
 
 def _check_key(spec: dict) -> str:
-    return f"{spec['check']}:{spec['column']}"
+    return f"{spec['check']}:{_col_label(spec)}"
 
 
 def _compile_mask(spec: dict) -> Callable[[pa.Table], np.ndarray]:
@@ -114,6 +130,20 @@ def _compile_mask(spec: dict) -> Callable[[pa.Table], np.ndarray]:
             return _np(bad)
 
         return mask
+    if kind == "col_compare":
+        op = _CMP_OPS.get(spec.get("op"))
+        if op is None:
+            raise ValueError(f"col_compare op must be one of "
+                             f"{sorted(_CMP_OPS)}, got {spec.get('op')!r}")
+        other, scale = spec["other"], spec.get("scale", 1)
+
+        def mask(t: pa.Table) -> np.ndarray:
+            rhs = t[other]
+            if scale != 1:
+                rhs = pc.multiply(rhs, scale)
+            return _np(pc.invert(op(t[col_name], rhs)))
+
+        return mask
     if kind == "referential":
         if "ref" in spec:
             keys = spec["ref"]
@@ -151,10 +181,14 @@ def _validate_suite(suite: list[dict], names) -> None:
     for spec in suite:
         if spec.get("check") not in _KINDS:
             raise ValueError(f"unknown check kind {spec.get('check')!r}")
-        if spec["column"] not in names:
-            raise ValueError(
-                f"check {spec['check']!r}: column {spec['column']!r} not in "
-                f"schema {sorted(names)}")
+        cols = [spec["column"]]
+        if spec["check"] == "col_compare":
+            cols.append(spec["other"])
+        for c in cols:
+            if c not in names:
+                raise ValueError(
+                    f"check {spec['check']!r}: column {c!r} not in "
+                    f"schema {sorted(names)}")
 
 
 def flag_violations(ds, suite: list[dict]):
@@ -196,7 +230,9 @@ def run_expectations(ds, suite: list[dict]) -> pd.DataFrame:
     if row_checks:
         keys = [_check_key(s) for s in row_checks]
         compiled = [_compile_mask(s) for s in row_checks]
-        needed = sorted({s["column"] for s in row_checks})
+        needed = sorted({s["column"] for s in row_checks}
+                        | {s["other"] for s in row_checks
+                           if s["check"] == "col_compare"})
 
         def partial(t: pa.Table) -> pd.DataFrame:
             out: dict[str, list] = {"_g": [0], "n_rows": [len(t)]}
@@ -213,7 +249,8 @@ def run_expectations(ds, suite: list[dict]) -> pd.DataFrame:
             v = int(folded[k].iloc[0]) if len(folded) else 0
             frac_ok = 1.0 if n_rows == 0 else 1.0 - v / n_rows
             records.append({"check_name": spec["check"],
-                            "column_name": spec["column"], "n_rows": n_rows,
+                            "column_name": _col_label(spec),
+                            "n_rows": n_rows,
                             "violations": v,
                             "passed": frac_ok >= spec.get("mostly", 1.0)})
 

@@ -85,7 +85,7 @@ def oracle_names():
     "deterministic_shuffle_documents", "skew_join_lineitem_supplier",
     "exact_quantiles_events", "temporal_drift_events",
     "refined_quantiles_norms", "expectations_orders",
-    "anti_join_customer_orders",
+    "anti_join_customer_orders", "expectations_lineitem",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]

@@ -200,3 +200,28 @@ def test_cli_expect_mode(ray_session, tmp_path, capsys):
     assert "in_range" in printed and "violations" in printed
     bad = rd.read_parquet(out).to_pandas()
     assert len(bad) == 5 and (bad["key"] != 1).all()
+
+
+def test_col_compare(ray_session):
+    """Cross-column invariant: scale, every op, null semantics, label."""
+    import ray.data as rd
+    df = pd.DataFrame({"a": [10.0, 1.0, 5.0, np.nan],
+                       "b": [2.0, 2.0, 5.0, 1.0]})
+    ds = rd.from_pandas(df)
+    res = ex.run_expectations(ds, [
+        {"check": "col_compare", "column": "a", "op": ">=", "other": "b",
+         "scale": 2},
+    ])
+    # violates where NOT (a >= 2b): rows 1 (1<4) and 2 (5<10); NaN row no
+    assert res["violations"].iloc[0] == 2
+    assert res["column_name"].iloc[0] == "a >= 2*b"
+    eq = ex.run_expectations(ds, [
+        {"check": "col_compare", "column": "a", "op": "==", "other": "b"},
+    ])
+    assert eq["violations"].iloc[0] == 2 and eq["column_name"].iloc[0] == "a == b"
+    with pytest.raises(ValueError, match="op must be one of"):
+        ex.run_expectations(ds, [{"check": "col_compare", "column": "a",
+                                  "op": "~", "other": "b"}])
+    with pytest.raises(ValueError, match="not in"):
+        ex.run_expectations(ds, [{"check": "col_compare", "column": "a",
+                                  "op": "<", "other": "zz"}])
