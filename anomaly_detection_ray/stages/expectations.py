@@ -37,7 +37,11 @@ Table-level:
   first per value (count − distinct), via per-batch value-count partials
   merged by the cardinality-aware ``fold_partials`` (driver fold for
   small key sets, automatic Ray groupby past the threshold — the same
-  regime switch as exact dedup).
+  regime switch as exact dedup). With ``"approx": true`` the count comes
+  from the mergeable HLL sketch instead (``"hll_p"`` registers, default
+  2^14): the driver only ever merges registers, never keys — the
+  10^12-key path; pair with a ``mostly`` tolerance looser than the HLL
+  error (~1 % at the default precision).
 - ``{"check": "dtype", "column": c, "type": "int64"}`` — schema-level,
   evaluated once against ``ds.schema()`` (zero data passes).
 
@@ -256,18 +260,32 @@ def run_expectations(ds, suite: list[dict]) -> pd.DataFrame:
 
     for spec in uniq_checks:
         col = spec["column"]
+        if spec.get("approx"):
+            # 10^12-key path: HLL registers per batch, driver merges 2^p
+            # bytes per batch — the driver NEVER holds distinct keys.
+            # violations ≈ n − estimate (HLL σ ≈ 1.04/√2^p, ~0.8 % at
+            # p=14): pair with a `mostly` tolerance looser than that.
+            from .uniqueness import estimate_unique
+            valid = ds.select_columns([col]).map_batches(
+                lambda t, col=col: t.filter(pc.is_valid(t[col])),
+                batch_format="pyarrow")
+            n_rows = int(valid.count())
+            est = estimate_unique(valid, col, p=spec.get("hll_p", 14))
+            v = max(0, int(round(n_rows - est)))
+        else:
+            def vc(t: pa.Table, col=col) -> pd.DataFrame:
+                s = t[col].to_pandas()
+                g = s.groupby(s, dropna=True).size()
+                return pd.DataFrame({"v": g.index.to_numpy(),
+                                     "n": g.to_numpy()})
 
-        def vc(t: pa.Table, col=col) -> pd.DataFrame:
-            s = t[col].to_pandas()
-            g = s.groupby(s, dropna=True).size()
-            return pd.DataFrame({"v": g.index.to_numpy(),
-                                 "n": g.to_numpy()})
-
-        counts = fold_partials(
-            ds.select_columns([col]).map_batches(vc, batch_format="pyarrow"),
-            "v", {"n": "sum"})
-        n_rows = int(counts["n"].sum()) if len(counts) else 0
-        v = int((counts["n"] - 1).clip(lower=0).sum()) if len(counts) else 0
+            counts = fold_partials(
+                ds.select_columns([col]).map_batches(
+                    vc, batch_format="pyarrow"),
+                "v", {"n": "sum"})
+            n_rows = int(counts["n"].sum()) if len(counts) else 0
+            v = (int((counts["n"] - 1).clip(lower=0).sum())
+                 if len(counts) else 0)
         frac_ok = 1.0 if n_rows == 0 else 1.0 - v / n_rows
         records.append({"check_name": "unique", "column_name": col,
                         "n_rows": n_rows, "violations": v,

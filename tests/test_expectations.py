@@ -225,3 +225,23 @@ def test_col_compare(ray_session):
     with pytest.raises(ValueError, match="not in"):
         ex.run_expectations(ds, [{"check": "col_compare", "column": "a",
                                   "op": "<", "other": "zz"}])
+
+
+def test_unique_approx_hll(ray_session):
+    """approx unique: HLL-estimated dup count within the sketch's error
+    band of the exact count; driver never holds keys."""
+    import ray.data as rd
+    rng = np.random.default_rng(5)
+    n, n_dup = 20_000, 1_000
+    vals = np.arange(n - n_dup)
+    dups = rng.choice(vals, n_dup)
+    df = pd.DataFrame({"k": np.concatenate([vals, dups]).astype(str)})
+    ds = rd.from_pandas(df).repartition(8)
+    exact = ex.run_expectations(ds, [{"check": "unique", "column": "k"}])
+    approx = ex.run_expectations(ds, [
+        {"check": "unique", "column": "k", "approx": True, "mostly": 0.9}])
+    assert exact["violations"].iloc[0] == n_dup
+    # HLL sigma at p=14 ~0.8% of distinct (19k) ~ 160; allow 3 sigma
+    assert abs(approx["violations"].iloc[0] - n_dup) < 500
+    assert approx["n_rows"].iloc[0] == n
+    assert approx["passed"].iloc[0]  # 1 - ~0.05 >= 0.9
