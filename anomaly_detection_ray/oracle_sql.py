@@ -881,6 +881,32 @@ def oracle_sql() -> dict[str, str]:
                         ELSE violations = 0 END AS passed
             FROM s ORDER BY check_name, column_name
         """,
+        "expectations_by_status": """
+            WITH r AS (
+              SELECT o_orderstatus, 'in_range' AS check_name,
+                     'o_totalprice' AS column_name, count(*) AS n_rows,
+                     sum(CASE WHEN o_totalprice < 900.0
+                              OR o_totalprice > 200000.0
+                              THEN 1 ELSE 0 END) AS violations,
+                     0.95 AS mostly
+              FROM orders GROUP BY o_orderstatus
+              UNION ALL
+              SELECT o_orderstatus, 'not_null', 'o_custkey', count(*),
+                     count(*) - count(o_custkey), NULL
+              FROM orders GROUP BY o_orderstatus
+              UNION ALL
+              SELECT o_orderstatus, 'unique', 'o_orderkey',
+                     count(o_orderkey),
+                     count(o_orderkey) - count(DISTINCT o_orderkey), NULL
+              FROM orders GROUP BY o_orderstatus
+            )
+            SELECT o_orderstatus, check_name, column_name,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(violations AS BIGINT) AS violations,
+                   1.0 - violations * 1.0 / n_rows
+                       >= coalesce(mostly, 1.0) AS passed
+            FROM r ORDER BY o_orderstatus, check_name, column_name
+        """,
         "expectations_lineitem": """
             WITH s AS (
               SELECT 'not_null' AS check_name,

@@ -1357,6 +1357,24 @@ def q_expectations_orders(sf_dir: str):
     return ex.run_expectations(orders, suite)
 
 
+def q_expectations_by_status(sf_dir: str):
+    """Per-GROUP constraint verdicts (run_expectations_by) — the
+    declarative form of the flagship's per-partition pass/fail: the same
+    suite graded independently per o_orderstatus group, one streaming pass
+    of per-batch per-group partials. D-oracled (GROUP BY CASE sums)."""
+    from ..stages import expectations as ex
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_totalprice"])
+    suite = [
+        {"check": "not_null", "column": "o_custkey"},
+        {"check": "in_range", "column": "o_totalprice",
+         "min": 900.0, "max": 200000.0, "mostly": 0.95},
+        {"check": "unique", "column": "o_orderkey"},
+    ]
+    return ex.run_expectations_by(orders, suite, by="o_orderstatus")
+
+
 def q_expectations_lineitem(sf_dir: str):
     """Cross-column invariants (col_compare) over lineitem: unit price
     floor (extendedprice >= 1000×quantity, with tolerance) and the
@@ -1683,6 +1701,7 @@ QUERIES = {
     "expectations_orders": q_expectations_orders,
     "expectations_clips": q_expectations_clips,
     "expectations_lineitem": q_expectations_lineitem,
+    "expectations_by_status": q_expectations_by_status,
     "clip_validation_verdicts": q_clip_validation_verdicts,
     "clip_audio_features": q_clip_audio_features,
     "clip_spectral_features": q_clip_spectral_features,

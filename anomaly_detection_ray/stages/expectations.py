@@ -296,3 +296,93 @@ def run_expectations(ds, suite: list[dict]) -> pd.DataFrame:
                           "violations", "passed"])
     return (out.sort_values(["check_name", "column_name"])
             .reset_index(drop=True))
+
+
+def run_expectations_by(ds, suite: list[dict], by: str) -> pd.DataFrame:
+    """Per-GROUP suite evaluation — the declarative form of the flagship's
+    per-partition pass/fail verdicts (north star: 'per-partition verdicts
+    and violation rows'). One streaming pass emits per-batch per-group
+    partial counts for every row-local check; ``unique`` folds (group,
+    value) counts. Returns one row per (group, check):
+    (``by``, check_name, column_name, n_rows, violations, passed), sorted.
+    dtype checks are schema-level (group-independent) and not included."""
+    from ..functions.fold import fold_partials
+
+    types = _schema_types(ds)
+    _validate_suite(suite, types.keys())
+    if by not in types:
+        raise ValueError(f"group column {by!r} not in schema")
+    if any(s["check"] == "dtype" for s in suite):
+        raise ValueError("dtype checks are schema-level — use "
+                         "run_expectations for them")
+    row_checks = [s for s in suite if s["check"] in _ROW_LOCAL]
+    uniq_checks = [s for s in suite if s["check"] == "unique"]
+
+    frames: list[pd.DataFrame] = []
+
+    if row_checks:
+        keys = [_check_key(s) for s in row_checks]
+        compiled = [_compile_mask(s) for s in row_checks]
+        needed = sorted({s["column"] for s in row_checks}
+                        | {s["other"] for s in row_checks
+                           if s["check"] == "col_compare"} | {by})
+
+        def partial(t: pa.Table) -> pd.DataFrame:
+            df = pd.DataFrame({by: t[by].to_pandas()})
+            for k, mask in zip(keys, compiled):
+                df[k] = mask(t)
+            g = df.groupby(by, as_index=False, dropna=False)
+            out = g.agg(n_rows=(by, "size"),
+                        **{k: (k, "sum") for k in keys})
+            return out
+
+        folded = fold_partials(
+            ds.select_columns(needed).map_batches(
+                partial, batch_format="pyarrow"),
+            by, {c: "sum" for c in ["n_rows", *keys]})
+        for spec, k in zip(row_checks, keys):
+            n = folded["n_rows"].astype("int64")
+            v = folded[k].astype("int64")
+            frac_ok = np.where(n == 0, 1.0, 1.0 - v / n.clip(lower=1))
+            frames.append(pd.DataFrame({
+                by: folded[by], "check_name": spec["check"],
+                "column_name": _col_label(spec), "n_rows": n,
+                "violations": v,
+                "passed": frac_ok >= spec.get("mostly", 1.0)}))
+
+    for spec in uniq_checks:
+        col = spec["column"]
+
+        def vc(t: pa.Table, col=col) -> pd.DataFrame:
+            df = pd.DataFrame({by: t[by].to_pandas(),
+                               "v": t[col].to_pandas()})
+            df = df[df["v"].notna()]
+            return (df.groupby([by, "v"], as_index=False)
+                    .agg(n=("v", "size")))
+
+        counts = fold_partials(
+            ds.select_columns([by, col]).map_batches(
+                vc, batch_format="pyarrow"),
+            [by, "v"], {"n": "sum"})
+        if len(counts):
+            g = counts.groupby(by, as_index=False).agg(
+                n_rows=("n", "sum"),
+                violations=("n", lambda s: int((s - 1).clip(lower=0).sum())))
+        else:
+            g = pd.DataFrame({by: [], "n_rows": [], "violations": []})
+        n = g["n_rows"].astype("int64")
+        v = g["violations"].astype("int64")
+        frac_ok = np.where(n == 0, 1.0, 1.0 - v / n.clip(lower=1))
+        frames.append(pd.DataFrame({
+            by: g[by], "check_name": "unique", "column_name": col,
+            "n_rows": n, "violations": v,
+            "passed": frac_ok >= spec.get("mostly", 1.0)}))
+
+    if not frames:
+        return pd.DataFrame(columns=[by, "check_name", "column_name",
+                                     "n_rows", "violations", "passed"])
+    out = pd.concat(frames, ignore_index=True)
+    return (out.sort_values([by, "check_name", "column_name"])
+            .reset_index(drop=True)
+            [[by, "check_name", "column_name", "n_rows", "violations",
+              "passed"]])

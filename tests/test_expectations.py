@@ -245,3 +245,33 @@ def test_unique_approx_hll(ray_session):
     assert abs(approx["violations"].iloc[0] - n_dup) < 500
     assert approx["n_rows"].iloc[0] == n
     assert approx["passed"].iloc[0]  # 1 - ~0.05 >= 0.9
+
+
+def test_run_expectations_by_group(ray_session):
+    """Per-group verdicts: group-local counts, group-local unique (a key
+    duplicated ACROSS groups is not a within-group violation)."""
+    import ray.data as rd
+    df = pd.DataFrame({
+        "g": ["a", "a", "a", "b", "b", "b"],
+        "k": [1, 1, 2, 2, 3, 4],       # dup inside a; 2 also in b (fine)
+        "x": [5.0, -1.0, 3.0, 8.0, 8.0, np.nan],
+    })
+    suite = [
+        {"check": "in_range", "column": "x", "min": 0.0},
+        {"check": "unique", "column": "k"},
+    ]
+    res = (ex.run_expectations_by(rd.from_pandas(df).repartition(3),
+                                  suite, by="g")
+           .set_index(["g", "check_name"]))
+    assert res.loc[("a", "in_range"), "violations"] == 1
+    assert res.loc[("b", "in_range"), "violations"] == 0
+    assert res.loc[("a", "unique"), "violations"] == 1
+    assert res.loc[("b", "unique"), "violations"] == 0
+    assert res.loc[("a", "in_range"), "n_rows"] == 3
+    assert not res.loc[("a", "unique"), "passed"]
+    assert res.loc[("b", "unique"), "passed"]
+    with pytest.raises(ValueError, match="schema-level"):
+        ex.run_expectations_by(rd.from_pandas(df), [
+            {"check": "dtype", "column": "k", "type": "int64"}], by="g")
+    with pytest.raises(ValueError, match="group column"):
+        ex.run_expectations_by(rd.from_pandas(df), suite, by="zz")
