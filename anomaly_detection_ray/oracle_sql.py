@@ -881,6 +881,32 @@ def oracle_sql() -> dict[str, str]:
                         ELSE violations = 0 END AS passed
             FROM s ORDER BY check_name, column_name
         """,
+        "expectations_events_order": """
+            WITH ev AS (SELECT user_id, ts, event_id, value FROM events),
+            tl AS (SELECT ts, LAG(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+                   FROM ev WHERE ts IS NOT NULL),
+            vl AS (SELECT value, LAG(value) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+                   FROM ev WHERE value IS NOT NULL AND NOT isnan(value)),
+            s AS (
+              SELECT 'non_decreasing' AS check_name, 'ts' AS column_name,
+                     count(*) AS n_rows,
+                     sum(CASE WHEN ts < pv THEN 1 ELSE 0 END) AS violations,
+                     NULL AS mostly
+              FROM tl
+              UNION ALL
+              SELECT 'non_decreasing', 'value', count(*),
+                     sum(CASE WHEN value < pv THEN 1 ELSE 0 END), 0.3
+              FROM vl
+            )
+            SELECT check_name, column_name,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(violations AS BIGINT) AS violations,
+                   1.0 - violations * 1.0 / n_rows
+                       >= coalesce(mostly, 1.0) AS passed
+            FROM s ORDER BY check_name, column_name
+        """,
         "expectations_by_status": """
             WITH r AS (
               SELECT o_orderstatus, 'in_range' AS check_name,

@@ -1375,6 +1375,22 @@ def q_expectations_by_status(sf_dir: str):
     return ex.run_expectations_by(orders, suite, by="o_orderstatus")
 
 
+def q_expectations_events_order(sf_dir: str):
+    """Ordered per-key monotonicity checks (non_decreasing) over events:
+    event time must not regress per user (passes, 0 violations) and the
+    gauge value graded as a counter (fails — real descent counts). One
+    series shuffle per check; D-oracled via SQL LAG windows."""
+    from ..stages import expectations as ex
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    suite = [
+        {"check": "non_decreasing", "column": "ts", "by": "user_id",
+         "order_by": ["ts", "event_id"]},
+        {"check": "non_decreasing", "column": "value", "by": "user_id",
+         "order_by": ["ts", "event_id"], "mostly": 0.3},
+    ]
+    return ex.run_expectations(ds, suite)
+
+
 def q_expectations_lineitem(sf_dir: str):
     """Cross-column invariants (col_compare) over lineitem: unit price
     floor (extendedprice >= 1000×quantity, with tolerance) and the
@@ -1702,6 +1718,7 @@ QUERIES = {
     "expectations_clips": q_expectations_clips,
     "expectations_lineitem": q_expectations_lineitem,
     "expectations_by_status": q_expectations_by_status,
+    "expectations_events_order": q_expectations_events_order,
     "clip_validation_verdicts": q_clip_validation_verdicts,
     "clip_audio_features": q_clip_audio_features,
     "clip_spectral_features": q_clip_spectral_features,

@@ -42,6 +42,13 @@ Table-level:
   2^14): the driver only ever merges registers, never keys — the
   10^12-key path; pair with a ``mostly`` tolerance looser than the HLL
   error (~1 % at the default precision).
+- ``{"check": "non_decreasing", "column": c, "by": key,
+  "order_by": [cols]}`` — ordered per-key monotonicity (counters must not
+  go backwards, event time must not regress): one ``groupby(key)``
+  series shuffle, each key's rows sorted by ``order_by`` (give a
+  tie-breaking column list for determinism), violations = descents
+  between consecutive non-null values. Per-key history must fit a worker
+  (the engine-wide series assumption, stages/series.py).
 - ``{"check": "dtype", "column": c, "type": "int64"}`` — schema-level,
   evaluated once against ``ds.schema()`` (zero data passes).
 
@@ -67,7 +74,7 @@ import pyarrow.compute as pc
 
 _ROW_LOCAL = {"not_null", "in_range", "in_set", "regex",
               "str_len_between", "referential", "col_compare"}
-_KINDS = _ROW_LOCAL | {"unique", "dtype"}
+_KINDS = _ROW_LOCAL | {"unique", "dtype", "non_decreasing"}
 
 _CMP_OPS = {"<": pc.less, "<=": pc.less_equal, "==": pc.equal,
             "!=": pc.not_equal, ">": pc.greater, ">=": pc.greater_equal}
@@ -221,8 +228,42 @@ def run_expectations(ds, suite: list[dict]) -> pd.DataFrame:
     row_checks = [s for s in suite if s["check"] in _ROW_LOCAL]
     uniq_checks = [s for s in suite if s["check"] == "unique"]
     dtype_checks = [s for s in suite if s["check"] == "dtype"]
+    ordered_checks = [s for s in suite if s["check"] == "non_decreasing"]
 
     records: list[dict[str, Any]] = []
+
+    for spec in ordered_checks:
+        col, key = spec["column"], spec["by"]
+        order_by = spec["order_by"]
+        if isinstance(order_by, str):
+            order_by = [order_by]
+        for c in [key, *order_by]:
+            if c not in types:
+                raise ValueError(f"non_decreasing: column {c!r} not in "
+                                 "schema")
+
+        def per_group(g: pd.DataFrame, col=col, order_by=order_by
+                      ) -> pd.DataFrame:
+            x = g.sort_values(order_by)[col].dropna().to_numpy()
+            v = 0
+            if len(x) > 1:
+                d = np.diff(x)  # timedelta64 for datetime cols: compare
+                v = int((d < np.zeros(1, dtype=d.dtype)[0]).sum())
+            return pd.DataFrame({"n": [len(x)], "v": [v]})
+
+        grouped = (ds.select_columns(sorted({col, key, *order_by}))
+                   .groupby(key).map_groups(per_group,
+                                            batch_format="pandas"))
+        red = (grouped.map_batches(
+            lambda df: pd.DataFrame({"n": [int(df["n"].sum())],
+                                     "v": [int(df["v"].sum())]}),
+            batch_format="pandas").to_pandas().sum())
+        n_rows, v = int(red["n"]), int(red["v"])
+        frac_ok = 1.0 if n_rows == 0 else 1.0 - v / n_rows
+        records.append({"check_name": "non_decreasing",
+                        "column_name": col, "n_rows": n_rows,
+                        "violations": v,
+                        "passed": frac_ok >= spec.get("mostly", 1.0)})
 
     for spec in dtype_checks:  # schema-level: zero data passes
         actual = _type_str(types[spec["column"]])

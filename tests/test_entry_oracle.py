@@ -86,7 +86,7 @@ def oracle_names():
     "exact_quantiles_events", "temporal_drift_events",
     "refined_quantiles_norms", "expectations_orders",
     "anti_join_customer_orders", "expectations_lineitem",
-    "expectations_by_status",
+    "expectations_by_status", "expectations_events_order",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]

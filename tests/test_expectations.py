@@ -275,3 +275,32 @@ def test_run_expectations_by_group(ray_session):
             {"check": "dtype", "column": "k", "type": "int64"}], by="g")
     with pytest.raises(ValueError, match="group column"):
         ex.run_expectations_by(rd.from_pandas(df), suite, by="zz")
+
+
+def test_non_decreasing(ray_session):
+    """Per-key ordered monotonicity: descents counted per key in order_by
+    order, nulls skipped, key isolation (a drop ACROSS keys isn't one)."""
+    import ray.data as rd
+    df = pd.DataFrame({
+        "k": ["a"] * 4 + ["b"] * 3,
+        "o": [1, 2, 3, 4, 1, 2, 3],
+        "x": [1.0, 3.0, 2.0, np.nan, 9.0, 9.0, 1.0],
+    })
+    res = ex.run_expectations(rd.from_pandas(df).repartition(3), [
+        {"check": "non_decreasing", "column": "x", "by": "k",
+         "order_by": ["o"]},
+    ])
+    # a: 3->2 is one descent (NaN skipped); b: 9->1 one; b start 9 after
+    # a's NaN is NOT a violation (key isolation)
+    assert res["violations"].iloc[0] == 2
+    assert res["n_rows"].iloc[0] == 6  # NaN dropped
+    assert not res["passed"].iloc[0]
+    ok = ex.run_expectations(rd.from_pandas(df), [
+        {"check": "non_decreasing", "column": "o", "by": "k",
+         "order_by": ["o"]},
+    ])
+    assert ok["violations"].iloc[0] == 0 and ok["passed"].iloc[0]
+    with pytest.raises(ValueError, match="not in"):
+        ex.run_expectations(rd.from_pandas(df), [
+            {"check": "non_decreasing", "column": "x", "by": "zz",
+             "order_by": ["o"]}])
