@@ -881,6 +881,43 @@ def oracle_sql() -> dict[str, str]:
                         ELSE violations = 0 END AS passed
             FROM s ORDER BY check_name, column_name
         """,
+        "profile_events": """
+            -- mirrors profile_table: NaN counts as invalid for the
+            -- float column, population stddev, 4dp rounding
+            WITH v AS (SELECT CASE WHEN isnan(value) THEN NULL
+                                   ELSE value END AS value FROM events),
+            p AS (
+              SELECT 'event_id' AS column_name, 'int64' AS dtype,
+                     count(*) AS n_rows,
+                     count(*) - count(event_id) AS n_null,
+                     count(event_id) AS n_valid,
+                     round(min(event_id) * 1.0, 4) AS min,
+                     round(max(event_id) * 1.0, 4) AS max,
+                     round(avg(event_id), 4) AS mean,
+                     round(stddev_pop(event_id), 4) AS std
+              FROM events
+              UNION ALL
+              SELECT 'user_id', 'int64', count(*),
+                     count(*) - count(user_id), count(user_id),
+                     round(min(user_id) * 1.0, 4),
+                     round(max(user_id) * 1.0, 4),
+                     round(avg(user_id), 4), round(stddev_pop(user_id), 4)
+              FROM events
+              UNION ALL
+              SELECT 'value', 'double', count(*),
+                     (SELECT count(*) - count(value) FROM events),
+                     count(value),
+                     round(min(value), 4), round(max(value), 4),
+                     round(avg(value), 4), round(stddev_pop(value), 4)
+              FROM v
+            )
+            SELECT column_name, dtype, CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_null AS BIGINT) AS n_null,
+                   CAST(n_valid AS BIGINT) AS n_valid,
+                   CAST(min AS DOUBLE) AS min, CAST(max AS DOUBLE) AS max,
+                   CAST(mean AS DOUBLE) AS mean, CAST(std AS DOUBLE) AS std
+            FROM p ORDER BY column_name
+        """,
         "expectations_events_order": """
             WITH ev AS (SELECT user_id, ts, event_id, value FROM events),
             tl AS (SELECT ts, LAG(ts) OVER

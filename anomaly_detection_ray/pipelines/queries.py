@@ -1375,6 +1375,16 @@ def q_expectations_by_status(sf_dir: str):
     return ex.run_expectations_by(orders, suite, by="o_orderstatus")
 
 
+def q_profile_events(sf_dir: str):
+    """Single-pass column profiler (stages/stats.profile_table — the
+    engine's `describe`) over events' numeric columns: counts, null/NaN
+    accounting, min/max/mean/std from merged Welford partials. D-oracled
+    against SQL aggregates."""
+    from ..stages.stats import profile_table
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    return profile_table(ds).drop(columns=["min_str", "max_str"])
+
+
 def q_expectations_events_order(sf_dir: str):
     """Ordered per-key monotonicity checks (non_decreasing) over events:
     event time must not regress per user (passes, 0 violations) and the
@@ -1719,6 +1729,7 @@ QUERIES = {
     "expectations_lineitem": q_expectations_lineitem,
     "expectations_by_status": q_expectations_by_status,
     "expectations_events_order": q_expectations_events_order,
+    "profile_events": q_profile_events,
     "clip_validation_verdicts": q_clip_validation_verdicts,
     "clip_audio_features": q_clip_audio_features,
     "clip_spectral_features": q_clip_spectral_features,

@@ -143,3 +143,85 @@ def hll_column(ds, key_col: str, p: int = 14) -> HyperLogLog:
             other.registers = np.frombuffer(r, dtype=np.uint8).copy()
             acc = acc.merge(other)
     return acc
+
+
+def profile_table(ds, columns: list[str] | None = None,
+                  round_to: int = 4) -> pd.DataFrame:
+    """Single-pass column profiler (the engine's ``describe``): one
+    ``map_batches`` pass emits per-batch per-column partials — Welford
+    (n, mean, M2, min, max) for numeric columns, null counts and
+    lexicographic min/max for strings — merged on the driver
+    (#cols × #batches tiny rows, the documented small-partials fold).
+
+    Returns one row per column, deterministic order:
+    (column_name, dtype, n_rows, n_null, n_valid, min, max, mean, std) —
+    numeric min/max/mean/std are float64 (std population, matching the
+    engine's Welford); string columns carry min/max as strings in
+    ``min_str``/``max_str`` and NaN numerics. Float NaNs count as invalid
+    (like nulls) for the numeric stats — stated so the SQL oracle can
+    mirror it exactly."""
+    s = ds.schema()
+    types = dict(zip(s.names, s.types))
+    cols = columns or list(s.names)
+    numeric = {c for c in cols
+               if isinstance(types[c], pa.DataType)
+               and (pa.types.is_integer(types[c])
+                    or pa.types.is_floating(types[c]))}
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            arr = t[c]
+            n = len(arr)
+            nulls = arr.null_count
+            if c in numeric:
+                x = pc.cast(arr.drop_null(), pa.float64()).to_numpy(
+                    zero_copy_only=False)
+                x = x[~np.isnan(x)]
+                w = WelfordPartial.from_values(x)
+                rows.append((c, n, nulls, w.n, w.mean, w.M2,
+                             w.min, w.max, None, None))
+            else:
+                v = arr.drop_null()
+                if len(v):
+                    mm = pc.min_max(v).as_py()
+                    lo, hi = str(mm["min"]), str(mm["max"])
+                else:
+                    lo = hi = None
+                rows.append((c, n, nulls, 0, 0.0, 0.0,
+                             np.inf, -np.inf, lo, hi))
+        return pd.DataFrame(rows, columns=[
+            "column_name", "n", "nulls", "wn", "wmean", "wM2",
+            "wmin", "wmax", "smin", "smax"])
+
+    parts = (ds.select_columns(cols)
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    out = []
+    for c in cols:
+        g = parts[parts["column_name"] == c]
+        n_rows = int(g["n"].sum())
+        n_null = int(g["nulls"].sum())
+        if c in numeric:
+            acc = WelfordPartial()
+            for r in g.itertuples(index=False):
+                acc = acc.merge(WelfordPartial(int(r.wn), float(r.wmean),
+                                               float(r.wM2), float(r.wmin),
+                                               float(r.wmax)))
+            has = acc.n > 0
+            out.append((c, str(types[c]), n_rows, n_null, acc.n,
+                        round(acc.min, round_to) if has else np.nan,
+                        round(acc.max, round_to) if has else np.nan,
+                        round(acc.mean, round_to) if has else np.nan,
+                        round(acc.std, round_to) if has else np.nan,
+                        None, None))
+        else:
+            lo = g["smin"].dropna()
+            hi = g["smax"].dropna()
+            out.append((c, str(types[c]), n_rows, n_null, n_rows - n_null,
+                        np.nan, np.nan, np.nan, np.nan,
+                        lo.min() if len(lo) else None,
+                        hi.max() if len(hi) else None))
+    df = pd.DataFrame(out, columns=[
+        "column_name", "dtype", "n_rows", "n_null", "n_valid",
+        "min", "max", "mean", "std", "min_str", "max_str"])
+    return df.sort_values("column_name").reset_index(drop=True)

@@ -87,6 +87,7 @@ def oracle_names():
     "refined_quantiles_norms", "expectations_orders",
     "anti_join_customer_orders", "expectations_lineitem",
     "expectations_by_status", "expectations_events_order",
+    "profile_events",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]

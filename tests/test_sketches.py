@@ -99,3 +99,36 @@ def test_refined_quantile_exact_vs_sort(ray_session):
     for q, val in got.items():
         want = sv[max(int(np.ceil(q * len(sv) - 1e-9)), 1) - 1]
         assert val == want, (q, val, want)
+
+
+def test_profile_table_mixed(ray_session):
+    """Single-pass column profiler: numeric Welford merge across batches,
+    NaN/null accounting, lexicographic string min/max."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.stats import profile_table
+
+    df = pd.DataFrame({
+        "x": [1.0, 2.0, np.nan, 4.0, None, 8.0],
+        "i": [5, 3, 9, 1, 7, 2],
+        "s": ["pear", "apple", None, "mango", "fig", "kiwi"],
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+    out = profile_table(ds).set_index("column_name")
+
+    x = out.loc["x"]
+    assert x["n_rows"] == 6 and x["n_valid"] == 4  # NaN and None invalid
+    vals = np.array([1.0, 2.0, 4.0, 8.0])
+    assert x["min"] == 1.0 and x["max"] == 8.0
+    assert x["mean"] == round(vals.mean(), 4)
+    assert x["std"] == round(float(np.std(vals)), 4)  # population
+
+    i = out.loc["i"]
+    assert (i["min"], i["max"], i["n_valid"]) == (1.0, 9.0, 6)
+
+    s = out.loc["s"]
+    assert s["min_str"] == "apple" and s["max_str"] == "pear"
+    assert s["n_valid"] == 5 and np.isnan(s["mean"])
