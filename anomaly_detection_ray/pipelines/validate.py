@@ -82,6 +82,11 @@ class ValidateConfig:
     # driver_fold_max_rows and the shuffle otherwise (unknown size => shuffle)
     pass_a_mode: str = "auto"
     driver_fold_max_rows: int = 20_000_000
+    # additive declarative checks (stages/expectations.py row-local specs,
+    # e.g. {"check": "in_set", "column": "codec", "values": [...]}) graded
+    # into pass B as one more check column (ex_code/ex_status) feeding the
+    # OR-combine — the same check vocabulary for flagship and ad-hoc suites
+    extra_suite: tuple = ()
 
 
 def _id_hashes(ids: pd.Series) -> np.ndarray:
@@ -386,14 +391,42 @@ def build_pass_b(full_ds, cfg: ValidateConfig, pass_a: dict,
         return ck.flag_duplicate_hashes_stage(t, ray.get(dup_ref))
 
     ds = ds.map_batches(dup_flag, batch_format="pyarrow")
-    ds = ds.map_batches(lambda t: combine_stage(t, CODE_COLS, mode="or"),
+    code_cols = list(CODE_COLS)
+    if cfg.extra_suite:
+        # declarative checks compiled ONCE, graded like any other check
+        from ..stages import expectations as expect
+        specs = [dict(s) for s in cfg.extra_suite]
+        bad = [s.get("check") for s in specs
+               if s.get("check") not in expect._ROW_LOCAL]
+        if bad:
+            raise ValueError(
+                f"extra_suite supports row-local checks only; {bad} are "
+                "table/schema-level — run them via run_expectations")
+        compiled = [(expect._check_key(s), expect._compile_mask(s))
+                    for s in specs]
+
+        def suite_stage(t: pa.Table) -> pa.Table:
+            any_bad = np.zeros(len(t), dtype=bool)
+            status = np.full(len(t), "OK", dtype=object)
+            for label, m in compiled:
+                v = m(t)
+                status[(status == "OK") & v] = f"violates {label}"
+                any_bad |= v
+            return ck._append(t, "ex",
+                              np.where(any_bad, -1, 1).astype(np.int8),
+                              status)
+
+        ds = ds.map_batches(suite_stage, batch_format="pyarrow")
+        code_cols.append("ex_code")
+    ds = ds.map_batches(lambda t: combine_stage(t, code_cols, mode="or"),
                         batch_format="pyarrow")
     # drop the audio payload + transcript before anything downstream consumes
     # the verdict table — the slim table is ~1% of the input bytes
     slim_cols = [c for c in ["clip_id", "partition_id", "sr_hz", "dur_ms",
                              "codec", "status_code", "anomaly_score", "snr_db",
                              "rv_reason", "bc_status", "cc_status", "tc_status",
-                             "wf_status", "fid_status", "uq_status"] + CODE_COLS]
+                             "wf_status", "fid_status", "uq_status",
+                             "ex_status"] + code_cols]
     ds = ds.map_batches(
         lambda t: t.select([c for c in slim_cols if c in t.column_names]),
         batch_format="pyarrow")

@@ -304,3 +304,41 @@ def test_non_decreasing(ray_session):
         ex.run_expectations(rd.from_pandas(df), [
             {"check": "non_decreasing", "column": "x", "by": "zz",
              "order_by": ["o"]}])
+
+
+def test_flagship_extra_suite(ray_session, tmp_path):
+    """Declarative checks slot into the flagship's pass B: an in_set codec
+    check adds violations through the same OR-combine; default config is
+    byte-identical to before the feature."""
+    from anomaly_detection_ray import synth
+    from anomaly_detection_ray.pipelines import validate as vp
+
+    clips = str(tmp_path / "clips")
+    synth.write_clip_table(clips, seed=23, n=600, P=4, rows_per_file=256)
+
+    base = vp.run_validation(clips, str(tmp_path / "o1"),
+                             vp.ValidateConfig(seed=23, P=4), resume=False)
+    # forbid the two rarest codecs => strictly more violations
+    cfg2 = vp.ValidateConfig(seed=23, P=4, extra_suite=(
+        {"check": "in_set", "column": "codec",
+         "values": ["pcm_s16le", "flac", "opus"]},
+        {"check": "regex", "column": "clip_id", "pattern": "clip-[0-9]{9}"},
+    ))
+    extra = vp.run_validation(clips, str(tmp_path / "o2"), cfg2,
+                              resume=False)
+    v1 = base["verdicts"]["violations"].sum()
+    v2 = extra["verdicts"]["violations"].sum()
+    assert v2 > v1
+    # the violation rows carry the declarative status label
+    import ray.data as rd
+    viol = rd.read_parquet(extra["violations_path"]).to_pandas()
+    assert (viol["ex_status"].str.startswith("violates in_set:codec")).any()
+    assert (viol["ex_code"] == -1).sum() > 0
+
+    # table-level checks are rejected with a pointer to run_expectations
+    import pytest as _pt
+    with _pt.raises(ValueError, match="row-local"):
+        vp.run_validation(clips, str(tmp_path / "o3"), vp.ValidateConfig(
+            seed=23, P=4, extra_suite=({"check": "unique",
+                                        "column": "clip_id"},)),
+            resume=False)
