@@ -39,6 +39,9 @@ def main(argv: list[str] | None = None) -> int:
                         "check specs); --data must be a parquet table. "
                         "Alternative mode to -c: prints the summary and, "
                         "with --out, writes rows violating any check")
+    p.add_argument("--expect-by", default=None, metavar="COLUMN",
+                   help="grade the --expect-suite per group of this column "
+                        "(per-partition verdicts; row sink unavailable)")
     p.add_argument("--data", default=None,
                    help="message CSV/JSON (default: the config's file_name)")
     p.add_argument("--out", default=None,
@@ -116,6 +119,10 @@ def _expect_mode(args) -> int:
     with open(args.expect_suite) as f:
         suite = json.load(f)
     ds = rd.read_parquet(args.data)
+    if args.expect_by:
+        summary = ex.run_expectations_by(ds, suite, by=args.expect_by)
+        print(summary.to_string(index=False))
+        return 1 if int((~summary["passed"]).sum()) else 0
     summary = ex.run_expectations(ds, suite)
     print(summary.to_string(index=False))
     failed = int((~summary["passed"]).sum())

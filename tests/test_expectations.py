@@ -342,3 +342,22 @@ def test_flagship_extra_suite(ray_session, tmp_path):
             seed=23, P=4, extra_suite=({"check": "unique",
                                         "column": "clip_id"},)),
             resume=False)
+
+
+def test_cli_expect_by_mode(ray_session, tmp_path, capsys):
+    import json
+
+    import ray.data as rd
+
+    from anomaly_detection_ray.__main__ import main
+
+    table = str(tmp_path / "tg")
+    rd.from_pandas(_table()).write_parquet(table)
+    suite_path = str(tmp_path / "sg.json")
+    with open(suite_path, "w") as f:
+        json.dump([{"check": "in_range", "column": "amount", "min": 0.0}], f)
+    rc = main(["--expect-suite", suite_path, "--data", table,
+               "--expect-by", "status"])
+    assert rc == 1
+    printed = capsys.readouterr().out
+    assert "status" in printed and "in_range" in printed
