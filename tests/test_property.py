@@ -125,3 +125,52 @@ def test_sliding_window_counts_any_geometry(w_mult, slide_div):
                              value_col="value", window_s=window_s,
                              slide_s=slide_s)
     assert out["n"].sum() == 300 * w_mult  # windows covering each event
+
+
+@settings(max_examples=25, deadline=None)
+@given(arrays(np.uint8, st.tuples(st.integers(1, 48), st.integers(1, 48),
+                                  st.sampled_from([1, 3]))),
+       st.sampled_from(["444", "422", "420"]))
+def test_jpeg_roundtrip_any_uint8(a, sub):
+    """Any uint8 image decodes to the right shape, stays uint8, and at
+    q=95 the reconstruction error is bounded (DCT quantization only)."""
+    from anomaly_detection_ray import jpeg
+    src = a[:, :, 0] if a.shape[2] == 1 else a
+    dec, meta = jpeg.decode_jpeg(jpeg.encode_jpeg(src, quality=95,
+                                                  subsample=sub))
+    assert dec.shape == (a.shape[0], a.shape[1], a.shape[2])
+    assert dec.dtype == np.uint8
+    assert (meta["height"], meta["width"]) == a.shape[:2]
+    if a.shape[2] == 1:
+        # grayscale has no chroma loss: error bounded by luma quantization
+        # (q=95 steps are ~1/10 of Annex K; worst case sums quantization
+        # error over all 64 coefficients — bound generous but universal)
+        err = np.abs(dec.astype(int) - a.astype(int)).max()
+        assert err <= 96
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False),
+                min_size=1, max_size=300),
+       st.floats(-1e5, 1e5, allow_nan=False),
+       st.floats(0.0, 2e5, allow_nan=False))
+def test_expectations_in_range_matches_numpy(vals, lo, width):
+    """in_range violations == the numpy recomputation for ANY data/bounds,
+    and flag_violations marks exactly those rows."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages import expectations as ex
+
+    hi = lo + width
+    x = np.asarray(vals, dtype=np.float64)
+    df = pd.DataFrame({"x": x})
+    ds = rd.from_arrow(pa.Table.from_pandas(df))
+    suite = [{"check": "in_range", "column": "x", "min": lo, "max": hi}]
+    res = ex.run_expectations(ds, suite)
+    expected = int(((x < lo) | (x > hi)).sum())
+    assert res["violations"].iloc[0] == expected
+    flags = ex.flag_violations(ds, suite).to_pandas()
+    got = flags.sort_values("x")["in_range:x__bad"].to_numpy()
+    want = ((x < lo) | (x > hi))[np.argsort(x, kind="stable")]
+    np.testing.assert_array_equal(got, want)
