@@ -509,6 +509,14 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
 
     h, w = sof["h"], sof["w"]
     comps = sof["comps"]
+    if len(scan_comps) != len(comps):
+        raise ValueError(
+            f"non-interleaved scans unsupported: SOS covers "
+            f"{len(scan_comps)} of {len(comps)} components")
+    if len(comps) == 1:
+        # a single-component scan is non-interleaved by definition —
+        # sampling factors are ignored (T.81 A.2.2: data unit = one block)
+        comps[0]["h"] = comps[0]["v"] = 1
     by_id = {c["id"]: c for c in comps}
     max_h = max(c["h"] for c in comps)
     max_v = max(c["v"] for c in comps)

@@ -346,7 +346,10 @@ def run_expectations_by(ds, suite: list[dict], by: str) -> pd.DataFrame:
     partial counts for every row-local check; ``unique`` folds (group,
     value) counts. Returns one row per (group, check):
     (``by``, check_name, column_name, n_rows, violations, passed), sorted.
-    dtype checks are schema-level (group-independent) and not included."""
+    dtype checks are schema-level (group-independent) and not included.
+    Rows whose GROUP KEY is null are not reported (the partials fold drops
+    null keys) — fill or filter the group column first; null-key *values*
+    inside a group follow the normal per-check null semantics."""
     from ..functions.fold import fold_partials
 
     types = _schema_types(ds)

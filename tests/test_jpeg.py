@@ -158,3 +158,18 @@ def test_encode_rejects_bad_input():
     with pytest.raises(ValueError, match="subsampling"):
         jpeg.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8),
                          subsample="411")
+
+
+def test_rejects_non_interleaved_scan():
+    """SOS covering fewer components than SOF declares is rejected with a
+    clear error (baseline non-interleaved scans are out of scope)."""
+    import struct
+    a = colorful(16, 16)
+    enc = bytearray(jpeg.encode_jpeg(a, quality=90, subsample="444"))
+    i = enc.find(b"\xff\xda")
+    (ln,) = struct.unpack_from(">H", enc, i + 2)
+    # rewrite the SOS to cover only component 1 (Y)
+    new_sos = bytes([1, 1, 0x00, 0, 63, 0])
+    enc[i + 2:i + 2 + ln] = struct.pack(">H", len(new_sos) + 2) + new_sos
+    with pytest.raises(ValueError, match="non-interleaved"):
+        jpeg.decode_jpeg(bytes(enc))
