@@ -520,6 +520,14 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
     by_id = {c["id"]: c for c in comps}
     max_h = max(c["h"] for c in comps)
     max_v = max(c["v"] for c in comps)
+    for c in comps:
+        if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
+            raise ValueError(f"invalid sampling factors "
+                             f"{c['h']}x{c['v']} for component {c['id']}")
+        if max_h % c["h"] or max_v % c["v"]:
+            raise ValueError(
+                f"unsupported sampling grid: component {c['id']} factors "
+                f"{c['h']}x{c['v']} do not divide max {max_h}x{max_v}")
     for sc in scan_comps:
         c = by_id[sc["id"]]
         c["dct"] = huff[(0, sc["dc"])]

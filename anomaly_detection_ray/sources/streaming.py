@@ -91,13 +91,22 @@ class StreamRunner:
         self.key_col, self.value_col = key_col, value_col
         self.state_rows = state_rows
         self.allowed_lateness_s = allowed_lateness_s
-        self.state_path = os.path.join(out_dir, "_state.parquet")
         self.manifest_path = os.path.join(out_dir, "_stream_manifest.json")
         os.makedirs(out_dir, exist_ok=True)
         self.manifest = {"processed": [], "polls": []}
         if os.path.exists(self.manifest_path):
             with open(self.manifest_path) as f:
                 self.manifest = json.load(f)
+
+    @property
+    def state_path(self) -> str:
+        """Current state store. State files are per-poll and the manifest
+        points at the live one — state only becomes visible when the
+        poll's ledger commit lands, so a crash between the state write and
+        the commit replays against the PRE-batch state (no double-grading
+        of the same rows into a warm tail)."""
+        sf = self.manifest.get("state_file", "_state.parquet")
+        return os.path.join(self.out_dir, sf)
 
     # ------------------------------------------------------------ internals
     def _pending_files(self) -> list[str]:
@@ -135,9 +144,10 @@ class StreamRunner:
         calls continue from that state. Files may live anywhere (they are
         not entered in the watch-dir ledger); call before the first poll."""
         done = set(self.manifest.get("warm_processed", []))
-        if any(os.path.basename(f) in done for f in files):
+        todo = [f for f in files if os.path.basename(f) not in done]
+        if not todo:
             return {"files": [], "rows": 0, "violations": 0}
-        return self._process(files, ledger=False)
+        return self._process(todo, ledger=False)
 
     def poll_once(self) -> dict:
         """One consumer poll: new files -> graded verdict parquet + updated
@@ -148,6 +158,8 @@ class StreamRunner:
         return self._process(files, ledger=True)
 
     def _process(self, files: list[str], ledger: bool) -> dict:
+        import shutil
+
         poll_id = hashlib.sha256("\n".join(
             sorted(os.path.basename(f) for f in files)).encode()).hexdigest()[:16]
         poll_dir = os.path.join(self.out_dir, f"poll={poll_id}")
@@ -159,18 +171,39 @@ class StreamRunner:
             # event-time watermark (Structured-Streaming-style): rows older
             # than max-seen-ts − lateness are routed to a late-rows side
             # output — never graded, never entering kernel state, so
-            # bounded-window batch-parity is preserved for in-time rows
+            # bounded-window batch-parity is preserved for in-time rows.
+            # The micro-batch is materialized ONCE (it is small by
+            # definition) so the split/count/max passes below reuse blocks
+            # instead of re-parsing the message files per aggregate.
+            ds = ds.materialize()
             wm = self.manifest.get("watermark_ts")
             if wm is not None:
                 cutoff = float(wm) - self.allowed_lateness_s
-                late = ds.filter(expr=f"ts < {cutoff!r}")
+
+                def _late_mask(t):
+                    import pyarrow.compute as pc
+                    # null-safe: a null ts is NOT late (it flows to grading
+                    # where the kernels handle it — never silently dropped)
+                    return pc.fill_null(pc.less(t["ts"], cutoff), False)
+
+                def keep_late(t):
+                    return t.filter(_late_mask(t))
+
+                def keep_in_time(t):
+                    import pyarrow.compute as pc
+                    return t.filter(pc.invert(_late_mask(t)))
+
+                late = ds.map_batches(keep_late, batch_format="pyarrow")
                 n_late = late.count()
                 if n_late:
-                    # side output stays in Ray (never the driver); one dir
-                    # per poll so a replayed poll overwrites idempotently
-                    late.write_parquet(
-                        os.path.join(self.out_dir, "late", f"poll={poll_id}"))
-                    ds = ds.filter(expr=f"ts >= {cutoff!r}")
+                    # side output stays in Ray (never the driver); the dir
+                    # is cleared first so a replayed poll is idempotent
+                    # (Ray's write_parquet APPENDS by default)
+                    late_dir = os.path.join(self.out_dir, "late",
+                                            f"poll={poll_id}")
+                    shutil.rmtree(late_dir, ignore_errors=True)
+                    late.write_parquet(late_dir)
+                    ds = ds.map_batches(keep_in_time, batch_format="pyarrow")
                     if ds.count() == 0:
                         # every row was late: the files ARE processed (into
                         # the side output) — commit them, leave kernel state
@@ -179,8 +212,9 @@ class StreamRunner:
                                             rows=0, violations=0,
                                             n_late=n_late)
             batch_max = ds.max("ts")
-            self.manifest["watermark_ts"] = float(
-                max(wm, batch_max) if wm is not None else batch_max)
+            if batch_max is not None:  # None when every in-time ts is null
+                self.manifest["watermark_ts"] = float(
+                    max(wm, batch_max) if wm is not None else batch_max)
         key = self.key_col
         if key is None:
             key = "__stream__"
@@ -195,7 +229,11 @@ class StreamRunner:
         graded = ds.groupby(key).map_groups(self._grade_kernel(["ts"]),
                                             batch_format="pandas")
         # ONE write of the graded micro-batch; verdict/state are pruned
-        # re-reads (no second shuffle, no materialize)
+        # re-reads (no second shuffle, no materialize). Clear the dir first:
+        # Ray's write_parquet APPENDS, and a crash-replayed poll must
+        # overwrite, not double its rows.
+        import shutil
+        shutil.rmtree(poll_dir, ignore_errors=True)
         graded.write_parquet(poll_dir)
 
         verdicts = rd.read_parquet(poll_dir).filter(expr=f"{_WARM} == False")
@@ -211,19 +249,31 @@ class StreamRunner:
         new_state = (rd.read_parquet(poll_dir)
                      .filter(expr=f"{_TAIL} == True")
                      .select_columns(raw_cols))
-        tmp = self.state_path + ".tmp"
+        # per-poll state file: becomes live only via the manifest pointer
+        # in _commit — crash before the commit leaves the previous state
+        # live, so the ledger replay grades against PRE-batch state
+        state_file = f"_state-{poll_id}.parquet"
+        tmp = os.path.join(self.out_dir, state_file + ".tmp")
         new_state.to_pandas().to_parquet(tmp, index=False)
-        os.replace(tmp, self.state_path)
+        os.replace(tmp, os.path.join(self.out_dir, state_file))
 
         return self._commit(poll_id, files, ledger, rows=int(stats["rows"]),
-                            violations=int(stats["violations"]), n_late=n_late)
+                            violations=int(stats["violations"]),
+                            n_late=n_late, state_file=state_file)
 
     def _commit(self, poll_id: str, files: list[str], ledger: bool,
-                rows: int, violations: int, n_late: int) -> dict:
+                rows: int, violations: int, n_late: int,
+                state_file: str | None = None) -> dict:
         """Durably record a finished poll (output is already written):
-        append the poll record and commit the file ledger atomically."""
+        append the poll record, advance the state pointer, and commit the
+        file ledger atomically (one manifest replace)."""
         rec = {"poll": poll_id, "files": [os.path.basename(f) for f in files],
                "rows": rows, "violations": violations}
+        if state_file is not None:
+            prev = self.manifest.get("state_file")
+            if prev and prev != state_file:
+                self.manifest["prev_state_file"] = prev
+            self.manifest["state_file"] = state_file
         if self.allowed_lateness_s is not None:
             rec["late"] = int(n_late)
         if not ledger:
@@ -236,6 +286,20 @@ class StreamRunner:
         with open(tmpm, "w") as f:
             json.dump(self.manifest, f, indent=1)
         os.replace(tmpm, self.manifest_path)
+        # prune superseded state files, KEEPING the previous one: a
+        # manifest restored to the prior commit (crash recovery, backup
+        # rollback) must still find the state it points at. A crash here
+        # just leaves an extra file for the next commit to prune.
+        live = self.manifest.get("state_file")
+        keep = {live, self.manifest.get("prev_state_file")}
+        if live:
+            for n in os.listdir(self.out_dir):
+                if (n.startswith("_state") and n.endswith(".parquet")
+                        and n not in keep):
+                    try:
+                        os.remove(os.path.join(self.out_dir, n))
+                    except OSError:
+                        pass
         return rec
 
     def run(self, max_polls: int | None = None, poll_interval_s: float = 1.0,

@@ -123,9 +123,12 @@ def _compile_mask(spec: dict) -> Callable[[pa.Table], np.ndarray]:
 
         return mask
     if kind == "in_set":
+        # pc.is_in maps null -> False (not null), so mask with validity:
+        # nulls must not count as violations (not_null owns them)
         vals = pa.array(list(spec["values"]))
-        return lambda t: _np(pc.invert(pc.is_in(t[col_name],
-                                                value_set=vals)))
+        return lambda t: _np(pc.and_(
+            pc.invert(pc.is_in(t[col_name], value_set=vals)),
+            pc.is_valid(t[col_name])))
     if kind == "regex":
         pat = f"^(?:{spec['pattern']})$"
         return lambda t: _np(pc.invert(
@@ -165,9 +168,13 @@ def _compile_mask(spec: dict) -> Callable[[pa.Table], np.ndarray]:
             keys = (rd.read_parquet(spec["ref_table"],
                                     columns=[spec["ref_column"]])
                     .to_pandas()[spec["ref_column"]].to_numpy())
-        ref = pa.array(sorted(set(keys)))
-        return lambda t: _np(pc.invert(pc.is_in(t[col_name],
-                                                value_set=ref)))
+        # drop null reference keys (nullable dimension keys are common);
+        # null fact keys are not violations (not_null owns them)
+        ref = pa.array([k for k in set(keys)
+                        if k is not None and k == k])
+        return lambda t: _np(pc.and_(
+            pc.invert(pc.is_in(t[col_name], value_set=ref)),
+            pc.is_valid(t[col_name])))
     raise ValueError(f"unknown row-local check {kind!r}")
 
 
@@ -359,6 +366,10 @@ def run_expectations_by(ds, suite: list[dict], by: str) -> pd.DataFrame:
     if any(s["check"] == "dtype" for s in suite):
         raise ValueError("dtype checks are schema-level — use "
                          "run_expectations for them")
+    if any(s["check"] == "non_decreasing" for s in suite):
+        raise ValueError("non_decreasing is not supported per group — "
+                         "use run_expectations (its 'by' key already "
+                         "defines the series)")
     row_checks = [s for s in suite if s["check"] in _ROW_LOCAL]
     uniq_checks = [s for s in suite if s["check"] == "unique"]
 
@@ -375,7 +386,10 @@ def run_expectations_by(ds, suite: list[dict], by: str) -> pd.DataFrame:
             df = pd.DataFrame({by: t[by].to_pandas()})
             for k, mask in zip(keys, compiled):
                 df[k] = mask(t)
-            g = df.groupby(by, as_index=False, dropna=False)
+            # dropna=True HERE so null group keys are excluded in BOTH
+            # fold regimes (the Ray groupby fallback keeps null keys; the
+            # pandas fold drops them — decide once, deterministically)
+            g = df.groupby(by, as_index=False, dropna=True)
             out = g.agg(n_rows=(by, "size"),
                         **{k: (k, "sum") for k in keys})
             return out

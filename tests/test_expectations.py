@@ -85,9 +85,15 @@ def test_null_semantics(ray_session):
     res = ex.run_expectations(rd.from_pandas(df), [
         {"check": "not_null", "column": "x"},
         {"check": "in_range", "column": "x", "min": 0.0, "max": 10.0},
+        {"check": "in_set", "column": "x", "values": [1.0]},
+        {"check": "referential", "column": "x", "ref": [1.0, 50.0, None]},
     ]).set_index("check_name")
     assert res.loc["not_null", "violations"] == 1
     assert res.loc["in_range", "violations"] == 1  # only the 50.0
+    # pc.is_in maps null->False: the compiled mask must still NOT count
+    # nulls (and a null in the reference key set must not crash compile)
+    assert res.loc["in_set", "violations"] == 1    # only the 50.0
+    assert res.loc["referential", "violations"] == 0
 
 
 def test_flag_violations_rows(ray_session):

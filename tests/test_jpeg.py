@@ -173,3 +173,19 @@ def test_rejects_non_interleaved_scan():
     enc[i + 2:i + 2 + ln] = struct.pack(">H", len(new_sos) + 2) + new_sos
     with pytest.raises(ValueError, match="non-interleaved"):
         jpeg.decode_jpeg(bytes(enc))
+
+
+def test_rejects_bad_sampling_factors():
+    """Zero or non-dividing sampling factors raise a clear ValueError
+    instead of an opaque numpy crash."""
+    import struct
+    a = colorful(16, 16)
+    # SOF0: marker(2) len(2) prec(1) H(2) W(2) ncomp(1) then id,hv,tq per
+    # component -> comp1 hv at i+11, comp2 hv at i+14
+    for off, hv in ((11, 0x00),   # zero factors: out of range
+                    (14, 0x31)):  # chroma 3x1 does not divide Y's 2x1
+        enc = bytearray(jpeg.encode_jpeg(a, quality=90, subsample="422"))
+        i = enc.find(b"\xff\xc0")
+        enc[i + off] = hv
+        with pytest.raises(ValueError, match="sampling"):
+            jpeg.decode_jpeg(bytes(enc))
