@@ -12,10 +12,14 @@ Concepts (same mapping as StreamRunner):
 - **poll** → read ONLY the new shards, run the full check chain on them.
 - **carried state** → what the batch flagship computes in pass A becomes
   cumulative cross-poll state:
-    * duplicate detection: per-poll hash-count partials appended to a
-      disk-backed ledger; each poll key-groups the ledger read-back, so an
-      arriving clip whose twin came in an EARLIER poll is still flagged
-      (the historical copy was already emitted and is not retracted).
+    * duplicate detection: a BUCKETED compacted ledger — cumulative
+      (clip_id_hash, cnt) parquet per ``hash % ledger_buckets`` bucket.
+      Each poll merges its new counts into ONLY the touched buckets
+      (O(new rows + touched-bucket bytes), never O(stream history)), so
+      an arriving clip whose twin came in an EARLIER poll is still
+      flagged (the historical copy was already emitted and is not
+      retracted). Bucket compactions are written under the NEW poll's
+      generation name and become live only when the manifest commits.
     * dur_ms z-score baseline: a mergeable Welford partial folded over all
       polls (grading accuracy grows with history; the first poll grades
       against itself exactly like a fresh batch run).
@@ -25,10 +29,17 @@ Concepts (same mapping as StreamRunner):
       distributed like everything seen so far".
     * HLL keeps the running distinct-clip estimate.
 
-Scale: per-poll work is O(new rows) streaming + one small key groupby over
-the hash ledger (O(distinct ids) rows on disk, never on the driver);
+Scale: per-poll work is O(new rows) streaming + per-bucket ledger merges
+in Ray tasks (O(distinct ids) rows on disk, never on the driver);
 cumulative state is a few KB of sketch registers. Violations append under
 ``violations/poll=<id>/partition_id=*`` so a consumer can tail them.
+
+Crash safety: a poll's outputs (violations, bucket compactions, the
+per-poll state pickle) are all written under the poll's own generation
+name FIRST; the manifest — file ledger + live-state pointer + per-bucket
+live-generation map — is then replaced atomically, so state and offsets
+advance together (a crash between output writes and the commit replays
+the poll, overwriting its own files: at-least-once, idempotent).
 """
 
 from __future__ import annotations
@@ -53,12 +64,43 @@ from . import validate as vp
 from .validate import ValidateConfig
 
 
-def _state_path(out_dir: str) -> str:
-    return os.path.join(out_dir, "_stream_state.pkl")
+def _state_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_stream_state")
 
 
 def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_stream_manifest.json")
+
+
+@ray.remote
+def _merge_bucket(bucket_dir: str, prior_file: str | None, poll_id: str,
+                  hashes: np.ndarray, cnts: np.ndarray):
+    """Merge one ledger bucket: prior compacted (hash, cnt) + this poll's
+    new counts → ``cum-<poll_id>.parquet`` (atomic tmp+rename; a replayed
+    poll overwrites its own generation). Returns (hashes among THIS
+    poll's arrivals whose cumulative count > 1, prior files read)."""
+    import pyarrow.parquet as pq
+    os.makedirs(bucket_dir, exist_ok=True)
+    new = pd.DataFrame({"clip_id_hash": hashes.astype(np.int64),
+                        "cnt": cnts.astype(np.int64)})
+    files_read = 0
+    if prior_file and os.path.exists(prior_file):
+        prior = pq.read_table(prior_file).to_pandas()
+        files_read = 1
+        merged = (pd.concat([prior, new], ignore_index=True)
+                  .groupby("clip_id_hash", as_index=False)
+                  .agg(cnt=("cnt", "sum")))
+    else:
+        merged = new
+    out = os.path.join(bucket_dir, f"cum-{poll_id}.parquet")
+    tmp = out + f".tmp-{poll_id}"
+    pq.write_table(pa.table({
+        "clip_id_hash": merged["clip_id_hash"].to_numpy(np.int64),
+        "cnt": merged["cnt"].to_numpy(np.int64)}), tmp)
+    os.replace(tmp, out)
+    dup = merged.merge(new[["clip_id_hash"]], on="clip_id_hash")
+    return dup.loc[dup["cnt"] > 1, "clip_id_hash"].to_numpy(np.int64), \
+        files_read
 
 
 class ClipStreamValidator:
@@ -66,12 +108,14 @@ class ClipStreamValidator:
 
     def __init__(self, watch_dir: str, out_dir: str,
                  cfg: ValidateConfig | None = None,
-                 drift_min_rows: int = 512, drift_psi_error: float = 0.25):
+                 drift_min_rows: int = 512, drift_psi_error: float = 0.25,
+                 ledger_buckets: int = 64):
         self.watch_dir = watch_dir
         self.out_dir = out_dir
         self.cfg = cfg or ValidateConfig()
         self.drift_min_rows = drift_min_rows
         self.drift_psi_error = drift_psi_error
+        self.ledger_buckets = ledger_buckets
         os.makedirs(out_dir, exist_ok=True)
         self.manifest = self._load_manifest()
         self.state = self._load_state()
@@ -82,7 +126,7 @@ class ClipStreamValidator:
         if os.path.exists(_manifest_path(self.out_dir)):
             with open(_manifest_path(self.out_dir)) as f:
                 return json.load(f)
-        return {"files": [], "polls": {}}
+        return {"files": [], "polls": {}, "state": None, "ledger": {}}
 
     def _save_manifest(self) -> None:
         tmp = _manifest_path(self.out_dir) + ".tmp"
@@ -91,17 +135,44 @@ class ClipStreamValidator:
         os.replace(tmp, _manifest_path(self.out_dir))
 
     def _load_state(self) -> dict:
-        if os.path.exists(_state_path(self.out_dir)):
-            with open(_state_path(self.out_dir), "rb") as f:
+        """Load the state generation the manifest points at — state only
+        becomes live with the ledger commit, so a crash between output
+        writes and the commit replays against the PRE-poll state."""
+        live = self.manifest.get("state")
+        if live:
+            with open(os.path.join(_state_dir(self.out_dir),
+                                   f"state-{live}.pkl"), "rb") as f:
                 return pickle.load(f)
         return {"hll": HyperLogLog(14), "dur": WelfordPartial(),
                 "hist": None, "rows": 0}
 
-    def _save_state(self) -> None:
-        tmp = _state_path(self.out_dir) + ".tmp"
+    def _write_state_generation(self, poll_id: str) -> None:
+        d = _state_dir(self.out_dir)
+        os.makedirs(d, exist_ok=True)
+        out = os.path.join(d, f"state-{poll_id}.pkl")
+        tmp = out + ".tmp"
         with open(tmp, "wb") as f:
             pickle.dump(self.state, f)
-        os.replace(tmp, _state_path(self.out_dir))
+        os.replace(tmp, out)
+
+    def _prune_generations(self, touched_buckets: list[int],
+                           prev_state: str | None) -> None:
+        """Post-commit cleanup: drop state pickles other than the live +
+        previous generation, and stale bucket compactions the manifest no
+        longer references."""
+        d = _state_dir(self.out_dir)
+        keep = {self.manifest.get("state"), prev_state}
+        for f in os.listdir(d):
+            gen = f.removeprefix("state-").removesuffix(".pkl")
+            if f.startswith("state-") and f.endswith(".pkl") and gen not in keep:
+                os.unlink(os.path.join(d, f))
+        for b in touched_buckets:
+            bdir = os.path.join(self.out_dir, "id_hashes",
+                                f"bucket={int(b):05d}")
+            live = f"cum-{self.manifest['ledger'][str(int(b))]}.parquet"
+            for f in os.listdir(bdir):
+                if f != live:
+                    os.unlink(os.path.join(bdir, f))
 
     # --------------------------------------------------------------- poll
 
@@ -163,28 +234,37 @@ class ClipStreamValidator:
                 hash_frames.append(p["hashes"])
                 rows_new += p["rows"]
 
-        # ---- hash ledger append + global duplicate confirmation
+        # ---- bucketed ledger merge: only the buckets the new hashes touch
+        # are read + recompacted (O(new + touched), never O(history)); a
+        # clip arriving now whose twin landed in an earlier poll shows a
+        # cumulative count > 1 in its bucket and is flagged.
         ledger_dir = os.path.join(self.out_dir, "id_hashes")
-        poll_ledger = os.path.join(ledger_dir, f"poll={poll_id}")
-        os.makedirs(poll_ledger, exist_ok=True)
-        for f in os.listdir(poll_ledger):  # idempotent re-poll
-            os.unlink(os.path.join(poll_ledger, f))
         live = (pd.concat(hash_frames, ignore_index=True)
                 .groupby("clip_id_hash", as_index=False).agg(cnt=("cnt", "sum")))
-        import pyarrow.parquet as pq
-        pq.write_table(pa.table({
-            "clip_id_hash": live["clip_id_hash"].to_numpy(np.int64),
-            "cnt": live["cnt"].to_numpy(np.int64)}),
-            os.path.join(poll_ledger, "hashes.parquet"))
-        merged = (rd.read_parquet(ledger_dir, columns=["clip_id_hash", "cnt"])
-                  .groupby("clip_id_hash").sum("cnt"))
+        bucket_of = (live["clip_id_hash"].to_numpy(np.int64).astype(np.uint64)
+                     % np.uint64(self.ledger_buckets))
+        ledger_map: dict[str, str] = dict(self.manifest.get("ledger", {}))
+        bucket_refs = []
+        for b in np.unique(bucket_of):
+            m = bucket_of == b
+            bdir = os.path.join(ledger_dir, f"bucket={int(b):05d}")
+            prior = ledger_map.get(str(int(b)))
+            prior_file = (os.path.join(bdir, f"cum-{prior}.parquet")
+                          if prior else None)
+            bucket_refs.append((int(b), _merge_bucket.remote(
+                bdir, prior_file, poll_id,
+                live["clip_id_hash"].to_numpy(np.int64)[m],
+                live["cnt"].to_numpy(np.int64)[m])))
+        dup_parts, ledger_files_read = [], 0
+        for b, ref in bucket_refs:
+            d, r = ray.get(ref)
+            dup_parts.append(d)
+            ledger_files_read += r
+            ledger_map[str(b)] = poll_id
+        touched = [b for b, _ in bucket_refs]
+        dup_hashes = (np.concatenate(dup_parts).astype(np.uint64)
+                      if dup_parts else np.array([], dtype=np.uint64))
         import pyarrow.compute as pc
-        dups = merged.map_batches(
-            lambda t: t.filter(pc.greater(t["sum(cnt)"], 1)),
-            batch_format="pyarrow").to_pandas()
-        dup_hashes = (np.sort(dups["clip_id_hash"].to_numpy(np.int64)
-                              .astype(np.uint64))
-                      if len(dups) else np.array([], dtype=np.uint64))
 
         # ---- drift of the arriving poll vs cumulative history
         hist_new = (pd.concat(hist_rows, ignore_index=True)
@@ -223,7 +303,10 @@ class ClipStreamValidator:
         n_viol = (int(metrics["status_code_errors"].sum())
                   if not metrics.empty else 0)
 
-        # ---- fold state, record poll, THEN commit offsets (at-least-once)
+        # ---- fold state into this poll's generation, then commit offsets,
+        # the live-state pointer, and the bucket generations in ONE atomic
+        # manifest replace (at-least-once; replay re-derives everything
+        # from the pre-poll generation, so nothing double-counts).
         self.state["hll"] = self.state["hll"].merge(hll_new)
         self.state["dur"] = dur_cum
         if prior_hist is None:
@@ -235,7 +318,7 @@ class ClipStreamValidator:
                                       np.stack([np.asarray(c) for c in s]),
                                       axis=0))))
         self.state["rows"] += rows_new
-        self._save_state()
+        self._write_state_generation(poll_id)
 
         entry = {
             "files": [os.path.basename(f) for f in files],
@@ -244,11 +327,17 @@ class ClipStreamValidator:
             "drift_psi": drift_psi,
             "drifted": bool(drifted),
             "pass": not (n_viol > 0 or drifted),
+            "ledger_files_read": int(ledger_files_read),
+            "ledger_buckets_touched": len(touched),
             "wall_sec": round(time.time() - t0, 3),
         }
+        prev_state = self.manifest.get("state")
         self.manifest["polls"][poll_id] = entry
         self.manifest["files"].extend(files)
+        self.manifest["state"] = poll_id
+        self.manifest["ledger"] = ledger_map
         self._save_manifest()
+        self._prune_generations(touched, prev_state)
         return {"poll_id": poll_id, **entry,
                 "hll_estimate": self.state["hll"].estimate(),
                 "rows_total": self.state["rows"]}

@@ -71,15 +71,35 @@ def refined_quantile(ds, col: str, qs, bins: int = 256,
         rank = int(np.ceil(q * n_total - 1e-9))  # 1-based target rank
         rank = min(max(rank, 1), n_total)
         lo, hi, in_range, last_inc = g_lo, g_hi, n_total, True
-        while in_range > max_collect and hi > lo:
+        resolved = None
+        while in_range > max_collect:
+            if hi <= lo:
+                # Degenerate range: every surviving value equals lo
+                # (heavy mode / all-equal column) — no collect needed.
+                resolved = lo
+                break
             counts = _range_counts(ds, col, lo, hi, bins, last_inc)
             cum = np.cumsum(counts)
             j = int(np.searchsorted(cum, rank))
-            rank -= int(cum[j - 1]) if j else 0
             w = (hi - lo) / bins
-            lo, hi = lo + j * w, lo + (j + 1) * w
+            new_lo, new_hi = lo + j * w, lo + (j + 1) * w
+            if new_hi <= new_lo or (new_lo, new_hi) == (lo, hi):
+                # Float-width floor: >max_collect values packed into a
+                # range refinement can no longer split — they occupy at
+                # most a handful of adjacent representable floats. Fold
+                # distinct-value counts (tiny) and select by rank
+                # instead of collecting in_range copies.
+                resolved = _rank_among_values(ds, col, lo, hi, last_inc,
+                                              rank)
+                break
+            rank -= int(cum[j - 1]) if j else 0
+            lo, hi = new_lo, new_hi
             last_inc = last_inc and (j == bins - 1)
             in_range = int(counts[j])
+
+        if resolved is not None:
+            out[float(q)] = float(resolved)
+            continue
 
         def collect(df: pd.DataFrame, lo=lo, hi=hi, inc=last_inc) -> pd.DataFrame:
             v = df[col].to_numpy(dtype=np.float64)
@@ -90,3 +110,24 @@ def refined_quantile(ds, col: str, qs, bins: int = 256,
                        .to_pandas()["v"].to_numpy())
         out[float(q)] = float(vals[rank - 1])
     return out
+
+
+def _rank_among_values(ds, col: str, lo: float, hi: float,
+                       last_inclusive: bool, rank: int) -> float:
+    """Exact rank selection over a range that histogram refinement can no
+    longer split: fold (distinct value, count) partials — the range spans
+    only a few representable floats by construction, so the folded table
+    is tiny — and walk the cumulative counts to the 1-based ``rank``."""
+
+    def uniq_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(dtype=np.float64)
+        m = ~np.isnan(v) & (v >= lo) & ((v <= hi) if last_inclusive
+                                        else (v < hi))
+        u, c = np.unique(v[m], return_counts=True)
+        return pd.DataFrame({"v": u, "n": c})
+
+    vc = fold_partials(ds.map_batches(uniq_partial, batch_format="pandas"),
+                       ["v"], {"n": "sum"}).sort_values("v")
+    cum = vc["n"].to_numpy(np.int64).cumsum()
+    j = int(np.searchsorted(cum, rank))
+    return float(vc["v"].to_numpy(np.float64)[j])

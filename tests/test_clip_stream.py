@@ -125,3 +125,67 @@ def test_drift_detected_on_shifted_wave(stream):
 def pa_mask(m):
     import pyarrow as pa
     return pa.array(m)
+
+
+def test_ledger_io_bounded_by_buckets_not_history(tmp_path, ray_session):
+    """Per-poll ledger reads are O(touched buckets), not O(poll history):
+    across 6 polls the files read per poll never exceed the bucket count
+    (the old design re-read every prior poll's ledger file), and each
+    bucket holds exactly ONE live compaction afterwards."""
+    watch, out = str(tmp_path / "w"), str(tmp_path / "o")
+    os.makedirs(watch)
+    cfg = vp.ValidateConfig(seed=SEED, P=P, fidelity_concurrency=2,
+                            fidelity_batch_size=128)
+    v = ClipStreamValidator(watch, out, cfg, ledger_buckets=4)
+    reads = []
+    for k in range(6):
+        _write_wave(watch, f"w{k}.parquet", np.arange(k * 100, (k + 1) * 100))
+        r = v.poll_once()
+        reads.append(r["ledger_files_read"])
+        assert r["ledger_buckets_touched"] <= 4
+    # old design: poll k read k files; bucketed design: <= buckets
+    assert max(reads) <= 4 and reads[0] == 0
+    for b in os.listdir(os.path.join(out, "id_hashes")):
+        files = os.listdir(os.path.join(out, "id_hashes", b))
+        assert len(files) == 1, files  # compacted, pruned to live gen
+
+
+def test_crash_before_commit_replays_without_double_count(tmp_path,
+                                                          ray_session):
+    """A crash AFTER the poll's outputs/state generation are written but
+    BEFORE the manifest commit must replay the poll against the pre-poll
+    state — Welford/row/histogram state must not double-count."""
+    watch, out = str(tmp_path / "w"), str(tmp_path / "o")
+    os.makedirs(watch)
+    cfg = vp.ValidateConfig(seed=SEED, P=P, fidelity_concurrency=2,
+                            fidelity_batch_size=128)
+    v = ClipStreamValidator(watch, out, cfg, ledger_buckets=4)
+    _write_wave(watch, "w1.parquet", np.arange(0, 200))
+    r1 = v.poll_once()
+    assert r1["rows"] == 200
+
+    _write_wave(watch, "w2.parquet", np.arange(200, 350))
+    orig = v._save_manifest
+    v._save_manifest = lambda: (_ for _ in ()).throw(OSError("crash"))
+    with pytest.raises(OSError):
+        v.poll_once()
+    v._save_manifest = orig
+
+    v2 = ClipStreamValidator(watch, out, cfg, ledger_buckets=4)
+    assert v2.state["rows"] == 200  # pre-poll generation is live
+    r2 = v2.poll_once()  # replays w2
+    assert r2["rows"] == 150 and r2["rows_total"] == 350
+    assert v2.state["dur"].n == 350  # Welford not double-merged
+
+    # crash-free control over the same waves: identical cumulative state
+    out_c = str(tmp_path / "o_ctl")
+    vc = ClipStreamValidator(watch, out_c, cfg, ledger_buckets=4)
+    vc.poll_once()
+    assert vc.state["rows"] == 350
+    assert (vc.state["dur"].n, vc.state["dur"].mean) == \
+        (v2.state["dur"].n, v2.state["dur"].mean)
+    got = {r["column"]: np.asarray(r["counts"])
+           for _, r in v2.state["hist"].iterrows()}
+    for _, r in vc.state["hist"].iterrows():
+        np.testing.assert_array_equal(got[r["column"]],
+                                      np.asarray(r["counts"]))

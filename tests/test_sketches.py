@@ -101,6 +101,32 @@ def test_refined_quantile_exact_vs_sort(ray_session):
         assert val == want, (q, val, want)
 
 
+def test_refined_quantile_heavy_mode(ray_session):
+    """A value repeated far more than max_collect times that holds the
+    target rank must resolve exactly instead of crashing: refinement hits
+    the float-width floor around the point mass, then rank-selects among
+    the (tiny) distinct-value fold. Covers quantiles inside, at the edge
+    of, and outside the mode, plus an all-equal column."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.quantile import refined_quantile
+
+    r = np.random.default_rng(7)
+    v = np.concatenate([r.normal(0, 1, 50_000), np.full(50_000, 42.0),
+                        r.normal(100, 1, 50_000)])
+    ds = rd.from_pandas(pd.DataFrame({"x": v})).repartition(6)
+    got = refined_quantile(ds, "x", [0.25, 0.5, 0.6, 0.9],
+                           bins=32, max_collect=200)
+    sv = np.sort(v)
+    for q, val in got.items():
+        want = sv[max(int(np.ceil(q * len(sv) - 1e-9)), 1) - 1]
+        assert val == want, (q, val, want)
+
+    allsame = rd.from_pandas(pd.DataFrame({"x": np.full(5000, 7.5)}))
+    got = refined_quantile(allsame, "x", [0.1, 0.9], max_collect=100)
+    assert got == {0.1: 7.5, 0.9: 7.5}
+
+
 def test_profile_table_mixed(ray_session):
     """Single-pass column profiler: numeric Welford merge across batches,
     NaN/null accounting, lexicographic string min/max."""
