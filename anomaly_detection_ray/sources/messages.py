@@ -25,15 +25,29 @@ import ray.data as rd
 _LABEL_COLS = {"label", "labelInfo"}
 
 
-def _explode_vector_strings(arr: pa.ChunkedArray) -> list[pa.Array]:
+def _explode_vector_strings(arr: pa.ChunkedArray,
+                            width: int | None = None) -> list[pa.Array]:
     """Stringified-vector column (the reference's train-file layout,
     ``ftr_vector = "[2.53, 1.1]"`` parsed with ``literal_eval`` at
     isolation_forest.py-style train paths) -> one float64 array per
-    element, vectorized (strip brackets, split, cast)."""
+    element, vectorized (strip brackets, split, cast).
+
+    ``width`` pins the output column count so every batch emits the same
+    schema regardless of short/malformed vectors in it (short vectors pad
+    with NaN, long ones truncate); None derives it from this batch."""
     s = pd.Series(arr.to_pandas()).astype(str).str.strip().str.strip("[]")
     parts = s.str.split(",", expand=True)
-    return [pa.array(pd.to_numeric(parts[c].str.strip(), errors="coerce")
-                     .to_numpy(dtype=np.float64)) for c in parts.columns]
+    if width is None:
+        width = parts.shape[1]
+    out = []
+    for i in range(width):
+        if i < parts.shape[1]:
+            out.append(pa.array(pd.to_numeric(parts[i].str.strip(),
+                                              errors="coerce")
+                                .to_numpy(dtype=np.float64)))
+        else:
+            out.append(pa.array(np.full(len(s), np.nan)))
+    return out
 
 
 def read_message_csv(path: str, keep_labels: bool = True):
@@ -43,10 +57,24 @@ def read_message_csv(path: str, keep_labels: bool = True):
     columns (``ads-1_train.csv``: ``ftr_vector`` = ``"[v0, v1, ...]"``) —
     the latter explode into consecutive ``fi`` columns."""
     ds = rd.read_csv(path)
-    names = ds.schema().names
+    schema = ds.schema()
+    names = schema.names
     feature_cols = [c for c in names if c != "timestamp" and c not in _LABEL_COLS]
     rename = {"timestamp": "ts"}
     rename.update({c: f"f{i}" for i, c in enumerate(feature_cols)})
+
+    # Pin vector widths ONCE at dataset level so every batch emits the
+    # same f0..fk schema even when a batch holds only short/malformed
+    # vectors (per-batch derivation would drift the schema across blocks).
+    widths: dict[str, int] = {}
+    str_feats = [c for i, c in enumerate(feature_cols)
+                 if pa.types.is_string(schema.types[names.index(c)])
+                 or pa.types.is_large_string(schema.types[names.index(c)])]
+    if str_feats:
+        head = ds.limit(16).to_pandas()
+        for c in str_feats:
+            s = head[c].astype(str).str.strip().str.strip("[]")
+            widths[c] = int((s.str.count(",") + 1).max()) if len(s) else 1
 
     def project(t: pa.Table) -> pa.Table:
         cols, out_names = [], []
@@ -60,7 +88,7 @@ def read_message_csv(path: str, keep_labels: bool = True):
                 out_names.append("ts")
             elif src in rename and rename[src].startswith("f"):
                 if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
-                    for sub in _explode_vector_strings(arr):
+                    for sub in _explode_vector_strings(arr, widths.get(src)):
                         cols.append(sub)
                         out_names.append(f"f{fi}")
                         fi += 1

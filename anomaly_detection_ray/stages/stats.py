@@ -43,7 +43,10 @@ def welford_partial_batch(t: pa.Table, value_col: str,
             "n": [float(p.n)], "mean": [p.mean], "M2": [p.M2],
             "min": [p.min], "max": [p.max],
         })
-    keys = t[key_col].to_pandas().astype(str).fillna("")
+    # fill BEFORE the cast: astype(str) would stringify nulls to 'nan'/
+    # 'None' first, colliding with genuine 'nan' string keys instead of
+    # landing in the intended empty-string bucket
+    keys = t[key_col].to_pandas().fillna("").astype(str)
     if n_salts > 1:
         sc = salt_col if salt_col is not None and salt_col in t.column_names else None
         if sc is None:

@@ -83,6 +83,44 @@ def test_message_csv_roundtrip(ray_session, tmp_path):
     np.testing.assert_allclose(df["f0"], [0.1, 0.2, 0.3])
 
 
+def test_vector_csv_stable_schema_across_blocks(ray_session, tmp_path):
+    """Vector width is pinned at dataset level: blocks whose vectors are
+    all shorter than the dataset's width still emit the same f0..fk
+    schema (NaN-padded), so downstream schema resolution never sees
+    varying column sets."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.sources.messages import read_message_csv
+    p = tmp_path / "vec.csv"
+    rows = ['"[1.0, 2.0, 3.0]"'] * 4 + ['"[9.0]"'] * 4  # short tail block
+    p.write_text("timestamp,ftr_vector\n" + "\n".join(
+        f"{i + 1}.0,{v}" for i, v in enumerate(rows)))
+    ds = read_message_csv(str(p))
+    # force multiple blocks so the short vectors form their own batch
+    dfs = [b for b in ds.repartition(4).iter_batches(batch_format="pandas",
+                                                     batch_size=2)]
+    assert all(list(b.columns) == ["ts", "f0", "f1", "f2"] for b in dfs)
+    df = ds.to_pandas().sort_values("ts")
+    np.testing.assert_allclose(df["f0"], [1, 1, 1, 1, 9, 9, 9, 9])
+    assert df["f2"].isna().tail(4).all()
+
+
+def test_welford_partial_null_keys_do_not_collide_with_nan_string(
+        ray_session):
+    """Null group keys land in the empty-string bucket, NOT the 'nan'
+    bucket — a genuine 'nan' string key keeps its own group."""
+    import pyarrow as pa
+
+    from anomaly_detection_ray.stages.stats import welford_partial_batch
+    t = pa.table({"k": pa.array(["nan", None, "nan", None, "x"]),
+                  "v": pa.array([1.0, 10.0, 3.0, 20.0, 5.0])})
+    out = welford_partial_batch(t, "v", key_col="k").to_pandas()
+    by_key = out.set_index("key")
+    assert set(by_key.index) == {"nan", "", "x"}
+    assert by_key.loc["nan", "n"] == 2 and by_key.loc["", "n"] == 2
+    assert by_key.loc["", "mean"] == 15.0
+
+
 def test_message_json_roundtrip(ray_session, tmp_path):
     from anomaly_detection_ray.sources.messages import read_message_json
     p = tmp_path / "msgs.json"
