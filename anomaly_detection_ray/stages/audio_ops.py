@@ -390,12 +390,17 @@ def fingerprint_dedup(ds, bytes_col: str = "bytes", id_col: str = "clip_id",
 
 def fingerprint_neardup_pairs(ds, bytes_col: str = "bytes",
                               id_col: str = "clip_id", max_hamming: int = 3,
-                              bucket_cap: int = 2000,
-                              concurrency: int = 8) -> pd.DataFrame:
+                              bucket_cap: int = 2000, quad_cap: int = 2048,
+                              concurrency: int = 8,
+                              with_report: bool = False) -> pd.DataFrame:
     """Near-duplicate clip pairs: 32-bit fingerprints banded into 4 bytes
     (pigeonhole: Hamming distance <= 3 across 4 bands guarantees one exact
     band match), candidate pairs verified by full Hamming distance. Mirrors
-    the SimHash text path (dedup.py:377) on audio content."""
+    the SimHash text path (dedup.py) on audio content: over-full buckets
+    split recursively on sub-bands of the remaining bits (exact); only
+    quadratic pair output inside near-identical mega-groups truncates,
+    with the dropped count reported (sentinel id "" rows;
+    ``with_report=True`` returns (pairs, {"truncated_pairs": n}))."""
     fps = fingerprint_table(ds, bytes_col, concurrency=concurrency)
 
     def explode(t: pa.Table) -> pa.Table:
@@ -415,19 +420,28 @@ def fingerprint_neardup_pairs(ds, bytes_col: str = "bytes",
             "fp": pa.array(np.concatenate(bfps), type=pa.uint64())})
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import _pigeonhole_pairs
+        empty = pd.DataFrame({"id_a": pd.Series(dtype=object),
+                              "id_b": pd.Series(dtype=object),
+                              "hamming": pd.Series(dtype=np.int64),
+                              "trunc": pd.Series(dtype=np.int64)})
         g = g.drop_duplicates(id_col).sort_values(id_col)
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        if len(g) > bucket_cap:  # documented truncation: hot content bucket
-            g = g.head(bucket_cap)
-        ids = g[id_col].to_numpy()
-        fp = g["fp"].to_numpy().astype(np.uint64)
-        ai, bi = np.triu_indices(len(g), k=1)
-        ham = np.array([bin(int(x)).count("1") for x in
-                        (fp[ai] ^ fp[bi])], dtype=np.int32)
-        keep = ham <= max_hamming
-        return pd.DataFrame({"id_a": ids[ai[keep]], "id_b": ids[bi[keep]],
-                             "hamming": ham[keep]})
+            return empty
+        band = int(g["band"].iloc[0])
+        bits = np.setdiff1d(np.arange(32), np.arange(8 * band, 8 * band + 8))
+        ia, ib, d, trunc = _pigeonhole_pairs(
+            g[id_col].to_numpy(), g["fp"].to_numpy().astype(np.uint64),
+            bits, max_hamming, bucket_cap, quad_cap)
+        out = pd.DataFrame({"id_a": ia, "id_b": ib,
+                            "hamming": d.astype(np.int64),
+                            "trunc": np.zeros(len(ia), dtype=np.int64)})
+        out = out.drop_duplicates(["id_a", "id_b"])
+        if trunc:
+            out = pd.concat([out, pd.DataFrame(
+                {"id_a": [""], "id_b": [""], "hamming": [-1],
+                 "trunc": [trunc]})], ignore_index=True)
+        return out
 
     pairs = (fps.map_batches(explode, batch_format="pyarrow")
              .groupby(["band", "key"])
@@ -435,11 +449,25 @@ def fingerprint_neardup_pairs(ds, bytes_col: str = "bytes",
     # cardinality-aware pair dedup (same pattern as dedup.py minhash):
     # driver fold while pairs are few, automatic Ray groupby past threshold
     from ..functions.fold import fold_partials
-    out = fold_partials(pairs, ["id_a", "id_b"], {"hamming": "min"})
-    if len(out):
-        out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    folded = fold_partials(pairs, ["id_a", "id_b"],
+                           {"hamming": "min", "trunc": "sum"})
+    report = {"truncated_pairs": 0}
+    out = folded
+    if len(folded):
+        sentinel = folded["id_a"] == ""
+        report["truncated_pairs"] = int(folded.loc[sentinel, "trunc"].sum())
+        out = (folded[~sentinel].drop(columns=["trunc"])
+               .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    else:
+        out = folded.drop(columns=["trunc"], errors="ignore")
     out["hamming"] = out.get("hamming", pd.Series(dtype="int64")).astype("int64")
-    return out
+    if report["truncated_pairs"]:
+        import logging
+        logging.getLogger(__name__).warning(
+            "fingerprint_neardup_pairs: %d candidate pairs beyond "
+            "quad_cap=%d counted, not emitted", report["truncated_pairs"],
+            quad_cap)
+    return (out, report) if with_report else out
 
 
 def segment_clips(ds, seg_ms: int = 1000, min_ms: int = 200,

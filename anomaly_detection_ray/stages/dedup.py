@@ -13,14 +13,19 @@
 
 Scale notes: signatures/hashes are computed batch-parallel in map_batches;
 only (key, id, signature) rows ever shuffle; verification happens per
-bucket group. Candidate-pair lists are assumed small (near-dup rate ≪ 1);
-a pathological corpus (everything identical) degrades to one big bucket —
-the group kernels cap pairs per bucket and report truncation.
+bucket group. Candidate-pair lists are assumed small (near-dup rate ≪ 1).
+Over-full Hamming buckets split recursively on sub-bands of their
+remaining bits (_pigeonhole_pairs — exact, no recall loss); over-full
+cosine buckets verify exactly in bounded matmul tiles. Only quadratic
+pair OUTPUT inside near-identical mega-groups truncates, and the dropped
+count is reported (sentinel rows folded to a total, surfaced via
+``with_report=True`` and a logger warning) — never silent.
 """
 
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
@@ -361,9 +366,85 @@ def simhash_table(ds, text_col="text", id_col="doc_id"):
     return ds.map_batches(f, batch_format="pandas")
 
 
-def simhash_dedup(ds, text_col="text", id_col="doc_id", max_hamming=3):
+def _pigeonhole_pairs(ids: np.ndarray, h: np.ndarray, bits: np.ndarray,
+                      max_hamming: int, cap: int, quad_cap: int):
+    """Exact Hamming<=max_hamming pairs within one LSH bucket of ANY size.
+
+    Buckets small enough brute-force directly. Over-full buckets split
+    recursively: drop bit positions constant across the group (no pair
+    can differ there), partition the varying positions into
+    ``max_hamming+1`` sub-bands, and recurse into each sub-band's exact-
+    key groups — pigeonhole guarantees a qualifying pair matches at least
+    one sub-band, and every sub-band with a varying bit strictly splits
+    the group, so recursion terminates. Only near-identical mega-groups
+    (fewer varying bits than sub-bands, more members than ``quad_cap``,
+    where the PAIR OUTPUT itself is quadratic) truncate — and the count
+    of dropped pairs is returned, never silent.
+
+    Returns (id_a, id_b, hamming, truncated_pair_count)."""
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_h: list[np.ndarray] = []
+    trunc = 0
+
+    def brute(idx: np.ndarray) -> None:
+        nonlocal trunc
+        n = len(idx)
+        if n > quad_cap:
+            trunc += n * (n - 1) // 2 - quad_cap * (quad_cap - 1) // 2
+            idx = idx[:quad_cap]  # ids sorted upstream -> deterministic
+        ia, ib = np.triu_indices(len(idx), 1)
+        d = tx.hamming64(h[idx[ia]], h[idx[ib]])
+        m = d <= max_hamming
+        out_a.append(ids[idx[ia[m]]])
+        out_b.append(ids[idx[ib[m]]])
+        out_h.append(d[m])
+
+    def rec(idx: np.ndarray, bits: np.ndarray) -> None:
+        n = len(idx)
+        if n < 2:
+            return
+        if n <= cap:
+            brute(idx)
+            return
+        x = h[idx]
+        ones = np.array([int(((x >> np.uint64(p)) & np.uint64(1)).sum())
+                         for p in bits])
+        var = bits[(ones > 0) & (ones < n)]
+        if len(var) < max_hamming + 1:
+            brute(idx)
+            return
+        for sb in np.array_split(var, max_hamming + 1):
+            keys = np.zeros(n, dtype=np.uint64)
+            for i, p in enumerate(sb):
+                keys |= ((x >> np.uint64(p)) & np.uint64(1)) << np.uint64(i)
+            rest = np.setdiff1d(var, sb)
+            order = np.argsort(keys, kind="stable")
+            ks = keys[order]
+            bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1], True])
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                if e - s >= 2:
+                    rec(idx[order[s:e]], rest)
+
+    rec(np.arange(len(ids)), bits)
+    if out_a:
+        return (np.concatenate(out_a), np.concatenate(out_b),
+                np.concatenate(out_h), trunc)
+    return (np.array([], dtype=ids.dtype), np.array([], dtype=ids.dtype),
+            np.array([], dtype=np.int64), trunc)
+
+
+def simhash_dedup(ds, text_col="text", id_col="doc_id", max_hamming=3,
+                  cap=256, quad_cap=2048, with_report=False):
     """Near-dup pairs by SimHash: band into 4×16-bit keys (pigeonhole: any
-    pair with Hamming<=3 collides in >=1 band), verify Hamming distance."""
+    pair with Hamming<=3 collides in >=1 band), verify Hamming distance.
+
+    Over-full buckets split recursively on sub-bands of their remaining
+    bits (exact — see _pigeonhole_pairs) instead of being dropped; the
+    only truncation left is quadratic pair output inside near-identical
+    mega-groups, and its dropped-pair count is REPORTED (sentinel rows
+    with id_a = id_b = -1 folded into a total; ``with_report=True``
+    returns (pairs, {"truncated_pairs": n}))."""
     sh = simhash_table(ds, text_col, id_col)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
@@ -376,30 +457,55 @@ def simhash_dedup(ds, text_col="text", id_col="doc_id", max_hamming=3):
         return pd.concat(out, ignore_index=True)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                              "id_b": pd.Series(dtype=np.int64),
+                              "hamming": pd.Series(dtype=np.int64),
+                              "trunc": pd.Series(dtype=np.int64)})
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        g = g.sort_values(id_col).head(256)
-        ids = g[id_col].to_numpy()
-        h = g["simhash"].to_numpy().astype(np.uint64)
-        ia, ib = np.triu_indices(len(ids), 1)
-        d = tx.hamming64(h[ia], h[ib])
-        m = d <= max_hamming
-        return pd.DataFrame({"id_a": ids[ia][m], "id_b": ids[ib][m],
-                             "hamming": d[m]})
+            return empty
+        g = g.sort_values(id_col)
+        band = int(g["band"].iloc[0])
+        bits = np.setdiff1d(np.arange(64),
+                            np.arange(16 * band, 16 * band + 16))
+        ia, ib, d, trunc = _pigeonhole_pairs(
+            g[id_col].to_numpy(), g["simhash"].to_numpy().astype(np.uint64),
+            bits, max_hamming, cap, quad_cap)
+        out = pd.DataFrame({"id_a": ia, "id_b": ib, "hamming": d,
+                            "trunc": np.zeros(len(ia), dtype=np.int64)})
+        out = out.drop_duplicates(["id_a", "id_b"])  # cross-sub-band dups
+        if trunc:
+            out = pd.concat([out, pd.DataFrame(
+                {"id_a": [-1], "id_b": [-1], "hamming": [-1],
+                 "trunc": [trunc]})], ignore_index=True)
+        return out
 
-    pairs = fold_partials(
+    folded = fold_partials(
         sh.map_batches(explode, batch_format="pandas")
         .groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas"),
-        ["id_a", "id_b"], {"hamming": "min"})
-    if pairs.empty:
-        return pairs
-    return pairs.astype({"id_a": np.int64, "id_b": np.int64, "hamming": np.int64})
+        ["id_a", "id_b"], {"hamming": "min", "trunc": "sum"})
+    report = {"truncated_pairs": 0}
+    pairs = folded
+    if not folded.empty:
+        sentinel = folded["id_a"] < 0
+        report["truncated_pairs"] = int(folded.loc[sentinel, "trunc"].sum())
+        pairs = (folded[~sentinel].drop(columns=["trunc"])
+                 .astype({"id_a": np.int64, "id_b": np.int64,
+                          "hamming": np.int64}))
+    else:
+        pairs = folded.drop(columns=["trunc"], errors="ignore")
+    if report["truncated_pairs"]:
+        logging.getLogger(__name__).warning(
+            "simhash_dedup: %d candidate pairs beyond quad_cap=%d in "
+            "near-identical mega-groups were counted, not emitted",
+            report["truncated_pairs"], quad_cap)
+    return (pairs, report) if with_report else pairs
 
 
 # ------------------------------------------------------------- embeddings
 
 def embedding_near_dup(ds, vec_col="embedding", id_col="vec_id",
-                       threshold=0.95, bands=8, bits_per_band=8, seed=7):
+                       threshold=0.95, bands=8, bits_per_band=8, seed=7,
+                       block=512, bucket_cap=8192, with_report=False):
     """Near-duplicate embedding pairs: BANDED random-hyperplane LSH, then
     exact cosine verification within buckets.
 
@@ -408,7 +514,13 @@ def embedding_near_dup(ds, vec_col="embedding", id_col="vec_id",
     candidate if ANY band matches) drives the miss rate to
     ``(1 - p^bits)^bands`` — e.g. cosine 0.98 (p≈0.96): single 16-bit key
     misses ~50%, 8×8 bands miss ~0.02%. Pair dedup across bands goes
-    through the cardinality-aware fold, same as MinHash/SimHash."""
+    through the cardinality-aware fold, same as MinHash/SimHash.
+
+    Over-full buckets are verified EXACTLY in ``block``×``block`` matmul
+    tiles (memory stays bounded, no silent drop) up to ``bucket_cap``
+    members; beyond that the dropped candidate-pair count is REPORTED
+    via sentinel rows (``with_report=True`` returns
+    (pairs, {"truncated_pairs": n}))."""
 
     n_planes = bands * bits_per_band
 
@@ -429,21 +541,59 @@ def embedding_near_dup(ds, vec_col="embedding", id_col="vec_id",
             "vec": np.repeat(np.array(vec_bytes, dtype=object), bands)})
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                              "id_b": pd.Series(dtype=np.int64),
+                              "cosine": pd.Series(dtype=np.float64),
+                              "trunc": pd.Series(dtype=np.int64)})
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        g = g.sort_values(id_col).head(512)
+            return empty
+        g = g.sort_values(id_col)
+        trunc = 0
+        if len(g) > bucket_cap:
+            n0 = len(g)
+            trunc = (n0 * (n0 - 1) - bucket_cap * (bucket_cap - 1)) // 2
+            g = g.head(bucket_cap)
         ids = g[id_col].to_numpy()
         V = np.stack([np.frombuffer(b) for b in g["vec"]])
-        sim = V @ V.T
-        ia, ib = np.triu_indices(len(ids), 1)
-        m = sim[ia, ib] >= threshold
-        return pd.DataFrame({"id_a": ids[ia][m], "id_b": ids[ib][m],
-                             "cosine": sim[ia, ib][m]})
+        n = len(ids)
+        rows_a, rows_b, rows_s = [], [], []
+        for i0 in range(0, n, block):
+            Vi = V[i0:i0 + block]
+            for j0 in range(i0, n, block):
+                S = Vi @ V[j0:j0 + block].T
+                ia, ib = np.nonzero(S >= threshold)
+                gi, gj = ia + i0, ib + j0
+                m = gi < gj  # upper triangle only
+                rows_a.append(gi[m])
+                rows_b.append(gj[m])
+                rows_s.append(S[ia[m], ib[m]])
+        gi = np.concatenate(rows_a) if rows_a else np.array([], dtype=int)
+        gj = np.concatenate(rows_b) if rows_b else np.array([], dtype=int)
+        sim = np.concatenate(rows_s) if rows_s else np.array([])
+        out = pd.DataFrame({"id_a": ids[gi], "id_b": ids[gj], "cosine": sim,
+                            "trunc": np.zeros(len(gi), dtype=np.int64)})
+        if trunc:
+            out = pd.concat([out, pd.DataFrame(
+                {"id_a": [-1], "id_b": [-1], "cosine": [-1.0],
+                 "trunc": [trunc]})], ignore_index=True)
+        return out
 
-    pairs = fold_partials(
+    folded = fold_partials(
         ds.map_batches(bucket, batch_format="pandas")
         .groupby(["band", "key"]).map_groups(verify, batch_format="pandas"),
-        ["id_a", "id_b"], {"cosine": "max"})
-    if pairs.empty:
-        return pairs
-    return pairs.astype({"id_a": np.int64, "id_b": np.int64})
+        ["id_a", "id_b"], {"cosine": "max", "trunc": "sum"})
+    report = {"truncated_pairs": 0}
+    pairs = folded
+    if not folded.empty:
+        sentinel = folded["id_a"] < 0
+        report["truncated_pairs"] = int(folded.loc[sentinel, "trunc"].sum())
+        pairs = (folded[~sentinel].drop(columns=["trunc"])
+                 .astype({"id_a": np.int64, "id_b": np.int64}))
+    else:
+        pairs = folded.drop(columns=["trunc"], errors="ignore")
+    if report["truncated_pairs"]:
+        logging.getLogger(__name__).warning(
+            "embedding_near_dup: %d candidate pairs beyond bucket_cap=%d "
+            "were counted, not verified", report["truncated_pairs"],
+            bucket_cap)
+    return (pairs, report) if with_report else pairs

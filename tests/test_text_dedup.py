@@ -248,3 +248,82 @@ def test_connected_components_long_chain_converges(ray_session):
                              num_partitions=2)
     assert len(out) == n
     assert (out["component"] == 0).all()
+
+
+def test_pigeonhole_pairs_exact_on_hot_bucket():
+    """The recursive bucket kernel finds EVERY Hamming<=3 pair in a bucket
+    far larger than the brute-force cap — bit-identical to an O(n^2)
+    reference — including pairs the old head(256) truncation dropped."""
+    from anomaly_detection_ray.functions import text as tx
+    from anomaly_detection_ray.stages.dedup import _pigeonhole_pairs
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    base = rng.integers(0, 2**48, size=n, dtype=np.uint64) << np.uint64(16)
+    h = base.copy()  # band 0 (bits 0..15) identical: one hot bucket
+    # plant close pairs across the WHOLE id range (old cap kept first 256)
+    for i in range(0, n - 1, 97):
+        h[i + 1] = h[i] ^ (np.uint64(1) << np.uint64(rng.integers(16, 64)))
+    ids = np.arange(n, dtype=np.int64)
+    bits = np.arange(16, 64)
+    ia, ib, d, trunc = _pigeonhole_pairs(ids, h, bits, 3, cap=64,
+                                         quad_cap=100_000)
+    assert trunc == 0
+    got = {tuple(sorted((int(a), int(b)))) for a, b in zip(ia, ib)}
+    ti, tj = np.triu_indices(n, 1)
+    dd = tx.hamming64(h[ti], h[tj])
+    want = {tuple(sorted((int(ids[i]), int(ids[j]))))
+            for i, j in zip(ti[dd <= 3], tj[dd <= 3])}
+    assert got == want and len(want) > 15  # pairs live beyond index 256
+
+
+def test_pigeonhole_mega_group_counts_truncation():
+    """A near-identical mega-group beyond quad_cap truncates its quadratic
+    pair OUTPUT with an exact dropped-pair count — never silently."""
+    from anomaly_detection_ray.stages.dedup import _pigeonhole_pairs
+    n, qc = 3000, 100
+    h = np.full(n, 0xDEAD0000, dtype=np.uint64)
+    ids = np.arange(n, dtype=np.int64)
+    ia, ib, d, trunc = _pigeonhole_pairs(ids, h, np.arange(16, 64), 3,
+                                         cap=64, quad_cap=qc)
+    assert len(ia) == qc * (qc - 1) // 2
+    assert trunc == n * (n - 1) // 2 - qc * (qc - 1) // 2
+    assert (d == 0).all()
+
+
+def test_simhash_dedup_reports_truncation(ray_session):
+    """End-to-end: identical texts form an identical-simhash mega-group;
+    with a tiny quad_cap the dropped-pair count surfaces in the report."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages import dedup
+    df = pd.DataFrame({"doc_id": range(80),
+                       "text": ["the same exact document body"] * 80})
+    pairs, report = dedup.simhash_dedup(rd.from_pandas(df), max_hamming=3,
+                                        cap=16, quad_cap=10,
+                                        with_report=True)
+    assert report["truncated_pairs"] > 0
+    assert (pairs["id_a"] >= 0).all()  # sentinel rows stripped
+    # emitted + per-band counted >= the true pair count for one band
+    assert len(pairs) == 10 * 9 // 2
+
+
+def test_embedding_near_dup_exact_beyond_old_cap(ray_session):
+    """A hot bucket of 700 near-identical vectors: every one of the
+    n*(n-1)/2 pairs is verified (the old head(512) silently dropped 188
+    members' pairs); with a small bucket_cap the drop is counted."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages import dedup
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=32)
+    vecs = base + rng.normal(scale=1e-4, size=(700, 32))
+    df = pd.DataFrame({"vec_id": range(700), "embedding": list(vecs)})
+    pairs = dedup.embedding_near_dup(rd.from_pandas(df), threshold=0.999)
+    assert len(pairs) == 700 * 699 // 2
+
+    capped, report = dedup.embedding_near_dup(
+        rd.from_pandas(df), threshold=0.999, bucket_cap=100,
+        with_report=True)
+    assert len(capped) == 100 * 99 // 2
+    assert report["truncated_pairs"] > 0
