@@ -11,12 +11,17 @@ lineage manifest so a failed run resumes.
 Two-pass shape (the validate.py pass-A/pass-B design):
 
 - **Pass A (global, always runs)** — duplicate discovery. Exact victims
-  from per-batch (hash, id) partials + the cardinality-aware fold; near
-  victims from the staged MinHash-LSH pipeline + connected components.
-  Output is the DROP SET: O(duplicates) ids, broadcast once via
-  ``ray.put``. It must be global (duplicates straddle partitions — the
-  round-1 resume-dup-scope lesson) and is cheap because it never touches
-  more than hashes/signatures.
+  from per-batch (hash, id) partials; near victims from the staged
+  MinHash-LSH pipeline + connected components. It must be global
+  (duplicates straddle partitions — the round-1 resume-dup-scope lesson)
+  and never touches more than hashes/signatures. The drop set applies in
+  one of two regimes (``drop_mode``): **broadcast** — O(duplicates) id
+  array shipped once via ``ray.put``, probed per batch (right size while
+  it fits a worker heap); **anti_join** — victims stay a Dataset end to
+  end and are removed by the distributed groupby anti-join
+  (stages/joins.anti_join_keys), the dup-heavy-corpus path where a
+  driver-resident set would be tens of GB. ``auto`` switches on the
+  corpus row estimate.
 - **Pass B (per partition, resumable)** — curation. Partition =
   ``doc_id % P`` (deterministic; a production corpus would be stored
   partition-keyed like the clip table, turning the vectorized partition
@@ -54,6 +59,14 @@ class TextPrepConfig:
     near_dup_threshold: float = 0.8  # MinHash est-jaccard; 0 disables
     batch_size: int = 2048
     concurrency: int = 0             # 0 = auto (pool_size)
+    # Drop-set application regime: "broadcast" ships the victim-id array
+    # via ray.put (only sane while it fits comfortably in a worker heap);
+    # "anti_join" keeps victims as a Dataset and removes them with the
+    # native shuffle left_anti join (corpus exchanged once — the price of
+    # a drop set too large to hold on the driver); "auto" picks by the
+    # corpus row estimate (victims <= rows, so rows is a safe bound).
+    drop_mode: str = "auto"
+    drop_broadcast_max_rows: int = 5_000_000
 
 
 @ray.remote(num_cpus=0)
@@ -134,8 +147,61 @@ def run_text_prep(path: str, out_dir: str,
     ds = rd.read_parquet(path, columns=["doc_id", "text"])
     # pass A: global drop set (dup scope must span ALL partitions even on
     # a resumed run — recomputed each run, deterministic and cheap)
-    drop_ids = discover_drop_ids(ds, near_dup_threshold=cfg.near_dup_threshold)
-    drop_ref = ray.put(np.array(sorted(drop_ids), dtype=np.int64))
+    mode = cfg.drop_mode
+    if mode == "auto":
+        from .validate import estimate_rows
+        est = estimate_rows(path)
+        mode = ("broadcast" if est is not None
+                and est <= cfg.drop_broadcast_max_rows else "anti_join")
+    vic_pid_counts: dict[int, int] = {}
+    if mode == "broadcast":
+        drop_ids = discover_drop_ids(
+            ds, near_dup_threshold=cfg.near_dup_threshold)
+        drop_ref = ray.put(np.array(sorted(drop_ids), dtype=np.int64))
+    else:
+        # victims stay a Dataset end to end: distributed exact-victim
+        # groups unioned with minhash cluster members, distinct by id,
+        # removed via the native shuffle left_anti join — no driver set,
+        # no O(duplicates) broadcast.
+        import pyarrow as pa
+
+        def pin_ids(t: pa.Table) -> pa.Table:
+            # upstream groupby stages can emit EMPTY blocks with no
+            # columns (ray 2.49 wart) — normalize every block to a typed
+            # (doc_id) schema so the union/groupby/anti-join below never
+            # see schema drift
+            ids = (t["doc_id"].to_numpy(zero_copy_only=False)
+                   if "doc_id" in t.column_names else [])
+            return pa.table({"doc_id": pa.array(np.asarray(ids, np.int64),
+                                                type=pa.int64())})
+
+        victims = dd.exact_dedup_victims(ds).map_batches(
+            pin_ids, batch_format="pyarrow")
+        if cfg.near_dup_threshold > 0:
+            clusters = dd.minhash_dedup(
+                ds, threshold=cfg.near_dup_threshold)
+            if len(clusters):
+                victims = victims.union(
+                    rd.from_pandas(clusters[["doc_id"]].astype(np.int64)))
+        victims = (victims.groupby("doc_id")
+                   .map_groups(lambda g: g.head(1), batch_format="pandas")
+                   .map_batches(pin_ids, batch_format="pyarrow"))
+        # per-partition victim counts (P-row aggregate) so the metrics
+        # frame still reports docs/drop_dup as the broadcast regime does
+        vic_pid = victims.map_batches(
+            lambda df: (df.assign(partition_id=df["doc_id"]
+                                  .to_numpy(np.int64) % cfg.P)
+                        .groupby("partition_id", as_index=False)
+                        .agg(n=("doc_id", "size"))),
+            batch_format="pandas").to_pandas()
+        if len(vic_pid):
+            vic_pid = vic_pid.groupby("partition_id", as_index=False).agg(
+                n=("n", "sum"))
+            vic_pid_counts = dict(zip(vic_pid["partition_id"].astype(int),
+                                      vic_pid["n"].astype(int)))
+        from ..stages.joins import anti_join_keys
+        ds = anti_join_keys(ds, victims, "doc_id")
+        drop_ref = ray.put(np.array([], dtype=np.int64))
 
     acc = _CurateMetrics.remote()
     cfg_d = asdict(cfg)
@@ -183,6 +249,21 @@ def run_text_prep(path: str, out_dir: str,
     survivors.write_parquet(docs_path, partition_cols=["partition_id"])
     metrics = ray.get(acc.total.remote())
     ray.kill(acc)
+    if vic_pid_counts:  # anti_join regime: victims never reached curate —
+        # fold their per-partition counts back into docs/drop_dup
+        rows = {int(r["partition_id"]): dict(r)
+                for _, r in metrics.iterrows()}
+        for pid, n in vic_pid_counts.items():
+            if pid not in todo:
+                continue
+            e = rows.setdefault(pid, {"partition_id": pid, "docs": 0,
+                                      "kept": 0, "drop_dup": 0,
+                                      "drop_lang": 0, "drop_quality": 0})
+            e["docs"] += n
+            e["drop_dup"] += n
+        metrics = (pd.DataFrame(sorted(rows.values(),
+                                       key=lambda e: e["partition_id"]))
+                   [["partition_id", *METRIC_KEYS]])
 
     ckpt.finish_partitioned_run(out_dir, manifest, cfg_hash, metrics, todo,
                                 METRIC_KEYS, path)

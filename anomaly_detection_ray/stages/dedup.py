@@ -66,6 +66,28 @@ def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
     return partials.groupby("text_hash").map_groups(merge, batch_format="pandas")
 
 
+def exact_dedup_victims(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Victim ids (every member of a >=2 content group except the min id)
+    as a DATASET — the fully distributed complement of exact_dedup for
+    drop-set application by anti-join when the victim set is too large to
+    broadcast. Shuffles one slim (hash, id) row per doc; groups emit
+    victims only, so the output is O(duplicates) and never lands on the
+    driver."""
+    def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"text_hash": md5_hex(df[text_col]),
+                             id_col: df[id_col]})
+
+    hashed = ds.map_batches(hash_batch, batch_format="pandas")
+
+    def victims(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({id_col: pd.Series(dtype=np.int64)})
+        return g.loc[g[id_col] != g[id_col].min(), [id_col]]
+
+    return hashed.groupby("text_hash").map_groups(victims,
+                                                  batch_format="pandas")
+
+
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Survivor rows (first id per content hash)."""
     def hash_batch(df: pd.DataFrame) -> pd.DataFrame:

@@ -82,3 +82,52 @@ def skew_aware_join(left, right, left_on: str, right_on: str,
 
     from ..functions.rayutil import arrowize
     return arrowize(hot_out).union(arrowize(cold_out))
+
+
+def anti_join_keys(left, keys, on: str):
+    """Distributed LEFT ANTI join against a key-only Dataset.
+
+    Removes every left row whose ``on`` value appears in ``keys`` without
+    ever collecting the key set on the driver — the drop-set application
+    path for victim sets too large to broadcast (pipelines/text_prep).
+
+    Routed through the groupby machinery rather than the native
+    ``Dataset.join(join_type="left_anti")``: ray 2.49's hash-shuffle join
+    intermittently fails ("No match ... for key field reference on right
+    side") when right hash partitions come up EMPTY, which a sparse drop
+    set guarantees. Shape: tag both sides, union (right rows null-padded
+    to the left schema), group by key, emit only untagged groups. One
+    all-to-all exchange of the left side — the inherent cost of a filter
+    set that cannot be broadcast."""
+    import pyarrow as pa
+
+    schema = left.schema().base_schema
+    names = list(schema.names)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = t.select(names)
+        return t.append_column(
+            "__side", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        # empty blocks out of upstream groupby stages can arrive with NO
+        # columns at all (ray 2.49 wart); normalize them to the schema
+        n = t.num_rows if on in t.column_names else 0
+        cols = {}
+        for c in names:
+            typ = schema.field(c).type
+            cols[c] = (t[on].cast(typ) if c == on and n
+                       else pa.nulls(n, type=typ))
+        return pa.table(cols).append_column(
+            "__side", pa.array(np.ones(n, dtype=np.int8)))
+
+    both = (left.map_batches(tag_left, batch_format="pyarrow")
+            .union(keys.map_batches(tag_right, batch_format="pyarrow")))
+
+    def keep_unmatched(t: pa.Table) -> pa.Table:
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        out = t.drop_columns(["__side"])
+        return out.slice(0, 0) if (side == 1).any() else out
+
+    return both.groupby(on).map_groups(keep_unmatched,
+                                       batch_format="pyarrow")

@@ -129,3 +129,29 @@ def test_empty_partition_marked_done(ray_session, tmp_path):
     res2 = run_text_prep(src, out, cfg, resume=True)
     assert res2["skipped_partitions"] == [0, 1, 2, 3]
     assert res2["wall_sec"] == 0.0
+
+
+def test_anti_join_regime_matches_broadcast(ray_session, tmp_path_factory):
+    """Forcing the large (anti_join) drop-set regime yields EXACTLY the
+    broadcast regime's survivors and metrics — same victims removed, same
+    per-partition docs/kept/drop_* accounting — with no driver-resident
+    victim set. (Fresh out dirs for both regimes: earlier tests rewrite
+    the module fixture's dir with a different config.)"""
+    from anomaly_detection_ray.pipelines.text_prep import (TextPrepConfig,
+                                                           run_text_prep)
+    out_bc = str(tmp_path_factory.mktemp("tp_bc"))
+    res_bc = run_text_prep(DOCS, out_bc,
+                           TextPrepConfig(P=4, drop_mode="broadcast"),
+                           resume=False)
+    out_aj = str(tmp_path_factory.mktemp("tp_aj"))
+    res_aj = run_text_prep(DOCS, out_aj,
+                           TextPrepConfig(P=4, drop_mode="anti_join"),
+                           resume=False)
+
+    a = _written(out_bc).sort_values("doc_id").reset_index(drop=True)
+    b = _written(out_aj).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+
+    ma = res_bc["metrics"].sort_values("partition_id").reset_index(drop=True)
+    mb = res_aj["metrics"].sort_values("partition_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(ma.astype("int64"), mb.astype("int64"))
