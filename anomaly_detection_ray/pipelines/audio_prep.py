@@ -53,24 +53,9 @@ class AudioPrepConfig:
     concurrency: int = 0            # 0 = auto (decode_pool_size)
 
 
-@ray.remote(num_cpus=0)
-class _PrepMetrics:
-    """Side-channel accumulator: per-partition prep counters."""
-
-    def __init__(self):
-        self.rows: dict[int, dict] = {}
-
-    def add(self, partials: list[dict]) -> None:
-        for p in partials:
-            pid = int(p["partition_id"])
-            e = self.rows.setdefault(pid, {"clips": 0, "kept": 0, "segments": 0,
-                                           "drop_quality": 0, "drop_decode": 0})
-            for k in e:
-                e[k] += int(p[k])
-
-    def total(self) -> pd.DataFrame:
-        return pd.DataFrame([{"partition_id": p, **e}
-                             for p, e in sorted(self.rows.items())])
+# Side-channel accumulation: pipelines/sidechannel.ShardedSink — sharded
+# zero-CPU actors, blocking ack, content-key idempotent under task retry.
+from .sidechannel import ShardedSink  # noqa: E402
 
 
 class AudioPrep:
@@ -136,10 +121,15 @@ class AudioPrep:
             for p, n in zip(u, c):
                 stats[int(p)]["segments"] += int(n)
         if self.metrics is not None:
-            # block on the ack so the driver's total() cannot outrun
-            # in-flight adds from other workers (validate.py:405)
-            ray.get(self.metrics.add.remote(
-                [{"partition_id": p, **e} for p, e in stats.items()]))
+            # blocking sharded ack + content key (see sidechannel.py): the
+            # driver's total() cannot outrun in-flight adds, and a retried
+            # batch re-adds idempotently
+            import hashlib
+            key = hashlib.md5(b"".join(
+                s.encode() for s in t["clip_id"].to_pylist()
+                if s is not None)).digest()
+            self.metrics.add_sync(key, [{"partition_id": p, **e}
+                                        for p, e in stats.items()])
         return pa.table({
             "clip_id": pa.array(ids, type=pa.string()),
             "partition_id": pa.array(pids, type=pa.int32()),
@@ -175,7 +165,7 @@ def run_audio_prep(path: str, out_dir: str,
 
     ds = read_clips(path, columns=["clip_id", "bytes", "partition_id"],
                     partitions=todo if done else None)
-    acc = _PrepMetrics.remote()
+    acc = ShardedSink()
     pool = cfg.concurrency or decode_pool_size()
     segs = ds.map_batches(
         AudioPrep,
@@ -184,8 +174,8 @@ def run_audio_prep(path: str, out_dir: str,
         concurrency=pool, num_cpus=1)
 
     segs.write_parquet(seg_path, partition_cols=["partition_id"])
-    metrics = ray.get(acc.total.remote())
-    ray.kill(acc)
+    metrics = acc.total()
+    acc.kill()
 
     ckpt.finish_partitioned_run(out_dir, manifest, cfg_hash, metrics, todo,
                                 METRIC_KEYS, path)

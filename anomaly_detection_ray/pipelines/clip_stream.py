@@ -287,7 +287,7 @@ class ClipStreamValidator:
         # ---- pass B on the new rows (cumulative dur baseline)
         dur_cum = self.state["dur"].merge(dur_new)
         pass_a = {"dup_hashes": dup_hashes, "dur_stats": dur_cum}
-        acc = vp.MetricsAccumulator.remote()
+        acc = vp.ShardedSink()
         verdicts = vp.build_pass_b(ds, cfg, pass_a, metrics_actor=acc)
         violations = verdicts.map_batches(
             lambda t: t.filter(pc.equal(t["status_code"], vp.ERROR_CODE)),
@@ -298,8 +298,8 @@ class ClipStreamValidator:
             shutil.rmtree(viol_dir)
         os.makedirs(viol_dir, exist_ok=True)
         violations.write_parquet(viol_dir, partition_cols=["partition_id"])
-        metrics = ray.get(acc.total.remote())
-        ray.kill(acc)
+        metrics = acc.total()
+        acc.kill()
         n_viol = (int(metrics["status_code_errors"].sum())
                   if not metrics.empty else 0)
 

@@ -62,32 +62,16 @@ class TextPrepConfig:
     # Drop-set application regime: "broadcast" ships the victim-id array
     # via ray.put (only sane while it fits comfortably in a worker heap);
     # "anti_join" keeps victims as a Dataset and removes them with the
-    # native shuffle left_anti join (corpus exchanged once — the price of
+    # distributed groupby anti-join (corpus exchanged once — the price of
     # a drop set too large to hold on the driver); "auto" picks by the
     # corpus row estimate (victims <= rows, so rows is a safe bound).
     drop_mode: str = "auto"
     drop_broadcast_max_rows: int = 5_000_000
 
 
-@ray.remote(num_cpus=0)
-class _CurateMetrics:
-    """Side-channel accumulator: per-partition curation counters."""
-
-    def __init__(self):
-        self.rows: dict[int, dict] = {}
-
-    def add(self, partials: list[dict]) -> None:
-        for p in partials:
-            pid = int(p["partition_id"])
-            e = self.rows.setdefault(pid, {
-                "docs": 0, "kept": 0, "drop_dup": 0, "drop_lang": 0,
-                "drop_quality": 0})
-            for k in e:
-                e[k] += int(p[k])
-
-    def total(self) -> pd.DataFrame:
-        return pd.DataFrame([{"partition_id": p, **e}
-                             for p, e in sorted(self.rows.items())])
+# Side-channel accumulation: pipelines/sidechannel.ShardedSink — sharded
+# zero-CPU actors, blocking ack, content-key idempotent under task retry.
+from .sidechannel import ShardedSink  # noqa: E402
 
 
 def discover_drop_ids(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -161,7 +145,7 @@ def run_text_prep(path: str, out_dir: str,
     else:
         # victims stay a Dataset end to end: distributed exact-victim
         # groups unioned with minhash cluster members, distinct by id,
-        # removed via the native shuffle left_anti join — no driver set,
+        # removed via the distributed groupby anti-join — no driver set,
         # no O(duplicates) broadcast.
         import pyarrow as pa
 
@@ -203,7 +187,7 @@ def run_text_prep(path: str, out_dir: str,
         ds = anti_join_keys(ds, victims, "doc_id")
         drop_ref = ray.put(np.array([], dtype=np.int64))
 
-    acc = _CurateMetrics.remote()
+    acc = ShardedSink()
     cfg_d = asdict(cfg)
     todo_arr = np.array(todo, dtype=np.int64)
 
@@ -234,10 +218,12 @@ def run_text_prep(path: str, out_dir: str,
                 "drop_lang": int((m & ~is_dup & ~lang_ok).sum()),
                 "drop_quality": int((m & ~is_dup & lang_ok & ~q_ok).sum()),
             }
-        # BLOCK on the ack: a fire-and-forget add can lose the race with
-        # the driver's total() after the write finishes (validate.py:405)
-        ray.get(acc.add.remote(
-            [{"partition_id": p, **e} for p, e in stats.items()]))
+        # blocking sharded ack + content key: can't lose the race with
+        # the driver's total(), and a retried task re-adds idempotently
+        import hashlib
+        key = hashlib.md5(df["doc_id"].to_numpy(np.int64).tobytes()).digest()
+        acc.add_sync(key, [{"partition_id": p, **e}
+                           for p, e in stats.items()])
         out = df.loc[keep, ["doc_id", "text"]].copy()
         out.insert(1, "partition_id", pid[keep].astype(np.int32))
         out["lang"] = lang[keep]
@@ -247,8 +233,8 @@ def run_text_prep(path: str, out_dir: str,
     survivors = ds.map_batches(curate, batch_format="pandas",
                                batch_size=cfg.batch_size)
     survivors.write_parquet(docs_path, partition_cols=["partition_id"])
-    metrics = ray.get(acc.total.remote())
-    ray.kill(acc)
+    metrics = acc.total()
+    acc.kill()
     if vic_pid_counts:  # anti_join regime: victims never reached curate —
         # fold their per-partition counts back into docs/drop_dup
         rows = {int(r["partition_id"]): dict(r)

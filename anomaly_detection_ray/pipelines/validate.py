@@ -316,28 +316,10 @@ def _fold_welford_keyed(df: pd.DataFrame) -> pd.DataFrame:
 
 # --------------------------------------------------------------- pass B
 
-@ray.remote(num_cpus=0)
-class MetricsAccumulator:
-    """Side-output collector for per-batch metric partials (the InfluxOutput
-    analogue without a second pass over the verdicts). ``add`` is idempotent
-    under Ray task retries: the content key of an already-seen batch is
-    dropped, so at-least-once execution still counts each batch once."""
-
-    def __init__(self):
-        self._seen: set[bytes] = set()
-        self._rows: list[dict] = []
-
-    def add(self, key: bytes, rows: list[dict]) -> None:
-        if key in self._seen:
-            return
-        self._seen.add(key)
-        self._rows.extend(rows)
-
-    def total(self) -> pd.DataFrame:
-        if not self._rows:
-            return pd.DataFrame()
-        return (pd.DataFrame(self._rows)
-                .groupby("partition_id", as_index=False).sum())
+# Side-output collection lives in pipelines/sidechannel.ShardedSink:
+# content-key idempotent under task retries, blocking ack, sharded over
+# zero-CPU actors so no single actor serializes every batch.
+from .sidechannel import ShardedSink  # noqa: E402  (re-export for callers)
 
 
 def _batch_metric_rows(t: pa.Table) -> list[dict]:
@@ -435,7 +417,7 @@ def build_pass_b(full_ds, cfg: ValidateConfig, pass_a: dict,
             key = hashlib.md5(
                 b"".join(s.encode() for s in t["clip_id"].to_pylist()
                          if s is not None)).digest()
-            ray.get(metrics_actor.add.remote(key, _batch_metric_rows(t)))
+            metrics_actor.add_sync(key, _batch_metric_rows(t))
             return t
 
         ds = ds.map_batches(emit_metrics, batch_format="pyarrow")
@@ -487,7 +469,7 @@ def run_validation(path: str, out_dir: str, cfg: ValidateConfig | None = None,
                         dup_mode=dup_mode)
 
     full_ds = read_clips(path, partitions=partitions_filter)
-    acc = MetricsAccumulator.remote()
+    acc = ShardedSink()
     verdict_ds = build_pass_b(full_ds, cfg, pass_a, metrics_actor=acc)
 
     viol_path = os.path.join(out_dir, "violations")
@@ -498,8 +480,8 @@ def run_validation(path: str, out_dir: str, cfg: ValidateConfig | None = None,
     _clear_partition_dirs(viol_path, todo)
     # the ONE consumer: drives checks + metrics side output + write
     violations.write_parquet(viol_path, partition_cols=["partition_id"])
-    metrics = ray.get(acc.total.remote())
-    ray.kill(acc)
+    metrics = acc.total()
+    acc.kill()
 
     drift_df = pass_a["drift"]
     drift_fail = set(drift_df.loc[drift_df["drift_code"] == ERROR_CODE, "partition_id"])

@@ -182,8 +182,11 @@ def test_crash_before_commit_replays_without_double_count(tmp_path,
     vc = ClipStreamValidator(watch, out_c, cfg, ledger_buckets=4)
     vc.poll_once()
     assert vc.state["rows"] == 350
-    assert (vc.state["dur"].n, vc.state["dur"].mean) == \
-        (v2.state["dur"].n, v2.state["dur"].mean)
+    assert vc.state["dur"].n == v2.state["dur"].n
+    # merge ORDER of Welford partials follows batch arrival order, so the
+    # mean can differ in the last ulp between runs — never by a count
+    np.testing.assert_allclose(vc.state["dur"].mean, v2.state["dur"].mean,
+                               rtol=1e-12)
     got = {r["column"]: np.asarray(r["counts"])
            for _, r in v2.state["hist"].iterrows()}
     for _, r in vc.state["hist"].iterrows():
