@@ -31,9 +31,12 @@ needing exact infinite-memory semantics should run batch over the full
 table. Late data: by default rows older than the carried tail are graded
 against the warm state as-is (no retraction; watermark = oldest carried
 row). With ``allowed_lateness_s`` set, an explicit event-time watermark is
-kept in the manifest (max seen ``ts`` minus the lateness); rows behind it
-are diverted to ``<out_dir>/late/poll=*`` — never graded, never entering
-state — so in-time verdicts keep batch parity even under disorder.
+kept in the manifest — PER SERIES KEY on a keyed stream (skewed arrival
+across series must not classify a slow-but-ordered series as late), scalar
+on an unkeyed one; rows behind their series' max seen ``ts`` minus the
+lateness are diverted to ``<out_dir>/late/poll=*`` — never graded, never
+entering state — so in-time verdicts keep batch parity even under
+disorder.
 
 Scale: state flows through parquet + the object store, never the driver;
 one ``groupby(key).map_groups`` shuffle per poll; the graded micro-batch
@@ -169,31 +172,50 @@ class StreamRunner:
         n_late = 0
         if self.allowed_lateness_s is not None:
             # event-time watermark (Structured-Streaming-style): rows older
-            # than max-seen-ts − lateness are routed to a late-rows side
-            # output — never graded, never entering kernel state, so
-            # bounded-window batch-parity is preserved for in-time rows.
-            # The micro-batch is materialized ONCE (it is small by
-            # definition) so the split/count/max passes below reuse blocks
-            # instead of re-parsing the message files per aggregate.
+            # than their series' watermark − lateness are routed to a
+            # late-rows side output — never graded, never entering kernel
+            # state, so bounded-window batch-parity is preserved for
+            # in-time rows. The watermark is kept PER SERIES KEY when the
+            # stream is keyed (skewed per-series arrival must not classify
+            # a slow-but-ordered series as late just because a fast series
+            # advanced a global clock); an unkeyed stream keeps the scalar
+            # watermark. Manifest forms: float (unkeyed, and round-2
+            # legacy, honored as a floor for every series) or
+            # {str(key): ts}. The micro-batch is materialized ONCE (it is
+            # small by definition) so the split/count/max passes below
+            # reuse blocks instead of re-parsing the message files.
             ds = ds.materialize()
-            wm = self.manifest.get("watermark_ts")
-            if wm is not None:
-                cutoff = float(wm) - self.allowed_lateness_s
+            lateness = self.allowed_lateness_s
+            wm_key = self.key_col  # None => one global series
+            raw_wm = self.manifest.get("watermark_ts")
+            if isinstance(raw_wm, dict):
+                wm_map = {k: float(v) for k, v in raw_wm.items()}
+            elif raw_wm is not None:
+                # scalar: the unkeyed stream's watermark, or a legacy
+                # global one for a keyed stream (floor for every series)
+                wm_map = {"__global__": float(raw_wm)}
+            else:
+                wm_map = {}
+            if wm_map:
+                glob_wm = wm_map.get("__global__")
 
-                def _late_mask(t):
-                    import pyarrow.compute as pc
-                    # null-safe: a null ts is NOT late (it flows to grading
-                    # where the kernels handle it — never silently dropped)
-                    return pc.fill_null(pc.less(t["ts"], cutoff), False)
+                def _late_mask(df: pd.DataFrame) -> np.ndarray:
+                    # numpy NaN semantics make this null-safe: a null ts
+                    # (NaN) is never late (it flows to grading, where the
+                    # kernels handle it), and an unseen series key (NaN
+                    # cutoff) is never late either
+                    ts = df["ts"].to_numpy(np.float64)
+                    if wm_key is None:
+                        w = np.full(len(df), glob_wm, dtype=np.float64)
+                    else:
+                        mapped = df[wm_key].astype(str).map(wm_map)
+                        if glob_wm is not None:
+                            mapped = mapped.fillna(glob_wm)
+                        w = mapped.to_numpy(np.float64)
+                    return ts < (w - lateness)
 
-                def keep_late(t):
-                    return t.filter(_late_mask(t))
-
-                def keep_in_time(t):
-                    import pyarrow.compute as pc
-                    return t.filter(pc.invert(_late_mask(t)))
-
-                late = ds.map_batches(keep_late, batch_format="pyarrow")
+                late = ds.map_batches(lambda df: df[_late_mask(df)],
+                                      batch_format="pandas")
                 n_late = late.count()
                 if n_late:
                     # side output stays in Ray (never the driver); the dir
@@ -203,7 +225,8 @@ class StreamRunner:
                                             f"poll={poll_id}")
                     shutil.rmtree(late_dir, ignore_errors=True)
                     late.write_parquet(late_dir)
-                    ds = ds.map_batches(keep_in_time, batch_format="pyarrow")
+                    ds = ds.map_batches(lambda df: df[~_late_mask(df)],
+                                        batch_format="pandas")
                     if ds.count() == 0:
                         # every row was late: the files ARE processed (into
                         # the side output) — commit them, leave kernel state
@@ -211,10 +234,28 @@ class StreamRunner:
                         return self._commit(poll_id, files, ledger,
                                             rows=0, violations=0,
                                             n_late=n_late)
-            batch_max = ds.max("ts")
-            if batch_max is not None:  # None when every in-time ts is null
-                self.manifest["watermark_ts"] = float(
-                    max(wm, batch_max) if wm is not None else batch_max)
+            # advance watermarks from the IN-TIME rows only
+            if wm_key is None:
+                batch_max = ds.max("ts")
+                if batch_max is not None:  # None when every in-time ts null
+                    prev = wm_map.get("__global__")
+                    self.manifest["watermark_ts"] = float(
+                        max(prev, batch_max) if prev is not None
+                        else batch_max)
+            else:
+                parts = ds.map_batches(
+                    lambda df: (df.groupby(wm_key, as_index=False)
+                                .agg(ts=("ts", "max"))),
+                    batch_format="pandas").to_pandas()
+                if len(parts):
+                    mx = parts.groupby(wm_key)["ts"].max()
+                    for k, v in mx.items():
+                        if not pd.isna(v):
+                            ks = str(k)
+                            wm_map[ks] = max(wm_map.get(ks, -np.inf),
+                                             float(v))
+                self.manifest["watermark_ts"] = {
+                    k: v for k, v in wm_map.items()}
         key = self.key_col
         if key is None:
             key = "__stream__"
@@ -311,7 +352,11 @@ class StreamRunner:
         idle = 0
         while True:
             rec = self.poll_once()
-            if rec["rows"] == 0:
+            if not rec["files"]:
+                # idle = NO files arrived. A poll whose files were all
+                # late rows (rows == 0 but files committed) still did
+                # work — it must reset the idle counter and keep its
+                # record, or a disordered stream could stop the loop early
                 idle += 1
                 if stop_after_idle is not None and idle >= stop_after_idle:
                     return records

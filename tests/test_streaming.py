@@ -282,3 +282,64 @@ def test_warm_start_skips_only_done_files(ray_session, tmp_path):
 def StreamRunnerFactory(watch_dir, out_dir):
     from anomaly_detection_ray.sources.streaming import StreamRunner
     return StreamRunner(CONF, watch_dir, out_dir, state_rows=64)
+
+
+def test_per_key_watermark_tolerates_series_skew(ray_session, tmp_path):
+    """Per-key event-time watermarks: a fast series advancing its own
+    clock far ahead must NOT make a slow-but-ordered series' rows late
+    (the round-2 global watermark did exactly that). A row genuinely late
+    for its OWN series still diverts."""
+    from anomaly_detection_ray.sources.streaming import StreamRunner
+
+    topic = tmp_path / "topic"
+    topic.mkdir()
+    out = str(tmp_path / "out")
+    dfa = pd.DataFrame({"timestamp": np.arange(100.0, 200.0),
+                        "ftr_vector": 50.0, "labelInfo": "A"})
+    dfb = pd.DataFrame({"timestamp": np.arange(0.0, 10.0),
+                        "ftr_vector": 50.0, "labelInfo": "B"})
+    pd.concat([dfa, dfb]).to_csv(topic / "p1.csv", index=False)
+    runner = StreamRunner(CONF, str(topic), out, key_col="labelInfo",
+                          state_rows=64, allowed_lateness_s=5.0)
+    rec1 = runner.poll_once()
+    assert rec1["rows"] == 110 and rec1["late"] == 0
+    assert runner.manifest["watermark_ts"] == {"A": 199.0, "B": 9.0}
+
+    # B@12 is behind A's clock (199-5) but in time for B -> must grade
+    # (value 500 violates the border, proving it graded); A@100 is late
+    # for A's own watermark -> diverted
+    pd.DataFrame({"timestamp": [12.0, 100.0], "ftr_vector": [500.0, 500.0],
+                  "labelInfo": ["B", "A"]}).to_csv(topic / "p2.csv",
+                                                   index=False)
+    rec2 = runner.poll_once()
+    assert rec2["rows"] == 1 and rec2["late"] == 1
+    assert rec2["violations"] == 1  # the in-time B row graded (and failed)
+    late = pd.concat([pd.read_parquet(p) for p in glob.glob(
+        os.path.join(out, "late", "poll=*", "*.parquet"))])
+    assert late["labelInfo"].tolist() == ["A"]
+    assert runner.manifest["watermark_ts"]["B"] == 12.0
+    assert runner.manifest["watermark_ts"]["A"] == 199.0  # untouched by late
+
+
+def test_late_only_poll_is_not_idle(ray_session, tmp_path):
+    """run(): a poll whose files were ALL late rows still committed those
+    files — it must reset the idle counter and keep its record instead of
+    stopping the loop early."""
+    from anomaly_detection_ray.sources.streaming import StreamRunner
+
+    topic = tmp_path / "topic"
+    topic.mkdir()
+    out = str(tmp_path / "out")
+    pd.DataFrame({"timestamp": np.arange(100.0),
+                  "ftr_vector": np.full(100, 50.0)}).to_csv(
+        topic / "p1.csv", index=False)
+    runner = StreamRunner(CONF, str(topic), out, state_rows=64,
+                          allowed_lateness_s=5.0)
+    runner.poll_once()  # watermark -> 99
+    pd.DataFrame({"timestamp": [10.0, 20.0],
+                  "ftr_vector": [500.0, 500.0]}).to_csv(
+        topic / "p2-late.csv", index=False)
+    recs = runner.run(stop_after_idle=1, poll_interval_s=0.01)
+    assert len(recs) == 1
+    assert recs[0]["rows"] == 0 and recs[0]["late"] == 2
+    assert "p2-late.csv" in runner.manifest["processed"]
