@@ -131,61 +131,83 @@ def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 class _HuffTable:
-    """Canonical Huffman table (T.81 Annex C generation, §F.2.2 DECODE)."""
+    """Canonical Huffman table (T.81 Annex C generation).
+
+    Decoding is table-driven: JPEG codes are at most 16 bits, so a
+    65536-entry LUT indexed by a 16-bit lookahead yields (value, code
+    length) in ONE lookup instead of §F.2.2 DECODE's bit-at-a-time walk —
+    the standard fast-path of every production baseline decoder. The LUT
+    is built with numpy slice fills (each code of length L owns the
+    2^(16-L) lookahead words sharing its prefix), packed as
+    ``(value << 5) | length``; -1 marks invalid prefixes."""
 
     def __init__(self, bits: list[int], values: list[int]):
         if len(bits) != 16 or sum(bits) != len(values):
             raise ValueError("malformed Huffman table")
         self.values = list(values)
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
         self.encode_map: dict[int, tuple[int, int]] = {}
+        self.lut = np.full(1 << 16, -1, dtype=np.int32)
         code, k = 0, 0
         for ln in range(1, 17):
-            cnt = bits[ln - 1]
-            if cnt:
-                self.valptr[ln] = k
-                self.mincode[ln] = code
-                for _ in range(cnt):
-                    self.encode_map[values[k]] = (code, ln)
-                    code += 1
-                    k += 1
-                self.maxcode[ln] = code - 1
+            for _ in range(bits[ln - 1]):
+                self.encode_map[values[k]] = (code, ln)
+                lo = code << (16 - ln)
+                self.lut[lo:lo + (1 << (16 - ln))] = (values[k] << 5) | ln
+                code += 1
+                k += 1
             code <<= 1
 
     def decode(self, br: "_BitReader") -> int:
-        code = 0
-        for ln in range(1, 17):
-            code = (code << 1) | br.read_bit()
-            if code <= self.maxcode[ln]:
-                return self.values[self.valptr[ln] + code - self.mincode[ln]]
-        raise ValueError("invalid Huffman code in entropy stream")
+        packed = int(self.lut[br.peek16()])
+        if packed < 0:
+            raise ValueError("invalid Huffman code in entropy stream")
+        br.consume(packed & 31)
+        return packed >> 5
 
 
 class _BitReader:
-    """MSB-first bit cursor over unstuffed entropy bytes."""
+    """MSB-first bit cursor over unstuffed entropy bytes: a plain int
+    accumulator refilled a byte at a time. ``peek16`` zero-pads past the
+    stream end (a final short code may need fewer real bits than the
+    lookahead); ``consume``/``receive`` still raise on truncation because
+    they only accept bits that actually exist."""
+
+    __slots__ = ("data", "n", "pos", "acc", "nbits")
 
     def __init__(self, data: bytes):
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.data = data
+        self.n = len(data)
         self.pos = 0
+        self.acc = 0
+        self.nbits = 0
 
-    def read_bit(self) -> int:
-        if self.pos >= self.bits.size:
+    def peek16(self) -> int:
+        while self.nbits < 16 and self.pos < self.n:
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        if self.nbits >= 16:
+            return (self.acc >> (self.nbits - 16)) & 0xFFFF
+        return (self.acc << (16 - self.nbits)) & 0xFFFF
+
+    def consume(self, n: int) -> None:
+        if n > self.nbits:
             raise ValueError("entropy stream truncated")
-        b = int(self.bits[self.pos])
-        self.pos += 1
-        return b
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
 
     def receive(self, n: int) -> int:
         if n == 0:
             return 0
-        if self.pos + n > self.bits.size:
+        while self.nbits < n and self.pos < self.n:
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        if n > self.nbits:
             raise ValueError("entropy stream truncated")
-        v = 0
-        for b in self.bits[self.pos:self.pos + n]:
-            v = (v << 1) | int(b)
-        self.pos += n
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
         return v
 
 
