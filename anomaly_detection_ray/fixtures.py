@@ -48,6 +48,7 @@ FIXTURE_QUERIES = [
     "trend_mlp_events",
     "image_decode_features",
     "jpeg_decode_features",
+    "webp_decode_features",
     "expectations_clips",
     "approx_distinct_events",
     "bpe_vocab_documents",

@@ -1514,6 +1514,64 @@ def q_jpeg_decode_features(sf_dir: str):
                              "mean_luma"]))
 
 
+def _webp_table_path(sf_dir: str) -> str:
+    """Deterministic lossless-WebP image table (VP8L encoder from
+    webp.py): per-row RGB / RGBA-with-alpha / grayscale mix. Seed = row
+    index — partitioning-invariant bytes, same pattern as the PNG/JPEG
+    tables."""
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    n = _JPEG_N.get(sf, 200)
+    path = f"/tmp/adr_webps/sf{sf}"
+    done = os.path.join(path, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        from .. import image as img
+        from .. import webp
+
+        def gen(b: pd.DataFrame) -> pd.DataFrame:
+            ids, payloads = [], []
+            for i in b["id"]:
+                i = int(i)
+                ids.append(f"webp{i:06d}")
+                a = img.synth_image(seed=i, channels=1 if i % 5 == 4 else 3)
+                if i % 3 == 0 and a.shape[2] == 3:  # translucent variant
+                    alpha = np.full(a.shape[:2] + (1,), 200, dtype=np.uint8)
+                    a = np.concatenate([a, alpha], axis=2)
+                payloads.append(webp.encode_webp_lossless(
+                    a[:, :, 0] if i % 5 == 4 else a))
+            return pd.DataFrame({"img_id": ids, "image": payloads})
+
+        rd.range(n).map_batches(gen, batch_size=64,
+                                batch_format="pandas").write_parquet(path)
+        open(done, "w").close()
+    return path
+
+
+def q_webp_decode_features(sf_dir: str):
+    """REAL lossless-WebP (VP8L) decode over the deterministic WebP table
+    (stdlib+numpy codec, webp.py — no libwebp): dimensions + Rec.601 mean
+    luma per image via the same ImageDecode actor pool as the PNG/JPEG
+    paths. Deterministic => fixture oracle."""
+    from ..stages.multimodal import ImageDecode
+    from ..stages.sizing import pool_size
+    path = _webp_table_path(sf_dir)
+    ds = rd.read_parquet(path)
+    out = ds.map_batches(ImageDecode,
+                         fn_constructor_kwargs={"bytes_col": "image"},
+                         batch_format="pyarrow", batch_size=64,
+                         concurrency=pool_size(4), num_cpus=1)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("mean_luma"),
+                            "mean_luma", pa.array(rnd(t["mean_luma"].to_numpy(
+                                zero_copy_only=False), 4)))
+
+    return (out.map_batches(fin, batch_format="pyarrow")
+            .select_columns(["img_id", "height", "width", "channels",
+                             "mean_luma"]))
+
+
 def q_clip_validation_verdicts(sf_dir: str):
     """Flagship pipeline per-partition verdicts on the deterministic clip
     table scaled to the sf (rows-only; ground truth tested in pytest)."""
@@ -1724,6 +1782,7 @@ QUERIES = {
     "stream_validation_events": q_stream_validation_events,
     "image_decode_features": q_image_decode_features,
     "jpeg_decode_features": q_jpeg_decode_features,
+    "webp_decode_features": q_webp_decode_features,
     "expectations_orders": q_expectations_orders,
     "expectations_clips": q_expectations_clips,
     "expectations_lineitem": q_expectations_lineitem,

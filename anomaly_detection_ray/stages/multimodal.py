@@ -64,12 +64,13 @@ class ImageDecode:
     mean_luma) + optional nearest-neighbor resize stats.
 
     REAL for PNG (stdlib codec in ``image.py``: 8-bit gray / RGB / RGBA /
-    palette, all five scanline filters) and for baseline JPEG (``jpeg.py``:
+    palette, all five scanline filters), for baseline JPEG (``jpeg.py``:
     SOF0 grayscale/YCbCr at 4:4:4 / 4:2:2 / 4:2:0, stream DQT/DHT tables,
-    restart markers). WebP payloads are the remaining STUB — that codec
-    isn't in this container — so unknown magic raises NotImplementedError
-    (or, with ``fake="deterministic"``, falls back to crc-derived
-    dimensions to keep exercising the plumbing).
+    restart markers) and for lossless WebP (``webp.py``: full VP8L —
+    transforms, color cache, meta prefix groups, LZ77). Lossy (VP8) WebP
+    and unknown magic raise NotImplementedError (or, with
+    ``fake="deterministic"``, fall back to crc-derived dimensions to keep
+    exercising the plumbing).
     """
 
     def __init__(self, bytes_col: str = "image", fake: str | None = None,
@@ -96,6 +97,9 @@ class ImageDecode:
             elif bytes(b[:2]) == b"\xff\xd8":
                 from .. import jpeg
                 arr, meta = jpeg.decode_jpeg(bytes(b))
+            elif bytes(b[:4]) == b"RIFF" and bytes(b[8:12]) == b"WEBP":
+                from .. import webp
+                arr, meta = webp.decode_webp(bytes(b))
             if arr is not None:
                 if self.resize_to is not None:
                     arr = img.resize_nearest(arr, self.resize_to)
@@ -109,9 +113,10 @@ class ImageDecode:
                 h[i], w[i], c[i] = 64 + hv % 512, 64 + (hv >> 4) % 512, 3
             else:
                 raise NotImplementedError(
-                    "unknown image payload: PNG and baseline JPEG decode "
-                    "are built in; WebP isn't in this container — use "
-                    "fake='deterministic' to exercise the plumbing")
+                    "unknown image payload: PNG, baseline JPEG and "
+                    "lossless (VP8L) WebP decode are built in; lossy VP8 "
+                    "needs a video-intra codec — use fake='deterministic' "
+                    "to exercise the plumbing")
         return (t.append_column("height", pa.array(h))
                  .append_column("width", pa.array(w))
                  .append_column("channels", pa.array(c))
