@@ -346,20 +346,27 @@ def build_pass_b(full_ds, cfg: ValidateConfig, pass_a: dict,
     dur_mean = pass_a["dur_stats"].mean
     dur_std = pass_a["dur_stats"].std
 
+    from ..stages import expectations as expect
+
     ds = full_ds.map_batches(validate_clips, batch_format="pyarrow")
-    ds = ds.map_batches(
-        lambda t: ck.border_stage(t, "sr_hz", cfg.sr_UL, cfg.sr_LL,
-                                  list(cfg.sr_warning_stages), prefix="bc"),
-        batch_format="pyarrow")
-    ds = ds.map_batches(ck.consistency_stage, batch_format="pyarrow")
-    ds = ds.map_batches(
-        lambda t: ck.transcript_stage(
-            t, seed=cfg.seed if cfg.check_transcript_content else None),
-        batch_format="pyarrow")
-    ds = ds.map_batches(
-        lambda t: ck.zscore_stage(t, "dur_ms", dur_mean, dur_std, cfg.welford_X,
-                                  list(cfg.welford_warning_stages), prefix="wf"),
-        batch_format="pyarrow")
+    # the built-in chain is a declarative GRADED suite — the same check
+    # vocabulary extra_suite uses, compiled by the same function, so one
+    # grammar drives flagship and ad-hoc validation alike
+    flagship_suite = (
+        {"check": "border", "column": "sr_hz", "UL": cfg.sr_UL,
+         "LL": cfg.sr_LL, "warning_stages": list(cfg.sr_warning_stages),
+         "prefix": "bc"},
+        {"check": "bytes_consistency", "prefix": "cc"},
+        {"check": "transcript", "prefix": "tc",
+         "seed": cfg.seed if cfg.check_transcript_content else None},
+        {"check": "zscore", "column": "dur_ms", "mean": dur_mean,
+         "std": dur_std, "X": cfg.welford_X,
+         "warning_stages": list(cfg.welford_warning_stages),
+         "prefix": "wf"},
+    )
+    for spec in flagship_suite:
+        ds = ds.map_batches(expect.compile_graded(spec),
+                            batch_format="pyarrow")
     ds = ds.map_batches(
         ck.FidelityCheck,
         fn_constructor_kwargs={"seed": cfg.seed, "snr_threshold": cfg.snr_threshold},
@@ -374,32 +381,47 @@ def build_pass_b(full_ds, cfg: ValidateConfig, pass_a: dict,
 
     ds = ds.map_batches(dup_flag, batch_format="pyarrow")
     code_cols = list(CODE_COLS)
+    extra_status_cols: list[str] = []
     if cfg.extra_suite:
-        # declarative checks compiled ONCE, graded like any other check
-        from ..stages import expectations as expect
+        # declarative checks compiled ONCE, graded like any other check;
+        # graded kinds (border/zscore/bytes_consistency/transcript — the
+        # flagship's own vocabulary) append their own code columns
         specs = [dict(s) for s in cfg.extra_suite]
         bad = [s.get("check") for s in specs
-               if s.get("check") not in expect._ROW_LOCAL]
+               if s.get("check") not in expect._ROW_LOCAL | expect._GRADED]
         if bad:
             raise ValueError(
-                f"extra_suite supports row-local checks only; {bad} are "
-                "table/schema-level — run them via run_expectations")
-        compiled = [(expect._check_key(s), expect._compile_mask(s))
-                    for s in specs]
+                f"extra_suite supports row-local and graded checks only; "
+                f"{bad} are table/schema-level — run them via "
+                "run_expectations")
+        for s in [s for s in specs if s["check"] in expect._GRADED]:
+            prefix = s.get("prefix")
+            if not prefix or f"{prefix}_code" in code_cols:
+                raise ValueError(
+                    "graded extra_suite checks need a unique 'prefix' "
+                    f"(got {prefix!r})")
+            ds = ds.map_batches(expect.compile_graded(s),
+                                batch_format="pyarrow")
+            code_cols.append(f"{prefix}_code")
+            extra_status_cols.append(f"{prefix}_status")
+        row_specs = [s for s in specs if s["check"] in expect._ROW_LOCAL]
+        if row_specs:
+            compiled = [(expect._check_key(s), expect._compile_mask(s))
+                        for s in row_specs]
 
-        def suite_stage(t: pa.Table) -> pa.Table:
-            any_bad = np.zeros(len(t), dtype=bool)
-            status = np.full(len(t), "OK", dtype=object)
-            for label, m in compiled:
-                v = m(t)
-                status[(status == "OK") & v] = f"violates {label}"
-                any_bad |= v
-            return ck._append(t, "ex",
-                              np.where(any_bad, -1, 1).astype(np.int8),
-                              status)
+            def suite_stage(t: pa.Table) -> pa.Table:
+                any_bad = np.zeros(len(t), dtype=bool)
+                status = np.full(len(t), "OK", dtype=object)
+                for label, m in compiled:
+                    v = m(t)
+                    status[(status == "OK") & v] = f"violates {label}"
+                    any_bad |= v
+                return ck._append(t, "ex",
+                                  np.where(any_bad, -1, 1).astype(np.int8),
+                                  status)
 
-        ds = ds.map_batches(suite_stage, batch_format="pyarrow")
-        code_cols.append("ex_code")
+            ds = ds.map_batches(suite_stage, batch_format="pyarrow")
+            code_cols.append("ex_code")
     ds = ds.map_batches(lambda t: combine_stage(t, code_cols, mode="or"),
                         batch_format="pyarrow")
     # drop the audio payload + transcript before anything downstream consumes
@@ -408,7 +430,7 @@ def build_pass_b(full_ds, cfg: ValidateConfig, pass_a: dict,
                              "codec", "status_code", "anomaly_score", "snr_db",
                              "rv_reason", "bc_status", "cc_status", "tc_status",
                              "wf_status", "fid_status", "uq_status",
-                             "ex_status"] + code_cols]
+                             "ex_status"] + extra_status_cols + code_cols]
     ds = ds.map_batches(
         lambda t: t.select([c for c in slim_cols if c in t.column_names]),
         batch_format="pyarrow")

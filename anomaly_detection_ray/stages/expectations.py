@@ -74,7 +74,54 @@ import pyarrow.compute as pc
 
 _ROW_LOCAL = {"not_null", "in_range", "in_set", "regex",
               "str_len_between", "referential", "col_compare"}
-_KINDS = _ROW_LOCAL | {"unique", "dtype", "non_decreasing"}
+# Graded (multi-level warning-stage) checks: the flagship clip pipeline's
+# check vocabulary expressed declaratively, so ONE suite grammar drives
+# both ad-hoc expectation suites and pipelines/validate.build_pass_b
+# (round-2 verdict unification item). Each compiles to a Table -> Table
+# stage appending <prefix>_code (int8: 1 OK, 0 warning, -1 error, -2
+# undefined) + <prefix>_status, reusing the stages/checks.py kernels.
+_GRADED = {"border", "zscore", "bytes_consistency", "transcript"}
+_KINDS = _ROW_LOCAL | _GRADED | {"unique", "dtype", "non_decreasing"}
+
+_GRADED_PREFIX = {"border": "bc", "zscore": "wf",
+                  "bytes_consistency": "cc", "transcript": "tc"}
+
+
+def compile_graded(spec: dict) -> Callable[[pa.Table], pa.Table]:
+    """Graded check spec -> vectorized stage (see _GRADED note).
+
+    Specs:
+    - ``{"check": "border", "column": c, "UL": u, "LL": l,
+      "warning_stages": [...]}`` — static range with warning grading.
+    - ``{"check": "zscore", "column": c, "mean": m, "std": s, "X": x,
+      "warning_stages": [...]}`` — broadcast-stats z-check (the flagship
+      feeds pass-A Welford results in; ad-hoc suites supply their own).
+    - ``{"check": "bytes_consistency"}`` — clip-table bytes↔metadata
+      length invariant.
+    - ``{"check": "transcript", "seed": s|None}`` — transcript presence
+      (+ equality against the regenerated sequence when seeded).
+    Optional ``"prefix"`` overrides the output column prefix."""
+    from . import checks as ck
+    kind = spec["check"]
+    prefix = spec.get("prefix") or _GRADED_PREFIX[kind]
+    if kind == "border":
+        col, ul, ll = spec["column"], spec["UL"], spec["LL"]
+        ws = list(spec.get("warning_stages", ()))
+        return lambda t: ck.border_stage(t, col, ul, ll, ws, prefix=prefix)
+    if kind == "zscore":
+        col, x = spec["column"], spec["X"]
+        mean, std = spec["mean"], spec["std"]
+        ws = list(spec.get("warning_stages", ()))
+        return lambda t: ck.zscore_stage(t, col, mean, std, x, ws,
+                                         prefix=prefix)
+    if kind == "bytes_consistency":
+        kwargs = ({"max_samples": spec["max_samples"]}
+                  if "max_samples" in spec else {})
+        return lambda t: ck.consistency_stage(t, prefix=prefix, **kwargs)
+    if kind == "transcript":
+        seed = spec.get("seed")
+        return lambda t: ck.transcript_stage(t, seed=seed, prefix=prefix)
+    raise ValueError(f"unknown graded check {kind!r}")
 
 _CMP_OPS = {"<": pc.less, "<=": pc.less_equal, "==": pc.equal,
             "!=": pc.not_equal, ">": pc.greater, ">=": pc.greater_equal}

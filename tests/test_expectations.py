@@ -350,6 +350,47 @@ def test_flagship_extra_suite(ray_session, tmp_path):
             resume=False)
 
 
+def test_flagship_graded_extra_suite(ray_session, tmp_path):
+    """GRADED declarative checks (the flagship's own vocabulary) slot into
+    extra_suite with their own code/status columns: a strict dur_ms border
+    adds graded violations through the OR-combine, with warning stages
+    intact."""
+    import ray.data as rd
+
+    from anomaly_detection_ray import synth
+    from anomaly_detection_ray.pipelines import validate as vp
+
+    clips = str(tmp_path / "clips")
+    synth.write_clip_table(clips, seed=31, n=500, P=4, rows_per_file=256)
+    base = vp.run_validation(clips, str(tmp_path / "o1"),
+                             vp.ValidateConfig(seed=31, P=4), resume=False)
+    cfg = vp.ValidateConfig(seed=31, P=4, extra_suite=(
+        {"check": "border", "column": "dur_ms", "UL": 2500.0, "LL": 400.0,
+         "warning_stages": [0.8], "prefix": "xb"},
+    ))
+    extra = vp.run_validation(clips, str(tmp_path / "o2"), cfg,
+                              resume=False)
+    assert (extra["verdicts"]["violations"].sum()
+            > base["verdicts"]["violations"].sum())
+    viol = rd.read_parquet(extra["violations_path"]).to_pandas()
+    assert "xb_code" in viol and "xb_status" in viol
+    assert (viol["xb_code"] == -1).any()
+    # rows the border alone flagged carry status_code error via OR-combine
+    only_xb = viol[(viol["xb_code"] == -1)
+                   & (viol[["rv_code", "bc_code", "cc_code", "tc_code",
+                            "wf_code", "fid_code", "uq_code"]] != -1)
+                   .all(axis=1)]
+    assert len(only_xb) > 0 and (only_xb["status_code"] == -1).all()
+
+    # a graded extra check must carry a unique prefix
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unique 'prefix'"):
+        vp.run_validation(clips, str(tmp_path / "o3"), vp.ValidateConfig(
+            seed=31, P=4, extra_suite=(
+                {"check": "border", "column": "dur_ms", "UL": 1.0,
+                 "LL": 0.0, "prefix": "bc"},)), resume=False)
+
+
 def test_cli_expect_by_mode(ray_session, tmp_path, capsys):
     import json
 
