@@ -49,6 +49,7 @@ FIXTURE_QUERIES = [
     "image_decode_features",
     "jpeg_decode_features",
     "webp_decode_features",
+    "video_frame_features",
     "expectations_clips",
     "approx_distinct_events",
     "bpe_vocab_documents",

@@ -1572,6 +1572,65 @@ def q_webp_decode_features(sf_dir: str):
                              "mean_luma"]))
 
 
+_VIDEO_N = {"0.001": 40, "0.01": 100, "0.1": 400}
+
+
+def _video_table_path(sf_dir: str) -> str:
+    """Deterministic MJPEG/AVI video table (video.py writer over jpeg.py
+    frames): per-row frame count / fps / size mix. Seed = row index."""
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    n = _VIDEO_N.get(sf, 40)
+    path = f"/tmp/adr_videos/sf{sf}"
+    done = os.path.join(path, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        from .. import image as img
+        from .. import jpeg, video
+
+        def gen(b: pd.DataFrame) -> pd.DataFrame:
+            ids, payloads = [], []
+            for i in b["id"]:
+                i = int(i)
+                ids.append(f"vid{i:06d}")
+                nf = 4 + i % 5
+                frames = [jpeg.encode_jpeg(
+                    img.synth_image(seed=1000 * i + k), quality=85)
+                    for k in range(nf)]
+                payloads.append(video.encode_avi_mjpeg(
+                    frames, fps=5 + i % 20))
+            return pd.DataFrame({"vid_id": ids, "video": payloads})
+
+        rd.range(n).map_batches(gen, batch_size=16,
+                                batch_format="pandas").write_parquet(path)
+        open(done, "w").close()
+    return path
+
+
+def q_video_frame_features(sf_dir: str):
+    """REAL MJPEG/AVI frame sampling + decode over the deterministic video
+    table (video.py container + jpeg.py frames): per-sampled-frame
+    dimensions, timestamp and Rec.601 mean luma via the VideoFrameSample
+    actor pool. Deterministic => fixture oracle."""
+    from ..stages.multimodal import VideoFrameSample
+    from ..stages.sizing import pool_size
+    path = _video_table_path(sf_dir)
+    ds = rd.read_parquet(path)
+    out = ds.map_batches(VideoFrameSample,
+                         fn_constructor_kwargs={"bytes_col": "video",
+                                                "id_col": "vid_id",
+                                                "n_frames": 3},
+                         batch_format="pyarrow", batch_size=16,
+                         concurrency=pool_size(4), num_cpus=1)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("mean_luma"),
+                            "mean_luma", pa.array(rnd(t["mean_luma"].to_numpy(
+                                zero_copy_only=False), 4)))
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def q_clip_validation_verdicts(sf_dir: str):
     """Flagship pipeline per-partition verdicts on the deterministic clip
     table scaled to the sf (rows-only; ground truth tested in pytest)."""
@@ -1783,6 +1842,7 @@ QUERIES = {
     "image_decode_features": q_image_decode_features,
     "jpeg_decode_features": q_jpeg_decode_features,
     "webp_decode_features": q_webp_decode_features,
+    "video_frame_features": q_video_frame_features,
     "expectations_orders": q_expectations_orders,
     "expectations_clips": q_expectations_clips,
     "expectations_lineitem": q_expectations_lineitem,

@@ -124,31 +124,61 @@ class ImageDecode:
 
 
 class VideoFrameSample:
-    """Actor-pool stage: video binary -> sampled frame descriptors.
+    """Actor-pool stage: video binary -> sampled decoded-frame rows.
 
-    STUB: no video codec in this container; deterministic fake emits
-    ``n_frames`` rows per video (flat_map layout) so downstream grouping /
-    per-frame pipelines are exercised for real.
-    """
+    REAL for MJPEG/AVI (``video.py`` parses the RIFF container; every
+    frame is a baseline JPEG decoded by the from-scratch ``jpeg.py``):
+    each clip expands into up to ``n_frames`` uniformly-sampled rows of
+    (frame_idx, ts_ms, height, width, mean_luma). Inter-frame codecs
+    (H.264/VP9/...) raise with the codec named — motion-compensated
+    decoding is a different engine, honestly out of scope. The
+    ``fake="deterministic"`` path keeps exercising the flat-map plumbing
+    for payloads that are not AVI at all."""
 
     def __init__(self, bytes_col: str = "video", n_frames: int = 4,
-                 id_col: str = "clip_id", fake: str | None = "deterministic"):
-        if fake is None:
-            raise NotImplementedError("video decode requires a codec — not in this container")
+                 id_col: str = "clip_id", fake: str | None = None):
         self.bytes_col, self.n_frames, self.id_col = bytes_col, n_frames, id_col
+        self.fake = fake
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids, frame_idx, offsets = [], [], []
-        payloads = t[self.bytes_col].to_pylist()
-        for rid, b in zip(t[self.id_col].to_pylist(), payloads):
-            size = len(b or b"")
-            for f in range(self.n_frames):
-                ids.append(rid)
-                frame_idx.append(f)
-                offsets.append((size * f) // max(self.n_frames, 1))
+        from .. import image as img
+        from .. import jpeg, video
+        ids, frame_idx, ts_ms = [], [], []
+        heights, widths, luma = [], [], []
+        for rid, b in zip(t[self.id_col].to_pylist(),
+                          t[self.bytes_col].to_pylist()):
+            b = bytes(b or b"")
+            if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                for fi, ts, payload in video.sample_frames(b, self.n_frames):
+                    arr, _ = jpeg.decode_jpeg(payload)
+                    ids.append(rid)
+                    frame_idx.append(fi)
+                    ts_ms.append(ts)
+                    heights.append(arr.shape[0])
+                    widths.append(arr.shape[1])
+                    luma.append(float(img.luminance(arr).mean()))
+            elif self.fake == "deterministic":
+                import zlib
+                hv = zlib.crc32(b[:64]) & 0xFFFF
+                for f in range(self.n_frames):
+                    ids.append(rid)
+                    frame_idx.append(f)
+                    ts_ms.append(f * 100.0)
+                    heights.append(64 + hv % 512)
+                    widths.append(64 + (hv >> 4) % 512)
+                    luma.append(float("nan"))
+            else:
+                raise NotImplementedError(
+                    "unknown video payload: MJPEG/AVI decodes here "
+                    "(video.py + jpeg.py); inter-frame codecs need a real "
+                    "video decoder — use fake='deterministic' to exercise "
+                    "the plumbing")
         return pa.table({self.id_col: ids,
                          "frame_idx": pa.array(frame_idx, type=pa.int32()),
-                         "byte_offset": pa.array(offsets, type=pa.int64())})
+                         "ts_ms": pa.array(ts_ms, type=pa.float64()),
+                         "height": pa.array(heights, type=pa.int32()),
+                         "width": pa.array(widths, type=pa.int32()),
+                         "mean_luma": pa.array(luma, type=pa.float64())})
 
 
 def audio_features(ds, bytes_col: str = "bytes", batch_size: int = 64,

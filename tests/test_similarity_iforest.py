@@ -121,10 +121,12 @@ def test_image_video_stubs(ray_session):
     with pytest.raises(NotImplementedError):
         ImageDecode(bytes_col="image", fake=None)(t)
     frames = ds.map_batches(VideoFrameSample, fn_constructor_kwargs={
-        "bytes_col": "video", "n_frames": 4},
+        "bytes_col": "video", "n_frames": 4, "fake": "deterministic"},
         batch_format="pyarrow", concurrency=1).to_pandas()
     assert len(frames) == 8
     assert set(frames["frame_idx"]) == {0, 1, 2, 3}
+    with pytest.raises(NotImplementedError, match="video"):
+        VideoFrameSample(bytes_col="video")(t)
 
 
 def test_pq_roundtrip_and_recall(emb_ds):
