@@ -58,6 +58,7 @@ FIXTURE_QUERIES = [
     "clip_validation_verdicts",
     "clip_audio_features",
     "clip_spectral_features",
+    "clip_mel_features",
     "audio_fingerprint_dedup",
     "clip_segment_stats",
     "clip_resample_stats",

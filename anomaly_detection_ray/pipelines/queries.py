@@ -1666,6 +1666,22 @@ def q_clip_spectral_features(sf_dir: str):
          "aq_code"])
 
 
+def q_clip_mel_features(sf_dir: str):
+    """Per-clip MFCC summaries in long form (stages/audio_ops.MelFeatures:
+    Hann STFT power -> HTK mel filterbank -> log -> orthonormal DCT-II) —
+    the speech front-end features over the clip table; deterministic per
+    clip => fixture oracle."""
+    from ..sources.clips import read_clips
+    from ..stages import audio_ops as ao
+    from ..stages.sizing import pool_size
+    path = _clip_table_path(sf_dir)
+    ds = read_clips(path, columns=["clip_id", "bytes"])
+    return ds.map_batches(ao.MelFeatures,
+                          fn_constructor_kwargs={},
+                          batch_format="pyarrow", batch_size=64,
+                          concurrency=pool_size(8), num_cpus=1)
+
+
 def q_audio_fingerprint_dedup(sf_dir: str):
     """Content-duplicate groups by phase/gain-invariant acoustic
     fingerprint (Haitsma-Kalker band-sign bits): (fp, cnt, keep_id) for
@@ -1852,6 +1868,7 @@ QUERIES = {
     "clip_validation_verdicts": q_clip_validation_verdicts,
     "clip_audio_features": q_clip_audio_features,
     "clip_spectral_features": q_clip_spectral_features,
+    "clip_mel_features": q_clip_mel_features,
     "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
     "clip_segment_stats": q_clip_segment_stats,
     "audio_prep_segments": q_audio_prep_segments,

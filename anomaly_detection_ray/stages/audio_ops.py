@@ -168,6 +168,78 @@ def resample_linear(sig: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
 # ---------------------------------------------------------------- stages
 
 
+def mel_filterbank(sr: int, n_fft: int = FRAME, n_mels: int = 26,
+                   fmin: float = 0.0, fmax: float | None = None) -> np.ndarray:
+    """(n_mels, n_fft//2+1) triangular filters on the HTK mel scale
+    (2595·log10(1+f/700)) — the standard speech front-end filterbank."""
+    fmax = fmax if fmax is not None else sr / 2.0
+
+    def to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+    def to_hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+    pts = to_hz(np.linspace(to_mel(fmin), to_mel(fmax), n_mels + 2))
+    bins = np.fft.rfftfreq(n_fft, d=1.0 / sr)
+    fb = np.zeros((n_mels, len(bins)))
+    for m in range(n_mels):
+        lo, c, hi = pts[m], pts[m + 1], pts[m + 2]
+        up = (bins - lo) / max(c - lo, 1e-12)
+        down = (hi - bins) / max(hi - c, 1e-12)
+        fb[m] = np.clip(np.minimum(up, down), 0.0, None)
+    return fb
+
+
+def mfcc(sig: np.ndarray, sr: int, n_mels: int = 26, n_mfcc: int = 13,
+         frame: int = FRAME, hop: int = HOP) -> np.ndarray:
+    """(n_frames, n_mfcc) MFCCs: Hann STFT power -> mel filterbank ->
+    log -> orthonormal DCT-II. One vectorized numpy pass per clip."""
+    power = stft_mag(sig, frame, hop) ** 2
+    fb = mel_filterbank(sr, frame, n_mels)
+    logmel = np.log(power @ fb.T + 1e-10)
+    k = np.arange(n_mfcc, dtype=np.float64)[:, None]
+    n = np.arange(n_mels, dtype=np.float64)[None, :]
+    dct = np.cos(np.pi * k * (2.0 * n + 1.0) / (2.0 * n_mels))
+    dct *= np.sqrt(2.0 / n_mels)
+    dct[0] *= np.sqrt(0.5)
+    return logmel @ dct.T
+
+
+class MelFeatures:
+    """Actor-pool stage: WAV bytes -> per-clip MFCC summary rows in LONG
+    form (clip_id, coef, mfcc_mean, mfcc_std, n_frames) — the speech
+    front-end features a training-data pipeline aggregates per corpus.
+    Long form keeps the schema fixed-width and SQL/fixture friendly;
+    per-frame matrices stay inside the actor (they are intermediate
+    state, not pipeline payload)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "clip_id",
+                 n_mels: int = 26, n_mfcc: int = 13):
+        self.bytes_col, self.id_col = bytes_col, id_col
+        self.n_mels, self.n_mfcc = n_mels, n_mfcc
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, coefs, means, stds, n_frames = [], [], [], [], []
+        for cid, b in zip(t[self.id_col].to_pylist(),
+                          t[self.bytes_col].to_pylist()):
+            sig, sr = (audio.decode_wav_lenient(b) if b else (None, None))
+            if sig is None or not sr or len(sig) == 0:
+                continue
+            m = mfcc(sig, sr, self.n_mels, self.n_mfcc)
+            ids.extend([cid] * self.n_mfcc)
+            coefs.extend(range(self.n_mfcc))
+            means.extend(m.mean(axis=0).tolist())
+            stds.extend(m.std(axis=0).tolist())
+            n_frames.extend([m.shape[0]] * self.n_mfcc)
+        return pa.table({
+            self.id_col: pa.array(ids, type=pa.string()),
+            "coef": pa.array(coefs, type=pa.int32()),
+            "mfcc_mean": pa.array(means, type=pa.float64()),
+            "mfcc_std": pa.array(stds, type=pa.float64()),
+            "n_frames": pa.array(n_frames, type=pa.int32())})
+
+
 class SpectralFeatures:
     """Actor-pool stage: WAV bytes -> spectral + VAD + clipping columns and
     a 4-valued audio-quality verdict (aq_code/aq_status).

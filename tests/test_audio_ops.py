@@ -178,3 +178,62 @@ def test_resample_clips(ray_session):
     assert sr == 16000
     ref = 0.5 * np.sin(2 * np.pi * 440.0 * (np.arange(16000) / 16000))
     assert audio.snr_db(sig, ref) > 20.0
+
+
+def test_mfcc_matches_naive_reference():
+    """Vectorized MFCC equals a per-frame naive computation (explicit
+    filter loop + direct DCT-II sum), and a pure tone concentrates energy
+    in the filterbank bin containing its frequency."""
+    from anomaly_detection_ray.stages import audio_ops as ao
+    rng = np.random.default_rng(5)
+    sr = 16000
+    sig = rng.normal(0, 0.2, 4000) + np.sin(
+        2 * np.pi * 440 * np.arange(4000) / sr)
+    got = ao.mfcc(sig, sr, n_mels=20, n_mfcc=8)
+
+    frames = ao.frame_signal(sig)
+    win = np.hanning(ao.FRAME)
+    fb = ao.mel_filterbank(sr, ao.FRAME, 20)
+    want = np.zeros_like(got)
+    for i in range(frames.shape[0]):
+        p = np.abs(np.fft.rfft(frames[i] * win)) ** 2
+        logmel = np.log(fb @ p + 1e-10)
+        for k in range(8):
+            c = np.sqrt(2.0 / 20) * np.cos(
+                np.pi * k * (2 * np.arange(20) + 1) / 40.0)
+            if k == 0:
+                c *= np.sqrt(0.5)
+            want[i, k] = (c * logmel).sum()
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+    # tone energy lands in the mel filter whose center brackets 440 Hz
+    tone = np.sin(2 * np.pi * 440 * np.arange(8000) / sr)
+    p = (ao.stft_mag(tone) ** 2).mean(axis=0)
+    energies = ao.mel_filterbank(sr, ao.FRAME, 20) @ p
+    freqs = np.fft.rfftfreq(ao.FRAME, 1 / sr)
+    assert abs(freqs[np.argmax(
+        ao.mel_filterbank(sr, ao.FRAME, 20)[np.argmax(energies)])] - 440) < 300
+
+
+def test_mel_features_stage(ray_session):
+    """MelFeatures actor stage: long-form rows, 13 coefs per decodable
+    clip, undecodable payloads skipped."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomaly_detection_ray import audio
+    from anomaly_detection_ray.stages.audio_ops import MelFeatures
+    rng = np.random.default_rng(3)
+    good = audio.encode_wav(rng.normal(0, 0.3, 2000), 16000)
+    t = pa.table({"clip_id": ["a", "bad", "b"],
+                  "bytes": [good, b"nope", good]})
+    out = (rd.from_arrow(t)
+           .map_batches(MelFeatures, fn_constructor_kwargs={},
+                        batch_format="pyarrow", concurrency=1)
+           .to_pandas())
+    assert sorted(set(out["clip_id"])) == ["a", "b"]
+    assert (out.groupby("clip_id")["coef"].count() == 13).all()
+    a = out[out["clip_id"] == "a"].sort_values("coef")
+    b = out[out["clip_id"] == "b"].sort_values("coef")
+    np.testing.assert_array_equal(a["mfcc_mean"].to_numpy(),
+                                  b["mfcc_mean"].to_numpy())
