@@ -527,7 +527,8 @@ def simhash_dedup(ds, text_col="text", id_col="doc_id", max_hamming=3,
 
 def embedding_near_dup(ds, vec_col="embedding", id_col="vec_id",
                        threshold=0.95, bands=8, bits_per_band=8, seed=7,
-                       block=512, bucket_cap=8192, with_report=False):
+                       block=512, bucket_cap=8192, margin=0.03,
+                       with_report=False):
     """Near-duplicate embedding pairs: BANDED random-hyperplane LSH, then
     exact cosine verification within buckets.
 
@@ -538,11 +539,19 @@ def embedding_near_dup(ds, vec_col="embedding", id_col="vec_id",
     misses ~50%, 8×8 bands miss ~0.02%. Pair dedup across bands goes
     through the cardinality-aware fold, same as MinHash/SimHash.
 
-    Over-full buckets are verified EXACTLY in ``block``×``block`` matmul
-    tiles (memory stays bounded, no silent drop) up to ``bucket_cap``
-    members; beyond that the dropped candidate-pair count is REPORTED
-    via sentinel rows (``with_report=True`` returns
-    (pairs, {"truncated_pairs": n}))."""
+    Shuffle weight (r3): buckets carry INT8-quantized unit vectors
+    (dim bytes/row instead of dim×8 — an 8× lighter exchange at 10^12
+    rows); in-bucket screening keeps pairs with approx cosine >=
+    threshold − ``margin`` (margin covers the worst-case quantization
+    error), and survivors re-rank EXACTLY against the full-precision
+    vectors fetched for just the candidate ids — final cosines are
+    bit-identical to a full-precision bucket verify, and the driver only
+    ever holds O(candidate ids) vectors.
+
+    Over-full buckets are screened in ``block``×``block`` matmul tiles
+    (memory stays bounded, no silent drop) up to ``bucket_cap`` members;
+    beyond that the dropped candidate-pair count is REPORTED via sentinel
+    rows (``with_report=True`` returns (pairs, {"truncated_pairs": n}))."""
 
     n_planes = bands * bits_per_band
 
@@ -555,7 +564,8 @@ def embedding_near_dup(ds, vec_col="embedding", id_col="vec_id",
         keys = signs @ weights                       # (rows, bands)
         norm = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         n = len(vecs)
-        vec_bytes = [v.tobytes() for v in norm]
+        q = np.clip(np.round(norm * 127.0), -127, 127).astype(np.int8)
+        vec_bytes = [v.tobytes() for v in q]
         return pd.DataFrame({
             id_col: np.repeat(df[id_col].to_numpy(), bands),
             "band": np.tile(np.arange(bands, dtype=np.int64), n),
@@ -576,14 +586,17 @@ def embedding_near_dup(ds, vec_col="embedding", id_col="vec_id",
             trunc = (n0 * (n0 - 1) - bucket_cap * (bucket_cap - 1)) // 2
             g = g.head(bucket_cap)
         ids = g[id_col].to_numpy()
-        V = np.stack([np.frombuffer(b) for b in g["vec"]])
+        V = np.stack([np.frombuffer(b, dtype=np.int8) for b in g["vec"]]
+                     ).astype(np.float32)
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         n = len(ids)
+        cut = threshold - margin
         rows_a, rows_b, rows_s = [], [], []
         for i0 in range(0, n, block):
             Vi = V[i0:i0 + block]
             for j0 in range(i0, n, block):
                 S = Vi @ V[j0:j0 + block].T
-                ia, ib = np.nonzero(S >= threshold)
+                ia, ib = np.nonzero(S >= cut)
                 gi, gj = ia + i0, ib + j0
                 m = gi < gj  # upper triangle only
                 rows_a.append(gi[m])
@@ -618,4 +631,26 @@ def embedding_near_dup(ds, vec_col="embedding", id_col="vec_id",
             "embedding_near_dup: %d candidate pairs beyond bucket_cap=%d "
             "were counted, not verified", report["truncated_pairs"],
             bucket_cap)
+    # exact re-rank: fetch full-precision vectors for ONLY the candidate
+    # ids (one filtered streaming pass) and recompute cosine in float64 —
+    # quantization never reaches the emitted values
+    if len(pairs):
+        cand_ids = np.unique(np.concatenate(
+            [pairs["id_a"].to_numpy(np.int64),
+             pairs["id_b"].to_numpy(np.int64)]))
+        ids_ref = ray.put(cand_ids)
+
+        def fetch(df: pd.DataFrame) -> pd.DataFrame:
+            keep = np.isin(df[id_col].to_numpy(np.int64), ray.get(ids_ref))
+            return df.loc[keep, [id_col, vec_col]]
+
+        vdf = ds.map_batches(fetch, batch_format="pandas").to_pandas()
+        V = np.stack(vdf[vec_col].to_numpy()).astype(np.float64)
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        pos = {int(i): k for k, i in enumerate(vdf[id_col].to_numpy())}
+        ia = np.array([pos[int(i)] for i in pairs["id_a"]], dtype=np.int64)
+        ib = np.array([pos[int(i)] for i in pairs["id_b"]], dtype=np.int64)
+        cos = np.einsum("ij,ij->i", V[ia], V[ib])
+        pairs = pairs.assign(cosine=cos).loc[cos >= threshold]
+        pairs = pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     return (pairs, report) if with_report else pairs
