@@ -1560,7 +1560,7 @@ def q_webp_decode_features(sf_dir: str):
     out = ds.map_batches(ImageDecode,
                          fn_constructor_kwargs={"bytes_col": "image"},
                          batch_format="pyarrow", batch_size=64,
-                         concurrency=pool_size(4), num_cpus=1)
+                         concurrency=pool_size(16), num_cpus=1)
 
     def fin(t: pa.Table) -> pa.Table:
         return t.set_column(t.schema.get_field_index("mean_luma"),
@@ -1621,7 +1621,7 @@ def q_video_frame_features(sf_dir: str):
                                                 "id_col": "vid_id",
                                                 "n_frames": 3},
                          batch_format="pyarrow", batch_size=16,
-                         concurrency=pool_size(4), num_cpus=1)
+                         concurrency=pool_size(16), num_cpus=1)
 
     def fin(t: pa.Table) -> pa.Table:
         return t.set_column(t.schema.get_field_index("mean_luma"),

@@ -82,6 +82,21 @@ class _BitReader:
         self.nbits -= n
         return v
 
+    def peek_raw(self, n: int) -> int:
+        """Next n stream bits in RAW (LSB-first) order, zero-padded past
+        the stream end — the prefix-code LUT is indexed by this."""
+        while self.nbits < n and self.pos < self.n:
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        return self.acc & ((1 << n) - 1)
+
+    def drop(self, n: int) -> None:
+        if n > self.nbits:
+            raise ValueError("VP8L stream truncated")
+        self.acc >>= n
+        self.nbits -= n
+
 
 class _BitWriter:
     """LSB-first bit writer."""
@@ -141,21 +156,41 @@ class _PrefixCode:
         self.maxcode = [-1] * (max_len + 1)
         self.valptr = [0] * (max_len + 1)
         self.values: list[int] = []
+        # LUT fast path (the jpeg.py move, LSB-first flavor): indexed by
+        # the next lut_bits RAW stream bits; a code of length L <= lut_bits
+        # owns every index whose LOW L bits equal its bit-reversed
+        # codeword (codes are read MSB-first from the LSB-first stream).
+        self.lut_bits = min(max_len, 11)
+        lut = np.full(1 << self.lut_bits, -1, dtype=np.int32)
         code = 0
         for ln in range(1, max_len + 1):
             syms = nz[lengths[nz] == ln]
             if len(syms):
                 self.valptr[ln] = len(self.values)
                 self.mincode[ln] = code
+                for s in syms:
+                    if ln <= self.lut_bits:
+                        rev = 0
+                        c = code
+                        for _ in range(ln):
+                            rev = (rev << 1) | (c & 1)
+                            c >>= 1
+                        step = 1 << ln
+                        lut[rev::step] = (int(s) << 5) | ln
+                    code += 1
                 self.values.extend(int(s) for s in syms)
-                code += len(syms)
                 self.maxcode[ln] = code - 1
             code <<= 1
         self.max_len = max_len
+        self.lut = lut
 
     def decode(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        packed = int(self.lut[br.peek_raw(self.lut_bits)])
+        if packed >= 0:
+            br.drop(packed & 31)
+            return packed >> 5
         code = 0
         for ln in range(1, self.max_len + 1):
             code = (code << 1) | br.bits(1)
