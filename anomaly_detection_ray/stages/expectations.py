@@ -52,6 +52,21 @@ Table-level:
 - ``{"check": "dtype", "column": c, "type": "int64"}`` — schema-level,
   evaluated once against ``ds.schema()`` (zero data passes).
 
+Graded (multi-level warning-stage) kinds — the flagship clip pipeline's
+check vocabulary, compiled by ``compile_graded`` into Table -> Table
+stages appending ``<prefix>_code``/``<prefix>_status`` (1 OK, 0 warning,
+-1 error, -2 undefined). ``pipelines/validate.build_pass_b`` drives its
+built-in chain through these same specs, and accepts them in
+``ValidateConfig.extra_suite``:
+
+- ``{"check": "border", "column": c, "UL": u, "LL": l,
+  "warning_stages": [...]}``
+- ``{"check": "zscore", "column": c, "mean": m, "std": s, "X": x,
+  "warning_stages": [...]}`` (broadcast stats supplied by the caller;
+  the flagship feeds its pass-A Welford fold in)
+- ``{"check": "bytes_consistency"}`` / ``{"check": "transcript",
+  "seed": s|None}`` (clip-table invariants)
+
 Every check accepts ``"mostly": f`` (Great-Expectations-style tolerance):
 it passes when the non-violating fraction ≥ f (default 1.0).
 
