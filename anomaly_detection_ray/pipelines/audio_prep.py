@@ -51,6 +51,8 @@ class AudioPrepConfig:
     min_speech: float = 0.0         # speech_ratio below => drop (0.0 = off)
     batch_size: int = 32
     concurrency: int = 0            # 0 = auto (decode_pool_size)
+    resampler: str = "linear"       # "linear" (cheap) | "sinc" (anti-aliased)
+    target_dbfs: float | None = None  # RMS loudness normalization (None=off)
 
 
 # Side-channel accumulation: pipelines/sidechannel.ShardedSink — sharded
@@ -98,7 +100,11 @@ class AudioPrep:
                     if not np.isnan(flat) and flat > cfg.max_flatness:
                         st["drop_quality"] += 1
                         continue
-            rs = ao.resample_linear(sig, sr, cfg.target_sr)
+            rs = (ao.resample_sinc(sig, sr, cfg.target_sr)
+                  if cfg.resampler == "sinc"
+                  else ao.resample_linear(sig, sr, cfg.target_sr))
+            if cfg.target_dbfs is not None:
+                rs = ao.gain_to_dbfs(rs, cfg.target_dbfs)
             seg_n = max(1, int(cfg.target_sr * cfg.seg_ms / 1000.0))
             min_n = int(cfg.target_sr * cfg.min_ms / 1000.0)
             kept_any = False

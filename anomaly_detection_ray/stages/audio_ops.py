@@ -156,13 +156,56 @@ def fingerprint(sig: np.ndarray, sr: int) -> int:
 
 
 def resample_linear(sig: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
-    """Linear-interpolation resample (good enough for rate normalization of
-    band-limited synthetic content; a real deploy would swap in polyphase)."""
+    """Linear-interpolation resample (cheap rate normalization; see
+    resample_sinc for the anti-aliased quality path)."""
     if sr_from == sr_to or len(sig) == 0:
         return np.asarray(sig, dtype=np.float64)
     n_out = max(1, int(round(len(sig) * sr_to / sr_from)))
     x_out = np.arange(n_out, dtype=np.float64) * (sr_from / sr_to)
     return np.interp(x_out, np.arange(len(sig), dtype=np.float64), sig)
+
+
+def resample_sinc(sig: np.ndarray, sr_from: int, sr_to: int,
+                  taps: int = 32, beta: float = 8.0) -> np.ndarray:
+    """Kaiser-windowed-sinc resample — the quality path: anti-aliased on
+    downsample (cutoff follows the output Nyquist), flat passband on
+    upsample. One vectorized (n_out × taps) gather per clip; per-sample
+    kernel renormalization keeps unity gain at the clip edges."""
+    sig = np.asarray(sig, dtype=np.float64)
+    if sr_from == sr_to or len(sig) == 0:
+        return sig
+    ratio = sr_to / sr_from
+    n_out = max(1, int(round(len(sig) * ratio)))
+    t = np.arange(n_out, dtype=np.float64) / ratio
+    offs = np.arange(-taps // 2 + 1, taps // 2 + 1)
+    idx = np.floor(t).astype(np.int64)[:, None] + offs[None, :]
+    frac = t[:, None] - idx
+    cutoff = min(1.0, ratio)
+    x = frac / (taps / 2.0)
+    win = np.i0(beta * np.sqrt(np.clip(1.0 - x * x, 0.0, None))) / np.i0(beta)
+    h = cutoff * np.sinc(cutoff * frac) * win
+    valid = (idx >= 0) & (idx < len(sig))
+    h = np.where(valid, h, 0.0)
+    vals = sig[np.clip(idx, 0, len(sig) - 1)]
+    norm = h.sum(axis=1)
+    norm = np.where(np.abs(norm) < 1e-12, 1.0, norm)
+    return (vals * h).sum(axis=1) / norm
+
+
+def gain_to_dbfs(sig: np.ndarray, target_dbfs: float = -20.0,
+                 mode: str = "rms", limit: float = 0.999) -> np.ndarray:
+    """Loudness normalization: scale so the clip's RMS (or peak) sits at
+    ``target_dbfs`` (dB re full scale 1.0), then hard-limit to ±limit —
+    the corpus-leveling step before training-window extraction."""
+    sig = np.asarray(sig, dtype=np.float64)
+    if len(sig) == 0:
+        return sig
+    level = (float(np.sqrt(np.mean(sig * sig))) if mode == "rms"
+             else float(np.max(np.abs(sig))))
+    if level <= 0.0:
+        return sig
+    gain = 10.0 ** ((target_dbfs - 20.0 * np.log10(level)) / 20.0)
+    return np.clip(sig * gain, -limit, limit)
 
 
 # ---------------------------------------------------------------- stages

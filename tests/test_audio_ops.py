@@ -237,3 +237,44 @@ def test_mel_features_stage(ray_session):
     b = out[out["clip_id"] == "b"].sort_values("coef")
     np.testing.assert_array_equal(a["mfcc_mean"].to_numpy(),
                                   b["mfcc_mean"].to_numpy())
+
+
+def test_sinc_resample_beats_linear_on_tone():
+    """Downsampling a near-Nyquist tone: the Kaiser-sinc path reconstructs
+    it far more faithfully than linear interpolation (SNR vs the analytic
+    tone at the target rate), and both preserve duration."""
+    from anomaly_detection_ray.stages import audio_ops as ao
+    # non-integer ratio: linear interpolation must actually interpolate
+    # (an integer decimation just picks samples and looks artificially
+    # perfect on a clean tone)
+    sr_from, sr_to, f = 44100, 16000, 5000.0
+    n = 44100
+    t = np.arange(n) / sr_from
+    sig = np.sin(2 * np.pi * f * t)
+    n_out = int(round(n * sr_to / sr_from))
+    want = np.sin(2 * np.pi * f * np.arange(n_out) / sr_to)
+
+    def snr(got):
+        m = slice(200, len(want) - 200)  # ignore edge transients
+        err = got[m] - want[m]
+        return 10 * np.log10(np.mean(want[m] ** 2) / np.mean(err ** 2))
+
+    lin = ao.resample_linear(sig, sr_from, sr_to)
+    snc = ao.resample_sinc(sig, sr_from, sr_to)
+    assert len(snc) == len(want) and len(lin) == len(want)
+    assert snr(snc) > snr(lin) + 20  # >=20 dB better
+    assert snr(snc) > 40
+
+
+def test_gain_to_dbfs():
+    from anomaly_detection_ray.stages import audio_ops as ao
+    rng = np.random.default_rng(4)
+    sig = rng.normal(0, 0.01, 8000)  # very quiet
+    out = ao.gain_to_dbfs(sig, target_dbfs=-20.0)
+    rms_db = 20 * np.log10(np.sqrt(np.mean(out ** 2)))
+    assert abs(rms_db - (-20.0)) < 0.5
+    # peak mode + limiter
+    loud = ao.gain_to_dbfs(np.array([0.001, -0.002]), target_dbfs=0.0,
+                           mode="peak")
+    assert np.abs(loud).max() <= 0.999 + 1e-12
+    assert ao.gain_to_dbfs(np.zeros(10)).sum() == 0.0  # silence: no-op

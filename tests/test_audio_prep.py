@@ -101,3 +101,35 @@ def test_quality_gate_drops_flat_noise(clip_path, tmp_path):
     df = _segments_df(res)
     corrupt_ids = {f"clip-{i:09d}" for i in gt["corrupt_pcm"]}
     assert not (set(df["clip_id"].unique()) & corrupt_ids)
+
+
+def test_sinc_resampler_and_loudness_normalization(clip_path,
+                                                   tmp_path_factory):
+    """The quality prep config (Kaiser-sinc resample + RMS leveling to
+    target_dbfs) produces segments whose decoded RMS sits at the target;
+    the config hash differs from the default so checkpoints invalidate."""
+    import numpy as np
+
+    from anomaly_detection_ray import audio
+    from anomaly_detection_ray.pipelines import checkpoint as ckpt
+    from dataclasses import asdict
+
+    out = tmp_path_factory.mktemp("prep_sinc")
+    cfg = ap.AudioPrepConfig(P=P, target_sr=16000, seg_ms=1000,
+                             concurrency=2, resampler="sinc",
+                             target_dbfs=-20.0)
+    assert (ckpt.config_hash(asdict(cfg))
+            != ckpt.config_hash(asdict(ap.AudioPrepConfig(P=P))))
+    res = ap.run_audio_prep(clip_path, str(out), cfg, resume=False)
+    df = _segments_df(res)
+    assert len(df) > 100
+    rms_db = []
+    for b in df["bytes"].head(40):
+        sig, sr = audio.decode_wav_lenient(b)
+        assert sr == 16000
+        r = float(np.sqrt(np.mean(sig ** 2)))
+        if r > 0:
+            rms_db.append(20 * np.log10(r))
+    # full-clip leveling, per-second segments: segment RMS scatters around
+    # the clip target — the MEDIAN must sit near -20 dBFS
+    assert abs(float(np.median(rms_db)) - (-20.0)) < 3.0
