@@ -37,6 +37,7 @@ FIXTURE_QUERIES = [
     "simhash_documents",
     "doc_fingerprints",
     "embedding_dedup_embeddings",
+    "semantic_dedup_embeddings",
     "ann_ivf_embeddings",
     "ann_pq_embeddings",
     "iforest_events",

@@ -834,6 +834,35 @@ def q_embedding_dedup_embeddings(sf_dir: str):
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_semantic_dedup_embeddings(sf_dir: str):
+    """SemDeDup semantic dedup (stages/similarity.semantic_dedup): k-means
+    clusters then greedy cosine leader dedup inside each cluster. Same
+    injection as embedding_dedup (the synthetic table has no near-dups):
+    every 10th vector gets a seeded perturbed copy the operator must fold
+    onto its source. Deterministic (seeded k-means, id-ordered leader
+    scan) => fixture oracle."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def inject(df: pd.DataFrame) -> pd.DataFrame:
+        src = df[df["vec_id"] % 10 == 0]
+        dup_rows = []
+        for vid, emb in zip(src["vec_id"], src["embedding"]):
+            v = np.asarray(emb, dtype=np.float64)
+            noise = np.random.default_rng(int(vid)).normal(0, 0.02, len(v))
+            dup_rows.append({"vec_id": int(vid) + EMB_DUP_OFFSET,
+                             "embedding": v + noise})
+        return pd.concat([df, pd.DataFrame(dup_rows)], ignore_index=True)
+
+    ds = ds.map_batches(inject, batch_format="pandas")
+    out = sim.semantic_dedup(ds, k=8, tau=0.95, iters=5, seed=0)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["keep"] = df["keep"].astype(bool)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def q_embedding_norms(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
@@ -1827,6 +1856,7 @@ QUERIES = {
     "doc_fingerprints": q_doc_fingerprints,
     "embedding_norms": q_embedding_norms,
     "embedding_dedup_embeddings": q_embedding_dedup_embeddings,
+    "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
     "similarity_topk_embeddings": q_similarity_topk_embeddings,
     "ann_ivf_embeddings": q_ann_ivf_embeddings,
     "ann_pq_embeddings": q_ann_pq_embeddings,

@@ -365,3 +365,73 @@ def kmeans_assign(ds, C: np.ndarray, vec_col: str = "embedding",
                                  d[np.arange(len(a)), a], 0.0))})
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+def semantic_dedup(ds, k: int = 16, tau: float = 0.95, iters: int = 5,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   seed: int = 0):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the corpus, then dedup WITHIN each
+    cluster — two rows are semantic duplicates when their unit vectors'
+    cosine exceeds ``tau``; a greedy leader scan in ascending-id order
+    keeps the earliest row of every duplicate chain, so the verdict is
+    deterministic and independent of partitioning.
+
+    Scale shape: the quadratic work is bounded per cluster (pick k so the
+    mean cluster size n/k stays fixed as the corpus grows — SemDeDup uses
+    k ~ n/1000); the only all-to-all exchange is the groupby(cluster)
+    shuffle of (id, vector) rows, and each k-means iteration is one
+    streaming pass whose driver merge is k×(dim+1) floats. At 100 TB,
+    quantize the shuffled vector to int8 (embedding_near_dup's trick) if
+    the float exchange dominates; the leader scan then re-ranks in
+    float64 exactly as here.
+
+    Returns one row per input row: (id, cluster, keep, dup_of, cos_dup) —
+    ``dup_of`` is the kept leader's id for dropped rows (-1 for kept),
+    ``cos_dup`` the cosine to that leader (0.0 for kept), rounded so the
+    value-hash is stable across BLAS reduction orders."""
+    import ray as _ray
+
+    C = kmeans_fit(ds, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
+                   seed=seed)
+    C_ref = _ray.put(C)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        # assignment pass that KEEPS the vector (kmeans_assign drops it):
+        # one read of the corpus feeds the cluster shuffle directly
+        Cc = _ray.get(C_ref)
+        X = _as_matrix(df[vec_col].to_numpy())
+        d = (X * X).sum(1)[:, None] - 2.0 * X @ Cc.T + (Cc * Cc).sum(1)[None, :]
+        return pd.DataFrame({id_col: df[id_col].astype(np.int64),
+                             "cluster": np.argmin(d, 1).astype(np.int64),
+                             vec_col: list(X)})
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+
+    def leader_scan(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        X = _normalize(_as_matrix(g[vec_col].to_numpy()[order]))
+        n = len(ids)
+        S = X @ X.T  # cluster-size bounded (n/k rows), float64
+        keep = np.ones(n, dtype=bool)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        cos = np.zeros(n, dtype=np.float64)
+        for i in range(n):  # outer loop over kept leaders only
+            if not keep[i]:
+                continue
+            tail = np.flatnonzero(keep[i + 1:] & (S[i, i + 1:] > tau))
+            if len(tail):
+                j = tail + i + 1
+                keep[j] = False
+                dup_of[j] = ids[i]
+                cos[j] = S[i, j]
+        return pd.DataFrame({id_col: ids,
+                             "cluster": np.full(n, int(g["cluster"].iloc[0]),
+                                                dtype=np.int64),
+                             "keep": keep, "dup_of": dup_of,
+                             "cos_dup": np.round(cos, 6)})
+
+    return tagged.groupby("cluster").map_groups(leader_scan,
+                                                batch_format="pandas")

@@ -184,3 +184,62 @@ def test_kmeans_full_recovers_separated_clusters(ray_session):
     assert all(len(set(b)) == 1 for b in blobs)
     assert len({b[0] for b in blobs}) == 3
     assert out["dist"].mean() < 1.0  # ~E||N(0,0.3 I2)|| ≈ 0.38
+
+
+def test_semantic_dedup_drops_planted_near_dups(ray_session):
+    """SemDeDup leader scan: planted near-copies (cosine ~0.999) are
+    dropped onto their lowest-id source; well-separated singletons are
+    kept; verdicts match a sequential whole-corpus reference and are
+    invariant to partitioning."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages import similarity as sim
+
+    r = np.random.default_rng(7)
+    base = r.normal(size=(60, 16))
+    rows = [{"vec_id": i, "embedding": base[i]} for i in range(60)]
+    # plant 3 near-copies of sources 5, 20, 20 at big ids
+    for j, src in zip((1000, 1001, 1002), (5, 20, 20)):
+        rows.append({"vec_id": j,
+                     "embedding": base[src] + r.normal(0, 0.01, 16)})
+    df = pd.DataFrame(rows)
+
+    def run(nparts):
+        ds = rd.from_pandas(df).repartition(nparts)
+        return (sim.semantic_dedup(ds, k=4, tau=0.95, iters=4, seed=0)
+                .to_pandas().sort_values("vec_id").reset_index(drop=True))
+
+    out = run(3)
+    assert len(out) == 63
+    planted = out[out["vec_id"] >= 1000]
+    assert not planted["keep"].any()
+    assert planted["dup_of"].tolist() == [5, 20, 20]
+    # gaussian originals are mutually far -> all kept
+    assert out[out["vec_id"] < 1000]["keep"].all()
+
+    # sequential whole-corpus reference: same clusters, same greedy scan
+    C = sim.kmeans_fit(rd.from_pandas(df), k=4, iters=4, seed=0)
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    d = ((X * X).sum(1)[:, None] - 2 * X @ C.T + (C * C).sum(1)[None, :])
+    clus = np.argmin(d, 1)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    ids = df["vec_id"].to_numpy()
+    keep_ref = {}
+    dup_ref = {}
+    for c in set(clus):
+        member = np.flatnonzero(clus == c)
+        member = member[np.argsort(ids[member])]
+        kept: list[int] = []
+        for m in member:
+            hit = next((kk for kk in kept
+                        if float(Xn[m] @ Xn[kk]) > 0.95), None)
+            keep_ref[ids[m]] = hit is None
+            dup_ref[ids[m]] = ids[hit] if hit is not None else -1
+            if hit is None:
+                kept.append(m)
+    assert out.set_index("vec_id")["keep"].to_dict() == keep_ref
+    assert out.set_index("vec_id")["dup_of"].to_dict() == dup_ref
+
+    # partitioning invariance
+    out8 = run(8)
+    pd.testing.assert_frame_equal(out, out8)
