@@ -78,6 +78,91 @@ def _stop_ratio(words: list[str], stopset: set[str]) -> float:
     return sum(w in stopset for w in words) / len(words)
 
 
+# PII patterns kept RE2-compatible (no backrefs/lookaround) so the same
+# pattern strings drive both the pandas kernels and the DuckDB oracle.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+\d[\d-]{7,}\d",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scan(texts: pd.Series) -> dict[str, np.ndarray]:
+    """Per-doc PII hit counts (email / phone / IPv4) — vectorized
+    ``.str.count`` with the shared RE2-safe patterns."""
+    s = texts.fillna("")
+    return {f"n_{k}": s.str.count(p).to_numpy(dtype=np.int64)
+            for k, p in PII_PATTERNS.items()}
+
+
+def pii_redact(texts: pd.Series) -> pd.Series:
+    """Replace every PII hit with a typed placeholder (``<EMAIL>`` etc.),
+    applied email -> phone -> ip so a redacted token can't re-match a
+    later pattern. Vectorized ``.str.replace`` (C regex kernel)."""
+    s = texts.fillna("")
+    for k, p in PII_PATTERNS.items():
+        s = s.str.replace(p, f"<{k.upper()}>", regex=True)
+    return s
+
+
+def repetition_features(texts: pd.Series) -> dict[str, np.ndarray]:
+    """Gopher-style repetition signals (Rae et al. 2021, §A1.1 flavor) per
+    document over lowercased ``[\\w']+`` word tokens: word count, distinct-
+    word fraction, top-word fraction, top-bigram fraction, and the longest
+    run of the same word repeated back-to-back. Fully vectorized: ONE
+    factorize over the batch's exploded tokens, per-(doc,word) counts via
+    ``np.unique`` on composite int keys, per-doc maxima via
+    ``np.maximum.at`` — no Python loop over rows or tokens."""
+    toks = (texts.fillna("").str.lower().str.findall(WORD_RE)
+            .reset_index(drop=True))
+    n = len(toks)
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    out = {
+        "n_words": lens,
+        "uniq_word_frac": np.zeros(n, dtype=np.float64),
+        "top_word_frac": np.zeros(n, dtype=np.float64),
+        "top_bigram_frac": np.zeros(n, dtype=np.float64),
+        "max_word_run": np.zeros(n, dtype=np.int64),
+    }
+    ex = toks.explode().dropna()
+    if not len(ex):
+        return out
+    doc = ex.index.to_numpy(dtype=np.int64)
+    wid, uniq = pd.factorize(ex.to_numpy())
+    wid = wid.astype(np.int64)
+    V = np.int64(max(len(uniq), 1))
+
+    ukey, cnt = np.unique(doc * V + wid, return_counts=True)
+    udoc = ukey // V
+    n_uniq = np.zeros(n, dtype=np.int64)
+    np.add.at(n_uniq, udoc, 1)
+    top_word = np.zeros(n, dtype=np.int64)
+    np.maximum.at(top_word, udoc, cnt)
+
+    same_doc = doc[1:] == doc[:-1]
+    top_big = np.zeros(n, dtype=np.int64)
+    if same_doc.any():
+        bw = (wid[:-1] * V + wid[1:])[same_doc]
+        bdoc = doc[1:][same_doc]
+        # composite (doc, bigram) key without int64 overflow: re-factorize
+        # the bigram ids (bounded by batch token count, not V^2)
+        bid, _ = pd.factorize(bw)
+        B = np.int64(max(bid.max() + 1, 1))
+        key2, cnt2 = np.unique(bdoc * B + bid.astype(np.int64),
+                               return_counts=True)
+        np.maximum.at(top_big, key2 // B, cnt2)
+
+    chg = np.r_[True, (wid[1:] != wid[:-1]) | ~same_doc]
+    run_len = np.bincount(np.cumsum(chg) - 1)
+    np.maximum.at(out["max_word_run"], doc[chg], run_len)
+
+    safe = np.maximum(lens, 1)
+    out["uniq_word_frac"] = n_uniq / safe
+    out["top_word_frac"] = top_word / safe
+    out["top_bigram_frac"] = top_big / np.maximum(lens - 1, 1)
+    return out
+
+
 def detect_language(texts: pd.Series) -> np.ndarray:
     """Stopword-profile language ID over {en, de, fr, es, it}; 'und'
     (undetermined) when no profile scores > 0."""

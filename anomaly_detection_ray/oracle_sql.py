@@ -1192,6 +1192,85 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(s) - length(regexp_replace(s, '[0-9]', '', 'g')) AS BIGINT) AS n_digits
             FROM t
         """,
+        "pii_redact_documents": r"""
+            -- identical doc_id-derived PII injection as the Ray query
+            -- (pure string concat), identical RE2 patterns for scan+redact
+            WITH inj AS (
+              SELECT doc_id,
+                coalesce(text, '')
+                || CASE WHEN doc_id % 3 = 0
+                        THEN ' contact user' || doc_id || '@example.org now'
+                        ELSE '' END
+                || CASE WHEN doc_id % 5 = 0
+                        THEN ' from 10.' || (doc_id % 256) || '.0.'
+                             || (doc_id % 100) || ' today'
+                        ELSE '' END
+                || CASE WHEN doc_id % 7 = 0
+                        THEN ' call +1-555-' || (1000 + doc_id % 9000)
+                             || ' soon'
+                        ELSE '' END AS s
+              FROM documents)
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(s,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                AS n_email,
+              CAST(len(regexp_extract_all(s, '\+\d[\d-]{7,}\d')) AS BIGINT)
+                AS n_phone,
+              CAST(len(regexp_extract_all(s,
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+                AS n_ip,
+              regexp_replace(regexp_replace(regexp_replace(s,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g'),
+                '\+\d[\d-]{7,}\d', '<PHONE>', 'g'),
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+                AS redacted
+            FROM inj
+        """,
+        "repetition_stats_documents": """
+            -- Gopher-style repetition stats: tokens = lowercased [\\w']+
+            -- runs, zipped unnest(list)+generate_subscripts gives (word,
+            -- pos); islands trick (pos - dense rank within word) finds
+            -- same-word runs
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(lower(coalesce(text, '')),
+                                                 '[a-z0-9_'']+') AS w
+                       FROM documents),
+            tok AS (SELECT doc_id, unnest(w) AS word,
+                           generate_subscripts(w, 1) AS pos
+                    FROM t),
+            wc AS (SELECT doc_id, word, count(*) AS c
+                   FROM tok GROUP BY doc_id, word),
+            bg AS (SELECT a.doc_id, a.word AS w1, b.word AS w2, count(*) AS c
+                   FROM tok a JOIN tok b
+                     ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                   GROUP BY a.doc_id, a.word, b.word),
+            runs AS (SELECT doc_id, word,
+                            pos - ROW_NUMBER() OVER
+                              (PARTITION BY doc_id, word ORDER BY pos) AS isl
+                     FROM tok),
+            runlen AS (SELECT doc_id, max(c) AS max_run
+                       FROM (SELECT doc_id, count(*) AS c
+                             FROM runs GROUP BY doc_id, word, isl)
+                       GROUP BY doc_id),
+            agg AS (SELECT doc_id, sum(c) AS n_words,
+                           count(*) AS n_uniq, max(c) AS top_word
+                    FROM wc GROUP BY doc_id),
+            bagg AS (SELECT doc_id, max(c) AS top_big FROM bg GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+                   round(coalesce(a.n_uniq / greatest(a.n_words, 1), 0), 6)
+                     AS uniq_word_frac,
+                   round(coalesce(a.top_word / greatest(a.n_words, 1), 0), 6)
+                     AS top_word_frac,
+                   round(coalesce(b.top_big / greatest(a.n_words - 1, 1), 0), 6)
+                     AS top_bigram_frac,
+                   CAST(coalesce(r.max_run, 0) AS BIGINT) AS max_word_run
+            FROM documents d
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN bagg b USING (doc_id)
+            LEFT JOIN runlen r USING (doc_id)
+        """,
         "feature_construction_events": """
             -- fv layout: raw, avg2, avg5, periodic(2,[3]), lag1, lag2, then
             -- time features in the reference's fixed check order: weekday

@@ -751,6 +751,59 @@ def q_text_quality_documents(sf_dir: str):
     return ds.map_batches(f, batch_format="pandas")
 
 
+def q_pii_redact_documents(sf_dir: str):
+    """PII detection + redaction (functions/text.pii_scan/pii_redact).
+    The synthetic corpus carries no PII, so deterministic PII is injected
+    from doc_id alone by STRING CONCATENATION — the SQL oracle re-creates
+    the identical injection with `||`, then both sides scan/redact with
+    the same RE2-safe patterns, making the redacted text itself
+    hash-checked (not just the counts). Embarrassingly parallel, no
+    shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy()
+        s = df["text"].fillna("").copy()
+        s = s.where(d % 3 != 0,
+                    s + pd.Series(d, index=s.index).map(
+                        lambda i: f" contact user{i}@example.org now"))
+        s = s.where(d % 5 != 0,
+                    s + pd.Series(d, index=s.index).map(
+                        lambda i: f" from 10.{i % 256}.0.{i % 100} today"))
+        s = s.where(d % 7 != 0,
+                    s + pd.Series(d, index=s.index).map(
+                        lambda i: f" call +1-555-{1000 + i % 9000} soon"))
+        out = {"doc_id": d}
+        out.update(tx.pii_scan(s))
+        out["redacted"] = tx.pii_redact(s)
+        return pd.DataFrame(out)
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def q_repetition_stats_documents(sf_dir: str):
+    """Gopher-style repetition signals per document (functions/
+    text.repetition_features): word count, distinct-word fraction,
+    top-word fraction, top-bigram fraction, longest same-word run —
+    the repetition-quality filter of a crawl-curation pipeline, fully
+    vectorized per batch and embarrassingly parallel (no shuffle).
+    Fractions rounded to 6 to match the SQL oracle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        r = tx.repetition_features(df["text"])
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_words": r["n_words"],
+            "uniq_word_frac": rnd(r["uniq_word_frac"], 6),
+            "top_word_frac": rnd(r["top_word_frac"], 6),
+            "top_bigram_frac": rnd(r["top_bigram_frac"], 6),
+            "max_word_run": r["max_word_run"],
+        })
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 def q_lang_detect_documents(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
 
@@ -1849,6 +1902,8 @@ QUERIES = {
     "exact_dedup_documents": q_exact_dedup_documents,
     "token_count_documents": q_token_count_documents,
     "text_quality_documents": q_text_quality_documents,
+    "repetition_stats_documents": q_repetition_stats_documents,
+    "pii_redact_documents": q_pii_redact_documents,
     "lang_detect_documents": q_lang_detect_documents,
     "minhash_dedup_documents": q_minhash_dedup_documents,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,

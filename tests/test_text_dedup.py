@@ -327,3 +327,71 @@ def test_embedding_near_dup_exact_beyond_old_cap(ray_session):
         with_report=True)
     assert len(capped) == 100 * 99 // 2
     assert report["truncated_pairs"] > 0
+
+
+def test_repetition_features_match_slow_reference():
+    """Vectorized Gopher repetition signals == per-doc Counter reference on
+    adversarial inputs: empty/null docs, all-same-word docs, apostrophes,
+    single word, cross-doc adjacency (no bigram bleed between docs)."""
+    import collections
+    import re
+
+    import pandas as pd
+
+    from anomaly_detection_ray.functions import text as tx
+
+    docs = pd.Series([
+        "", None, "batch batch batch batch",
+        "a b a b a b", "word", "don't don't stop",
+        "x y z x y z x y z", "q",   # adjacent docs ending/starting alike:
+        "q q",                       # run must not bleed across docs
+        "aa bb aa bb cc aa",
+    ])
+    got = tx.repetition_features(docs)
+    for i, s in enumerate(docs):
+        ws = re.findall(r"[\w']+", (s or "").lower())
+        n = len(ws)
+        assert got["n_words"][i] == n
+        if n == 0:
+            for k in ("uniq_word_frac", "top_word_frac", "top_bigram_frac"):
+                assert got[k][i] == 0.0
+            assert got["max_word_run"][i] == 0
+            continue
+        wc = collections.Counter(ws)
+        assert got["uniq_word_frac"][i] == len(wc) / n
+        assert got["top_word_frac"][i] == max(wc.values()) / n
+        bg = collections.Counter(zip(ws, ws[1:]))
+        top_big = max(bg.values()) if bg else 0
+        assert got["top_bigram_frac"][i] == top_big / max(n - 1, 1)
+        best = run = 1
+        for a, b in zip(ws, ws[1:]):
+            run = run + 1 if a == b else 1
+            best = max(best, run)
+        assert got["max_word_run"][i] == best
+
+
+def test_pii_scan_and_redact_kernels():
+    """PII kernels on tricky strings: multiple hits, no hits, boundary
+    cases (a 4-digit octet is not an IP), order of redaction (a redacted
+    email can't re-match phone/ip)."""
+    import pandas as pd
+
+    from anomaly_detection_ray.functions import text as tx
+
+    s = pd.Series([
+        "mail a.b+c@ex-am.ple.org and d@e.io",
+        "call +1-555-123-4567 or +49-30-1234567",
+        "hosts 10.0.0.1 and 192.168.255.3",
+        "not an ip: 1234.5.6.7 nor 1.2.3",
+        "no pii here", None,
+    ])
+    got = tx.pii_scan(s)
+    assert got["n_email"].tolist() == [2, 0, 0, 0, 0, 0]
+    assert got["n_phone"].tolist() == [0, 2, 0, 0, 0, 0]
+    assert got["n_ip"].tolist() == [0, 0, 2, 0, 0, 0]
+    red = tx.pii_redact(s)
+    assert red[0] == "mail <EMAIL> and <EMAIL>"
+    assert red[1] == "call <PHONE> or <PHONE>"
+    assert red[2] == "hosts <IP> and <IP>"
+    assert red[3] == "not an ip: 1234.5.6.7 nor 1.2.3"
+    assert red[5] == ""
