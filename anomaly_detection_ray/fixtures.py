@@ -38,6 +38,7 @@ FIXTURE_QUERIES = [
     "doc_fingerprints",
     "embedding_dedup_embeddings",
     "semantic_dedup_embeddings",
+    "charlm_quality_documents",
     "ann_ivf_embeddings",
     "ann_pq_embeddings",
     "iforest_events",

@@ -751,6 +751,18 @@ def q_text_quality_documents(sf_dir: str):
     return ds.map_batches(f, batch_format="pandas")
 
 
+def q_charlm_quality_documents(sf_dir: str):
+    """LM-perplexity quality scoring (functions/charlm): train an
+    add-alpha char-trigram LM on the corpus in one counting pass, then
+    score every doc's bits-per-char with the broadcast table (CCNet-style
+    filter signal). Integer count fold => table bit-identical across
+    partitionings; deterministic => fixture oracle."""
+    from ..functions import charlm
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    logp = charlm.train_char_lm(ds, "text", alpha=0.1)
+    return charlm.score_char_lm(ds, logp)
+
+
 def q_pii_redact_documents(sf_dir: str):
     """PII detection + redaction (functions/text.pii_scan/pii_redact).
     The synthetic corpus carries no PII, so deterministic PII is injected
@@ -1904,6 +1916,7 @@ QUERIES = {
     "text_quality_documents": q_text_quality_documents,
     "repetition_stats_documents": q_repetition_stats_documents,
     "pii_redact_documents": q_pii_redact_documents,
+    "charlm_quality_documents": q_charlm_quality_documents,
     "lang_detect_documents": q_lang_detect_documents,
     "minhash_dedup_documents": q_minhash_dedup_documents,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,

@@ -395,3 +395,58 @@ def test_pii_scan_and_redact_kernels():
     assert red[2] == "hosts <IP> and <IP>"
     assert red[3] == "not an ip: 1234.5.6.7 nor 1.2.3"
     assert red[5] == ""
+
+
+def test_charlm_matches_sequential_reference_and_ranks_garbage(ray_session):
+    """Distributed char-trigram LM == sequential Counter reference
+    (bit-exact table via integer fold); scores are partitioning-invariant;
+    out-of-distribution text scores more bits/char than in-distribution."""
+    import collections
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from anomaly_detection_ray.functions import charlm
+
+    docs = ["the cat sat on the mat", "the dog sat on the log",
+            "the cat and the dog", "zq#xv!!7 qq zz@@",
+            "the mat and the log", ""]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+
+    def run(nparts):
+        ds = rd.from_pandas(df).repartition(nparts)
+        logp = charlm.train_char_lm(ds, alpha=0.1)
+        return (charlm.score_char_lm(ds, logp).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True)), logp
+
+    out, logp = run(2)
+    out4, logp4 = run(4)
+    np.testing.assert_array_equal(logp, logp4)
+    pd.testing.assert_frame_equal(out, out4)
+
+    # sequential reference
+    def cid(ch):
+        o = ord(ch.encode("ascii", "replace").decode())
+        return o - 31 if 32 <= o <= 126 else 0
+
+    cnt = collections.Counter()
+    for d in docs:
+        ids = [cid(c) for c in d]
+        for i in range(len(ids) - 2):
+            cnt[ids[i] * 96 * 96 + ids[i + 1] * 96 + ids[i + 2]] += 1
+    Vv = 96
+    for i, d in enumerate(docs):
+        ids = [cid(c) for c in d]
+        tot, n = 0.0, 0
+        for j in range(len(ids) - 2):
+            k = ids[j] * Vv * Vv + ids[j + 1] * Vv + ids[j + 2]
+            ctx = sum(cnt[k // Vv * Vv + c] for c in range(Vv))
+            tot += np.log2(cnt[k] + 0.1) - np.log2(ctx + 0.1 * Vv)
+            n += 1
+        want = round(-tot / max(n, 1), 6)
+        assert abs(out["bits_per_char"][i] - want) < 1e-9, (i, d)
+        assert out["n_trigrams"][i] == max(len(d) - 2, 0)
+
+    # the garbage doc is the most surprising one
+    assert out.loc[3, "bits_per_char"] == out["bits_per_char"].max()
