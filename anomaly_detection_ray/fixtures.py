@@ -61,6 +61,7 @@ FIXTURE_QUERIES = [
     "clip_audio_features",
     "clip_spectral_features",
     "clip_mel_features",
+    "clip_mfcc_delta",
     "audio_fingerprint_dedup",
     "clip_segment_stats",
     "clip_resample_stats",

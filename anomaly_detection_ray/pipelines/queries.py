@@ -1776,6 +1776,23 @@ def q_clip_mel_features(sf_dir: str):
                           concurrency=pool_size(8), num_cpus=1)
 
 
+def q_clip_mfcc_delta(sf_dir: str):
+    """Delta / delta-delta MFCC dynamics + per-clip CMVN
+    (stages/audio_ops.MfccDeltaFeatures: HTK regression deltas over the
+    static MFCC matrix, cepstral mean-variance normalization inside the
+    actor) — the articulation-dynamics features a speech pipeline ships
+    alongside the statics; deterministic per clip => fixture oracle."""
+    from ..sources.clips import read_clips
+    from ..stages import audio_ops as ao
+    from ..stages.sizing import pool_size
+    path = _clip_table_path(sf_dir)
+    ds = read_clips(path, columns=["clip_id", "bytes"])
+    return ds.map_batches(ao.MfccDeltaFeatures,
+                          fn_constructor_kwargs={},
+                          batch_format="pyarrow", batch_size=64,
+                          concurrency=pool_size(8), num_cpus=1)
+
+
 def q_audio_fingerprint_dedup(sf_dir: str):
     """Content-duplicate groups by phase/gain-invariant acoustic
     fingerprint (Haitsma-Kalker band-sign bits): (fp, cnt, keep_id) for
@@ -1967,6 +1984,7 @@ QUERIES = {
     "clip_audio_features": q_clip_audio_features,
     "clip_spectral_features": q_clip_spectral_features,
     "clip_mel_features": q_clip_mel_features,
+    "clip_mfcc_delta": q_clip_mfcc_delta,
     "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
     "clip_segment_stats": q_clip_segment_stats,
     "audio_prep_segments": q_audio_prep_segments,

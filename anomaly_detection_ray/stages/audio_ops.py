@@ -249,6 +249,77 @@ def mfcc(sig: np.ndarray, sr: int, n_mels: int = 26, n_mfcc: int = 13,
     return logmel @ dct.T
 
 
+def delta(M: np.ndarray, N: int = 2) -> np.ndarray:
+    """Regression delta features (HTK book eq. 5.16): for each frame t,
+    d_t = sum_{n=1..N} n (c_{t+n} - c_{t-n}) / (2 sum n^2), with edge
+    frames replicated. Vectorized over the whole (n_frames, n_coef)
+    matrix; apply twice for delta-delta."""
+    if len(M) == 0:
+        return M.copy()
+    pad = np.concatenate([np.repeat(M[:1], N, axis=0), M,
+                          np.repeat(M[-1:], N, axis=0)])
+    denom = 2.0 * sum(n * n for n in range(1, N + 1))
+    out = np.zeros_like(M, dtype=np.float64)
+    for n in range(1, N + 1):
+        out += n * (pad[N + n:len(pad) - N + n] - pad[N - n:len(pad) - N - n])
+    return out / denom
+
+
+def cmvn(M: np.ndarray) -> np.ndarray:
+    """Per-clip cepstral mean-variance normalization: (M - mean) / std per
+    coefficient — removes channel/loudness bias so downstream models see
+    a comparable feature scale across recording conditions."""
+    if len(M) == 0:
+        return M.copy()
+    mu = M.mean(axis=0, keepdims=True)
+    sd = M.std(axis=0, keepdims=True)
+    return (M - mu) / np.maximum(sd, 1e-10)
+
+
+class MfccDeltaFeatures:
+    """Actor-pool stage: WAV bytes -> per-clip delta/delta-delta MFCC
+    summaries + CMVN'd dynamics in LONG form (clip_id, coef, delta_mean,
+    delta_std, d2_std, cmvn_delta_std, n_frames). The per-frame matrices
+    (static -> delta -> delta-delta, CMVN) stay inside the actor; only
+    the fixed-width summary rows leave, so block size is independent of
+    clip length."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "clip_id",
+                 n_mels: int = 26, n_mfcc: int = 13, N: int = 2):
+        self.bytes_col, self.id_col = bytes_col, id_col
+        self.n_mels, self.n_mfcc, self.N = n_mels, n_mfcc, N
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows: dict[str, list] = {k: [] for k in
+                                 ("id", "coef", "delta_mean", "delta_std",
+                                  "d2_std", "cmvn_delta_std", "n_frames")}
+        for cid, b in zip(t[self.id_col].to_pylist(),
+                          t[self.bytes_col].to_pylist()):
+            sig, sr = (audio.decode_wav_lenient(b) if b else (None, None))
+            if sig is None or not sr or len(sig) == 0:
+                continue
+            m = mfcc(sig, sr, self.n_mels, self.n_mfcc)
+            d1 = delta(m, self.N)
+            d2 = delta(d1, self.N)
+            dc = delta(cmvn(m), self.N)
+            rows["id"].extend([cid] * self.n_mfcc)
+            rows["coef"].extend(range(self.n_mfcc))
+            rows["delta_mean"].extend(d1.mean(axis=0).tolist())
+            rows["delta_std"].extend(d1.std(axis=0).tolist())
+            rows["d2_std"].extend(d2.std(axis=0).tolist())
+            rows["cmvn_delta_std"].extend(dc.std(axis=0).tolist())
+            rows["n_frames"].extend([m.shape[0]] * self.n_mfcc)
+        return pa.table({
+            self.id_col: pa.array(rows["id"], type=pa.string()),
+            "coef": pa.array(rows["coef"], type=pa.int32()),
+            "delta_mean": pa.array(rows["delta_mean"], type=pa.float64()),
+            "delta_std": pa.array(rows["delta_std"], type=pa.float64()),
+            "d2_std": pa.array(rows["d2_std"], type=pa.float64()),
+            "cmvn_delta_std": pa.array(rows["cmvn_delta_std"],
+                                       type=pa.float64()),
+            "n_frames": pa.array(rows["n_frames"], type=pa.int32())})
+
+
 class MelFeatures:
     """Actor-pool stage: WAV bytes -> per-clip MFCC summary rows in LONG
     form (clip_id, coef, mfcc_mean, mfcc_std, n_frames) — the speech

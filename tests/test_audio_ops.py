@@ -278,3 +278,56 @@ def test_gain_to_dbfs():
                            mode="peak")
     assert np.abs(loud).max() <= 0.999 + 1e-12
     assert ao.gain_to_dbfs(np.zeros(10)).sum() == 0.0  # silence: no-op
+
+
+def test_delta_matches_naive_htk_regression():
+    """Vectorized delta == per-frame HTK regression formula with edge
+    replication; delta of a linear ramp is the constant slope; CMVN output
+    has per-coefficient mean ~0 / std ~1."""
+    import numpy as np
+
+    from anomaly_detection_ray.stages.audio_ops import cmvn, delta
+
+    rng = np.random.default_rng(3)
+    M = rng.normal(size=(12, 4))
+    N = 2
+    got = delta(M, N)
+    denom = 2.0 * sum(n * n for n in range(1, N + 1))
+    for t in range(len(M)):
+        want = np.zeros(4)
+        for n in range(1, N + 1):
+            hi = M[min(t + n, len(M) - 1)]
+            lo = M[max(t - n, 0)]
+            want += n * (hi - lo)
+        np.testing.assert_allclose(got[t], want / denom, atol=1e-12)
+
+    ramp = np.outer(np.arange(10, dtype=float), np.ones(3)) * 2.5
+    d = delta(ramp, 2)
+    np.testing.assert_allclose(d[2:-2], 2.5, atol=1e-12)
+
+    c = cmvn(M)
+    np.testing.assert_allclose(c.mean(axis=0), 0.0, atol=1e-12)
+    np.testing.assert_allclose(c.std(axis=0), 1.0, atol=1e-12)
+    # degenerate: empty and constant input don't blow up
+    assert delta(np.empty((0, 3))).shape == (0, 3)
+    np.testing.assert_allclose(cmvn(np.ones((5, 2))), 0.0)
+
+
+def test_mfcc_delta_stage_over_clips(ray_session):
+    """MfccDeltaFeatures actor stage: 13 rows per decodable clip, finite
+    dynamics, cmvn_delta_std positive for real signals."""
+    import numpy as np
+    import ray.data as rd
+
+    from anomaly_detection_ray import synth
+    from anomaly_detection_ray.stages.audio_ops import MfccDeltaFeatures
+
+    tbl = synth.generate_batch(5, np.arange(6), 2)
+    ds = rd.from_arrow(tbl.select(["clip_id", "bytes"]))
+    out = ds.map_batches(MfccDeltaFeatures, batch_format="pyarrow",
+                         concurrency=1, batch_size=8).to_pandas()
+    per = out.groupby("clip_id").size()
+    assert (per == 13).all() and len(per) >= 5
+    assert np.isfinite(out[["delta_mean", "delta_std", "d2_std",
+                            "cmvn_delta_std"]].to_numpy()).all()
+    assert (out["cmvn_delta_std"] > 0).all()
