@@ -1130,6 +1130,35 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority, l_returnflag
         """,
+        "shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < DATE '1997-07-01'
+              AND l_shipdate  > DATE '1997-07-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate <  DATE '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC
+        """,
         "bloom_dedup_documents": """
             SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS cnt
             FROM (SELECT coalesce(text, '') AS text FROM documents)

@@ -692,6 +692,131 @@ def q_join_orders_lineitem(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped 3-way join: BUILDING-segment customers' orders
+    placed before 1997-07-01 with lineitems shipped after it, top 10 open
+    orders by revenue. Ray shape: the filtered customer side is a
+    BROADCAST key set (smallest side — semi-join via ray.put, no
+    shuffle); lineitem is date-filtered at the read and pre-reduced to
+    (orderkey, revenue) per batch BEFORE the one native shuffle join with
+    orders; final top-10 folds batches×1-row partials on the driver with
+    a deterministic (revenue desc, orderkey) tie-break."""
+    cutoff = pd.Timestamp("1997-07-01")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys = cust.filter(expr="c_mktsegment == 'BUILDING'").to_pandas()
+    keyset = ray.put(keys["c_custkey"].to_numpy())
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderpriority"])
+
+    def ofilter(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(keyset)
+        m = (df["o_orderdate"] < cutoff) & df["o_custkey"].isin(ks)
+        return df.loc[m, ["o_orderkey", "o_orderdate", "o_orderpriority"]]
+
+    orders = orders.map_batches(ofilter, batch_format="pandas")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] > cutoff]
+        return (pd.DataFrame({
+            "l_orderkey": df["l_orderkey"],
+            "revenue": df["l_extendedprice"] * (1 - df["l_discount"]),
+        }).groupby("l_orderkey", as_index=False).sum())
+
+    j = li.map_batches(pre, batch_format="pandas").join(
+        orders, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        # NO per-batch top-k: an order's revenue can straddle batches
+        # within a join partition, so early truncation could drop part of
+        # a group's sum. Emit full group partials; the cardinality-aware
+        # fold merges them (driver below the key threshold, Ray shuffle
+        # above), and the top-10 cut happens only on fully-merged sums.
+        return (df.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"],
+                           as_index=False).agg(revenue=("revenue", "sum")))
+
+    top = (_fold(j.map_batches(post, batch_format="pandas"),
+                 ["l_orderkey", "o_orderdate", "o_orderpriority"],
+                 {"revenue": "sum"})
+           .sort_values(["revenue", "l_orderkey"],
+                        ascending=[False, True]).head(10))
+    top["revenue"] = rnd(top["revenue"], 2)
+    top["l_orderkey"] = top["l_orderkey"].astype("int64")
+    return top.reset_index(drop=True)
+
+
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5-shaped star join: 1996 revenue per ASIA nation where the
+    supplier and the ordering customer share the nation. Ray shape: the
+    three dimension tables (supplier/customer/nation+region) become
+    DENSE-ARRAY broadcast lookups (``ray.put`` once, numpy fancy-index
+    per batch — never a shuffle); lineitem maps suppkey->nation and
+    pre-reduces to (orderkey, s_nat, revenue) before the single
+    large-large shuffle join with date-filtered orders; the same-nation
+    filter + nation naming happen post-join in-batch, and the per-nation
+    sums fold driver-side (#batches x #nations tiny rows)."""
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    cusd = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    asia = int(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+
+    sup_nat = np.full(int(sup["s_suppkey"].max()) + 1, -1, dtype=np.int64)
+    sup_nat[sup["s_suppkey"].to_numpy()] = sup["s_nationkey"].to_numpy()
+    cus_nat = np.full(int(cusd["c_custkey"].max()) + 1, -1, dtype=np.int64)
+    cus_nat[cusd["c_custkey"].to_numpy()] = cusd["c_nationkey"].to_numpy()
+    nat_reg = np.full(int(nat["n_nationkey"].max()) + 1, -1, dtype=np.int64)
+    nat_reg[nat["n_nationkey"].to_numpy()] = nat["n_regionkey"].to_numpy()
+    nat_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    sup_ref, cus_ref = ray.put(sup_nat), ray.put(cus_nat)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        sn = ray.get(sup_ref)
+        return (pd.DataFrame({
+            "l_orderkey": df["l_orderkey"],
+            "s_nat": sn[df["l_suppkey"].to_numpy()],
+            "revenue": df["l_extendedprice"] * (1 - df["l_discount"]),
+        }).groupby(["l_orderkey", "s_nat"], as_index=False).sum())
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+
+    def ofilter(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)
+        return df.loc[m, ["o_orderkey", "o_custkey"]]
+
+    j = li.map_batches(pre, batch_format="pandas").join(
+        orders.map_batches(ofilter, batch_format="pandas"),
+        join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        cn = ray.get(cus_ref)
+        c_nat = cn[df["o_custkey"].to_numpy()]
+        m = (c_nat == df["s_nat"].to_numpy()) & \
+            (nat_reg[df["s_nat"].to_numpy()] == asia)
+        return (df.loc[m, ["s_nat", "revenue"]]
+                .groupby("s_nat", as_index=False).sum())
+
+    merged = _fold(j.map_batches(post, batch_format="pandas"),
+                   ["s_nat"], {"revenue": "sum"})
+    merged["n_name"] = merged["s_nat"].map(nat_name)
+    merged["revenue"] = rnd(merged["revenue"], 2)
+    return (merged[["n_name", "revenue"]]
+            .sort_values("revenue", ascending=False).reset_index(drop=True))
+
+
 def q_events_hourly(sf_dir: str):
     """Tumbling 1-hour event-time window per event_type: count + mean."""
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
@@ -1912,6 +2037,8 @@ QUERIES = {
     "top_customers_revenue": q_top_customers_revenue,
     "events_hourly": q_events_hourly,
     "join_orders_lineitem": q_join_orders_lineitem,
+    "shipping_priority": q_shipping_priority,
+    "local_supplier_volume": q_local_supplier_volume,
     "skew_join_lineitem_supplier": q_skew_join_lineitem_supplier,
     "anti_join_customer_orders": q_anti_join_customer_orders,
     "sessionize_events": q_sessionize_events,
