@@ -62,6 +62,7 @@ FIXTURE_QUERIES = [
     "clip_spectral_features",
     "clip_mel_features",
     "clip_mfcc_delta",
+    "clip_speaking_rate",
     "audio_fingerprint_dedup",
     "clip_segment_stats",
     "clip_resample_stats",

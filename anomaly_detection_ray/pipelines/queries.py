@@ -1901,6 +1901,20 @@ def q_clip_mel_features(sf_dir: str):
                           concurrency=pool_size(8), num_cpus=1)
 
 
+def q_clip_speaking_rate(sf_dir: str):
+    """Transcript↔audio speaking-rate check over clip METADATA only
+    (stages/checks.speaking_rate_stage) — the read prunes to
+    (clip_id, dur_ms, transcript); the 2.4 GiB payload column never
+    leaves storage. Deterministic => fixture oracle."""
+    from ..sources.clips import read_clips
+    from ..stages.checks import speaking_rate_stage
+    path = _clip_table_path(sf_dir)
+    ds = read_clips(path, columns=["clip_id", "dur_ms", "transcript"])
+    out = ds.map_batches(speaking_rate_stage, batch_format="pyarrow")
+    return out.select_columns(["clip_id", "sr_code", "chars_per_sec",
+                               "words_per_min"])
+
+
 def q_clip_mfcc_delta(sf_dir: str):
     """Delta / delta-delta MFCC dynamics + per-clip CMVN
     (stages/audio_ops.MfccDeltaFeatures: HTK regression deltas over the
@@ -2112,6 +2126,7 @@ QUERIES = {
     "clip_spectral_features": q_clip_spectral_features,
     "clip_mel_features": q_clip_mel_features,
     "clip_mfcc_delta": q_clip_mfcc_delta,
+    "clip_speaking_rate": q_clip_speaking_rate,
     "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
     "clip_segment_stats": q_clip_segment_stats,
     "audio_prep_segments": q_audio_prep_segments,

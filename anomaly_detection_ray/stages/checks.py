@@ -17,7 +17,7 @@ import pyarrow.compute as pc
 
 from .. import audio, synth
 from ..functions.grading import (ERROR_CODE, OK_CODE, UNDEFINED_CODE,
-                                 grade_normalized, normalize)
+                                 WARNING_CODE, grade_normalized, normalize)
 
 
 def _float_np(arr) -> np.ndarray:
@@ -96,6 +96,48 @@ def transcript_stage(t: pa.Table, seed: int | None = None,
             code[bad] = ERROR_CODE
             status[bad] = "Error: transcript mismatch"
     return _append(t, prefix, code, status)
+
+
+def speaking_rate_stage(t: pa.Table, prefix: str = "sr",
+                        err_cps: float = 30.0, warn_cps: float = 20.0,
+                        min_cps: float = 1.0,
+                        min_dur_ms: float = 2000.0) -> pa.Table:
+    """Transcript↔audio speaking-rate plausibility: chars/sec of the
+    transcript against dur_ms (metadata only — the payload column is
+    never read, so the stage runs column-pruned at the scan). Error when
+    the rate is impossible for speech (> err_cps, or ~silent-length
+    transcript on a long clip: < min_cps past min_dur_ms); Warning in
+    the fast band (> warn_cps); Undefined when duration or transcript is
+    null. Emits chars_per_sec/words_per_min alongside the graded code."""
+    tr = t["transcript"]
+    tr_null = _null_mask(tr)
+    s = pc.fill_null(tr, "")
+    n_chars = _float_np(pc.utf8_length(s))
+    n_words = _float_np(pc.count_substring_regex(s, r"\S+"))
+    dur = _float_np(t["dur_ms"])
+    sec = dur / 1000.0
+    safe = np.maximum(sec, 1e-9)
+    cps = n_chars / safe
+    wpm = n_words / safe * 60.0
+    code = np.full(len(n_chars), OK_CODE, dtype=np.int8)
+    code[cps > warn_cps] = WARNING_CODE
+    too_slow = (cps < min_cps) & (dur > min_dur_ms)
+    code[(cps > err_cps) | too_slow | (dur <= 0)] = ERROR_CODE
+    undef = tr_null | np.isnan(dur)
+    code[undef] = UNDEFINED_CODE
+    status = np.where(code == ERROR_CODE,
+                      "Error: implausible speaking rate",
+                      np.where(code == WARNING_CODE,
+                               "Warning: fast speaking rate",
+                               np.where(code == UNDEFINED_CODE,
+                                        "Undefined", "OK"))).astype(object)
+    out = _append(t, prefix, code, status)
+    out = out.append_column("chars_per_sec",
+                            pa.array(np.round(np.where(undef, np.nan, cps), 6),
+                                     type=pa.float64()))
+    return out.append_column("words_per_min",
+                             pa.array(np.round(np.where(undef, np.nan, wpm), 6),
+                                      type=pa.float64()))
 
 
 def clip_index(t: pa.Table) -> np.ndarray:

@@ -331,3 +331,37 @@ def test_mfcc_delta_stage_over_clips(ray_session):
     assert np.isfinite(out[["delta_mean", "delta_std", "d2_std",
                             "cmvn_delta_std"]].to_numpy()).all()
     assert (out["cmvn_delta_std"] > 0).all()
+
+
+def test_speaking_rate_stage_grades():
+    """Speaking-rate grading on crafted metadata: OK band, fast warning,
+    impossible error, too-slow-on-long-clip error, null transcript/dur
+    undefined; payload column not required."""
+    import numpy as np
+    import pyarrow as pa
+
+    from anomaly_detection_ray.functions.grading import (
+        ERROR_CODE, OK_CODE, UNDEFINED_CODE, WARNING_CODE)
+    from anomaly_detection_ray.stages.checks import speaking_rate_stage
+
+    t = pa.table({
+        "clip_id": [f"c{i}" for i in range(7)],
+        "dur_ms": pa.array([10_000, 1_000, 1_000, 10_000, None, 2_000, 0],
+                           type=pa.int32()),
+        "transcript": ["hello world " * 10,   # 120 ch / 10 s = 12 cps OK
+                       "x" * 25,              # 25 cps -> warning
+                       "x" * 40,              # 40 cps -> error
+                       "hi",                  # 0.2 cps on 10 s -> error
+                       "anything",            # null dur -> undefined
+                       None,                  # null transcript -> undefined
+                       "text"],               # dur 0 -> error
+    })
+    out = speaking_rate_stage(t)
+    assert out["sr_code"].to_pylist() == [
+        OK_CODE, WARNING_CODE, ERROR_CODE, ERROR_CODE,
+        UNDEFINED_CODE, UNDEFINED_CODE, ERROR_CODE]
+    cps = out["chars_per_sec"].to_pylist()
+    assert abs(cps[0] - 12.0) < 1e-9 and abs(cps[1] - 25.0) < 1e-9
+    assert np.isnan(cps[4]) and np.isnan(cps[5])
+    wpm = out["words_per_min"].to_pylist()
+    assert abs(wpm[0] - 120.0) < 1e-9  # 20 words / 10 s
