@@ -1073,6 +1073,37 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
         """,
+        "pack_documents": """
+            -- global exclusive prefix over doc_id order == the
+            -- distributed range-bucket prefix sum
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                               ELSE len(string_split_regex(trim(text), '\\s+'))
+                          END AS BIGINT) AS n_tokens
+              FROM documents),
+            p AS (
+              SELECT doc_id, n_tokens,
+                     coalesce(SUM(n_tokens) OVER
+                       (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS start_tok
+              FROM t)
+            SELECT doc_id, n_tokens, start_tok,
+                   start_tok // 512 AS pack_id,
+                   start_tok % 512 AS pack_offset
+            FROM p
+        """,
+        "mixture_sample_documents": """
+            -- per-source mixture rate (1 + src_idx%8)/16, hash-threshold
+            -- keep via 8-hex lexicographic compare; printf('%08x') renders
+            -- the numeric threshold in the same fixed width
+            SELECT doc_id, source
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                  printf('%08x',
+                         (1 + CAST(substr(source, 4) AS BIGINT) % 8)
+                         * 268435456)
+        """,
         "top_events_per_user": """
             WITH v AS (SELECT user_id, event_id, value FROM events
                        WHERE value IS NOT NULL AND NOT isnan(value)),

@@ -357,6 +357,51 @@ def q_stratified_sample_documents(sf_dir: str):
     return ds.map_batches(f, batch_format="pandas")
 
 
+def q_pack_documents(sf_dir: str):
+    """Sequence packing (stages/pack.prefix_pack): whitespace-token counts
+    packed head-to-tail into 512-token bins in ascending doc_id order via
+    the distributed prefix sum (range buckets -> driver prefix of bucket
+    sums -> one bounded shuffle) — the concat-and-chunk batching step of
+    an LLM pretraining pipeline. SQL oracle = SUM() OVER (ORDER BY)."""
+    from ..stages.pack import prefix_pack
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "n_tokens": tx.token_count(df["text"])})
+
+    out = prefix_pack(ds.map_batches(tok, batch_format="pandas"),
+                      "doc_id", "n_tokens", budget=512)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        for c in df.columns:
+            df[c] = df[c].astype("int64")
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def q_mixture_sample_documents(sf_dir: str):
+    """Weighted source mixing (the data-mixing op of an LLM training
+    pipeline): each source stratum is downsampled at its OWN rate
+    (rate = (1 + src_idx mod 8)/16 here — in production the tuned mixture
+    weights) by deterministic hash thresholding: keep iff the first 8 hex
+    chars of md5(doc_id) sort below the per-source 8-hex threshold.
+    Reproducible across runs/partitionings, no RNG state, no shuffle;
+    thresholds are a tiny per-rate dict map, the compare is a vectorized
+    string compare, and the SQL mirror uses printf('%08x')."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    thr_hex = {r: f"{(1 + r) * (1 << 28):08x}" for r in range(8)}
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        h = dd.md5_hex(df["doc_id"].astype(str)).str[:8]
+        idx = (df["source"].str[3:].astype(np.int64) % 8)
+        keep = (h < idx.map(thr_hex)).to_numpy()
+        return df.loc[keep, ["doc_id", "source"]]
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 def q_top_events_per_user(sf_dir: str):
     """Per-group top-k (k=3 events by value per user): per-batch partial
     top-k shrinks the shuffle to <= k rows per (user, batch), then one
@@ -2058,6 +2103,8 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "interval_join_events": q_interval_join_events,
     "stratified_sample_documents": q_stratified_sample_documents,
+    "mixture_sample_documents": q_mixture_sample_documents,
+    "pack_documents": q_pack_documents,
     "top_events_per_user": q_top_events_per_user,
     "props_extract_events": q_props_extract_events,
     "sliding_window_events": q_sliding_window_events,

@@ -488,3 +488,36 @@ def test_semi_anti_join_partition_left(ray_session):
     assert (~anti["k"].isin(rset)).all()
     got = sorted([*semi["payload"], *anti["payload"]])
     assert got == sorted(left["payload"])
+
+
+def test_prefix_pack_matches_numpy_cumsum(ray_session):
+    """Distributed range-bucket prefix sum == numpy exclusive cumsum in id
+    order, for sparse non-contiguous ids and any partitioning; pack ids
+    and offsets are consistent (start = pack_id*budget + pack_offset)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.pack import prefix_pack
+
+    rng = np.random.default_rng(13)
+    ids = np.sort(rng.choice(100_000, size=400, replace=False))
+    w = rng.integers(1, 900, size=400)
+    df = pd.DataFrame({"doc_id": ids, "n_tokens": w})
+
+    def run(nparts, n_buckets):
+        ds = rd.from_pandas(df.sample(frac=1, random_state=1)).repartition(nparts)
+        return (prefix_pack(ds, "doc_id", "n_tokens", budget=256,
+                            n_buckets=n_buckets)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    out = run(4, 64)
+    want_start = np.concatenate([[0], np.cumsum(w)[:-1]])
+    np.testing.assert_array_equal(out["start_tok"].to_numpy(), want_start)
+    np.testing.assert_array_equal(out["pack_id"], want_start // 256)
+    np.testing.assert_array_equal(
+        out["start_tok"], out["pack_id"] * 256 + out["pack_offset"])
+
+    out2 = run(9, 7)  # different partitioning AND bucket count
+    pd.testing.assert_frame_equal(
+        out.astype("int64"), out2.astype("int64"))
