@@ -63,6 +63,7 @@ FIXTURE_QUERIES = [
     "clip_mel_features",
     "clip_mfcc_delta",
     "clip_speaking_rate",
+    "clip_augment_stats",
     "audio_fingerprint_dedup",
     "clip_segment_stats",
     "clip_resample_stats",

@@ -1234,6 +1234,42 @@ def oracle_sql() -> dict[str, str]:
             WHERE inter / (sa.n + sb.n - inter) >= 0.5
             ORDER BY id_a, id_b
         """,
+        "dup_spans_documents": """
+            -- hash-windowed duplicated-substring stats: 8-token windows,
+            -- stride 4, literal single-space tokenization; a window is
+            -- duplicated when its text occurs >= 2 times corpus-wide.
+            -- DuckDB list slicing t[i : i+7] is 1-based inclusive; the
+            -- engine's 0-based toks[p : p+8] emits identical windows.
+            WITH toks AS (
+              SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+              FROM documents
+            ), nwin AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN len(t) >= 8 THEN (len(t) - 8) // 4 + 1
+                               ELSE 0 END AS BIGINT) AS n_windows
+              FROM toks
+            ), wins AS (
+              -- range() is exclusive-stop: positions 1, 1+4, ... <= len-7
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(t) - 6, 4),
+                            i -> array_to_string(t[i : i + 7], ' '))) AS win
+              FROM toks WHERE len(t) >= 8
+            ), keycnt AS (
+              SELECT win, count(*) AS tot FROM wins GROUP BY win
+            ), docdup AS (
+              SELECT w.doc_id,
+                     count(*) FILTER (WHERE k.tot >= 2) AS n_dup
+              FROM wins w JOIN keycnt k USING (win) GROUP BY w.doc_id
+            )
+            SELECT n.doc_id,
+                   n.n_windows,
+                   CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_windows,
+                   CASE WHEN n.n_windows > 0
+                        THEN CAST(coalesce(d.n_dup, 0) AS DOUBLE)
+                             / n.n_windows
+                        ELSE 0.0 END AS dup_frac
+            FROM nwin n LEFT JOIN docdup d USING (doc_id)
+        """,
         "token_count_documents": """
             SELECT doc_id,
                    CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0

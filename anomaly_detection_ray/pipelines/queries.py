@@ -1013,6 +1013,17 @@ def q_ngram_jaccard_documents(sf_dir: str):
     return out
 
 
+def q_dup_spans_documents(sf_dir: str):
+    """Duplicated-substring stats (stages/dedup.dup_span_stats): Lee-et-
+    al.-style hash-windowed substring dup detection — window=8 tokens,
+    stride=4, literal single-space tokenization so the DuckDB oracle's
+    string_split windows match token-for-token. Deterministic set
+    counting ⇒ exact D oracle (the md5-64 key vs raw-window-string
+    grouping are collision-equivalent at test scale)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dd.dup_span_stats(ds, window=8, stride=4)
+
+
 def q_simhash_documents(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return dd.simhash_table(ds)
@@ -1946,6 +1957,20 @@ def q_clip_mel_features(sf_dir: str):
                           concurrency=pool_size(8), num_cpus=1)
 
 
+def q_clip_augment_stats(sf_dir: str):
+    """Speech-training augmentation (stages/audio_ops.AugmentClips):
+    3 speed-perturbed + gain-jittered + SNR-controlled-noise variants per
+    clip, seeded from md5(clip_id, variant) so any run/partitioning emits
+    identical audio; one decode feeds all variants. Stats-only output
+    here (emit_bytes=False skips the payload copy); deterministic =>
+    fixture oracle."""
+    from ..sources.clips import read_clips
+    from ..stages import audio_ops as ao
+    path = _clip_table_path(sf_dir)
+    ds = read_clips(path, columns=["clip_id", "bytes"])
+    return ao.augment_clips(ds, concurrency=8)
+
+
 def q_clip_speaking_rate(sf_dir: str):
     """Transcript↔audio speaking-rate check over clip METADATA only
     (stages/checks.speaking_rate_stage) — the read prunes to
@@ -2125,6 +2150,7 @@ QUERIES = {
     "lang_detect_documents": q_lang_detect_documents,
     "minhash_dedup_documents": q_minhash_dedup_documents,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
+    "dup_spans_documents": q_dup_spans_documents,
     "simhash_documents": q_simhash_documents,
     "doc_fingerprints": q_doc_fingerprints,
     "embedding_norms": q_embedding_norms,
@@ -2174,6 +2200,7 @@ QUERIES = {
     "clip_mel_features": q_clip_mel_features,
     "clip_mfcc_delta": q_clip_mfcc_delta,
     "clip_speaking_rate": q_clip_speaking_rate,
+    "clip_augment_stats": q_clip_augment_stats,
     "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
     "clip_segment_stats": q_clip_segment_stats,
     "audio_prep_segments": q_audio_prep_segments,

@@ -654,3 +654,84 @@ def embedding_near_dup(ds, vec_col="embedding", id_col="vec_id",
         pairs = pairs.assign(cosine=cos).loc[cos >= threshold]
         pairs = pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     return (pairs, report) if with_report else pairs
+
+
+# ------------------------------------------------- duplicated substrings
+
+def _md5_64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big",
+                          signed=False)
+
+
+def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
+                   window: int = 8, stride: int = 4):
+    """Duplicated-substring detection — the training-data hygiene pass of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), hash-windowed: slide a ``window``-token window with
+    ``stride`` over each document's space-tokenization, key windows by a
+    64-bit md5 of their text, count keys corpus-wide; a window is
+    duplicated when its text occurs >= 2 times anywhere (across docs or
+    repeated within one). Per doc: n_windows, n_dup_windows, dup_frac.
+    (The reference has no corpus operators; this extends its
+    validation vocabulary to LLM-corpus hygiene per the build brief.)
+
+    100-TB shape: ONE pass over text; window text never leaves the batch
+    — only slim (key:uint64, doc_id, cnt, nwin) rows shuffle, with
+    within-batch partial reduction of repeated windows. Each doc's total
+    window count rides the same shuffle as a sentinel row under a
+    doc-unique key (no second text pass, no driver state). Two
+    all-to-alls: by window key (tiny groups), then by doc id.
+    """
+    W, S = int(window), int(stride)
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        keys: list[int] = []
+        docs: list[int] = []
+        cnts: list[int] = []
+        nwins: list[int] = []
+        for did, txt in zip(df[id_col], df[text_col].fillna("")):
+            toks = txt.split(" ")
+            n = len(toks)
+            nwin = (n - W) // S + 1 if n >= W else 0
+            # sentinel: doc-unique key (windows never contain \x00)
+            keys.append(_md5_64("\x00doc\x00" + str(did)))
+            docs.append(did)
+            cnts.append(0)
+            nwins.append(nwin)
+            local: dict[int, int] = {}
+            for p in range(0, n - W + 1, S):
+                k = _md5_64(" ".join(toks[p:p + W]))
+                local[k] = local.get(k, 0) + 1
+            for k, c in local.items():
+                keys.append(k)
+                docs.append(did)
+                cnts.append(c)
+                nwins.append(0)
+        return pd.DataFrame({
+            "key": np.array(keys, dtype=np.uint64).astype(np.int64),
+            id_col: np.asarray(docs, dtype=np.int64),
+            "cnt": np.asarray(cnts, dtype=np.int64),
+            "nwin": np.asarray(nwins, dtype=np.int64)})
+
+    rows = ds.map_batches(emit, batch_format="pandas")
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g["cnt"] if int(g["cnt"].sum()) >= 2 else 0
+        return pd.DataFrame({id_col: g[id_col],
+                             "n_dup": dup,
+                             "n_win": g["nwin"]})
+
+    marked = rows.groupby("key").map_groups(per_key, batch_format="pandas")
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        nw = int(g["n_win"].sum())
+        nd = int(g["n_dup"].sum())
+        return pd.DataFrame({
+            id_col: [int(g[id_col].iloc[0])],
+            "n_windows": [nw],
+            "n_dup_windows": [nd],
+            # no rounding: float64 nd/nw is IEEE-exact, so the DuckDB
+            # oracle's CAST(nd AS DOUBLE)/nw is bit-identical
+            "dup_frac": [nd / nw if nw else 0.0]})
+
+    return marked.groupby(id_col).map_groups(per_doc, batch_format="pandas")

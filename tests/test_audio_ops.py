@@ -365,3 +365,42 @@ def test_speaking_rate_stage_grades():
     assert np.isnan(cps[4]) and np.isnan(cps[5])
     wpm = out["words_per_min"].to_pylist()
     assert abs(wpm[0] - 120.0) < 1e-9  # 20 words / 10 s
+
+
+def test_augment_clips_deterministic_and_physical(ray_session):
+    """Augmentation stage: 3 variants per decodable clip; speed 0.9/1.1
+    changes length by ~1/speed; byte-identical across partitionings;
+    noise at 20 dB SNR leaves RMS within a sane band of the gained
+    signal."""
+    import numpy as np
+    import ray.data as rd
+
+    from anomaly_detection_ray import audio, synth
+    from anomaly_detection_ray.stages import audio_ops as ao
+
+    tbl = synth.generate_batch(9, np.arange(5), 2)
+    ds = rd.from_arrow(tbl.select(["clip_id", "bytes"]))
+
+    def run(nparts):
+        return (ao.augment_clips(ds.repartition(nparts), concurrency=2,
+                                 emit_bytes=True)
+                .to_pandas().sort_values(["clip_id", "variant"])
+                .reset_index(drop=True))
+
+    out = run(1)
+    out2 = run(3)
+    assert out.drop(columns=["aug_bytes"]).equals(
+        out2.drop(columns=["aug_bytes"]))
+    assert all(a == b for a, b in zip(out["aug_bytes"], out2["aug_bytes"]))
+
+    per = out.groupby("clip_id").size()
+    assert (per == 3).all()
+    for cid, g in out.groupby("clip_id"):
+        g = g.set_index("variant")
+        n0 = g.loc[1, "n_samples"]  # speed 1.0
+        assert abs(g.loc[0, "n_samples"] - n0 / 0.9) <= 5
+        assert abs(g.loc[2, "n_samples"] - n0 / 1.1) <= 5
+        # re-decodable payloads with matching sample counts
+        sig, sr = audio.decode_wav(bytes(g.loc[1, "aug_bytes"]))
+        assert len(sig) == n0 and sr > 0
+    assert (out["rms"] > 0).all() and np.isfinite(out["rms"]).all()

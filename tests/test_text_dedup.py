@@ -450,3 +450,47 @@ def test_charlm_matches_sequential_reference_and_ranks_garbage(ray_session):
 
     # the garbage doc is the most surprising one
     assert out.loc[3, "bits_per_char"] == out["bits_per_char"].max()
+
+
+def test_dup_span_stats_counts_shared_and_repeated_windows(ray_session):
+    """Hash-windowed substring dedup: a doc sharing an 8-token span with
+    another gets those windows flagged; a doc repeating its own span
+    counts too; a short doc (< window tokens) reports 0 windows; an
+    all-unique doc reports dup_frac 0. Sequential recomputation is the
+    oracle."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages import dedup
+
+    span = "one two three four five six seven eight"
+    docs = {
+        0: span + " tail0 tail1 tail2 tail3",          # shares span with 1
+        1: "head0 head1 head2 head3 " + span,          # shares span with 0
+        2: span + " " + span,                          # self-repeat
+        3: "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11",    # unique
+        4: "too short",                                # < 8 tokens
+    }
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(docs), "text": list(docs.values())}))
+    out = (dedup.dup_span_stats(ds, window=8, stride=4).to_pandas()
+           .set_index("doc_id").sort_index())
+
+    # sequential oracle
+    from collections import Counter
+    wins = {}
+    for did, txt in docs.items():
+        toks = txt.split(" ")
+        wins[did] = [" ".join(toks[p:p + 8])
+                     for p in range(0, len(toks) - 7, 4)]
+    tot = Counter(w for ws in wins.values() for w in ws)
+    for did, ws in wins.items():
+        nd = sum(1 for w in ws if tot[w] >= 2)
+        assert out.loc[did, "n_windows"] == len(ws)
+        assert out.loc[did, "n_dup_windows"] == nd
+        exp = nd / len(ws) if ws else 0.0
+        assert out.loc[did, "dup_frac"] == exp
+
+    assert out.loc[4, "n_windows"] == 0 and out.loc[4, "dup_frac"] == 0.0
+    assert out.loc[3, "n_dup_windows"] == 0
+    assert out.loc[0, "n_dup_windows"] >= 1
+    assert out.loc[2, "n_dup_windows"] >= 2  # repeated span inside one doc
