@@ -64,6 +64,7 @@ FIXTURE_QUERIES = [
     "clip_mfcc_delta",
     "clip_speaking_rate",
     "clip_augment_stats",
+    "clip_specaugment_stats",
     "audio_fingerprint_dedup",
     "clip_segment_stats",
     "clip_resample_stats",

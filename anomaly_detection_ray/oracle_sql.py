@@ -1234,6 +1234,51 @@ def oracle_sql() -> dict[str, str]:
             WHERE inter / (sa.n + sb.n - inter) >= 0.5
             ORDER BY id_a, id_b
         """,
+        "editdist_dedup_documents": """
+            -- ngram_jaccard candidate pairs + normalized char edit
+            -- similarity; levenshtein() semantics fuzz-matched by the
+            -- engine's DP kernel, division IEEE-identical on both sides
+            WITH words AS (
+              SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+              FROM words
+            ), df AS (
+              SELECT g, count(*) AS df FROM sh GROUP BY g
+            ), kept AS (
+              SELECT sh.doc_id, sh.g FROM sh JOIN df USING (g)
+              WHERE df.df <= 64
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), jac AS (
+              SELECT id_a, id_b,
+                     round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+              FROM pairs
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE inter / (sa.n + sb.n - inter) >= 0.5
+            )
+            SELECT j.id_a, j.id_b, j.jaccard,
+                   CASE WHEN greatest(length(coalesce(ta.text, '')),
+                                      length(coalesce(tb.text, ''))) = 0
+                        THEN 1.0
+                        ELSE 1.0 - CAST(levenshtein(coalesce(ta.text, ''),
+                                                    coalesce(tb.text, ''))
+                                        AS DOUBLE)
+                             / greatest(length(coalesce(ta.text, '')),
+                                        length(coalesce(tb.text, '')))
+                   END AS edit_sim
+            FROM jac j
+            JOIN documents ta ON ta.doc_id = j.id_a
+            JOIN documents tb ON tb.doc_id = j.id_b
+        """,
         "dup_spans_documents": """
             -- hash-windowed duplicated-substring stats: 8-token windows,
             -- stride 4, literal single-space tokenization; a window is

@@ -1013,6 +1013,19 @@ def q_ngram_jaccard_documents(sf_dir: str):
     return out
 
 
+def q_editdist_dedup_documents(sf_dir: str):
+    """Fuzzy-dedup verification (stages/dedup.edit_verify_pairs): n-gram
+    Jaccard candidate pairs confirmed by normalized character edit
+    similarity 1 - lev/max(len) — lev matches DuckDB's levenshtein()
+    bit-for-bit (fuzz-tested), and the division is IEEE-identical on both
+    sides, so the oracle is exact."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dd.ngram_jaccard_pairs(ds, n=3, max_df=64, threshold=0.5)
+    out = dd.edit_verify_pairs(ds, pairs)
+    out["jaccard"] = rnd(out["jaccard"], 6)
+    return out
+
+
 def q_dup_spans_documents(sf_dir: str):
     """Duplicated-substring stats (stages/dedup.dup_span_stats): Lee-et-
     al.-style hash-windowed substring dup detection — window=8 tokens,
@@ -1971,6 +1984,18 @@ def q_clip_augment_stats(sf_dir: str):
     return ao.augment_clips(ds, concurrency=8)
 
 
+def q_clip_specaugment_stats(sf_dir: str):
+    """SpecAugment policy stats (stages/audio_ops.SpecAugmentClips):
+    decode -> log-mel -> seeded time/freq masks (Park et al. 2019); mask
+    draws keyed by md5(clip_id) so any run/partitioning is identical =>
+    fixture oracle."""
+    from ..sources.clips import read_clips
+    from ..stages import audio_ops as ao
+    path = _clip_table_path(sf_dir)
+    ds = read_clips(path, columns=["clip_id", "bytes"])
+    return ao.specaugment_clips(ds, concurrency=8)
+
+
 def q_clip_speaking_rate(sf_dir: str):
     """Transcript↔audio speaking-rate check over clip METADATA only
     (stages/checks.speaking_rate_stage) — the read prunes to
@@ -2151,6 +2176,7 @@ QUERIES = {
     "minhash_dedup_documents": q_minhash_dedup_documents,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
     "dup_spans_documents": q_dup_spans_documents,
+    "editdist_dedup_documents": q_editdist_dedup_documents,
     "simhash_documents": q_simhash_documents,
     "doc_fingerprints": q_doc_fingerprints,
     "embedding_norms": q_embedding_norms,
@@ -2201,6 +2227,7 @@ QUERIES = {
     "clip_mfcc_delta": q_clip_mfcc_delta,
     "clip_speaking_rate": q_clip_speaking_rate,
     "clip_augment_stats": q_clip_augment_stats,
+    "clip_specaugment_stats": q_clip_specaugment_stats,
     "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
     "clip_segment_stats": q_clip_segment_stats,
     "audio_prep_segments": q_audio_prep_segments,

@@ -794,3 +794,93 @@ def augment_clips(ds, bytes_col: str = "bytes", batch_size: int = 32,
                                                  **kw},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=pool_size(concurrency), num_cpus=1)
+
+
+def logmel(sig: np.ndarray, sr: int, n_mels: int = 26,
+           frame: int = FRAME, hop: int = HOP) -> np.ndarray:
+    """(n_frames, n_mels) log-mel spectrogram — the SpecAugment substrate
+    (same Hann STFT power -> HTK mel filterbank front half as mfcc())."""
+    power = stft_mag(sig, frame, hop) ** 2
+    fb = mel_filterbank(sr, frame, n_mels)
+    return np.log(power @ fb.T + 1e-10)
+
+
+class SpecAugmentClips:
+    """Actor-pool stage: feature-space augmentation policy stats — decode
+    -> log-mel -> SpecAugment (Park et al. 2019, "SpecAugment: A Simple
+    Data Augmentation Method for ASR"): ``n_time`` time masks of width
+    U[0, t_max] and ``n_freq`` frequency masks of width U[0, f_max],
+    masked cells set to the per-clip log-mel mean. Mask draws are seeded
+    from md5(clip_id) so any run/partitioning emits identical masks.
+    Emits fixed-width per-clip stats (the masked spectrogram itself is
+    intermediate actor state, exactly like MelFeatures): n_frames,
+    time_masked frames, freq_masked bins, masked_frac (union cell
+    fraction), and pre/post log-mel means — post moves toward pre-mean by
+    construction, a property the tests pin."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "clip_id",
+                 n_mels: int = 26, n_time: int = 2, n_freq: int = 2,
+                 t_max: int = 40, f_max: int = 8):
+        self.bytes_col, self.id_col = bytes_col, id_col
+        self.n_mels = n_mels
+        self.n_time, self.n_freq = n_time, n_freq
+        self.t_max, self.f_max = t_max, f_max
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {k: [] for k in
+                                 ("id", "n_frames", "time_masked",
+                                  "freq_masked", "masked_frac",
+                                  "logmel_mean", "logmel_mean_post")}
+        for cid, b in zip(t[self.id_col].to_pylist(),
+                          t[self.bytes_col].to_pylist()):
+            sig, sr = (audio.decode_wav_lenient(b) if b else (None, None))
+            if sig is None or not sr or len(sig) == 0:
+                continue
+            M = logmel(sig, sr, self.n_mels)
+            nf = M.shape[0]
+            if nf == 0:
+                continue
+            rng = np.random.default_rng(int(np.frombuffer(
+                hashlib.md5(f"specaug:{cid}".encode()).digest()[:8],
+                dtype=np.uint64)[0] & np.uint64(0x7FFFFFFF)))
+            tmask = np.zeros(nf, dtype=bool)
+            fmask = np.zeros(self.n_mels, dtype=bool)
+            for _ in range(self.n_time):
+                w = int(rng.integers(0, min(self.t_max, nf) + 1))
+                t0 = int(rng.integers(0, nf - w + 1))
+                tmask[t0:t0 + w] = True
+            for _ in range(self.n_freq):
+                w = int(rng.integers(0, self.f_max + 1))
+                f0 = int(rng.integers(0, self.n_mels - w + 1))
+                fmask[f0:f0 + w] = True
+            pre = float(M.mean())
+            out = M.copy()
+            out[tmask, :] = pre
+            out[:, fmask] = pre
+            cells = tmask.sum() * self.n_mels + (~tmask).sum() * fmask.sum()
+            cols["id"].append(cid)
+            cols["n_frames"].append(nf)
+            cols["time_masked"].append(int(tmask.sum()))
+            cols["freq_masked"].append(int(fmask.sum()))
+            cols["masked_frac"].append(
+                round(float(cells) / (nf * self.n_mels), 6))
+            cols["logmel_mean"].append(round(pre, 6))
+            cols["logmel_mean_post"].append(round(float(out.mean()), 6))
+        return pa.table({
+            self.id_col: pa.array(cols["id"], type=pa.string()),
+            "n_frames": pa.array(cols["n_frames"], type=pa.int32()),
+            "time_masked": pa.array(cols["time_masked"], type=pa.int32()),
+            "freq_masked": pa.array(cols["freq_masked"], type=pa.int32()),
+            "masked_frac": pa.array(cols["masked_frac"], type=pa.float64()),
+            "logmel_mean": pa.array(cols["logmel_mean"], type=pa.float64()),
+            "logmel_mean_post": pa.array(cols["logmel_mean_post"],
+                                         type=pa.float64())})
+
+
+def specaugment_clips(ds, bytes_col: str = "bytes", batch_size: int = 64,
+                      concurrency: int = 8, **kw):
+    return ds.map_batches(SpecAugmentClips,
+                          fn_constructor_kwargs={"bytes_col": bytes_col,
+                                                 **kw},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=pool_size(concurrency), num_cpus=1)

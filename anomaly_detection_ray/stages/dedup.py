@@ -735,3 +735,57 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
             "dup_frac": [nd / nw if nw else 0.0]})
 
     return marked.groupby(id_col).map_groups(per_doc, batch_format="pandas")
+
+
+# --------------------------------------------- edit-distance verification
+
+def levenshtein(a: str, b: str) -> int:
+    """Unit-cost Levenshtein distance (matches DuckDB's levenshtein()).
+    Row-vectorized DP: the sequential insertion chain resolves exactly via
+    the min-plus prefix trick cur[j] = min(cur0[j], min_{k<j}(cur0[k] +
+    j - k))."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    A = np.array(list(a))
+    B = np.array(list(b))
+    prev = np.arange(len(B) + 1, dtype=np.int64)
+    idx = np.arange(len(B) + 1, dtype=np.int64)
+    for i in range(1, len(A) + 1):
+        cur0 = np.empty(len(B) + 1, dtype=np.int64)
+        cur0[0] = i
+        np.minimum(prev[1:] + 1, prev[:-1] + (B != A[i - 1]), out=cur0[1:])
+        cur = np.minimum(cur0, np.minimum.accumulate(cur0 - idx) + idx)
+        prev = cur
+    return int(prev[-1])
+
+
+def edit_verify_pairs(ds, pairs: pd.DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> pd.DataFrame:
+    """Verify near-duplicate CANDIDATE pairs by normalized character edit
+    similarity ``1 - lev(a, b) / max(len)`` — the exact fuzzy-dedup
+    confirmation step layered over a probabilistic or set-based candidate
+    generator. Texts are fetched for only the pair ids via one filtered
+    streaming pass (same bounded-candidate contract as the embedding
+    re-rank above: near-dup rate ≪ 1, so the pair id set broadcasts)."""
+    if not len(pairs):
+        return pairs.assign(edit_sim=pd.Series(dtype=np.float64))
+    cand = np.unique(np.concatenate([
+        pairs["id_a"].to_numpy(np.int64), pairs["id_b"].to_numpy(np.int64)]))
+    ids_ref = ray.put(cand)
+
+    def fetch(df: pd.DataFrame) -> pd.DataFrame:
+        keep = np.isin(df[id_col].to_numpy(np.int64), ray.get(ids_ref))
+        return df.loc[keep, [id_col, text_col]]
+
+    tdf = ds.map_batches(fetch, batch_format="pandas").to_pandas()
+    txt = dict(zip(tdf[id_col].astype(np.int64), tdf[text_col].fillna("")))
+    sims = []
+    for ia, ib in zip(pairs["id_a"], pairs["id_b"]):
+        a, b = txt.get(int(ia), ""), txt.get(int(ib), "")
+        m = max(len(a), len(b))
+        sims.append(1.0 - levenshtein(a, b) / m if m else 1.0)
+    return pairs.assign(edit_sim=np.asarray(sims, dtype=np.float64))

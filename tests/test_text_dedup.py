@@ -494,3 +494,45 @@ def test_dup_span_stats_counts_shared_and_repeated_windows(ray_session):
     assert out.loc[3, "n_dup_windows"] == 0
     assert out.loc[0, "n_dup_windows"] >= 1
     assert out.loc[2, "n_dup_windows"] >= 2  # repeated span inside one doc
+
+
+def test_levenshtein_kernel_and_edit_verify(ray_session):
+    """Edit-distance kernel matches a brute-force DP (random fuzz) and
+    edit_verify_pairs attaches correct normalized similarity to candidate
+    pairs fetched through the filtered streaming pass."""
+    import random
+
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages import dedup
+
+    def ref(a, b):
+        dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(len(a) + 1):
+            dp[i][0] = i
+        for j in range(len(b) + 1):
+            dp[0][j] = j
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                dp[i][j] = min(dp[i - 1][j] + 1, dp[i][j - 1] + 1,
+                               dp[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+        return dp[-1][-1]
+
+    rng = random.Random(7)
+    for _ in range(200):
+        a = "".join(rng.choice("abcde ") for _ in range(rng.randint(0, 15)))
+        b = "".join(rng.choice("abcde ") for _ in range(rng.randint(0, 15)))
+        assert dedup.levenshtein(a, b) == ref(a, b), (a, b)
+
+    texts = {0: "the quick brown fox jumps over the lazy dog today",
+             1: "the quick brown fox jumps over the lazy cat today",
+             2: "completely different content with nothing shared here ok"}
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}))
+    pairs = pd.DataFrame({"id_a": [0], "id_b": [1], "jaccard": [0.8]})
+    out = dedup.edit_verify_pairs(ds, pairs)
+    exp = 1.0 - ref(texts[0], texts[1]) / max(len(texts[0]), len(texts[1]))
+    assert out["edit_sim"].iloc[0] == exp
+    # empty candidate list keeps the schema
+    empty = dedup.edit_verify_pairs(ds, pairs.iloc[:0])
+    assert "edit_sim" in empty.columns and len(empty) == 0
