@@ -664,7 +664,8 @@ def _md5_64(s: str) -> int:
 
 
 def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
-                   window: int = 8, stride: int = 4):
+                   window: int = 8, stride: int = 4,
+                   stage_dir: str | None = None):
     """Duplicated-substring detection — the training-data hygiene pass of
     Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
     Better"), hash-windowed: slide a ``window``-token window with
@@ -672,69 +673,108 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
     64-bit md5 of their text, count keys corpus-wide; a window is
     duplicated when its text occurs >= 2 times anywhere (across docs or
     repeated within one). Per doc: n_windows, n_dup_windows, dup_frac.
-    (The reference has no corpus operators; this extends its
-    validation vocabulary to LLM-corpus hygiene per the build brief.)
+    (The reference has no corpus operators; this extends its validation
+    vocabulary to LLM-corpus hygiene per the build brief.)
 
-    100-TB shape: ONE pass over text; window text never leaves the batch
-    — only slim (key:uint64, doc_id, cnt, nwin) rows shuffle, with
-    within-batch partial reduction of repeated windows. Each doc's total
-    window count rides the same shuffle as a sentinel row under a
-    doc-unique key (no second text pass, no driver state). Two
-    all-to-alls: by window key (tiny groups), then by doc id.
+    100-TB shape (the MinHash staging pattern, dedup.py:137): ONE pass
+    over text stages slim (key:int64, doc_id, cnt) rows to disk parquet —
+    window text never leaves the batch, within-batch partials pre-reduce
+    repeats, per-doc totals need no extra pass because sum(cnt) per doc
+    IS n_windows (zero-window docs ride along as a cnt=0 row under key 0,
+    which can never become hot). Key totals come from a native Ray
+    groupby-aggregate over a column-pruned re-read; only HOT keys (total
+    >= 2 — bounded by the corpus's duplicated-window count, the same
+    dup-rate ≪ 1 contract as the MinHash hot buckets) are collected and
+    broadcast. Per-doc dup counts then fold through one vectorized
+    map_batches + native groupby Sum — no per-key map_groups anywhere, so
+    the two all-to-alls shuffle pre-reduced fixed-width rows only.
     """
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
     W, S = int(window), int(stride)
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
         keys: list[int] = []
         docs: list[int] = []
         cnts: list[int] = []
-        nwins: list[int] = []
         for did, txt in zip(df[id_col], df[text_col].fillna("")):
             toks = txt.split(" ")
             n = len(toks)
-            nwin = (n - W) // S + 1 if n >= W else 0
-            # sentinel: doc-unique key (windows never contain \x00)
-            keys.append(_md5_64("\x00doc\x00" + str(did)))
-            docs.append(did)
-            cnts.append(0)
-            nwins.append(nwin)
+            if n < W:
+                keys.append(0)      # zero-window doc: cnt=0 under key 0
+                docs.append(did)
+                cnts.append(0)
+                continue
             local: dict[int, int] = {}
             for p in range(0, n - W + 1, S):
                 k = _md5_64(" ".join(toks[p:p + W]))
                 local[k] = local.get(k, 0) + 1
-            for k, c in local.items():
-                keys.append(k)
-                docs.append(did)
-                cnts.append(c)
-                nwins.append(0)
+            keys.extend(local)
+            docs.extend([did] * len(local))
+            cnts.extend(local.values())
         return pd.DataFrame({
             "key": np.array(keys, dtype=np.uint64).astype(np.int64),
             id_col: np.asarray(docs, dtype=np.int64),
-            "cnt": np.asarray(cnts, dtype=np.int64),
-            "nwin": np.asarray(nwins, dtype=np.int64)})
+            "cnt": np.asarray(cnts, dtype=np.int64)})
 
-    rows = ds.map_batches(emit, batch_format="pandas")
+    own_stage = stage_dir is None
+    if own_stage:
+        stage_dir = tempfile.mkdtemp(prefix="adr_dup_spans_")
+    try:
+        ds.map_batches(emit, batch_format="pandas").write_parquet(stage_dir)
+        rows = rd.read_parquet(stage_dir)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        dup = g["cnt"] if int(g["cnt"].sum()) >= 2 else 0
-        return pd.DataFrame({id_col: g[id_col],
-                             "n_dup": dup,
-                             "n_win": g["nwin"]})
+        # hot keys: total >= 2 across the corpus, filtered IN RAY before
+        # anything lands on the driver (zero-window docs' key-0 cnt=0 rows
+        # can never make a total hot, and contribute 0 even if a real
+        # window collides with key 0)
+        totals = (rd.read_parquet(stage_dir, columns=["key", "cnt"])
+                  .groupby("key").aggregate(Sum(on="cnt", alias_name="tot")))
+        import pyarrow.compute as pc
+        hot = totals.map_batches(
+            lambda t: t.filter(pc.field("tot") >= 2),
+            batch_format="pyarrow").to_pandas()
+        hot_ref = ray.put(np.sort(hot["key"].to_numpy(np.int64)))
 
-    marked = rows.groupby("key").map_groups(per_key, batch_format="pandas")
+        def per_doc_partial(df: pd.DataFrame) -> pd.DataFrame:
+            hk = ray.get(hot_ref)
+            k = df["key"].to_numpy(np.int64)
+            c = df["cnt"].to_numpy(np.int64)
+            is_dup = np.zeros(len(df), dtype=np.int64)
+            if len(hk):
+                pos = np.searchsorted(hk, k)
+                pos[pos == len(hk)] = 0
+                is_dup = (hk[np.clip(pos, 0, len(hk) - 1)] == k).astype(np.int64)
+            out = pd.DataFrame({id_col: df[id_col].to_numpy(np.int64),
+                                "n_win": c, "n_dup": c * is_dup})
+            return out.groupby(id_col, as_index=False).sum()
 
-    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
-        nw = int(g["n_win"].sum())
-        nd = int(g["n_dup"].sum())
-        return pd.DataFrame({
-            id_col: [int(g[id_col].iloc[0])],
-            "n_windows": [nw],
-            "n_dup_windows": [nd],
+        agg = (rows.map_batches(per_doc_partial, batch_format="pandas")
+               .groupby(id_col)
+               .aggregate(Sum(on="n_win", alias_name="n_windows"),
+                          Sum(on="n_dup", alias_name="n_dup_windows")))
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            nw = df["n_windows"].to_numpy(np.int64)
+            nd = df["n_dup_windows"].to_numpy(np.int64)
             # no rounding: float64 nd/nw is IEEE-exact, so the DuckDB
             # oracle's CAST(nd AS DOUBLE)/nw is bit-identical
-            "dup_frac": [nd / nw if nw else 0.0]})
+            frac = np.where(nw > 0, nd / np.where(nw > 0, nw, 1), 0.0)
+            return pd.DataFrame({id_col: df[id_col].astype(np.int64),
+                                 "n_windows": nw, "n_dup_windows": nd,
+                                 "dup_frac": frac})
 
-    return marked.groupby(id_col).map_groups(per_doc, batch_format="pandas")
+        # materialize before the staging dir disappears (fixed-width
+        # one-row-per-doc result: object-store-resident, spillable)
+        return agg.map_batches(finalize,
+                               batch_format="pandas").materialize()
+    finally:
+        if own_stage:
+            shutil.rmtree(stage_dir, ignore_errors=True)
 
 
 # --------------------------------------------- edit-distance verification

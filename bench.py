@@ -111,6 +111,7 @@ def run_headline() -> dict:
         timed("events_hourly", lambda: Q["events_hourly"](SF_DIR))
         timed("exact_dedup_documents", lambda: Q["exact_dedup_documents"](SF_DIR))
         timed("minhash_dedup_documents", lambda: Q["minhash_dedup_documents"](SF_DIR))
+        timed("dup_spans_documents", lambda: Q["dup_spans_documents"](SF_DIR))
         timed("text_quality_documents", lambda: Q["text_quality_documents"](SF_DIR))
         timed("lang_detect_documents", lambda: Q["lang_detect_documents"](SF_DIR))
         timed("similarity_topk_embeddings", lambda: Q["similarity_topk_embeddings"](SF_DIR))
