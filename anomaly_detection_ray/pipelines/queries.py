@@ -1996,6 +1996,29 @@ def q_clip_specaugment_stats(sf_dir: str):
     return ao.specaugment_clips(ds, concurrency=8)
 
 
+def q_clip_speaker_clusters(sf_dir: str):
+    """Pseudo-speaker clustering — the audio analogue of semantic doc
+    clustering: clip-level MFCC statistics embedding (mean++std, 26-dim,
+    stages/audio_ops.MfccEmbedding) -> distributed Lloyd's k-means
+    (stages/similarity.kmeans_fit, k=6) -> assignment pass. The feature
+    table (tiny vs payloads) is materialized ONCE so the k-means
+    iterations never re-decode audio. Seeded deterministic => fixture
+    oracle."""
+    from ..sources.clips import read_clips
+    from ..stages import audio_ops as ao
+    path = _clip_table_path(sf_dir)
+    ds = read_clips(path, columns=["clip_id", "bytes"])
+    feats = ao.mfcc_embedding_table(ds, concurrency=8).materialize()
+    C = sim.kmeans_fit(feats, k=6, iters=4, id_col="cid", seed=0)
+    out = sim.kmeans_assign(feats, C, id_col="clip_id")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["dist"] = rnd(df["dist"], 6)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def q_clip_speaking_rate(sf_dir: str):
     """Transcript↔audio speaking-rate check over clip METADATA only
     (stages/checks.speaking_rate_stage) — the read prunes to
@@ -2228,6 +2251,7 @@ QUERIES = {
     "clip_speaking_rate": q_clip_speaking_rate,
     "clip_augment_stats": q_clip_augment_stats,
     "clip_specaugment_stats": q_clip_specaugment_stats,
+    "clip_speaker_clusters": q_clip_speaker_clusters,
     "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
     "clip_segment_stats": q_clip_segment_stats,
     "audio_prep_segments": q_audio_prep_segments,

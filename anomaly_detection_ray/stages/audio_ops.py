@@ -884,3 +884,40 @@ def specaugment_clips(ds, bytes_col: str = "bytes", batch_size: int = 64,
                                                  **kw},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=pool_size(concurrency), num_cpus=1)
+
+
+class MfccEmbedding:
+    """Actor-pool stage: WAV bytes -> ONE fixed-width clip embedding
+    (mean ++ std of the 13 MFCCs, 26-dim) + a stable int64 id hash for
+    hash-slice sampling — the clip-level representation the clustering /
+    ANN ops consume (pseudo-speaker clustering, audio SemDeDup)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "clip_id",
+                 n_mels: int = 26, n_mfcc: int = 13):
+        self.bytes_col, self.id_col = bytes_col, id_col
+        self.n_mels, self.n_mfcc = n_mels, n_mfcc
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids, hashes, embs = [], [], []
+        for cid, b in zip(df[self.id_col], df[self.bytes_col]):
+            sig, sr = (audio.decode_wav_lenient(b) if b else (None, None))
+            if sig is None or not sr or len(sig) == 0:
+                continue
+            m = mfcc(sig, sr, self.n_mels, self.n_mfcc)
+            ids.append(cid)
+            hashes.append(int(np.frombuffer(
+                hashlib.md5(str(cid).encode()).digest()[:8],
+                dtype=np.uint64)[0] >> np.uint64(1)))
+            embs.append(np.concatenate([m.mean(axis=0), m.std(axis=0)]))
+        return pd.DataFrame({self.id_col: ids,
+                             "cid": np.asarray(hashes, dtype=np.int64),
+                             "embedding": embs})
+
+
+def mfcc_embedding_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
+                         concurrency: int = 8, **kw):
+    return ds.map_batches(MfccEmbedding,
+                          fn_constructor_kwargs={"bytes_col": bytes_col,
+                                                 **kw},
+                          batch_format="pandas", batch_size=batch_size,
+                          concurrency=pool_size(concurrency), num_cpus=1)

@@ -444,3 +444,33 @@ def test_specaugment_deterministic_masks_and_mean_pull(ray_session):
     # with mean fill, post-mean deviation from pre-mean shrinks vs an
     # unmasked clip only when something was masked; just require sanity:
     assert (out["masked_frac"] > 0).any()
+
+
+def test_mfcc_embedding_and_speaker_clusters_deterministic(ray_session):
+    """MfccEmbedding emits one 26-dim row per decodable clip with a
+    stable id hash; k-means over it is partitioning-invariant (the
+    composition query's fixture contract)."""
+    import numpy as np
+    import ray.data as rd
+
+    from anomaly_detection_ray import synth
+    from anomaly_detection_ray.stages import audio_ops as ao
+    from anomaly_detection_ray.stages import similarity as sim
+
+    tbl = synth.generate_batch(13, np.arange(24), 2)
+    ds = rd.from_arrow(tbl.select(["clip_id", "bytes"]))
+
+    def run(nparts):
+        feats = ao.mfcc_embedding_table(ds.repartition(nparts),
+                                        concurrency=2).materialize()
+        C = sim.kmeans_fit(feats, k=3, iters=3, id_col="cid", seed=0)
+        return (sim.kmeans_assign(feats, C, id_col="clip_id").to_pandas()
+                .sort_values("clip_id").reset_index(drop=True), C)
+
+    (a, Ca), (b, Cb) = run(1), run(4)
+    assert np.array_equal(Ca, Cb)
+    assert a["cluster"].equals(b["cluster"])
+    assert np.allclose(a["dist"], b["dist"], rtol=1e-9)
+    emb = (ao.mfcc_embedding_table(ds, concurrency=2).to_pandas())
+    assert (emb["embedding"].map(len) == 26).all()
+    assert emb["cid"].dtype == np.int64 and (emb["cid"] >= 0).all()
