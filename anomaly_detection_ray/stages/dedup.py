@@ -665,7 +665,8 @@ def _md5_64(s: str) -> int:
 
 def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
                    window: int = 8, stride: int = 4,
-                   stage_dir: str | None = None):
+                   stage_dir: str | None = None,
+                   max_broadcast_hot: int = 2_000_000):
     """Duplicated-substring detection — the training-data hygiene pass of
     Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
     Better"), hash-windowed: slide a ``window``-token window with
@@ -683,11 +684,15 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
     IS n_windows (zero-window docs ride along as a cnt=0 row under key 0,
     which can never become hot). Key totals come from a native Ray
     groupby-aggregate over a column-pruned re-read; only HOT keys (total
-    >= 2 — bounded by the corpus's duplicated-window count, the same
-    dup-rate ≪ 1 contract as the MinHash hot buckets) are collected and
-    broadcast. Per-doc dup counts then fold through one vectorized
-    map_batches + native groupby Sum — no per-key map_groups anywhere, so
-    the two all-to-alls shuffle pre-reduced fixed-width rows only.
+    >= 2 — O(duplicated windows)) are collected and broadcast WHILE that
+    set fits a worker heap (``max_broadcast_hot``, counted in Ray before
+    collecting anything); per-doc dup counts then fold through one
+    vectorized map_batches + native groupby Sum. On a dup-heavy corpus
+    where the hot set itself is unbounded, the operator switches to the
+    fully distributed regime — per-key grouping computes each bucket's
+    total in place (no hot set ever exists, driver state O(1)) at the
+    price of per-group call overhead; both regimes emit identical rows
+    (pinned by test_dup_span_stats_large_regime_matches).
     """
     import shutil
     import tempfile
@@ -735,26 +740,42 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
         totals = (rd.read_parquet(stage_dir, columns=["key", "cnt"])
                   .groupby("key").aggregate(Sum(on="cnt", alias_name="tot")))
         import pyarrow.compute as pc
-        hot = totals.map_batches(
+        hot_ds = totals.map_batches(
             lambda t: t.filter(pc.field("tot") >= 2),
-            batch_format="pyarrow").to_pandas()
-        hot_ref = ray.put(np.sort(hot["key"].to_numpy(np.int64)))
+            batch_format="pyarrow").materialize()
 
-        def per_doc_partial(df: pd.DataFrame) -> pd.DataFrame:
-            hk = ray.get(hot_ref)
-            k = df["key"].to_numpy(np.int64)
-            c = df["cnt"].to_numpy(np.int64)
-            is_dup = np.zeros(len(df), dtype=np.int64)
-            if len(hk):
-                pos = np.searchsorted(hk, k)
-                pos[pos == len(hk)] = 0
-                is_dup = (hk[np.clip(pos, 0, len(hk) - 1)] == k).astype(np.int64)
-            out = pd.DataFrame({id_col: df[id_col].to_numpy(np.int64),
-                                "n_win": c, "n_dup": c * is_dup})
-            return out.groupby(id_col, as_index=False).sum()
+        if hot_ds.count() <= max_broadcast_hot:
+            # broadcast regime: hot set fits a worker heap
+            hot = hot_ds.to_pandas()
+            hot_ref = ray.put(np.sort(hot["key"].to_numpy(np.int64)))
 
-        agg = (rows.map_batches(per_doc_partial, batch_format="pandas")
-               .groupby(id_col)
+            def per_doc_partial(df: pd.DataFrame) -> pd.DataFrame:
+                hk = ray.get(hot_ref)
+                k = df["key"].to_numpy(np.int64)
+                c = df["cnt"].to_numpy(np.int64)
+                is_dup = np.zeros(len(df), dtype=np.int64)
+                if len(hk):
+                    pos = np.searchsorted(hk, k)
+                    pos[pos == len(hk)] = 0
+                    is_dup = (hk[np.clip(pos, 0, len(hk) - 1)] == k
+                              ).astype(np.int64)
+                out = pd.DataFrame({id_col: df[id_col].to_numpy(np.int64),
+                                    "n_win": c, "n_dup": c * is_dup})
+                return out.groupby(id_col, as_index=False).sum()
+
+            marked = rows.map_batches(per_doc_partial, batch_format="pandas")
+        else:
+            # distributed regime: per-key grouping computes each bucket's
+            # total in place — no hot set exists anywhere, driver O(1)
+            def per_key(g: pd.DataFrame) -> pd.DataFrame:
+                dup = g["cnt"] if int(g["cnt"].sum()) >= 2 else 0
+                return pd.DataFrame({id_col: g[id_col],
+                                     "n_win": g["cnt"], "n_dup": dup})
+
+            marked = rows.groupby("key").map_groups(per_key,
+                                                    batch_format="pandas")
+
+        agg = (marked.groupby(id_col)
                .aggregate(Sum(on="n_win", alias_name="n_windows"),
                           Sum(on="n_dup", alias_name="n_dup_windows")))
 

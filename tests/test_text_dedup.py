@@ -536,3 +536,23 @@ def test_levenshtein_kernel_and_edit_verify(ray_session):
     # empty candidate list keeps the schema
     empty = dedup.edit_verify_pairs(ds, pairs.iloc[:0])
     assert "edit_sim" in empty.columns and len(empty) == 0
+
+
+def test_dup_span_stats_large_regime_matches(ray_session):
+    """Forcing the fully distributed (no-hot-set) regime with
+    max_broadcast_hot=0 yields exactly the broadcast regime's rows."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages import dedup
+
+    span = "w1 w2 w3 w4 w5 w6 w7 w8"
+    texts = [span + f" t{i} u{i} v{i} x{i}" for i in range(12)]
+    texts.append("short doc")
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    a = (dedup.dup_span_stats(ds).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (dedup.dup_span_stats(ds, max_broadcast_hot=0).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
+    assert (a.loc[a["doc_id"] < 12, "n_dup_windows"] >= 1).all()
