@@ -349,3 +349,27 @@ def trend_classification_check(values: np.ndarray, N: int, averaging: int,
     code[N - 1:] = g_code
     status[N - 1:] = g_status
     return out
+
+
+def cusum_check(values: np.ndarray, UL: float, LL: float,
+                k: float = 0.25, h: float = 2.0) -> dict[str, np.ndarray]:
+    """Two-sided tabular CUSUM drift detector (Page 1954) over the
+    border-normalized value vn = 2(v-mid)/rng, WITHOUT post-alarm reset:
+    s+_t = max(0, s+_{t-1} + vn_t - k), s-_t = max(0, s-_{t-1} - vn_t - k),
+    alarm when either side exceeds ``h``. No-reset makes both sides exact
+    prefix scans — s_t = c_t - min(0, running_min(c)) with c = cumsum(x) —
+    so the kernel is two vectorized cumsum+running-min passes and the
+    DuckDB oracle is pure window SQL (SUM/MIN OVER), no recursive CTE."""
+    n = len(values)
+    code, status = _undef(n)
+    if n == 0:
+        return {"status_code": code, "status": status}
+    vn = normalize(values, UL, LL)
+    cp = np.cumsum(vn - k)
+    cn = np.cumsum(-vn - k)
+    sp = cp - np.minimum(np.minimum.accumulate(cp), 0.0)
+    sn = cn - np.minimum(np.minimum.accumulate(cn), 0.0)
+    alarm = (sp > h) | (sn > h)
+    code[:] = np.where(alarm, ERROR_CODE, OK_CODE)
+    status[:] = np.where(alarm, "Anomaly detected: CUSUM drift", "OK")
+    return {"status_code": code, "status": status, "s_pos": sp, "s_neg": sn}

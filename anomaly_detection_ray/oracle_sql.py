@@ -1463,6 +1463,31 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         # ------------------- recurrence / window oracles (round 2) --------
+        "cusum_events": f"""
+            -- two-sided no-reset CUSUM via the prefix-scan identity
+            -- s_t = c_t - min(0, running_min(c)); pure window SQL mirrors
+            -- the engine's cumsum + minimum.accumulate kernel exactly
+            WITH v AS ({_VALID}),
+            c AS (
+              SELECT event_id, user_id, rn,
+                     SUM(2.0*(value - {_MID!r})/{_RNG!r} - 0.25)
+                         OVER w AS cp,
+                     SUM(-(2.0*(value - {_MID!r})/{_RNG!r}) - 0.25)
+                         OVER w AS cn
+              FROM v WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+            ),
+            s AS (
+              SELECT event_id,
+                     cp - LEAST(MIN(cp) OVER w, 0.0) AS sp,
+                     cn - LEAST(MIN(cn) OVER w, 0.0) AS sn
+              FROM c WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+            )
+            SELECT event_id,
+                   CAST(CASE WHEN sp > 2.0 OR sn > 2.0 THEN -1 ELSE 1 END
+                        AS TINYINT) AS cusum_code
+            FROM s
+            {_UNDEF_TAIL.format(col='cusum_code')}
+        """,
         "ema_check_events": _sql_ema(),
         "macd_check_events": _sql_macd(),
         "cumulative_events": _sql_cumulative(),

@@ -1198,6 +1198,16 @@ def q_macd_check_events(sf_dir: str):
                                                "warning_stages": [0.5]}}])
 
 
+def q_cusum_events(sf_dir: str):
+    """Two-sided CUSUM drift scorer (Page 1954; functions/rolling.
+    cusum_check) — beyond the reference's scorer set, the classic
+    change-point detector the drift checks lacked. No-reset prefix-scan
+    form => pure window-SQL oracle."""
+    return _series_events(sf_dir, [{"name": "cusum", "kernel": "cusum",
+                                    "params": {"UL": EV_UL, "LL": EV_LL,
+                                               "k": 0.25, "h": 2.0}}])
+
+
 def q_hampel_events(sf_dir: str):
     return _series_events(sf_dir, [{"name": "hp", "kernel": "hampel",
                                     "params": {"W": 5, "K": 1.4826, "n_sigmas": 3}}])
@@ -2210,6 +2220,7 @@ QUERIES = {
     "ann_pq_embeddings": q_ann_pq_embeddings,
     "ema_check_events": q_ema_check_events,
     "macd_check_events": q_macd_check_events,
+    "cusum_events": q_cusum_events,
     "hampel_events": q_hampel_events,
     "percentile_events": q_percentile_events,
     "cumulative_events": q_cumulative_events,

@@ -38,6 +38,7 @@ KERNELS: dict[str, Callable[..., dict[str, np.ndarray]]] = {
     "filtering": rolling.filtering_check,
     "ema_percentile": rolling.ema_percentile_check,
     "trend_classification": rolling.trend_classification_check,
+    "cusum": rolling.cusum_check,
 }
 
 

@@ -176,3 +176,24 @@ def test_first_order_scan_matches_loop():
             y = a * y + xi
             want.append(y)
         np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.parametrize("stream_idx", range(4))
+def test_cusum_parity(stream_idx):
+    """cusum_check's prefix-scan form == the sequential max(0, s+x)
+    recurrence, on streams with spikes and a drift ramp."""
+    vals = random_streams()[stream_idx]
+    got = rolling.cusum_check(vals, UL=14, LL=6, k=0.25, h=2.0)
+    sp = sn = 0.0
+    want_sp, want_sn, want_code = [], [], []
+    for v in vals:
+        vn = 2.0 * (v - 10.0) / 8.0
+        sp = max(0.0, sp + vn - 0.25)
+        sn = max(0.0, sn - vn - 0.25)
+        want_sp.append(sp)
+        want_sn.append(sn)
+        want_code.append(-1 if (sp > 2.0 or sn > 2.0) else 1)
+    np.testing.assert_allclose(got["s_pos"], want_sp, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(got["s_neg"], want_sn, rtol=1e-12, atol=1e-12)
+    np.testing.assert_array_equal(got["status_code"], want_code)
+    assert (got["status_code"] == -1).any()  # the ramp must alarm
