@@ -1463,6 +1463,21 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         # ------------------- recurrence / window oracles (round 2) --------
+        "large_orders": """
+            -- Q18-shaped: HAVING on the fact aggregate, join-back to
+            -- orders + customer (quantities are integer-valued doubles,
+            -- sums exact)
+            WITH big AS (
+              SELECT l_orderkey, sum(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 220
+            )
+            SELECT o.o_orderkey, o.o_custkey, c.c_name,
+                   round(o.o_totalprice, 2) AS o_totalprice, b.total_qty
+            FROM big b
+            JOIN orders o ON o.o_orderkey = b.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
         "cusum_events": f"""
             -- two-sided no-reset CUSUM via the prefix-scan identity
             -- s_t = c_t - min(0, running_min(c)); pure window SQL mirrors

@@ -273,6 +273,46 @@ def q_top_customers_revenue(sf_dir: str):
     return top[["o_custkey", "c_name", "revenue", "n_orders"]].reset_index(drop=True)
 
 
+def q_large_orders(sf_dir: str):
+    """TPC-H Q18-shaped group-HAVING + join-back: orders whose line
+    quantity sum exceeds 220. Per-batch partial sums -> native groupby
+    Sum -> HAVING filter IN RAY; the qualifying key set (HAVING-bounded,
+    ~0.35% of orders) broadcasts to drive a semi-join of the orders fact
+    plus the dense customer name lookup — the fact table shuffles slim
+    (orderkey, qty) partials only, never rows. Quantities are
+    integer-valued doubles, so sums are exact and the DuckDB oracle
+    matches bit-for-bit."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_orderkey", as_index=False).agg(
+            qty=("l_quantity", "sum"))
+
+    from ray.data.aggregate import Sum
+    tot = (li.map_batches(partial, batch_format="pandas")
+           .groupby("l_orderkey").aggregate(Sum(on="qty",
+                                                alias_name="total_qty")))
+    hot = (tot.map_batches(lambda t: t.filter(pc.field("total_qty") > 220),
+                           batch_format="pyarrow").to_pandas()
+           .set_index("l_orderkey")["total_qty"])
+    hot_ref = ray.put(hot)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    name_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        h = ray.get(hot_ref)
+        sub = df[df["o_orderkey"].isin(h.index)].copy()
+        sub["c_name"] = sub["o_custkey"].map(ray.get(name_ref))
+        sub["total_qty"] = sub["o_orderkey"].map(h)
+        sub["o_totalprice"] = rnd(sub["o_totalprice"], 2)
+        return sub[["o_orderkey", "o_custkey", "c_name", "o_totalprice",
+                    "total_qty"]]
+
+    return orders.map_batches(pick, batch_format="pandas")
+
+
 def q_anti_join_customer_orders(sf_dir: str):
     """Customers with NO pending ('P') order via the native shuffle
     ``left_anti`` join — the fully distributed large-large referential
@@ -2182,6 +2222,7 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "skew_join_lineitem_supplier": q_skew_join_lineitem_supplier,
+    "large_orders": q_large_orders,
     "anti_join_customer_orders": q_anti_join_customer_orders,
     "sessionize_events": q_sessionize_events,
     "interval_join_events": q_interval_join_events,
