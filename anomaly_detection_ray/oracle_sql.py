@@ -1463,6 +1463,16 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         # ------------------- recurrence / window oracles (round 2) --------
+        "doc_split_documents": """
+            -- deterministic 90/5/5 hash split, identical 8-hex compare
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             < 'e6666666' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             < 'f3333333' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
         "large_orders": """
             -- Q18-shaped: HAVING on the fact aggregate, join-back to
             -- orders + customer (quantities are integer-valued doubles,

@@ -442,6 +442,24 @@ def q_mixture_sample_documents(sf_dir: str):
     return ds.map_batches(f, batch_format="pandas")
 
 
+def q_doc_split_documents(sf_dir: str):
+    """Deterministic train/val/test split (90/5/5) by md5(doc_id) hash
+    thresholding — the standard leakage-safe corpus split: assignment is
+    a pure function of the id, so any run, partitioning, or incremental
+    re-crawl puts a document in the same fold; no RNG state, no shuffle,
+    embarrassingly parallel. Thresholds are exact 8-hex literals so the
+    DuckDB oracle's substr(md5(...)) compare is identical."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        h = dd.md5_hex(df["doc_id"].astype(str)).str[:8]
+        split = np.where(h < "e6666666", "train",
+                         np.where(h < "f3333333", "val", "test"))
+        return pd.DataFrame({"doc_id": df["doc_id"], "split": split})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 def q_top_events_per_user(sf_dir: str):
     """Per-group top-k (k=3 events by value per user): per-batch partial
     top-k shrinks the shuffle to <= k rows per (user, batch), then one
@@ -2228,6 +2246,7 @@ QUERIES = {
     "interval_join_events": q_interval_join_events,
     "stratified_sample_documents": q_stratified_sample_documents,
     "mixture_sample_documents": q_mixture_sample_documents,
+    "doc_split_documents": q_doc_split_documents,
     "pack_documents": q_pack_documents,
     "top_events_per_user": q_top_events_per_user,
     "props_extract_events": q_props_extract_events,
