@@ -88,6 +88,8 @@ def oracle_names():
     "anti_join_customer_orders", "expectations_lineitem",
     "expectations_by_status", "expectations_events_order",
     "profile_events",
+    "dup_spans_documents", "editdist_dedup_documents", "cusum_events",
+    "large_orders", "doc_split_documents",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]
