@@ -174,3 +174,46 @@ def test_expectations_in_range_matches_numpy(vals, lo, width):
     got = flags.sort_values("x")["in_range:x__bad"].to_numpy()
     want = ((x < lo) | (x > hi))[np.argsort(x, kind="stable")]
     np.testing.assert_array_equal(got, want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(arrays(np.float64, st.integers(1, 400),
+              elements=st.floats(-200, 200, allow_nan=False)),
+       st.floats(0.05, 1.0), st.floats(0.5, 5.0))
+def test_cusum_prefix_scan_equals_recurrence(vals, k, h):
+    """For ANY stream and (k, h), the vectorized prefix-scan CUSUM equals
+    the sequential max(0, s + x) recurrence to float round-off (the two
+    forms are algebraically identical but order operations differently —
+    the SQL oracle computes the SAME scan form, so oracle parity is
+    exact). Verdict codes must agree whenever the statistic is not within
+    round-off of the threshold."""
+    import math
+
+    from anomaly_detection_ray.functions.rolling import cusum_check
+
+    got = cusum_check(vals, UL=80.0, LL=20.0, k=k, h=h)
+    sp = sn = 0.0
+    for i, v in enumerate(vals):
+        vn = 2.0 * (v - 50.0) / 60.0
+        sp = max(0.0, sp + (vn - k))
+        sn = max(0.0, sn + (-vn - k))
+        assert math.isclose(got["s_pos"][i], sp, rel_tol=1e-9, abs_tol=1e-9)
+        assert math.isclose(got["s_neg"][i], sn, rel_tol=1e-9, abs_tol=1e-9)
+        if abs(sp - h) > 1e-9 and abs(sn - h) > 1e-9:
+            assert (got["status_code"][i] == -1) == (sp > h or sn > h)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet="abcde ", max_size=25),
+       st.text(alphabet="abcde ", max_size=25))
+def test_levenshtein_metric_properties(a, b):
+    """Distance is a metric: symmetric, zero iff equal, bounded by
+    max(len) and by |len difference| below, and matches insertion count
+    for prefix pairs."""
+    from anomaly_detection_ray.stages.dedup import levenshtein
+
+    d = levenshtein(a, b)
+    assert d == levenshtein(b, a)
+    assert (d == 0) == (a == b)
+    assert abs(len(a) - len(b)) <= d <= max(len(a), len(b), 0)
+    assert levenshtein(a, a + b) == len(b)
