@@ -65,6 +65,7 @@ FIXTURE_QUERIES = [
     "clip_speaking_rate",
     "clip_augment_stats",
     "clip_specaugment_stats",
+    "clip_trim_stats",
     "clip_speaker_clusters",
     "audio_fingerprint_dedup",
     "clip_segment_stats",

@@ -2064,6 +2064,17 @@ def q_clip_specaugment_stats(sf_dir: str):
     return ao.specaugment_clips(ds, concurrency=8)
 
 
+def q_clip_trim_stats(sf_dir: str):
+    """VAD silence trim stats (stages/audio_ops.TrimSilence): lead/trail
+    silence removed at -40 dB below peak frame RMS with 50 ms context
+    pads; deterministic per clip => fixture oracle."""
+    from ..sources.clips import read_clips
+    from ..stages import audio_ops as ao
+    path = _clip_table_path(sf_dir)
+    ds = read_clips(path, columns=["clip_id", "bytes"])
+    return ao.trim_silence(ds, concurrency=8)
+
+
 def q_clip_speaker_clusters(sf_dir: str):
     """Pseudo-speaker clustering — the audio analogue of semantic doc
     clustering: clip-level MFCC statistics embedding (mean++std, 26-dim,
@@ -2322,6 +2333,7 @@ QUERIES = {
     "clip_speaking_rate": q_clip_speaking_rate,
     "clip_augment_stats": q_clip_augment_stats,
     "clip_specaugment_stats": q_clip_specaugment_stats,
+    "clip_trim_stats": q_clip_trim_stats,
     "clip_speaker_clusters": q_clip_speaker_clusters,
     "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
     "clip_segment_stats": q_clip_segment_stats,

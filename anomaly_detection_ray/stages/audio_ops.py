@@ -921,3 +921,79 @@ def mfcc_embedding_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
                                                  **kw},
                           batch_format="pandas", batch_size=batch_size,
                           concurrency=pool_size(concurrency), num_cpus=1)
+
+
+class TrimSilence:
+    """Actor-pool stage: VAD-based lead/trail silence trim — the prep step
+    between the silence quality gate (which only grades) and window
+    extraction: find the first/last active frame at ``threshold_db``
+    below the clip's peak frame RMS (same energy VAD as vad_stats), keep
+    ``pad_ms`` of context on each side, and emit per-clip trim stats
+    (+ re-encoded trimmed WAV when ``emit_bytes``). All-silent clips emit
+    n_samples_out = 0 and empty bytes rather than dropping, so the row
+    count is stable for downstream joins."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "clip_id",
+                 threshold_db: float = -40.0, pad_ms: float = 50.0,
+                 frame_ms: float = 25.0, hop_ms: float = 10.0,
+                 emit_bytes: bool = False):
+        self.bytes_col, self.id_col = bytes_col, id_col
+        self.threshold_db, self.pad_ms = threshold_db, pad_ms
+        self.frame_ms, self.hop_ms = frame_ms, hop_ms
+        self.emit_bytes = emit_bytes
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {k: [] for k in
+                                 ("id", "n_in", "n_out", "lead_ms",
+                                  "trail_ms", "payload")}
+        for cid, b in zip(t[self.id_col].to_pylist(),
+                          t[self.bytes_col].to_pylist()):
+            sig, sr = (audio.decode_wav_lenient(b) if b else (None, None))
+            if sig is None or not sr or len(sig) == 0:
+                continue
+            frame = max(2, int(sr * self.frame_ms / 1000.0))
+            hop = max(1, int(sr * self.hop_ms / 1000.0))
+            frames = frame_signal(sig, frame, hop)
+            rms = np.sqrt(np.mean(frames * frames, axis=1))
+            peak = float(rms.max(initial=0.0))
+            pad = int(sr * self.pad_ms / 1000.0)
+            if peak <= 0.0:
+                lo = hi = 0
+            else:
+                active = np.flatnonzero(
+                    rms > peak * 10.0 ** (self.threshold_db / 20.0))
+                if len(active) == 0:
+                    lo = hi = 0
+                else:
+                    lo = max(0, active[0] * hop - pad)
+                    hi = min(len(sig), active[-1] * hop + frame + pad)
+            out = sig[lo:hi]
+            cols["id"].append(cid)
+            cols["n_in"].append(len(sig))
+            cols["n_out"].append(len(out))
+            cols["lead_ms"].append(int(round(lo * 1000.0 / sr)))
+            cols["trail_ms"].append(
+                int(round((len(sig) - hi) * 1000.0 / sr)))
+            cols["payload"].append(
+                audio.encode_wav(out, sr) if (self.emit_bytes and len(out))
+                else b"")
+        res = {
+            self.id_col: pa.array(cols["id"], type=pa.string()),
+            "n_samples_in": pa.array(cols["n_in"], type=pa.int64()),
+            "n_samples_out": pa.array(cols["n_out"], type=pa.int64()),
+            "trim_lead_ms": pa.array(cols["lead_ms"], type=pa.int32()),
+            "trim_trail_ms": pa.array(cols["trail_ms"], type=pa.int32()),
+        }
+        if self.emit_bytes:
+            res["trimmed_bytes"] = pa.array(cols["payload"],
+                                            type=pa.binary())
+        return pa.table(res)
+
+
+def trim_silence(ds, bytes_col: str = "bytes", batch_size: int = 64,
+                 concurrency: int = 8, **kw):
+    return ds.map_batches(TrimSilence,
+                          fn_constructor_kwargs={"bytes_col": bytes_col,
+                                                 **kw},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=pool_size(concurrency), num_cpus=1)

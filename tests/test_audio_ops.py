@@ -474,3 +474,42 @@ def test_mfcc_embedding_and_speaker_clusters_deterministic(ray_session):
     emb = (ao.mfcc_embedding_table(ds, concurrency=2).to_pandas())
     assert (emb["embedding"].map(len) == 26).all()
     assert emb["cid"].dtype == np.int64 and (emb["cid"] >= 0).all()
+
+
+def test_trim_silence_removes_padding_and_keeps_speech(ray_session):
+    """A tone wrapped in digital silence trims to ~tone+pads; an
+    all-silent clip yields n_samples_out 0; re-encoded payload decodes to
+    the kept span; deterministic across partitionings."""
+    import numpy as np
+    import ray.data as rd
+
+    from anomaly_detection_ray import audio
+    from anomaly_detection_ray.stages import audio_ops as ao
+
+    sr = 16000
+    tone = 0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)  # 1 s
+    sig = np.concatenate([np.zeros(sr // 2), tone, np.zeros(sr)])
+    rows = {"clip_id": ["a", "b"],
+            "bytes": [audio.encode_wav(sig, sr),
+                      audio.encode_wav(np.zeros(sr), sr)]}
+    import pandas as pd
+    ds = rd.from_pandas(pd.DataFrame(rows))
+
+    out = (ao.trim_silence(ds, concurrency=2, emit_bytes=True)
+           .to_pandas().set_index("clip_id"))
+    a = out.loc["a"]
+    # kept span = tone +- (pad + frame) slack on each side
+    slack = int(sr * 0.075) + 512
+    assert abs(a["n_samples_out"] - sr) <= 2 * slack
+    assert 0 < a["trim_lead_ms"] <= 500 and 0 < a["trim_trail_ms"] <= 1000
+    dec, dsr = audio.decode_wav(bytes(a["trimmed_bytes"]))
+    assert dsr == sr and len(dec) == a["n_samples_out"]
+    assert float(np.abs(dec).max()) > 0.4  # the tone survived
+    b = out.loc["b"]
+    assert b["n_samples_out"] == 0 and bytes(b["trimmed_bytes"]) == b""
+
+    out2 = (ao.trim_silence(ds.repartition(2), concurrency=2,
+                            emit_bytes=True).to_pandas()
+            .set_index("clip_id"))
+    assert out.drop(columns="trimmed_bytes").equals(
+        out2.drop(columns="trimmed_bytes"))
