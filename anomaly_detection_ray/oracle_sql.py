@@ -1279,6 +1279,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN documents ta ON ta.doc_id = j.id_a
             JOIN documents tb ON tb.doc_id = j.id_b
         """,
+        "contamination_documents": """
+            -- eval-leakage scan: stride-1 8-gram overlap with the
+            -- doc_id%101==0 eval set; eval windows deduped so the join
+            -- never multiplies corpus rows
+            WITH toks AS (
+              SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+              FROM documents
+            ), ev AS (
+              SELECT DISTINCT
+                unnest(list_transform(range(1, len(t) - 6, 1),
+                       i -> array_to_string(t[i : i + 7], ' '))) AS win
+              FROM toks WHERE doc_id % 101 = 0 AND len(t) >= 8
+            ), corpus AS (
+              SELECT doc_id, t FROM toks WHERE doc_id % 101 <> 0
+            ), wins AS (
+              SELECT doc_id,
+                unnest(list_transform(range(1, len(t) - 6, 1),
+                       i -> array_to_string(t[i : i + 7], ' '))) AS win
+              FROM corpus WHERE len(t) >= 8
+            ), hits AS (
+              SELECT w.doc_id, count(*) AS n_cont
+              FROM wins w JOIN ev USING (win) GROUP BY w.doc_id
+            )
+            SELECT c.doc_id,
+                   CAST(CASE WHEN len(c.t) >= 8 THEN len(c.t) - 7
+                             ELSE 0 END AS BIGINT) AS n_windows,
+                   CAST(coalesce(h.n_cont, 0) AS BIGINT) AS n_contaminated,
+                   coalesce(h.n_cont, 0) > 0 AS is_contaminated
+            FROM corpus c LEFT JOIN hits h USING (doc_id)
+        """,
         "dup_spans_documents": """
             -- hash-windowed duplicated-substring stats: 8-token windows,
             -- stride 4, literal single-space tokenization; a window is

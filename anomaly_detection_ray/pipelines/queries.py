@@ -1084,6 +1084,25 @@ def q_editdist_dedup_documents(sf_dir: str):
     return out
 
 
+def q_contamination_documents(sf_dir: str):
+    """Benchmark decontamination scan (stages/dedup.contamination_stats):
+    docs with doc_id % 101 == 0 stand in for the held-out eval set; every
+    other document is scanned for 8-gram (stride 1) overlap with the eval
+    n-gram inventory — one broadcast of the small eval key set, one
+    shuffle-free corpus pass. Exact set semantics ⇒ DuckDB oracle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def is_eval(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["doc_id"] % 101 == 0]
+
+    def is_corpus(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["doc_id"] % 101 != 0]
+
+    return dd.contamination_stats(
+        ds.map_batches(is_corpus, batch_format="pandas"),
+        ds.map_batches(is_eval, batch_format="pandas"), window=8)
+
+
 def q_dup_spans_documents(sf_dir: str):
     """Duplicated-substring stats (stages/dedup.dup_span_stats): Lee-et-
     al.-style hash-windowed substring dup detection — window=8 tokens,
@@ -2280,6 +2299,7 @@ QUERIES = {
     "minhash_dedup_documents": q_minhash_dedup_documents,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
     "dup_spans_documents": q_dup_spans_documents,
+    "contamination_documents": q_contamination_documents,
     "editdist_dedup_documents": q_editdist_dedup_documents,
     "simhash_documents": q_simhash_documents,
     "doc_fingerprints": q_doc_fingerprints,

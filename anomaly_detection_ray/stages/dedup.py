@@ -850,3 +850,63 @@ def edit_verify_pairs(ds, pairs: pd.DataFrame, text_col: str = "text",
         m = max(len(a), len(b))
         sims.append(1.0 - levenshtein(a, b) / m if m else 1.0)
     return pairs.assign(edit_sim=np.asarray(sims, dtype=np.float64))
+
+
+# ------------------------------------------------------- decontamination
+
+def contamination_stats(ds, eval_ds, text_col: str = "text",
+                        id_col: str = "doc_id", window: int = 8):
+    """Benchmark decontamination check (the GPT-3 appendix-C / standard
+    eval-leakage scan): a training document is contaminated when any of
+    its ``window``-token n-grams (stride 1) appears in the evaluation
+    set's n-gram inventory. Per corpus doc: n_windows, n_contaminated,
+    is_contaminated.
+
+    Scale shape: the EVAL side is small by construction (benchmarks are
+    thousands of docs, not billions) — its md5-64 n-gram key set is built
+    with one pass over ``eval_ds`` and broadcast once via ``ray.put``;
+    the CORPUS side is one embarrassingly-parallel map_batches pass whose
+    membership test is a vectorized searchsorted against the sorted key
+    array. No shuffle at all. Window text never leaves a batch on either
+    side."""
+    W = int(window)
+
+    def eval_keys(df: pd.DataFrame) -> pd.DataFrame:
+        ks: set[int] = set()
+        for txt in df[text_col].fillna(""):
+            toks = txt.split(" ")
+            for p in range(0, len(toks) - W + 1):
+                ks.add(_md5_64(" ".join(toks[p:p + W])))
+        return pd.DataFrame({"key": np.fromiter(ks, dtype=np.uint64,
+                                                count=len(ks))
+                             .astype(np.int64)})
+
+    ev = eval_ds.map_batches(eval_keys, batch_format="pandas").to_pandas()
+    keys = np.unique(ev["key"].to_numpy(np.int64))
+    keys_ref = ray.put(keys)
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        kk = ray.get(keys_ref)
+        out = {"doc_id": [], "n_windows": [], "n_contaminated": []}
+        for did, txt in zip(df[id_col], df[text_col].fillna("")):
+            toks = txt.split(" ")
+            n = max(0, len(toks) - W + 1)
+            hits = 0
+            if n and len(kk):
+                h = np.fromiter(
+                    (_md5_64(" ".join(toks[p:p + W])) for p in range(n)),
+                    dtype=np.uint64, count=n).astype(np.int64)
+                pos = np.clip(np.searchsorted(kk, h), 0, len(kk) - 1)
+                hits = int((kk[pos] == h).sum())
+            out["doc_id"].append(did)
+            out["n_windows"].append(n)
+            out["n_contaminated"].append(hits)
+        res = pd.DataFrame({
+            id_col: np.asarray(out["doc_id"], dtype=np.int64),
+            "n_windows": np.asarray(out["n_windows"], dtype=np.int64),
+            "n_contaminated": np.asarray(out["n_contaminated"],
+                                         dtype=np.int64)})
+        res["is_contaminated"] = res["n_contaminated"] > 0
+        return res
+
+    return ds.map_batches(scan, batch_format="pandas")

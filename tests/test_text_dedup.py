@@ -556,3 +556,31 @@ def test_dup_span_stats_large_regime_matches(ray_session):
          .sort_values("doc_id").reset_index(drop=True))
     assert a.equals(b)
     assert (a.loc[a["doc_id"] < 12, "n_dup_windows"] >= 1).all()
+
+
+def test_contamination_stats_flags_eval_overlap(ray_session):
+    """A corpus doc sharing an 8-gram with the eval set is flagged with
+    the exact per-position hit count; disjoint docs are clean; short docs
+    report 0 windows."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages import dedup
+
+    span = "e1 e2 e3 e4 e5 e6 e7 e8"
+    ev = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1000], "text": ["pre " + span + " post"]}))
+    corpus = rd.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [span + " tail1 tail2",            # 1 overlapping window
+                 "c1 c2 c3 c4 c5 c6 c7 c8 c9",     # clean
+                 "tiny"]}))                        # < 8 tokens
+    out = (dedup.contamination_stats(corpus, ev).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert out.loc[0, "n_contaminated"] == 1 and out.loc[0, "is_contaminated"]
+    assert out.loc[1, "n_contaminated"] == 0 and not out.loc[1, "is_contaminated"]
+    assert out.loc[2, "n_windows"] == 0 and not out.loc[2, "is_contaminated"]
+    # repeated eval span inside one corpus doc counts per position
+    corpus2 = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [5], "text": [span + " mid " + span]}))
+    out2 = dedup.contamination_stats(corpus2, ev).to_pandas()
+    assert out2["n_contaminated"].iloc[0] == 2
