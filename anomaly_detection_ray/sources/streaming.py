@@ -154,11 +154,57 @@ class StreamRunner:
 
     def poll_once(self) -> dict:
         """One consumer poll: new files -> graded verdict parquet + updated
-        state store + committed ledger. Returns the poll record."""
+        state store + committed ledger. Returns the poll record.
+
+        Poison-file quarantine: each new file is probed locally (CSV
+        header + first rows parse / full JSON parse) BEFORE entering the
+        Ray read, and a file that fails the probe is committed to the
+        ledger as quarantined — recorded with its error in
+        ``manifest["quarantined"]``, never retried, never able to
+        crash-loop the poll (at 100-TB stream scale corrupt shards are a
+        when, not an if). The probe catches head/format corruption; a
+        well-formed head with a corrupt tail still fails the poll and
+        retries under the at-least-once ledger (deliberate: silent
+        partial grading would be worse than a loud stall)."""
         files = self._pending_files()
         if not files:
             return {"files": [], "rows": 0, "violations": 0}
-        return self._process(files, ledger=True)
+        ok, bad = [], []
+        for f in files:
+            err = self._probe(f)
+            (ok if err is None else bad).append((f, err))
+        ok = [f for f, _ in ok]
+        if bad:
+            q = self.manifest.setdefault("quarantined", {})
+            for f, err in bad:
+                name = os.path.basename(f)
+                q[name] = err
+                self.manifest["processed"].append(name)
+            tmpm = self.manifest_path + ".tmp"
+            with open(tmpm, "w") as fh:
+                json.dump(self.manifest, fh, indent=1)
+            os.replace(tmpm, self.manifest_path)
+        if not ok:
+            return {"files": [], "rows": 0, "violations": 0,
+                    "quarantined": [os.path.basename(f) for f, _ in bad]}
+        rec = self._process(ok, ledger=True)
+        if bad:
+            rec["quarantined"] = [os.path.basename(f) for f, _ in bad]
+        return rec
+
+    @staticmethod
+    def _probe(path: str) -> str | None:
+        """None if the file parses; else the error string. Local (no Ray
+        tasks): micro-batch stream files are small by contract."""
+        try:
+            if path.endswith(".json"):
+                with open(path) as fh:
+                    json.load(fh)
+            else:
+                pd.read_csv(path, nrows=64)
+            return None
+        except Exception as err:  # noqa: BLE001 — any parse failure
+            return f"{type(err).__name__}: {err}"
 
     def _process(self, files: list[str], ledger: bool) -> dict:
         import shutil

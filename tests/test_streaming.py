@@ -343,3 +343,40 @@ def test_late_only_poll_is_not_idle(ray_session, tmp_path):
     assert len(recs) == 1
     assert recs[0]["rows"] == 0 and recs[0]["late"] == 2
     assert "p2-late.csv" in runner.manifest["processed"]
+
+
+def test_poison_file_is_quarantined_not_retried(ray_session, tmp_path):
+    """A file that cannot parse is committed to the ledger as quarantined
+    (with its error), the poll still grades the healthy files, and the
+    next poll does not retry the poison file."""
+    import json as _json
+
+    from anomaly_detection_ray.sources.streaming import StreamRunner
+
+    watch = tmp_path / "watch"
+    out = tmp_path / "out"
+    watch.mkdir()
+    pd.DataFrame({"timestamp": [0.0, 1.0, 2.0],
+                  "ftr_vector": [1.0, 2.0, 3.0]}).to_csv(
+        watch / "a.csv", index=False)
+    (watch / "garbage.json").write_text("{not json at all")
+
+    r = StreamRunner(CONF, str(watch), str(out), state_rows=16)
+    rec = r.poll_once()
+    assert rec["quarantined"] == ["garbage.json"]
+    assert rec["rows"] == 3
+    man = _json.load(open(out / "_stream_manifest.json"))
+    assert "garbage.json" in man["quarantined"]
+    assert "JSONDecodeError" in man["quarantined"]["garbage.json"]
+    assert "garbage.json" in man["processed"]
+
+    # next poll: nothing pending, no retry loop
+    rec2 = r.poll_once()
+    assert rec2["files"] == [] and "quarantined" not in rec2
+
+    # an all-poison poll commits the quarantine and reports no rows
+    (watch / "b.csv").write_bytes(b"\x00\x01\x02 not,a,csv\n\xff" * 3)
+    rec3 = r.poll_once()
+    assert rec3["rows"] == 0 and rec3["quarantined"] == ["b.csv"]
+    rec4 = r.poll_once()
+    assert rec4["files"] == []
