@@ -185,10 +185,35 @@ class ClipStreamValidator:
 
     def poll_once(self) -> dict | None:
         """Validate newly-arrived shards. Returns the poll summary, or
-        None when nothing new arrived."""
+        None when nothing new arrived.
+
+        Poison-shard quarantine (same contract as StreamRunner.poll_once):
+        each new parquet is probed locally (footer/metadata read — parquet
+        checksums its footer, so truncated or garbage shards fail here)
+        before entering the Ray read; failures are committed to the file
+        ledger as quarantined with the error recorded, never retried, and
+        the healthy shards of the same poll still validate."""
         files = self._new_files()
         if not files:
             return None
+        ok, bad = [], []
+        for f in files:
+            try:
+                import pyarrow.parquet as _pq
+                _pq.read_metadata(f)
+                ok.append(f)
+            except Exception as err:  # noqa: BLE001 — any footer failure
+                bad.append((f, f"{type(err).__name__}: {err}"))
+        if bad:
+            q = self.manifest.setdefault("quarantined", {})
+            for f, err in bad:
+                q[os.path.basename(f)] = err
+                self.manifest["files"].append(f)
+            self._save_manifest()
+        files = ok
+        quarantined = [os.path.basename(f) for f, _ in bad]
+        if not files:
+            return {"poll": None, "rows": 0, "quarantined": quarantined}
         poll_id = hashlib.sha256("\n".join(
             os.path.basename(f) for f in files).encode()).hexdigest()[:12]
         t0 = time.time()
@@ -338,9 +363,12 @@ class ClipStreamValidator:
         self.manifest["ledger"] = ledger_map
         self._save_manifest()
         self._prune_generations(touched, prev_state)
-        return {"poll_id": poll_id, **entry,
-                "hll_estimate": self.state["hll"].estimate(),
-                "rows_total": self.state["rows"]}
+        out = {"poll_id": poll_id, **entry,
+               "hll_estimate": self.state["hll"].estimate(),
+               "rows_total": self.state["rows"]}
+        if quarantined:
+            out["quarantined"] = quarantined
+        return out
 
     def run(self, max_polls: int | None = None, idle_sleep: float = 1.0,
             idle_limit: int | None = 1):

@@ -192,3 +192,28 @@ def test_crash_before_commit_replays_without_double_count(tmp_path,
     for _, r in vc.state["hist"].iterrows():
         np.testing.assert_array_equal(got[r["column"]],
                                       np.asarray(r["counts"]))
+
+
+def test_poison_shard_quarantined(tmp_path, ray_session, split_point):
+    """A truncated/garbage parquet shard is quarantined into the ledger
+    (error recorded, never retried); healthy shards of the same poll
+    still validate."""
+    import json as _json
+
+    cut, _, _ = split_point
+    watch = str(tmp_path / "watch")
+    out = str(tmp_path / "out")
+    os.makedirs(watch)
+    cfg = vp.ValidateConfig(seed=SEED, P=P, fidelity_concurrency=2,
+                            fidelity_batch_size=128)
+    v = ClipStreamValidator(watch, out, cfg, drift_min_rows=256)
+    _write_wave(watch, "good.parquet", np.arange(0, cut // 2))
+    with open(os.path.join(watch, "bad.parquet"), "wb") as f:
+        f.write(b"PAR1 this is not a real parquet footer")
+
+    rec = v.poll_once()
+    assert rec["quarantined"] == ["bad.parquet"]
+    assert rec["rows"] > 0  # the good shard still validated
+    man = _json.load(open(os.path.join(out, "_stream_manifest.json")))
+    assert "bad.parquet" in man["quarantined"]
+    assert v.poll_once() is None  # neither file is pending anymore
