@@ -1493,6 +1493,15 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         # ------------------- recurrence / window oracles (round 2) --------
+        "zscore_events": """
+            -- group-wise z-score with sample std; NULL for null values,
+            -- single-row groups and zero-variance groups (NULLIF)
+            SELECT event_id, user_id,
+                   round((value - AVG(value) OVER w)
+                         / NULLIF(STDDEV_SAMP(value) OVER w, 0.0), 6) AS z
+            FROM events
+            WINDOW w AS (PARTITION BY user_id)
+        """,
         "doc_split_documents": """
             -- deterministic 90/5/5 hash split, identical 8-hex compare
             SELECT doc_id,

@@ -84,6 +84,35 @@ def q_grouped_stats_events(sf_dir: str):
     return out[["event_type", "n", "mean", "std", "std_sample", "min", "max"]]
 
 
+def q_zscore_events(sf_dir: str):
+    """Group-wise z-score normalization (standard per-entity feature
+    scaling): pass 1 = salted grouped Welford partials folded to a
+    per-user (mean, sample-std) table (bounded by user cardinality,
+    broadcast via ray.put); pass 2 = one vectorized map_batches apply.
+    Null/NaN values and single-row or zero-variance groups emit NULL z
+    (matches SQL NULLIF semantics)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    st = stats_mod.grouped_welford(ds, "value", "user_id", n_salts=8,
+                                   salt_col="event_id")
+    mu = dict(zip(st["key"].astype(str), st["mean"]))
+    sd = dict(zip(st["key"].astype(str), st["std_sample"]))
+    st_ref = ray.put((mu, sd))
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        m, s = ray.get(st_ref)
+        k = df["user_id"].astype(str)
+        mean = k.map(m).to_numpy(np.float64)
+        std = k.map(s).to_numpy(np.float64)
+        v = df["value"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (v - mean) / np.where(std == 0.0, np.nan, std)
+        return pd.DataFrame({"event_id": df["event_id"],
+                             "user_id": df["user_id"],
+                             "z": rnd(pd.Series(z), 6)})
+
+    return ds.map_batches(apply, batch_format="pandas")
+
+
 def _welford_series(sf_dir: str, N):
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
     out = series_mod.apply_series_checks(
@@ -2254,6 +2283,7 @@ QUERIES = {
     "row_validate_events": q_row_validate_events,
     "border_check_events": q_border_check_events,
     "grouped_stats_events": q_grouped_stats_events,
+    "zscore_events": q_zscore_events,
     "welford_window_events": q_welford_window_events,
     "welford_inf_events": q_welford_inf_events,
     "uniqueness_events": q_uniqueness_events,
