@@ -89,7 +89,8 @@ def oracle_names():
     "expectations_by_status", "expectations_events_order",
     "profile_events",
     "dup_spans_documents", "editdist_dedup_documents", "cusum_events",
-    "large_orders", "doc_split_documents",
+    "large_orders", "doc_split_documents", "contamination_documents",
+    "zscore_events",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]
