@@ -351,6 +351,40 @@ def trend_classification_check(values: np.ndarray, N: int, averaging: int,
     return out
 
 
+def cusum_reset_check(values: np.ndarray, UL: float, LL: float,
+                      k: float = 0.25,
+                      h: float = 2.0) -> dict[str, np.ndarray]:
+    """Two-sided tabular CUSUM WITH post-alarm restart (the self-
+    restarting control chart): after an alarm row both sides reset to 0,
+    so each alarm marks a fresh change-point rather than one long
+    excursion. The reset breaks the prefix-scan identity (see
+    cusum_check), so this is a true sequential pass per series — bounded
+    by the per-series-fits-a-worker contract every ordered kernel in
+    stages/series.py already relies on; the oracle is a per-user
+    recursive CTE."""
+    n = len(values)
+    code, status = _undef(n)
+    if n == 0:
+        return {"status_code": code, "status": status}
+    vn = normalize(values, UL, LL)
+    sp = sn = 0.0
+    s_pos = np.empty(n)
+    s_neg = np.empty(n)
+    alarm = np.zeros(n, dtype=bool)
+    for i in range(n):
+        sp = max(0.0, sp + (vn[i] - k))
+        sn = max(0.0, sn + (-vn[i] - k))
+        s_pos[i] = sp
+        s_neg[i] = sn
+        if sp > h or sn > h:
+            alarm[i] = True
+            sp = sn = 0.0
+    code[:] = np.where(alarm, ERROR_CODE, OK_CODE)
+    status[:] = np.where(alarm, "Anomaly detected: CUSUM drift", "OK")
+    return {"status_code": code, "status": status,
+            "s_pos": s_pos, "s_neg": s_neg}
+
+
 def cusum_check(values: np.ndarray, UL: float, LL: float,
                 k: float = 0.25, h: float = 2.0) -> dict[str, np.ndarray]:
     """Two-sided tabular CUSUM drift detector (Page 1954) over the

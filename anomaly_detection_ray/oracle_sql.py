@@ -1552,6 +1552,36 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             {_UNDEF_TAIL.format(col='cusum_code')}
         """,
+        "cusum_reset_events": f"""
+            -- CUSUM with post-alarm restart: true per-user recurrence
+            -- replay (the reset breaks the prefix-scan identity used by
+            -- cusum_events, so this oracle is a recursive CTE like EMA)
+            WITH RECURSIVE v AS ({_VALID}),
+            r AS (
+              SELECT user_id, rn, event_id,
+                     greatest(0.0, 2.0*(value - {_MID!r})/{_RNG!r} - 0.25)
+                         AS sp,
+                     greatest(0.0, -(2.0*(value - {_MID!r})/{_RNG!r})
+                                   - 0.25) AS sn
+              FROM v WHERE rn = 1
+              UNION ALL
+              SELECT v.user_id, v.rn, v.event_id,
+                     greatest(0.0,
+                       (CASE WHEN r.sp > 2.0 OR r.sn > 2.0
+                             THEN 0.0 ELSE r.sp END)
+                       + 2.0*(v.value - {_MID!r})/{_RNG!r} - 0.25),
+                     greatest(0.0,
+                       (CASE WHEN r.sp > 2.0 OR r.sn > 2.0
+                             THEN 0.0 ELSE r.sn END)
+                       - (2.0*(v.value - {_MID!r})/{_RNG!r}) - 0.25)
+              FROM r JOIN v ON v.user_id = r.user_id AND v.rn = r.rn + 1
+            )
+            SELECT event_id,
+                   CAST(CASE WHEN sp > 2.0 OR sn > 2.0 THEN -1 ELSE 1 END
+                        AS TINYINT) AS cusumr_code
+            FROM r
+            {_UNDEF_TAIL.format(col='cusumr_code')}
+        """,
         "ema_check_events": _sql_ema(),
         "macd_check_events": _sql_macd(),
         "cumulative_events": _sql_cumulative(),

@@ -1314,6 +1314,15 @@ def q_cusum_events(sf_dir: str):
                                                "k": 0.25, "h": 2.0}}])
 
 
+def q_cusum_reset_events(sf_dir: str):
+    """CUSUM with post-alarm restart (functions/rolling.cusum_reset_check)
+    — the self-restarting chart; sequential per series, recursive-CTE
+    oracle."""
+    return _series_events(sf_dir, [{"name": "cusumr", "kernel": "cusum_reset",
+                                    "params": {"UL": EV_UL, "LL": EV_LL,
+                                               "k": 0.25, "h": 2.0}}])
+
+
 def q_hampel_events(sf_dir: str):
     return _series_events(sf_dir, [{"name": "hp", "kernel": "hampel",
                                     "params": {"W": 5, "K": 1.4826, "n_sigmas": 3}}])
@@ -2342,6 +2351,7 @@ QUERIES = {
     "ema_check_events": q_ema_check_events,
     "macd_check_events": q_macd_check_events,
     "cusum_events": q_cusum_events,
+    "cusum_reset_events": q_cusum_reset_events,
     "hampel_events": q_hampel_events,
     "percentile_events": q_percentile_events,
     "cumulative_events": q_cumulative_events,

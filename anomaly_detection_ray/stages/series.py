@@ -39,6 +39,7 @@ KERNELS: dict[str, Callable[..., dict[str, np.ndarray]]] = {
     "ema_percentile": rolling.ema_percentile_check,
     "trend_classification": rolling.trend_classification_check,
     "cusum": rolling.cusum_check,
+    "cusum_reset": rolling.cusum_reset_check,
 }
 
 

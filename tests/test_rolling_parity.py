@@ -197,3 +197,25 @@ def test_cusum_parity(stream_idx):
     np.testing.assert_allclose(got["s_neg"], want_sn, rtol=1e-12, atol=1e-12)
     np.testing.assert_array_equal(got["status_code"], want_code)
     assert (got["status_code"] == -1).any()  # the ramp must alarm
+
+
+@pytest.mark.parametrize("stream_idx", range(4))
+def test_cusum_reset_parity(stream_idx):
+    """The reset variant matches a sequential recurrence with post-alarm
+    restart, and resets change the verdict stream vs the no-reset form
+    on a drifting stream (multiple fresh alarms, not one excursion)."""
+    vals = random_streams()[stream_idx]
+    got = rolling.cusum_reset_check(vals, UL=14, LL=6, k=0.25, h=2.0)
+    sp = sn = 0.0
+    want_code = []
+    for v in vals:
+        vn = 2.0 * (v - 10.0) / 8.0
+        sp = max(0.0, sp + vn - 0.25)
+        sn = max(0.0, sn - vn - 0.25)
+        a = sp > 2.0 or sn > 2.0
+        want_code.append(-1 if a else 1)
+        if a:
+            sp = sn = 0.0
+    np.testing.assert_array_equal(got["status_code"], want_code)
+    no_reset = rolling.cusum_check(vals, UL=14, LL=6, k=0.25, h=2.0)
+    assert (got["status_code"] == -1).sum() < (no_reset["status_code"] == -1).sum()
