@@ -90,7 +90,7 @@ def oracle_names():
     "profile_events",
     "dup_spans_documents", "editdist_dedup_documents", "cusum_events",
     "large_orders", "doc_split_documents", "contamination_documents",
-    "zscore_events",
+    "zscore_events", "cusum_reset_events",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]
