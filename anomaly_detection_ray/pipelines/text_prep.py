@@ -67,6 +67,12 @@ class TextPrepConfig:
     # corpus row estimate (victims <= rows, so rows is a safe bound).
     drop_mode: str = "auto"
     drop_broadcast_max_rows: int = 5_000_000
+    # Substring-duplication gate (Lee et al. flavor, stages/dedup.
+    # dup_span_stats): drop docs whose fraction of 8-token windows
+    # duplicated corpus-wide exceeds this. 1.0 disables (default — one
+    # extra full text pass when on). Victims ride the same drop-set
+    # regimes as the exact/MinHash victims and count as drop_dup.
+    max_dup_frac: float = 1.0
 
 
 # Side-channel accumulation: pipelines/sidechannel.ShardedSink — sharded
@@ -138,9 +144,20 @@ def run_text_prep(path: str, out_dir: str,
         mode = ("broadcast" if est is not None
                 and est <= cfg.drop_broadcast_max_rows else "anti_join")
     vic_pid_counts: dict[int, int] = {}
+    span_victims = None
+    if cfg.max_dup_frac < 1.0:
+        import pyarrow.compute as _pc
+        spans = dd.dup_span_stats(ds, text_col="text", id_col="doc_id")
+        span_victims = spans.map_batches(
+            lambda t: t.filter(_pc.field("dup_frac")
+                               > cfg.max_dup_frac).select(["doc_id"]),
+            batch_format="pyarrow")
     if mode == "broadcast":
         drop_ids = discover_drop_ids(
             ds, near_dup_threshold=cfg.near_dup_threshold)
+        if span_victims is not None:
+            drop_ids |= set(span_victims.to_pandas()["doc_id"]
+                            .astype(np.int64))
         drop_ref = ray.put(np.array(sorted(drop_ids), dtype=np.int64))
     else:
         # victims stay a Dataset end to end: distributed exact-victim
@@ -167,6 +184,9 @@ def run_text_prep(path: str, out_dir: str,
             if len(clusters):
                 victims = victims.union(
                     rd.from_pandas(clusters[["doc_id"]].astype(np.int64)))
+        if span_victims is not None:
+            victims = victims.union(
+                span_victims.map_batches(pin_ids, batch_format="pyarrow"))
         victims = (victims.groupby("doc_id")
                    .map_groups(lambda g: g.head(1), batch_format="pandas")
                    .map_batches(pin_ids, batch_format="pyarrow"))

@@ -155,3 +155,49 @@ def test_anti_join_regime_matches_broadcast(ray_session, tmp_path_factory):
     ma = res_bc["metrics"].sort_values("partition_id").reset_index(drop=True)
     mb = res_aj["metrics"].sort_values("partition_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(ma.astype("int64"), mb.astype("int64"))
+
+
+def test_max_dup_frac_gates_internally_repetitive_doc(ray_session, tmp_path):
+    """A doc that is neither an exact nor MinHash near-dup but is mostly
+    self-repeated 8-gram windows is dropped by the substring gate (as
+    drop_dup) in BOTH drop regimes; with the gate off (default) it
+    survives."""
+    import numpy as np
+    import pandas as pd
+
+    from anomaly_detection_ray.pipelines.text_prep import (TextPrepConfig,
+                                                           run_text_prep)
+
+    # every clean doc is fully unique text (no shared 8-gram anywhere),
+    # so only the internally-repetitive doc can trip the substring gate
+    docs = [" ".join(f"w{i}x{j}" for j in range(24)) for i in range(12)]
+    span = "r1 r2 r3 r4 r5 r6 r7 r8"
+    repet = (span + " ") * 6 + "ending words now"   # high dup_frac
+    docs = docs + [repet]
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs,
+                       "lang": "en", "source": "src0",
+                       "n_chars": [len(t) for t in docs]})
+    path = str(tmp_path / "docs.parquet")
+    df.to_parquet(path, index=False)
+    rep_id = len(docs) - 1
+
+    def kept_ids(out, **kw):
+        cfg = TextPrepConfig(P=2, langs=(), min_tokens=1,
+                             near_dup_threshold=0.95, **kw)
+        res = run_text_prep(path, str(tmp_path / out), cfg, resume=False)
+        import pyarrow.dataset as pads
+        got = pads.dataset(res["docs_path"], partitioning="hive")\
+            .to_table().to_pandas()
+        return set(got["doc_id"].astype(int)), res["metrics"]
+
+    kept_off, _ = kept_ids("off")
+    assert rep_id in kept_off
+
+    kept_b, m_b = kept_ids("gate_b", max_dup_frac=0.5,
+                           drop_mode="broadcast")
+    kept_a, m_a = kept_ids("gate_a", max_dup_frac=0.5,
+                           drop_mode="anti_join")
+    assert rep_id not in kept_b and rep_id not in kept_a
+    assert kept_b == kept_a
+    assert m_b["drop_dup"].sum() >= 1 and m_a["drop_dup"].sum() >= 1
