@@ -1502,6 +1502,33 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id)
         """,
+        "source_quality_report": f"""
+            -- per-source curation report; token/punct kernels identical
+            -- to the D-verified token_count/text_quality oracles; rates
+            -- are integer-ratio IEEE divisions (bit-exact both sides)
+            WITH q AS (
+              SELECT source,
+                     length(coalesce(text, '')) AS n_chars,
+                     CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                               ELSE len(string_split_regex(trim(text),
+                                                           '\\s+'))
+                          END AS BIGINT) AS n_tokens,
+                     length(coalesce(text, ''))
+                       - length(regexp_replace(coalesce(text, ''),
+                                               '{punct_class}', '', 'g'))
+                         AS n_punct
+              FROM documents
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                   CAST(sum(n_punct) AS BIGINT) AS n_punct,
+                   CAST(sum(n_tokens) AS DOUBLE) / count(*) AS mean_tokens,
+                   CAST(sum(n_punct) AS DOUBLE)
+                     / NULLIF(sum(n_chars), 0) AS punct_rate
+            FROM q GROUP BY source
+        """,
         "doc_split_documents": """
             -- deterministic 90/5/5 hash split, identical 8-hex compare
             SELECT doc_id,

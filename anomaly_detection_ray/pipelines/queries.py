@@ -471,6 +471,35 @@ def q_mixture_sample_documents(sf_dir: str):
     return ds.map_batches(f, batch_format="pandas")
 
 
+def q_source_quality_report(sf_dir: str):
+    """Per-source corpus quality report — the curation dashboard
+    aggregate: docs, token/char/punct totals and corpus-level rates per
+    source stratum. Per-batch partial sums (one row per source per
+    batch) fold on the driver (source cardinality is bounded); rates are
+    integer-ratio IEEE divisions so the oracle matches bit-for-bit
+    (token/punct kernels are the already-D-verified text ops)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].fillna("")
+        return (pd.DataFrame({"source": df["source"],
+                              "n_docs": 1,
+                              "n_tokens": tx.token_count(s),
+                              "n_chars": s.str.len().to_numpy(np.int64),
+                              "n_punct": s.str.count(tx.PUNCT_RE)
+                              .to_numpy(np.int64)})
+                .groupby("source", as_index=False).sum())
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"), ["source"],
+              {"n_docs": "sum", "n_tokens": "sum", "n_chars": "sum",
+               "n_punct": "sum"})
+    for c in ["n_docs", "n_tokens", "n_chars", "n_punct"]:
+        m[c] = m[c].astype("int64")
+    m["mean_tokens"] = m["n_tokens"] / m["n_docs"]
+    m["punct_rate"] = m["n_punct"] / m["n_chars"].replace(0, np.nan)
+    return m.sort_values("source").reset_index(drop=True)
+
+
 def q_doc_split_documents(sf_dir: str):
     """Deterministic train/val/test split (90/5/5) by md5(doc_id) hash
     thresholding — the standard leakage-safe corpus split: assignment is
@@ -2315,6 +2344,7 @@ QUERIES = {
     "interval_join_events": q_interval_join_events,
     "stratified_sample_documents": q_stratified_sample_documents,
     "mixture_sample_documents": q_mixture_sample_documents,
+    "source_quality_report": q_source_quality_report,
     "doc_split_documents": q_doc_split_documents,
     "pack_documents": q_pack_documents,
     "top_events_per_user": q_top_events_per_user,
