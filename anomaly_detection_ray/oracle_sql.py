@@ -1398,6 +1398,52 @@ def oracle_sql() -> dict[str, str]:
                 AS redacted
             FROM inj
         """,
+        "doc_quality_verdicts": """
+            -- graded corpus verdict over the same repetition kernels as
+            -- repetition_stats_documents; strict inequalities on
+            -- bit-identical divisions, so no rounding is needed
+            WITH t AS (SELECT doc_id, text,
+                              regexp_extract_all(lower(coalesce(text, '')),
+                                                 '[a-z0-9_'']+') AS w
+                       FROM documents),
+            tok AS (SELECT doc_id, unnest(w) AS word,
+                           generate_subscripts(w, 1) AS pos
+                    FROM t),
+            wc AS (SELECT doc_id, word, count(*) AS c
+                   FROM tok GROUP BY doc_id, word),
+            bg AS (SELECT a.doc_id, count(*) AS c
+                   FROM tok a JOIN tok b
+                     ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                   GROUP BY a.doc_id, a.word, b.word),
+            runs AS (SELECT doc_id, word,
+                            pos - ROW_NUMBER() OVER
+                              (PARTITION BY doc_id, word ORDER BY pos) AS isl
+                     FROM tok),
+            runlen AS (SELECT doc_id, max(c) AS max_run
+                       FROM (SELECT doc_id, count(*) AS c
+                             FROM runs GROUP BY doc_id, word, isl)
+                       GROUP BY doc_id),
+            agg AS (SELECT doc_id, sum(c) AS n_words,
+                           count(*) AS n_uniq, max(c) AS top_word
+                    FROM wc GROUP BY doc_id),
+            bagg AS (SELECT doc_id, max(c) AS top_big FROM bg GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(CASE
+                     WHEN d.text IS NULL OR trim(d.text) = '' THEN 2
+                     WHEN coalesce(a.n_words, 0) < 12
+                       OR coalesce(a.n_uniq / greatest(a.n_words, 1), 0)
+                          < 0.31
+                       OR coalesce(a.top_word / greatest(a.n_words, 1), 0)
+                          > 0.18 THEN -1
+                     WHEN coalesce(b.top_big / greatest(a.n_words - 1, 1), 0)
+                          > 0.06
+                       OR coalesce(r.max_run, 0) >= 3 THEN 0
+                     ELSE 1 END AS TINYINT) AS dq_code
+            FROM documents d
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN bagg b USING (doc_id)
+            LEFT JOIN runlen r USING (doc_id)
+        """,
         "repetition_stats_documents": """
             -- Gopher-style repetition stats: tokens = lowercased [\\w']+
             -- runs, zipped unnest(list)+generate_subscripts gives (word,

@@ -471,6 +471,32 @@ def q_mixture_sample_documents(sf_dir: str):
     return ds.map_batches(f, batch_format="pandas")
 
 
+def q_doc_quality_verdicts(sf_dir: str):
+    """Gopher-style graded document-quality verdict — the reference's
+    4-valued code idiom (OK/Warning/Error/Undefined) applied to corpus
+    curation: Error on too-few words, low distinct-word fraction or a
+    dominating top word; Warning on bigram repetition or long same-word
+    runs; Undefined on null/empty text. All driving fractions are the
+    bit-identical divisions of the D-verified repetition kernels, and
+    comparisons use strict inequalities in both engines, so the verdict
+    is exactly SQL-mirrorable. Embarrassingly parallel (no shuffle)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def grade(df: pd.DataFrame) -> pd.DataFrame:
+        r = tx.repetition_features(df["text"])
+        undef = (df["text"].isna()
+                 | (df["text"].fillna("").str.strip() == "")).to_numpy()
+        err = ((r["n_words"] < 12) | (r["uniq_word_frac"] < 0.31)
+               | (r["top_word_frac"] > 0.18))
+        warn = (r["top_bigram_frac"] > 0.06) | (r["max_word_run"] >= 3)
+        code = np.where(undef, 2,
+                        np.where(err, -1, np.where(warn, 0, 1)))
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "dq_code": code.astype(np.int8)})
+
+    return ds.map_batches(grade, batch_format="pandas")
+
+
 def q_source_quality_report(sf_dir: str):
     """Per-source corpus quality report — the curation dashboard
     aggregate: docs, token/char/punct totals and corpus-level rates per
@@ -2344,6 +2370,7 @@ QUERIES = {
     "interval_join_events": q_interval_join_events,
     "stratified_sample_documents": q_stratified_sample_documents,
     "mixture_sample_documents": q_mixture_sample_documents,
+    "doc_quality_verdicts": q_doc_quality_verdicts,
     "source_quality_report": q_source_quality_report,
     "doc_split_documents": q_doc_split_documents,
     "pack_documents": q_pack_documents,

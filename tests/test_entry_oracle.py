@@ -90,7 +90,8 @@ def oracle_names():
     "profile_events",
     "dup_spans_documents", "editdist_dedup_documents", "cusum_events",
     "large_orders", "doc_split_documents", "contamination_documents",
-    "zscore_events", "cusum_reset_events",
+    "zscore_events", "cusum_reset_events", "source_quality_report",
+    "doc_quality_verdicts",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]
