@@ -1548,6 +1548,21 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id)
         """,
+        "covariance_embeddings": """
+            -- sample covariance of the leading 8 embedding dims via
+            -- covar_samp over an unnest self-join (the engine computes
+            -- the same block from one pass of X'X partials)
+            WITH e AS (
+              SELECT vec_id, unnest(embedding[1:8]) AS v,
+                     generate_subscripts(embedding[1:8], 1) AS d
+              FROM embeddings
+            )
+            SELECT CAST(a.d - 1 AS BIGINT) AS i,
+                   CAST(b.d - 1 AS BIGINT) AS j,
+                   round(covar_samp(a.v, b.v), 6) AS cov
+            FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.d <= b.d
+            GROUP BY a.d, b.d
+        """,
         "source_quality_report": f"""
             -- per-source curation report; token/punct kernels identical
             -- to the D-verified token_count/text_quality oracles; rates

@@ -592,6 +592,33 @@ def q_props_extract_events(sf_dir: str):
             .sort_values("event_type").reset_index(drop=True))
 
 
+def q_covariance_embeddings(sf_dir: str):
+    """Distributed sample-covariance over the embedding matrix — the
+    trillion-scale covariance shape (cf. ASCS, SIGMOD'21): ONE streaming
+    pass of per-batch (X'X, colsum, n) partials, a dim²-float driver
+    merge (corpus-size-independent), cov = (S - s s'/n)/(n-1). Emitted
+    long-form for the leading 8×8 block (i <= j) so the DuckDB
+    covar_samp oracle's unnest self-join stays tractable at gate scale —
+    the full 64×64 matrix costs the same single pass."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    D = 8
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)[:, :D]
+        return pd.DataFrame({"xtx": [(X.T @ X).tobytes()],
+                             "s": [X.sum(axis=0).tobytes()],
+                             "n": [len(X)]})
+
+    p = emb.map_batches(partial, batch_format="pandas").to_pandas()
+    xtx = np.sum([np.frombuffer(b).reshape(D, D) for b in p["xtx"]], axis=0)
+    s = np.sum([np.frombuffer(b) for b in p["s"]], axis=0)
+    n = int(p["n"].sum())
+    cov = (xtx - np.outer(s, s) / n) / (n - 1)
+    i, j = np.triu_indices(D)
+    return pd.DataFrame({"i": i.astype(np.int64), "j": j.astype(np.int64),
+                         "cov": rnd(pd.Series(cov[i, j]), 6)})
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Full-corpus distributed k-means over the embedding table (Lloyd's,
     one streaming pass per iteration, k×dim driver merge —
@@ -2381,6 +2408,7 @@ QUERIES = {
     "approx_distinct_events": q_approx_distinct_events,
     "bpe_vocab_documents": q_bpe_vocab_documents,
     "text_prep_documents": q_text_prep_documents,
+    "covariance_embeddings": q_covariance_embeddings,
     "kmeans_embeddings": q_kmeans_embeddings,
     "exact_quantiles_events": q_exact_quantiles_events,
     "refined_quantiles_norms": q_refined_quantiles_norms,

@@ -91,7 +91,7 @@ def oracle_names():
     "dup_spans_documents", "editdist_dedup_documents", "cusum_events",
     "large_orders", "doc_split_documents", "contamination_documents",
     "zscore_events", "cusum_reset_events", "source_quality_report",
-    "doc_quality_verdicts",
+    "doc_quality_verdicts", "covariance_embeddings",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]
