@@ -1012,6 +1012,19 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 0.9, quantile_disc(norm, 0.9) FROM n
         """,
+        "equidepth_histogram_events": """
+            -- decile equi-depth histogram; bucket = #boundaries strictly
+            -- below the value (quantile_disc boundaries, ties go down)
+            WITH v AS (SELECT value FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)),
+            b AS (SELECT quantile_disc(value,
+                           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bl
+                  FROM v)
+            SELECT CAST(len(list_filter(b.bl, x -> x < v.value)) AS BIGINT)
+                     AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM v, b GROUP BY 1
+        """,
         "exact_quantiles_events": """
             SELECT event_type, CAST(count(value) AS BIGINT) AS n,
                    quantile_disc(value, 0.5) AS p50,

@@ -667,6 +667,37 @@ def q_bpe_vocab_documents(sf_dir: str):
     return rules
 
 
+def q_equidepth_histogram_events(sf_dir: str):
+    """Equi-depth (decile) histogram of events.value — the optimizer/
+    profiler bucketing shape: ONE pass of per-batch (value, count)
+    partials; the fold yields BOTH the exact quantile_disc boundaries
+    (0-based index floor(q·(n-1)), measured against DuckDB) and, by searchsorted of the distinct
+    values against them, the per-bucket row counts — no second pass, no
+    sort of the data. Bucket = count of boundaries strictly below the
+    value (ties go down), mirrored by list_filter in the oracle."""
+    ds = _read(sf_dir, "events", ["value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["value"])
+        return (df.groupby("value", as_index=False).size()
+                .rename(columns={"size": "n"}))
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"), ["value"],
+              {"n": "sum"}).sort_values("value").reset_index(drop=True)
+    vals = m["value"].to_numpy(np.float64)
+    cnts = m["n"].to_numpy(np.int64)
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    qs = np.arange(1, 10) * 0.1
+    idx = np.floor(qs * (n - 1)).astype(np.int64)
+    bounds = vals[np.searchsorted(cum, idx + 1)]
+    bucket = np.searchsorted(bounds, vals, side="left")
+    out = (pd.DataFrame({"bucket": bucket.astype(np.int64), "n_rows": cnts})
+           .groupby("bucket", as_index=False).sum())
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out
+
+
 def q_exact_quantiles_events(sf_dir: str):
     """EXACT distributed quantiles for bounded-cardinality numerics (the
     complement of the t-digest, which serves unbounded cardinality): one
@@ -2410,6 +2441,7 @@ QUERIES = {
     "text_prep_documents": q_text_prep_documents,
     "covariance_embeddings": q_covariance_embeddings,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "equidepth_histogram_events": q_equidepth_histogram_events,
     "exact_quantiles_events": q_exact_quantiles_events,
     "refined_quantiles_norms": q_refined_quantiles_norms,
     "deterministic_shuffle_documents": q_deterministic_shuffle_documents,
