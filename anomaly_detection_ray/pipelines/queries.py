@@ -671,7 +671,8 @@ def q_equidepth_histogram_events(sf_dir: str):
     """Equi-depth (decile) histogram of events.value — the optimizer/
     profiler bucketing shape: ONE pass of per-batch (value, count)
     partials; the fold yields BOTH the exact quantile_disc boundaries
-    (0-based index floor(q·(n-1)), measured against DuckDB) and, by searchsorted of the distinct
+    (0-based index ceil(q·n)-1, the probed quantile_disc rule, with a
+    -1e-9 float-noise guard) and, by searchsorted of the distinct
     values against them, the per-bucket row counts — no second pass, no
     sort of the data. Bucket = count of boundaries strictly below the
     value (ties go down), mirrored by list_filter in the oracle."""
@@ -689,7 +690,7 @@ def q_equidepth_histogram_events(sf_dir: str):
     cum = np.cumsum(cnts)
     n = int(cum[-1])
     qs = np.arange(1, 10) * 0.1
-    idx = np.floor(qs * (n - 1)).astype(np.int64)
+    idx = np.ceil(qs * n - 1e-9).astype(np.int64) - 1
     bounds = vals[np.searchsorted(cum, idx + 1)]
     bucket = np.searchsorted(bounds, vals, side="left")
     out = (pd.DataFrame({"bucket": bucket.astype(np.int64), "n_rows": cnts})
@@ -703,7 +704,8 @@ def q_exact_quantiles_events(sf_dir: str):
     complement of the t-digest, which serves unbounded cardinality): one
     pass of per-batch (type, value) count partials -> fold -> cumulative
     selection per type. No sort of the data, exact by construction;
-    DuckDB quantile_disc oracle (element at 0-based index ceil(q·n)-1)."""
+    DuckDB quantile_disc oracle (element at 0-based index ceil(q·n)-1,
+    with a -1e-9 guard against binary-float noise in q)."""
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

@@ -10,7 +10,11 @@ values on the driver — the complement of the one-pass bounded-cardinality
 path (q_exact_quantiles_events) and of the approximate t-digest.
 
 Rank semantics match DuckDB ``quantile_disc``: the element at 0-based
-index ceil(q·n)-1 of the sorted values.
+index ceil(q·n)-1 of the sorted values (probed against DuckDB across
+n=7..2006, q=.5/.9/.99). The -1e-9 guard in the rank computation
+absorbs binary-float noise in q (e.g. 0.1*3 = 0.30000000000000004), so
+a noisy q·n a hair above an integer still selects the exact-arithmetic
+index.
 """
 
 from __future__ import annotations
