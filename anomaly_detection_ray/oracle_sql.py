@@ -1012,6 +1012,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 0.9, quantile_disc(norm, 0.9) FROM n
         """,
+        "rollup_events": """
+            -- OLAP subtotals; rolled-up keys are NULL (user_id emitted
+            -- as nullable DOUBLE to match the engine's NaN encoding)
+            SELECT event_type,
+                   CAST(user_id AS DOUBLE) AS user_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY ROLLUP (event_type, user_id)
+        """,
         "equidepth_histogram_events": """
             -- decile equi-depth histogram; bucket = #boundaries strictly
             -- below the value (quantile_disc boundaries, ties go down)

@@ -1064,6 +1064,39 @@ def q_local_supplier_volume(sf_dir: str):
             .sort_values("revenue", ascending=False).reset_index(drop=True))
 
 
+def q_rollup_events(sf_dir: str):
+    """ROLLUP(event_type, user_id) aggregate — the OLAP subtotal shape:
+    the FINE level (type, user) folds once from per-batch partials
+    (cardinality-aware: the fold escapes to the Ray groupby path past
+    the key threshold); the coarser levels (per type, grand total) are
+    DERIVED from the fine aggregate, never by re-scanning the data —
+    the standard rollup trick. Rolled-up key
+    columns surface as NULL exactly like SQL ROLLUP (user_id nullable
+    float64 NaN, event_type None on both sides)."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["value"])
+        return (pd.DataFrame({"event_type": df["event_type"],
+                              "user_id": df["user_id"],
+                              "n": 1, "sum_v": df["value"]})
+                .groupby(["event_type", "user_id"], as_index=False).sum())
+
+    fine = _fold(ds.map_batches(partial, batch_format="pandas"),
+                 ["event_type", "user_id"], {"n": "sum", "sum_v": "sum"})
+    by_type = (fine.groupby("event_type", as_index=False)
+               .agg(n=("n", "sum"), sum_v=("sum_v", "sum")))
+    by_type["user_id"] = np.nan
+    total = pd.DataFrame({"event_type": [None], "user_id": [np.nan],
+                          "n": [fine["n"].sum()],
+                          "sum_v": [fine["sum_v"].sum()]})
+    out = pd.concat([fine, by_type, total], ignore_index=True)
+    out["user_id"] = out["user_id"].astype(np.float64)
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = rnd(out["sum_v"], 4)
+    return out[["event_type", "user_id", "n", "sum_value"]]
+
+
 def q_events_hourly(sf_dir: str):
     """Tumbling 1-hour event-time window per event_type: count + mean."""
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
@@ -2419,6 +2452,7 @@ QUERIES = {
     "tdigest_quantiles_events": q_tdigest_quantiles_events,
     "pricing_summary": q_pricing_summary,
     "top_customers_revenue": q_top_customers_revenue,
+    "rollup_events": q_rollup_events,
     "events_hourly": q_events_hourly,
     "join_orders_lineitem": q_join_orders_lineitem,
     "shipping_priority": q_shipping_priority,
