@@ -1012,6 +1012,25 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 0.9, quantile_disc(norm, 0.9) FROM n
         """,
+        "funnel_events": """
+            -- ordered signup -> purchase funnel; exists-after collapses
+            -- to max(purchase ts) > min(signup ts)
+            WITH u AS (
+              SELECT user_id,
+                     min(ts) FILTER (WHERE event_type = 'signup')
+                       AS first_signup,
+                     max(ts) FILTER (WHERE event_type = 'purchase')
+                       AS last_purchase
+              FROM events GROUP BY user_id
+            )
+            SELECT 'users' AS stage, CAST(count(*) AS BIGINT) AS n FROM u
+            UNION ALL
+            SELECT 'signed_up', count(*) FROM u
+            WHERE first_signup IS NOT NULL
+            UNION ALL
+            SELECT 'converted', count(*) FROM u
+            WHERE first_signup IS NOT NULL AND last_purchase > first_signup
+        """,
         "rollup_events": """
             -- OLAP subtotals; rolled-up keys are NULL (user_id emitted
             -- as nullable DOUBLE to match the engine's NaN encoding)

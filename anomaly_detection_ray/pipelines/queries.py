@@ -1064,6 +1064,38 @@ def q_local_supplier_volume(sf_dir: str):
             .sort_values("revenue", ascending=False).reset_index(drop=True))
 
 
+def q_funnel_events(sf_dir: str):
+    """Ordered-funnel conversion — the product-analytics sequence shape:
+    users whose first 'signup' is later followed by a 'purchase'.
+    Per-batch per-user partials carry only (min signup ts, max purchase
+    ts); the cardinality-aware fold merges them (exists-after ⇔ max
+    purchase > min signup, so no event lists ever move); output is the
+    3-row funnel. Timestamps compared as integer epochs — exact."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ep = ((df["ts"] - pd.Timestamp(0)) // pd.Timedelta("1us")
+              ).astype("int64")
+        s = df["event_type"].to_numpy()
+        out = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                            "min_signup": np.where(s == "signup", ep,
+                                                   np.iinfo(np.int64).max),
+                            "max_purchase": np.where(s == "purchase", ep,
+                                                     np.iinfo(np.int64).min)})
+        return out.groupby("user_id", as_index=False).agg(
+            min_signup=("min_signup", "min"),
+            max_purchase=("max_purchase", "max"))
+
+    u = _fold(ds.map_batches(partial, batch_format="pandas"), ["user_id"],
+              {"min_signup": "min", "max_purchase": "max"})
+    has_signup = u["min_signup"] < np.iinfo(np.int64).max
+    converted = has_signup & (u["max_purchase"] > u["min_signup"])
+    return pd.DataFrame({
+        "stage": ["users", "signed_up", "converted"],
+        "n": np.array([len(u), int(has_signup.sum()),
+                       int(converted.sum())], dtype=np.int64)})
+
+
 def q_rollup_events(sf_dir: str):
     """ROLLUP(event_type, user_id) aggregate — the OLAP subtotal shape:
     the FINE level (type, user) folds once from per-batch partials
@@ -2452,6 +2484,7 @@ QUERIES = {
     "tdigest_quantiles_events": q_tdigest_quantiles_events,
     "pricing_summary": q_pricing_summary,
     "top_customers_revenue": q_top_customers_revenue,
+    "funnel_events": q_funnel_events,
     "rollup_events": q_rollup_events,
     "events_hourly": q_events_hourly,
     "join_orders_lineitem": q_join_orders_lineitem,

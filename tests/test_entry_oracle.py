@@ -92,7 +92,7 @@ def oracle_names():
     "large_orders", "doc_split_documents", "contamination_documents",
     "zscore_events", "cusum_reset_events", "source_quality_report",
     "doc_quality_verdicts", "covariance_embeddings",
-    "equidepth_histogram_events", "rollup_events",
+    "equidepth_histogram_events", "rollup_events", "funnel_events",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]
