@@ -1012,6 +1012,28 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 0.9, quantile_disc(norm, 0.9) FROM n
         """,
+        "percent_rank_events": """
+            -- order-statistics window; min-rank ties, (rank-1)/(n-1)
+            SELECT event_id,
+                   percent_rank() OVER (PARTITION BY user_id
+                                        ORDER BY value) AS pct_rank
+            FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        """,
+        "pivot_events": """
+            -- crosstab via conditional aggregation (the PIVOT shape)
+            SELECT user_id,
+                   CAST(count(*) FILTER (WHERE event_type = 'click')
+                        AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (WHERE event_type = 'error')
+                        AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                        AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (WHERE event_type = 'signup')
+                        AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (WHERE event_type = 'view')
+                        AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
+        """,
         "funnel_events": """
             -- ordered signup -> purchase funnel; exists-after collapses
             -- to max(purchase ts) > min(signup ts)

@@ -1064,6 +1064,54 @@ def q_local_supplier_volume(sf_dir: str):
             .sort_values("revenue", ascending=False).reset_index(drop=True))
 
 
+def q_percent_rank_events(sf_dir: str):
+    """percent_rank() OVER (PARTITION BY user ORDER BY value) — the
+    order-statistics window shape: one groupby(user).map_groups (the
+    per-series group-fits-a-worker contract of stages/series); ties take
+    the minimum rank exactly like SQL rank(), and (rank-1)/(n-1) is an
+    integer-ratio IEEE division, so the oracle matches bit-for-bit.
+    NULL/NaN values are excluded on both sides."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def valid(df: pd.DataFrame) -> pd.DataFrame:
+        return df.dropna(subset=["value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        r = g["value"].rank(method="min").to_numpy(np.float64)
+        n = len(g)
+        pct = (r - 1.0) / (n - 1.0) if n > 1 else np.zeros(n)
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(np.int64),
+                             "pct_rank": pct})
+
+    return (ds.map_batches(valid, batch_format="pandas")
+            .groupby("user_id").map_groups(per_user, batch_format="pandas"))
+
+
+def q_pivot_events(sf_dir: str):
+    """Crosstab pivot — user rows × event-type count columns: slim
+    (user, type, n) partials fold once (cardinality-aware); the pivot to
+    wide happens on the already-aggregated frame (bounded column set),
+    never on raw rows. Mirrored by conditional FILTER aggregation."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({"user_id": df["user_id"],
+                              "event_type": df["event_type"], "n": 1})
+                .groupby(["user_id", "event_type"], as_index=False).sum())
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["user_id", "event_type"], {"n": "sum"})
+    w = (m.pivot_table(index="user_id", columns="event_type", values="n",
+                       aggfunc="sum", fill_value=0)
+         .reindex(columns=TYPES, fill_value=0).reset_index())
+    w.columns.name = None
+    for c in TYPES:
+        w[f"n_{c}"] = w[c].astype("int64")
+    w["user_id"] = w["user_id"].astype("int64")
+    return w[["user_id"] + [f"n_{c}" for c in TYPES]]
+
+
 def q_funnel_events(sf_dir: str):
     """Ordered-funnel conversion — the product-analytics sequence shape:
     users whose first 'signup' is later followed by a 'purchase'.
@@ -2484,6 +2532,8 @@ QUERIES = {
     "tdigest_quantiles_events": q_tdigest_quantiles_events,
     "pricing_summary": q_pricing_summary,
     "top_customers_revenue": q_top_customers_revenue,
+    "percent_rank_events": q_percent_rank_events,
+    "pivot_events": q_pivot_events,
     "funnel_events": q_funnel_events,
     "rollup_events": q_rollup_events,
     "events_hourly": q_events_hourly,
