@@ -1012,6 +1012,40 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 0.9, quantile_disc(norm, 0.9) FROM n
         """,
+        "user_event_paths": """
+            -- ordered path aggregation; identical (ts, event_id) sort
+            -- and 40-step truncation on both sides
+            WITH o AS (
+              SELECT user_id,
+                     list(event_type ORDER BY ts, event_id) AS seq,
+                     count(*) AS n_events
+              FROM events GROUP BY user_id
+            )
+            SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+                   array_to_string(seq[1:40], '>') AS path40
+            FROM o
+        """,
+        "benford_events": """
+            -- leading-digit forensics; identical IEEE digit extraction,
+            -- deviation from log10(1+1/d) rounded on both sides
+            WITH v AS (SELECT abs(value) AS a FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)
+                         AND value <> 0),
+            -- exact-integer route: scale by 100 (values carry <=2
+            -- decimals), leading digit from the integer's decimal
+            -- string — float log10/pow digit extraction is
+            -- engine-dependent on edge values (measured on 0.3/0.6/0.7)
+            d AS (SELECT CAST(substr(CAST(CAST(round(a * 100.0, 0)
+                    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                  FROM v WHERE round(a * 100.0, 0) > 0),
+            c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+            t AS (SELECT sum(n) AS tot FROM c)
+            SELECT g.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+                   round(CAST(coalesce(c.n, 0) AS DOUBLE) / t.tot
+                         - log10(1.0 + 1.0 / g.digit), 6) AS benford_dev
+            FROM generate_series(1, 9) AS g(digit)
+            LEFT JOIN c ON c.digit = g.digit, t
+        """,
         "percent_rank_events": """
             -- order-statistics window; min-rank ties, (rank-1)/(n-1)
             SELECT event_id,

@@ -1064,6 +1064,62 @@ def q_local_supplier_volume(sf_dir: str):
             .sort_values("revenue", ascending=False).reset_index(drop=True))
 
 
+def q_user_event_paths(sf_dir: str):
+    """Ordered string aggregation — the path/journey shape: each user's
+    event-type sequence in (ts, event_id) order, concatenated. The
+    per-user group sorts inside one map_groups task (group-fits-worker);
+    only the first 40 steps are emitted so row width stays bounded —
+    the SAME truncation is applied in the oracle (list slicing), so the
+    compare is exact."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        seq = ">".join(g["event_type"].head(40))
+        return pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
+                             "n_events": [len(g)],
+                             "path40": [seq]})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+
+
+def q_benford_events(sf_dir: str):
+    """Benford leading-digit profile of events.value — the classic
+    numeric-forensics data-quality check: counts per leading digit 1-9
+    (zero/NaN/null excluded) plus each digit's deviation from the
+    Benford expectation log10(1+1/d). One pass of per-batch digit-count
+    partials. Digits are extracted from the exact scaled-integer decimal
+    string (values carry <=2 decimals) because float log10/pow
+    extraction disagrees between numpy and DuckDB on edge values;
+    deviation comes from identical integer counts on both sides."""
+    ds = _read(sf_dir, "events", ["value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.abs(df["value"].to_numpy(np.float64))
+        v = v[~np.isnan(v) & (v > 0)]
+        # values carry <=2 decimals: scale to the exact-integer domain
+        # and take the first digit of the integer's decimal string —
+        # float log10/pow digit extraction differs between engines on
+        # edge values like 0.7 (measured), integer strings never do
+        iv = np.round(v * 100.0).astype(np.int64)
+        iv = iv[iv > 0]
+        d = pd.Series(iv).astype(str).str[0].astype(np.int64).to_numpy()
+        u, c = np.unique(d, return_counts=True)
+        return pd.DataFrame({"digit": u.astype(np.int64), "n": c})
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"), ["digit"],
+              {"n": "sum"})
+    m = (m.set_index("digit").reindex(range(1, 10), fill_value=0)
+         .reset_index())
+    m["n"] = m["n"].astype("int64")
+    total = int(m["n"].sum())
+    exp = np.log10(1.0 + 1.0 / m["digit"].to_numpy(np.float64))
+    m["benford_dev"] = rnd(pd.Series(m["n"] / total - exp), 6)
+    return m
+
+
 def q_percent_rank_events(sf_dir: str):
     """percent_rank() OVER (PARTITION BY user ORDER BY value) — the
     order-statistics window shape: one groupby(user).map_groups (the
@@ -2532,6 +2588,8 @@ QUERIES = {
     "tdigest_quantiles_events": q_tdigest_quantiles_events,
     "pricing_summary": q_pricing_summary,
     "top_customers_revenue": q_top_customers_revenue,
+    "user_event_paths": q_user_event_paths,
+    "benford_events": q_benford_events,
     "percent_rank_events": q_percent_rank_events,
     "pivot_events": q_pivot_events,
     "funnel_events": q_funnel_events,

@@ -93,7 +93,8 @@ def oracle_names():
     "zscore_events", "cusum_reset_events", "source_quality_report",
     "doc_quality_verdicts", "covariance_embeddings",
     "equidepth_histogram_events", "rollup_events", "funnel_events",
-    "pivot_events", "percent_rank_events",
+    "pivot_events", "percent_rank_events", "user_event_paths",
+    "benford_events",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]
