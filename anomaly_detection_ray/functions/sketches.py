@@ -271,3 +271,63 @@ def psi(expected_counts: np.ndarray, actual_counts: np.ndarray,
     pe = np.maximum(e / e.sum(), eps)
     pa = np.maximum(a / a.sum(), eps)
     return float(np.sum((pa - pe) * np.log(pa / pe)))
+
+
+class MisraGries:
+    """Misra-Gries frequent-items summary (deterministic heavy-hitter
+    sketch; Misra & Gries 1982, mergeability per Agarwal et al.,
+    "Mergeable Summaries", PODS 2012).
+
+    Bounded state: at most ``k`` counters. Guarantee: after summarizing a
+    stream of n items, every item with true frequency > n/k is present,
+    and each retained count under-counts by at most n/k. Merging two
+    summaries (sum counts per key, then subtract the (k+1)-th largest
+    count and drop non-positives) preserves the guarantee over the union
+    stream — which is exactly what the two-pass heavy-hitters operator
+    needs: pass 1 produces a <=k candidate superset of every item above
+    the support threshold, pass 2 exact-counts only those candidates.
+
+    The reference keeps whole-stream state per scorer
+    (/root/reference/src/anomaly_detection.py consumer loop); this sketch
+    is the bounded-memory replacement that distributes: one MG per input
+    batch, partials merged by the driver fold.
+    """
+
+    __slots__ = ("k", "counts")
+
+    def __init__(self, k: int):
+        self.k = int(k)
+        self.counts: dict = {}
+
+    def add_many(self, keys: np.ndarray) -> None:
+        """Vectorized batch insert: pre-reduce with np.unique (one dict op
+        per DISTINCT key, not per row), then standard MG decrement."""
+        u, c = np.unique(np.asarray(keys), return_counts=True)
+        for key, cnt in zip(u.tolist(), c.tolist()):
+            self.counts[key] = self.counts.get(key, 0) + int(cnt)
+        self._shrink()
+
+    def _shrink(self) -> None:
+        if len(self.counts) <= self.k:
+            return
+        # decrement all by the (k+1)-th largest count; drop non-positive
+        vals = np.fromiter(self.counts.values(), dtype=np.int64)
+        cut = int(np.partition(vals, -(self.k + 1))[-(self.k + 1)])
+        self.counts = {key: n - cut for key, n in self.counts.items()
+                       if n - cut > 0}
+
+    def items(self):
+        keys = list(self.counts.keys())
+        return keys, [self.counts[key] for key in keys]
+
+    @staticmethod
+    def compact(keys: np.ndarray, counts: np.ndarray, k: int):
+        """MG reduction over already-summed partial counts: keep the
+        summary at <=k entries without losing any key whose true global
+        count exceeds n/k (Agarwal et al. merge rule)."""
+        counts = np.asarray(counts, dtype=np.int64)
+        if len(counts) <= k:
+            return keys, counts
+        cut = int(np.partition(counts, -(k + 1))[-(k + 1)])
+        keep = counts - cut > 0
+        return keys[keep], counts[keep] - cut

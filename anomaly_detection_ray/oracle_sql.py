@@ -1046,6 +1046,68 @@ def oracle_sql() -> dict[str, str]:
             FROM generate_series(1, 9) AS g(digit)
             LEFT JOIN c ON c.digit = g.digit, t
         """,
+        "heavy_hitters_events": """
+            -- exact heavy hitters (support > 0.005 of non-null rows) over
+            -- round-half-away(value, 0); the Ray side reaches the same
+            -- exact set via Misra-Gries candidates + an exact second pass
+            WITH x AS (SELECT CAST(round(value, 0) AS BIGINT) AS v
+                       FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)),
+            t AS (SELECT count(*) AS tot FROM x)
+            SELECT x.v, CAST(count(*) AS BIGINT) AS n
+            FROM x, t
+            GROUP BY x.v, t.tot
+            HAVING count(*) > 0.005 * t.tot
+        """,
+        "mode_events": """
+            -- deterministic per-group mode: ties to the smallest type
+            WITH c AS (SELECT user_id, event_type, count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT user_id, event_type, n,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY n DESC,
+                                                     event_type ASC) AS rk
+                  FROM c)
+            SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n
+            FROM r WHERE rk = 1
+        """,
+        "entropy_by_source": """
+            -- per-source Shannon entropy (log2) of the language mix
+            WITH c AS (SELECT source, lang, count(*) AS n
+                       FROM documents GROUP BY 1, 2),
+            t AS (SELECT source, sum(n) AS tot, count(*) AS n_langs
+                  FROM c GROUP BY 1)
+            SELECT c.source,
+                   CAST(t.tot AS BIGINT) AS n_docs,
+                   CAST(t.n_langs AS BIGINT) AS n_langs,
+                   round(sum(-(CAST(c.n AS DOUBLE) / t.tot)
+                             * log2(CAST(c.n AS DOUBLE) / t.tot)), 6)
+                       AS lang_entropy
+            FROM c JOIN t USING (source)
+            GROUP BY c.source, t.tot, t.n_langs
+        """,
+        "corr_events": """
+            -- Pearson corr(value, hour) per type via the identical
+            -- raw-moments formula the Ray side folds (NOT corr(), whose
+            -- streaming update would differ in ulps before rounding)
+            WITH s AS (SELECT event_type,
+                              count(*) AS n,
+                              sum(value) AS sx,
+                              sum(CAST(hour(ts) AS DOUBLE)) AS sy,
+                              sum(value * value) AS sxx,
+                              sum(CAST(hour(ts) AS DOUBLE)
+                                  * CAST(hour(ts) AS DOUBLE)) AS syy,
+                              sum(value * CAST(hour(ts) AS DOUBLE)) AS sxy
+                       FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)
+                       GROUP BY 1)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   round((sxy - sx * sy / n)
+                         / sqrt((sxx - sx * sx / n)
+                                * (syy - sy * sy / n)), 6)
+                       AS corr_value_hour
+            FROM s
+        """,
         "percent_rank_events": """
             -- order-statistics window; min-rank ties, (rank-1)/(n-1)
             SELECT event_id,

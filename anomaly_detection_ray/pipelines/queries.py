@@ -1143,6 +1143,147 @@ def q_percent_rank_events(sf_dir: str):
             .groupby("user_id").map_groups(per_user, batch_format="pandas"))
 
 
+def q_heavy_hitters_events(sf_dir: str):
+    """Exact heavy hitters via the classic two-pass sketch pattern —
+    dominant-value detection, a core data-quality check (a value holding
+    >phi of a column usually means a default/sentinel leak). Pass 1:
+    one bounded-memory Misra-Gries summary (k=256 counters) per batch,
+    partials summed by the cardinality-aware fold, then MG-compacted to
+    <=k candidates (Agarwal et al. merge rule keeps every key with true
+    count > n/k, and k > 1/phi, so the candidate set is a guaranteed
+    superset). Pass 2: exact counts for ONLY the <=k candidates (tiny
+    broadcast, shuffle-free), filtered by the true threshold — so the
+    output is exact with no global groupby over the full key space.
+    Keys are round-half-away(value, 0) ints (DuckDB round semantics)."""
+    from ..functions.sketches import MisraGries
+    ds = _read(sf_dir, "events", ["value"])
+    PHI, K = 0.005, 256
+    SENTINEL = np.int64(-(2 ** 62))  # carries the batch row count
+
+    def to_keys(df: pd.DataFrame) -> np.ndarray:
+        v = df["value"].to_numpy(np.float64)
+        v = v[~np.isnan(v)]
+        return rnd(v, 0).astype(np.int64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        iv = to_keys(df)
+        mg = MisraGries(K)
+        mg.add_many(iv)
+        keys, cnts = mg.items()
+        keys.append(SENTINEL)
+        cnts.append(len(iv))
+        return pd.DataFrame({"v": np.asarray(keys, dtype=np.int64),
+                             "n": np.asarray(cnts, dtype=np.int64)})
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"), ["v"],
+              {"n": "sum"})
+    n_total = int(m.loc[m["v"] == SENTINEL, "n"].sum())
+    m = m[m["v"] != SENTINEL]
+    cand_keys, _ = MisraGries.compact(
+        m["v"].to_numpy(np.int64), m["n"].to_numpy(np.int64), K)
+    cand = set(int(x) for x in cand_keys)  # <=K ints: closure broadcast
+
+    def exact(df: pd.DataFrame) -> pd.DataFrame:
+        iv = to_keys(df)
+        u, c = np.unique(iv, return_counts=True)
+        keep = np.fromiter((int(x) in cand for x in u), dtype=bool,
+                           count=len(u))
+        return pd.DataFrame({"v": u[keep], "n": c[keep].astype(np.int64)})
+
+    out = _fold(ds.map_batches(exact, batch_format="pandas"), ["v"],
+                {"n": "sum"})
+    out = out[out["n"] > PHI * n_total].reset_index(drop=True)
+    out["v"] = out["v"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def q_mode_events(sf_dir: str):
+    """Deterministic per-group mode — the modal event_type per user (ties
+    broken to the lexicographically smallest type, so the result is
+    well-defined on both sides, unlike SQL mode()). Slim (user, type, n)
+    count partials fold once; the argmax runs on the already-aggregated
+    frame (users × ≤5 types), never on raw rows."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["user_id", "event_type"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        return g
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["user_id", "event_type"], {"n": "sum"})
+    m = m.sort_values(["user_id", "n", "event_type"],
+                      ascending=[True, False, True], kind="mergesort")
+    out = m.drop_duplicates("user_id", keep="first").reset_index(drop=True)
+    out = out.rename(columns={"event_type": "mode_type"})
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out[["user_id", "mode_type", "n"]]
+
+
+def q_entropy_by_source(sf_dir: str):
+    """Per-source Shannon entropy of the language mix — a categorical
+    balance/diversity profile (a source whose lang entropy collapses is a
+    crawl-drift signal). One (source, lang, n) count-partial pass; the
+    entropy Σ -p·log2(p) is computed on the tiny aggregated frame."""
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["source", "lang"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["source", "lang"], {"n": "sum"})
+
+    def ent(g: pd.DataFrame) -> float:
+        p = g["n"].to_numpy(np.float64)
+        p = p / p.sum()
+        return float(-(p * np.log2(p)).sum())
+
+    out = (m.groupby("source")
+           .apply(lambda g: pd.Series(
+               {"n_docs": int(g["n"].sum()), "n_langs": int(len(g)),
+                "lang_entropy": ent(g)}), include_groups=False)
+           .reset_index())
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_langs"] = out["n_langs"].astype("int64")
+    out["lang_entropy"] = rnd(out["lang_entropy"], 6)
+    return out
+
+
+def q_corr_events(sf_dir: str):
+    """Per-type Pearson correlation between value and hour-of-day — the
+    cross-column dependence profile (time-of-day effects are a classic
+    silent data shift). Mergeable moment partials (n, Σx, Σy, Σxx, Σyy,
+    Σxy) per event_type combine associatively — one slim fold, no raw-row
+    shuffle; the oracle computes the identical raw-moments formula so
+    both sides round to the same 6dp."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=["value"])
+        x = d["value"].to_numpy(np.float64)
+        y = d["ts"].dt.hour.to_numpy(np.float64)
+        t = pd.DataFrame({"event_type": d["event_type"], "x": x, "y": y,
+                          "xx": x * x, "yy": y * y, "xy": x * y, "n": 1.0})
+        return t.groupby("event_type", as_index=False).sum()
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["event_type"], {c: "sum" for c in
+                               ["x", "y", "xx", "yy", "xy", "n"]})
+    n = m["n"].to_numpy(np.float64)
+    cov = m["xy"].to_numpy() - m["x"].to_numpy() * m["y"].to_numpy() / n
+    vx = m["xx"].to_numpy() - m["x"].to_numpy() ** 2 / n
+    vy = m["yy"].to_numpy() - m["y"].to_numpy() ** 2 / n
+    out = pd.DataFrame({
+        "event_type": m["event_type"],
+        "n": n.astype(np.int64),
+        "corr_value_hour": rnd(cov / np.sqrt(vx * vy), 6),
+    })
+    return out.reset_index(drop=True)
+
+
 def q_pivot_events(sf_dir: str):
     """Crosstab pivot — user rows × event-type count columns: slim
     (user, type, n) partials fold once (cardinality-aware); the pivot to
@@ -2590,6 +2731,10 @@ QUERIES = {
     "top_customers_revenue": q_top_customers_revenue,
     "user_event_paths": q_user_event_paths,
     "benford_events": q_benford_events,
+    "heavy_hitters_events": q_heavy_hitters_events,
+    "mode_events": q_mode_events,
+    "entropy_by_source": q_entropy_by_source,
+    "corr_events": q_corr_events,
     "percent_rank_events": q_percent_rank_events,
     "pivot_events": q_pivot_events,
     "funnel_events": q_funnel_events,

@@ -158,3 +158,36 @@ def test_profile_table_mixed(ray_session):
     s = out.loc["s"]
     assert s["min_str"] == "apple" and s["max_str"] == "pear"
     assert s["n_valid"] == 5 and np.isnan(s["mean"])
+
+
+def test_misra_gries_guarantee_and_merge():
+    """Every key with true freq > n/k survives: per-chunk MG summaries,
+    summed then MG-compacted (the exact shape q_heavy_hitters uses)."""
+    from anomaly_detection_ray.functions.sketches import MisraGries
+    rng = np.random.default_rng(7)
+    # zipf-ish stream: a few hot keys over a wide cold tail
+    hot = np.repeat(np.arange(5), 4000)                 # 4000 each
+    cold = rng.integers(100, 20000, size=30000)         # ~1.5 avg each
+    stream = rng.permutation(np.concatenate([hot, cold]))
+    n, k = len(stream), 64
+
+    # chunked pass-1 partials summed, then compacted
+    import pandas as pd
+    parts = []
+    for chunk in np.array_split(stream, 13):
+        mg = MisraGries(k)
+        mg.add_many(chunk)
+        ks, cs = mg.items()
+        parts.append(pd.DataFrame({"v": ks, "n": cs}))
+    m = pd.concat(parts).groupby("v", as_index=False)["n"].sum()
+    cand, lb = MisraGries.compact(m["v"].to_numpy(), m["n"].to_numpy(), k)
+
+    assert len(cand) <= k
+    # guarantee: all keys with true count > n/k are candidates
+    thresh = n / k
+    truth = pd.Series(stream).value_counts()
+    must = set(truth[truth > thresh].index.tolist())
+    assert must <= set(int(x) for x in cand)
+    # lower bounds never exceed true counts
+    for key, c in zip(cand, lb):
+        assert c <= truth.get(int(key), 0)
