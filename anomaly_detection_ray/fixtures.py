@@ -67,6 +67,7 @@ FIXTURE_QUERIES = [
     "clip_specaugment_stats",
     "clip_trim_stats",
     "clip_speaker_clusters",
+    "clip_dvector_speakers",
     "audio_fingerprint_dedup",
     "clip_segment_stats",
     "clip_resample_stats",

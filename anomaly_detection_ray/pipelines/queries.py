@@ -2580,6 +2580,33 @@ def q_clip_speaker_clusters(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def q_clip_dvector_speakers(sf_dir: str):
+    """Learned speaker grouping over clip audio (stages/dvector): sample
+    clips by deterministic hash slice -> train a seeded numpy frame-MLP
+    on the driver (each sampled clip its own class, the label-free
+    d-vector trick) -> actor-pool embed every clip (penultimate layer
+    mean-pooled, L2-normalized) -> distributed k-means. Exists because
+    the MFCC-stats embedding saturates cosine on narrowband audio
+    (different-speaker p50 cosine 0.906 measured); the rate-normalized
+    d-vector drops it to ~-0.04 with 0.73 nearest-neighbor speaker
+    accuracy on the 200-clip test corpus (pinned in tests/test_audio_ops).
+    Deterministic at any CPU count => fixture oracle."""
+    from ..sources.clips import read_clips
+    from ..stages import dvector as dvm
+    path = _clip_table_path(sf_dir)
+    ds = read_clips(path, columns=["clip_id", "bytes"])
+    w = dvm.train_dvector(ds, n_train=48, epochs=30, seed=0)
+    feats = dvm.dvector_embedding_table(ds, w, concurrency=8).materialize()
+    C = sim.kmeans_fit(feats, k=12, iters=4, id_col="cid", seed=0)
+    out = sim.kmeans_assign(feats, C, id_col="clip_id")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["dist"] = rnd(df["dist"], 6)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def q_clip_speaking_rate(sf_dir: str):
     """Transcript↔audio speaking-rate check over clip METADATA only
     (stages/checks.speaking_rate_stage) — the read prunes to
@@ -2834,6 +2861,7 @@ QUERIES = {
     "clip_specaugment_stats": q_clip_specaugment_stats,
     "clip_trim_stats": q_clip_trim_stats,
     "clip_speaker_clusters": q_clip_speaker_clusters,
+    "clip_dvector_speakers": q_clip_dvector_speakers,
     "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
     "clip_segment_stats": q_clip_segment_stats,
     "audio_prep_segments": q_audio_prep_segments,

@@ -513,3 +513,52 @@ def test_trim_silence_removes_padding_and_keeps_speech(ray_session):
             .set_index("clip_id"))
     assert out.drop(columns="trimmed_bytes").equals(
         out2.drop(columns="trimmed_bytes"))
+
+
+# ---------------------------------------------------------------- d-vector
+
+
+def test_dvector_desaturates_and_separates(clip_ds):
+    """The §11 claim: MFCC-stats clip embeddings saturate cosine on the
+    tone corpus; the learned d-vector de-saturates it and recovers
+    pseudo-speaker (index % 37) structure."""
+    from anomaly_detection_ray.stages import dvector as dvm
+
+    w = dvm.train_dvector(clip_ds, n_train=40, epochs=30, seed=0)
+    emb = dvm.dvector_embedding_table(clip_ds, w, concurrency=2).to_pandas()
+    assert len(emb) > 180                       # every decodable clip
+    E = np.stack(emb["embedding"].to_numpy())
+    assert E.shape[1] == dvm.DVEC_DIM
+    np.testing.assert_allclose(np.linalg.norm(E, axis=1), 1.0, atol=1e-9)
+
+    spk = emb["clip_id"].str[5:].astype(int).to_numpy() % 37
+    S = E @ E.T
+    np.fill_diagonal(S, -2.0)
+    iu = np.triu_indices(len(E), 1)
+    same = (spk[:, None] == spk[None, :])[iu]
+    diff_cos = S[iu][~same]
+
+    # de-saturation: the MFCC baseline measures p50 ~0.906 on this
+    # corpus; the d-vector must push different-speaker cosine far down
+    assert np.median(diff_cos) < 0.3
+    # speaker structure: nearest neighbor is the same pseudo-speaker far
+    # above chance (1/37 ≈ 0.03; measured 0.73 on this 200-clip corpus
+    # where each speaker has only ~5 clips)
+    nn_acc = (spk[S.argmax(axis=1)] == spk).mean()
+    assert nn_acc > 0.6
+    # and same-speaker pairs sit well above different-speaker pairs
+    # (measured medians 0.49 vs -0.04)
+    assert np.median(S[iu][same]) > np.median(diff_cos) + 0.3
+
+
+def test_dvector_training_sample_is_order_independent(clip_ds):
+    """The hash-slice training set must be identical at any partitioning
+    (the n_train smallest md5 hashes, sorted) — weights therefore equal."""
+    from anomaly_detection_ray.stages import dvector as dvm
+
+    w1 = dvm.train_dvector(clip_ds, n_train=16, epochs=3, seed=0)
+    w2 = dvm.train_dvector(clip_ds.repartition(7), n_train=16, epochs=3,
+                           seed=0)
+    for a, b in zip(w1["W"], w2["W"]):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(w1["mu"], w2["mu"])
