@@ -855,21 +855,40 @@ def edit_verify_pairs(ds, pairs: pd.DataFrame, text_col: str = "text",
 # ------------------------------------------------------- decontamination
 
 def contamination_stats(ds, eval_ds, text_col: str = "text",
-                        id_col: str = "doc_id", window: int = 8):
+                        id_col: str = "doc_id", window: int = 8,
+                        mode: str | None = None,
+                        broadcast_max_eval_docs: int = 100_000):
     """Benchmark decontamination check (the GPT-3 appendix-C / standard
     eval-leakage scan): a training document is contaminated when any of
     its ``window``-token n-grams (stride 1) appears in the evaluation
     set's n-gram inventory. Per corpus doc: n_windows, n_contaminated,
     is_contaminated.
 
-    Scale shape: the EVAL side is small by construction (benchmarks are
-    thousands of docs, not billions) — its md5-64 n-gram key set is built
-    with one pass over ``eval_ds`` and broadcast once via ``ray.put``;
-    the CORPUS side is one embarrassingly-parallel map_batches pass whose
-    membership test is a vectorized searchsorted against the sorted key
-    array. No shuffle at all. Window text never leaves a batch on either
-    side."""
+    Two regimes (``mode``; auto-chosen by eval row count when None):
+
+    - ``broadcast`` — the EVAL side is small by construction (benchmarks
+      are thousands of docs): its md5-64 n-gram key set is built with one
+      pass over ``eval_ds`` and broadcast once via ``ray.put``; the
+      CORPUS side is one embarrassingly-parallel map_batches pass whose
+      membership test is a vectorized searchsorted against the sorted
+      key array. No shuffle at all.
+    - ``semi_join`` — when the "eval set" is itself corpus-sized (e.g.
+      scanning against another training corpus), the key inventory must
+      never land on the driver: corpus windows shrink to slim
+      (key, doc_id, cnt) rows (deduped per doc), eval keys stay a
+      Dataset, and a tagged-union groupby semi-join (the anti_join_keys
+      shape from stages/joins) keeps exactly the corpus window rows
+      whose key appears on the eval side; a per-doc sum then a left
+      merge against the per-doc window counts reproduces the broadcast
+      regime's output bit-for-bit (pinned in tests/test_text_dedup.py).
+      Window text never leaves a batch on either side in either regime.
+    """
     W = int(window)
+    if mode is None:
+        mode = ("broadcast" if eval_ds.count() <= broadcast_max_eval_docs
+                else "semi_join")
+    if mode == "semi_join":
+        return _contamination_semi_join(ds, eval_ds, text_col, id_col, W)
 
     def eval_keys(df: pd.DataFrame) -> pd.DataFrame:
         ks: set[int] = set()
@@ -910,3 +929,102 @@ def contamination_stats(ds, eval_ds, text_col: str = "text",
         return res
 
     return ds.map_batches(scan, batch_format="pandas")
+
+
+def _contamination_semi_join(ds, eval_ds, text_col: str, id_col: str,
+                             W: int):
+    """Large-eval regime of contamination_stats: no driver-resident key
+    inventory. Corpus window keys (deduped per doc, with their position
+    counts) semi-join the eval key Dataset through ONE tagged-union
+    groupby exchange; hit counts fold per doc and left-merge onto the
+    per-doc window totals."""
+    import pyarrow as pa
+
+    def corpus_keys(df: pd.DataFrame) -> pd.DataFrame:
+        ids, keys, cnts = [], [], []
+        for did, txt in zip(df[id_col], df[text_col].fillna("")):
+            toks = txt.split(" ")
+            n = max(0, len(toks) - W + 1)
+            if not n:
+                continue
+            h = np.fromiter(
+                (_md5_64(" ".join(toks[p:p + W])) for p in range(n)),
+                dtype=np.uint64, count=n).astype(np.int64)
+            u, c = np.unique(h, return_counts=True)
+            ids.append(np.full(len(u), int(did), dtype=np.int64))
+            keys.append(u)
+            cnts.append(c.astype(np.int64))
+        if not ids:
+            return pd.DataFrame({"key": pd.Series([], dtype=np.int64),
+                                 id_col: pd.Series([], dtype=np.int64),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"key": np.concatenate(keys),
+                             id_col: np.concatenate(ids),
+                             "cnt": np.concatenate(cnts)})
+
+    def eval_keys_slim(df: pd.DataFrame) -> pd.DataFrame:
+        ks: set[int] = set()
+        for txt in df[text_col].fillna(""):
+            toks = txt.split(" ")
+            for p in range(0, len(toks) - W + 1):
+                ks.add(_md5_64(" ".join(toks[p:p + W])))
+        a = np.fromiter(ks, dtype=np.uint64, count=len(ks)).astype(np.int64)
+        return pd.DataFrame({"key": a})
+
+    def win_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].fillna("").str.split(" ").str.len()
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            "n_windows": np.maximum(0, toks.to_numpy(np.int64) - W + 1)})
+
+    corpus = ds.map_batches(corpus_keys, batch_format="pandas")
+    evk = eval_ds.map_batches(eval_keys_slim, batch_format="pandas")
+
+    # tagged union -> groupby key -> keep corpus rows of matched groups
+    def tag_c(t: pa.Table) -> pa.Table:
+        return t.append_column("__side",
+                               pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+
+    def tag_e(t: pa.Table) -> pa.Table:
+        n = t.num_rows if "key" in t.column_names else 0
+        return pa.table({
+            "key": t["key"] if n else pa.nulls(0, type=pa.int64()),
+            id_col: pa.nulls(n, type=pa.int64()),
+            "cnt": pa.nulls(n, type=pa.int64()),
+        }).append_column("__side", pa.array(np.ones(n, dtype=np.int8)))
+
+    both = (corpus.map_batches(tag_c, batch_format="pyarrow")
+            .union(evk.map_batches(tag_e, batch_format="pyarrow")))
+
+    def keep_matched(t: pa.Table) -> pa.Table:
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        out = t.drop_columns(["__side"])
+        return out.filter(pa.array(side == 0)) if (side == 1).any() \
+            else out.slice(0, 0)
+
+    hits = both.groupby("key").map_groups(keep_matched,
+                                          batch_format="pyarrow")
+
+    def hit_partial(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "hits": pd.Series([], dtype=np.int64)})
+        df = t.select([id_col, "cnt"]).to_pandas()
+        g = df.groupby(id_col, as_index=False)["cnt"].sum()
+        return g.rename(columns={"cnt": "hits"})
+
+    from ..functions.fold import fold_partials
+    hit_df = fold_partials(
+        hits.map_batches(hit_partial, batch_format="pyarrow"),
+        [id_col], {"hits": "sum"})
+    wins = fold_partials(
+        ds.map_batches(win_partial, batch_format="pandas"),
+        [id_col], {"n_windows": "sum"})
+
+    out = wins.merge(hit_df, on=id_col, how="left")
+    out["n_contaminated"] = out["hits"].fillna(0).astype(np.int64)
+    out = out.drop(columns=["hits"])
+    out[id_col] = out[id_col].astype("int64")
+    out["n_windows"] = out["n_windows"].astype("int64")
+    out["is_contaminated"] = out["n_contaminated"] > 0
+    return out[[id_col, "n_windows", "n_contaminated", "is_contaminated"]]

@@ -584,3 +584,28 @@ def test_contamination_stats_flags_eval_overlap(ray_session):
         {"doc_id": [5], "text": [span + " mid " + span]}))
     out2 = dedup.contamination_stats(corpus2, ev).to_pandas()
     assert out2["n_contaminated"].iloc[0] == 2
+
+
+def test_contamination_semi_join_matches_broadcast(ray_session, docs_ds):
+    """The large-eval (no driver-resident inventory) regime must reproduce
+    the broadcast regime bit-for-bit, including per-position repeat
+    counts and 0-window short docs."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages import dedup
+
+    ev = docs_ds.filter(lambda r: r["doc_id"] % 7 == 0)
+    a = (dedup.contamination_stats(docs_ds, ev, mode="broadcast")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (dedup.contamination_stats(docs_ds, ev, mode="semi_join")
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b[a.columns.tolist()])
+    assert a["is_contaminated"].any()           # eval docs self-overlap
+
+    # repeat-count semantics survive the per-doc key dedup
+    span = "e1 e2 e3 e4 e5 e6 e7 e8"
+    ev2 = rd.from_pandas(pd.DataFrame({"doc_id": [9], "text": [span]}))
+    c2 = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [5], "text": [span + " mid " + span]}))
+    out = dedup.contamination_stats(c2, ev2, mode="semi_join")
+    assert out["n_contaminated"].iloc[0] == 2
