@@ -1086,6 +1086,29 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN t USING (source)
             GROUP BY c.source, t.tot, t.n_langs
         """,
+        "snapshot_diff_events": """
+            -- snapshot reconciliation vs the deterministically mutated
+            -- version B (delete %101, double value %97, insert %103+10M);
+            -- IS DISTINCT FROM gives NULL==NULL and DuckDB NaN==NaN,
+            -- which the Ray side mirrors with a both-NaN override
+            WITH a AS (SELECT event_id, value FROM events),
+            b AS (
+                SELECT event_id,
+                       CASE WHEN event_id % 97 = 0 THEN value * 2
+                            ELSE value END AS value
+                FROM events WHERE event_id % 101 <> 0
+                UNION ALL
+                SELECT event_id + 10000000, value + 1
+                FROM events WHERE event_id % 103 = 0
+            )
+            SELECT coalesce(a.event_id, b.event_id) AS event_id,
+                   CASE WHEN a.event_id IS NULL THEN 'added'
+                        WHEN b.event_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change_type
+            FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+            WHERE a.event_id IS NULL OR b.event_id IS NULL
+               OR a.value IS DISTINCT FROM b.value
+        """,
         "corr_events": """
             -- Pearson corr(value, hour) per type via the identical
             -- raw-moments formula the Ray side folds (NOT corr(), whose

@@ -1252,6 +1252,61 @@ def q_entropy_by_source(sf_dir: str):
     return out
 
 
+def q_snapshot_diff_events(sf_dir: str):
+    """Snapshot reconciliation — the validation-engine diff between two
+    table versions: which keys were added, removed, or changed. Version B
+    is a deterministic mutation of events (delete id%101==0, double value
+    where id%97==0, insert id+10M clones where id%103==0) so the oracle
+    can build the identical snapshot in SQL. Shape: both sides shrink to
+    slim (key, present-side counts, value-bit-pattern) partials combined
+    inside map_batches, merged by ONE cardinality-aware fold (auto-spills
+    to a Ray groupby above the driver threshold — sum/max aggregates
+    only, so both fold regimes apply); classification is vectorized on
+    the merged frame. Values compare by float64 bit pattern with an
+    explicit both-NaN override, matching DuckDB's NaN = NaN and
+    NULL IS DISTINCT FROM NULL semantics."""
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    MISSING = np.int64(-(2 ** 63))  # folds as max() identity
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].to_numpy(np.int64)
+        v = df["value"].to_numpy(np.float64)
+        bits = v.view(np.int64)
+        # side A: the original snapshot
+        a = pd.DataFrame({"event_id": eid, "n_a": 1, "n_b": 0,
+                          "va": bits, "vb": MISSING})
+        # side B: survived deletes, with the %97 update applied
+        keep = eid % 101 != 0
+        vb = np.where(eid % 97 == 0, v * 2.0, v).view(np.int64)
+        b = pd.DataFrame({"event_id": eid[keep], "n_a": 0, "n_b": 1,
+                          "va": MISSING, "vb": vb[keep]})
+        # side B inserts
+        ins = eid % 103 == 0
+        i = pd.DataFrame({"event_id": eid[ins] + 10_000_000,
+                          "n_a": 0, "n_b": 1, "va": MISSING,
+                          "vb": (v[ins] + 1.0).view(np.int64)})
+        out = pd.concat([a, b, i], ignore_index=True)
+        return out.groupby("event_id", as_index=False).agg(
+            {"n_a": "sum", "n_b": "sum", "va": "max", "vb": "max"})
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["event_id"], {"n_a": "sum", "n_b": "sum",
+                             "va": "max", "vb": "max"})
+    n_a = m["n_a"].to_numpy(np.int64)
+    n_b = m["n_b"].to_numpy(np.int64)
+    va = m["va"].to_numpy(np.int64).view(np.float64)
+    vb = m["vb"].to_numpy(np.int64).view(np.float64)
+    both_nan = np.isnan(va) & np.isnan(vb)
+    changed = (n_a > 0) & (n_b > 0) \
+        & (m["va"].to_numpy() != m["vb"].to_numpy()) & ~both_nan
+    ct = np.where(n_a == 0, "added",
+                  np.where(n_b == 0, "removed",
+                           np.where(changed, "changed", "")))
+    out = pd.DataFrame({"event_id": m["event_id"].astype("int64"),
+                        "change_type": ct})
+    return out[out["change_type"] != ""].reset_index(drop=True)
+
+
 def q_corr_events(sf_dir: str):
     """Per-type Pearson correlation between value and hour-of-day — the
     cross-column dependence profile (time-of-day effects are a classic
@@ -2762,6 +2817,7 @@ QUERIES = {
     "mode_events": q_mode_events,
     "entropy_by_source": q_entropy_by_source,
     "corr_events": q_corr_events,
+    "snapshot_diff_events": q_snapshot_diff_events,
     "percent_rank_events": q_percent_rank_events,
     "pivot_events": q_pivot_events,
     "funnel_events": q_funnel_events,

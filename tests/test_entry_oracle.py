@@ -95,7 +95,7 @@ def oracle_names():
     "equidepth_histogram_events", "rollup_events", "funnel_events",
     "pivot_events", "percent_rank_events", "user_event_paths",
     "benford_events", "heavy_hitters_events", "mode_events",
-    "entropy_by_source", "corr_events",
+    "entropy_by_source", "corr_events", "snapshot_diff_events",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]
