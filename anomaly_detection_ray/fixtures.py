@@ -55,6 +55,7 @@ FIXTURE_QUERIES = [
     "expectations_clips",
     "approx_distinct_events",
     "bpe_vocab_documents",
+    "bpe_encode_documents",
     "kmeans_embeddings",
     "text_prep_documents",
     "clip_validation_verdicts",

@@ -97,3 +97,57 @@ def encode_word(word: str, rules: pd.DataFrame) -> list[str]:
                 i += 1
         syms = out
     return syms
+
+
+class BpeEncoder:
+    """Actor-pool encode stage: apply a trained merge table to every
+    document. State built ONCE per actor (rank-indexed rule list + an
+    unbounded-corpus-safe LRU word->tokens cache — natural text reuses a
+    small working set of words, so the per-word dynamic programming runs
+    once per DISTINCT word per actor, not once per occurrence). Emits
+    per-doc token statistics; the token stream itself stays inside the
+    actor (at 100 TB you would write token ids to a partitioned sink —
+    same stage shape, different emit)."""
+
+    def __init__(self, rules: pd.DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", cache_max: int = 200_000):
+        self.pairs = list(zip(rules["left"], rules["right"]))
+        self.text_col, self.id_col = text_col, id_col
+        self.cache: dict[str, int] = {}
+        self.cache_max = cache_max
+
+    def _n_tokens(self, word: str) -> int:
+        n = self.cache.get(word)
+        if n is not None:
+            return n
+        syms = [*word, EOW]
+        for left, right in self.pairs:
+            out, i = [], 0
+            while i < len(syms):
+                if (i < len(syms) - 1 and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+            if len(syms) == 1:
+                break
+        if len(self.cache) >= self.cache_max:
+            self.cache.clear()  # flat reset beats LRU bookkeeping here
+        self.cache[word] = len(syms)
+        return len(syms)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids, n_words, n_tokens = [], [], []
+        for did, t in zip(df[self.id_col], df[self.text_col].fillna("")):
+            words = WORD_RE.findall(t.lower())
+            ids.append(did)
+            n_words.append(len(words))
+            n_tokens.append(sum(self._n_tokens(w) for w in words))
+        import numpy as np
+        return pd.DataFrame({
+            self.id_col: np.asarray(ids, dtype=np.int64),
+            "n_words": np.asarray(n_words, dtype=np.int64),
+            "n_bpe_tokens": np.asarray(n_tokens, dtype=np.int64)})

@@ -667,6 +667,27 @@ def q_bpe_vocab_documents(sf_dir: str):
     return rules
 
 
+def q_bpe_encode_documents(sf_dir: str):
+    """Tokenizer APPLICATION over the corpus — the pass that actually
+    runs at 100 TB once a vocabulary exists: train the merge table on the
+    bounded word-count fold (as bpe_vocab_documents), then an actor-pool
+    encode stage (functions/bpe.BpeEncoder: rules shipped once per actor
+    via the constructor, per-DISTINCT-word memoization inside the actor)
+    emits per-doc (n_words, n_bpe_tokens). Deterministic rule table +
+    deterministic apply => fixture oracle."""
+    from ..functions import bpe
+    from ..stages.sizing import pool_size
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rules = bpe.train_bpe(bpe.word_counts(ds), num_merges=40, min_freq=2)
+    # plain dict-of-lists: a DataFrame in constructor kwargs defeats
+    # Ray's schema-dedup hashing (warns per actor)
+    return ds.map_batches(bpe.BpeEncoder,
+                          fn_constructor_kwargs={
+                              "rules": rules.to_dict("list")},
+                          batch_format="pandas", batch_size=256,
+                          concurrency=pool_size(8), num_cpus=1)
+
+
 def q_equidepth_histogram_events(sf_dir: str):
     """Equi-depth (decile) histogram of events.value — the optimizer/
     profiler bucketing shape: ONE pass of per-batch (value, count)
@@ -2843,6 +2864,7 @@ QUERIES = {
     "temporal_drift_events": q_temporal_drift_events,
     "approx_distinct_events": q_approx_distinct_events,
     "bpe_vocab_documents": q_bpe_vocab_documents,
+    "bpe_encode_documents": q_bpe_encode_documents,
     "text_prep_documents": q_text_prep_documents,
     "covariance_embeddings": q_covariance_embeddings,
     "kmeans_embeddings": q_kmeans_embeddings,

@@ -609,3 +609,25 @@ def test_contamination_semi_join_matches_broadcast(ray_session, docs_ds):
         {"doc_id": [5], "text": [span + " mid " + span]}))
     out = dedup.contamination_stats(c2, ev2, mode="semi_join")
     assert out["n_contaminated"].iloc[0] == 2
+
+
+def test_bpe_encoder_stage_matches_encode_word(ray_session, docs_ds):
+    """The actor-pool encode stage's per-doc token counts must equal a
+    sequential encode_word pass (memoization and partitioning must not
+    change results)."""
+    from anomaly_detection_ray.functions import bpe
+
+    rules = bpe.train_bpe(bpe.word_counts(docs_ds), num_merges=15,
+                          min_freq=2)
+    got = (docs_ds.map_batches(
+        bpe.BpeEncoder, fn_constructor_kwargs={"rules": rules},
+        batch_format="pandas", batch_size=32, concurrency=2, num_cpus=1)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    df = docs_ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for _, row in df.head(20).iterrows():
+        words = bpe.WORD_RE.findall((row["text"] or "").lower())
+        want = sum(len(bpe.encode_word(w, rules)) for w in words)
+        g = got[got["doc_id"] == row["doc_id"]].iloc[0]
+        assert g["n_words"] == len(words)
+        assert g["n_bpe_tokens"] == want
