@@ -69,6 +69,7 @@ FIXTURE_QUERIES = [
     "clip_trim_stats",
     "clip_speaker_clusters",
     "clip_dvector_speakers",
+    "clip_pitch_features",
     "audio_fingerprint_dedup",
     "clip_segment_stats",
     "clip_resample_stats",

@@ -2683,6 +2683,20 @@ def q_clip_dvector_speakers(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def q_clip_pitch_features(sf_dir: str):
+    """Fundamental-frequency track per clip (stages/audio_ops.pitch_f0:
+    FFT autocorrelation + parabolic peak refinement, actor pool). The
+    synthetic corpus has an exact known fundamental per clip
+    (200 + (idx % 37)·13 Hz), so the estimator is tested against
+    physics, not against a copy of itself (test_audio_ops). Deterministic
+    => fixture oracle."""
+    from ..sources.clips import read_clips
+    from ..stages import audio_ops as ao
+    path = _clip_table_path(sf_dir)
+    ds = read_clips(path, columns=["clip_id", "bytes"])
+    return ao.pitch_table(ds, concurrency=8)
+
+
 def q_clip_speaking_rate(sf_dir: str):
     """Transcript↔audio speaking-rate check over clip METADATA only
     (stages/checks.speaking_rate_stage) — the read prunes to
@@ -2940,6 +2954,7 @@ QUERIES = {
     "clip_trim_stats": q_clip_trim_stats,
     "clip_speaker_clusters": q_clip_speaker_clusters,
     "clip_dvector_speakers": q_clip_dvector_speakers,
+    "clip_pitch_features": q_clip_pitch_features,
     "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
     "clip_segment_stats": q_clip_segment_stats,
     "audio_prep_segments": q_audio_prep_segments,

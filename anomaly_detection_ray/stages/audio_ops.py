@@ -997,3 +997,78 @@ def trim_silence(ds, bytes_col: str = "bytes", batch_size: int = 64,
                                                  **kw},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=pool_size(concurrency), num_cpus=1)
+
+
+# ------------------------------------------------------------------ pitch
+
+def pitch_f0(sig: np.ndarray, sr: int, fmin: float = 60.0,
+             fmax: float = 1000.0, max_s: float = 0.5) -> dict[str, float]:
+    """Fundamental-frequency estimate by normalized autocorrelation with
+    parabolic peak interpolation (the classic ACF pitch tracker; same
+    family as Boersma 1993 / librosa's yin precursor). One FFT-based
+    autocorrelation over (up to) the middle ``max_s`` seconds; the peak
+    lag inside [sr/fmax, sr/fmin] gives f0 = sr / lag, and
+    voiced_conf = r(lag)/r(0) separates periodic content from noise
+    (a pure-ish tone scores near 1, white noise near 0)."""
+    n = len(sig)
+    use = int(min(n, max_s * sr))
+    if use < 64 or sr <= 0:
+        return {"f0_hz": float("nan"), "voiced_conf": float("nan")}
+    start = (n - use) // 2
+    x = np.asarray(sig[start:start + use], dtype=np.float64)
+    x = x - x.mean()
+    r0_guard = float((x * x).sum())
+    if r0_guard <= 0.0:
+        return {"f0_hz": float("nan"), "voiced_conf": float("nan")}
+    # FFT autocorrelation (biased estimator — consistent across lags)
+    nfft = 1 << int(np.ceil(np.log2(2 * use)))
+    X = np.fft.rfft(x, nfft)
+    r = np.fft.irfft(X * np.conj(X), nfft)[:use]
+    lag_min = max(2, int(np.floor(sr / fmax)))
+    lag_max = min(use - 2, int(np.ceil(sr / fmin)))
+    if lag_max <= lag_min:
+        return {"f0_hz": float("nan"), "voiced_conf": float("nan")}
+    seg = r[lag_min:lag_max + 1]
+    k = int(np.argmax(seg)) + lag_min
+    # parabolic refinement around the integer-lag peak
+    y0, y1, y2 = r[k - 1], r[k], r[k + 1]
+    denom = y0 - 2.0 * y1 + y2
+    delta = 0.5 * (y0 - y2) / denom if denom != 0.0 else 0.0
+    lag = k + float(np.clip(delta, -0.5, 0.5))
+    return {"f0_hz": float(sr / lag),
+            "voiced_conf": float(max(0.0, min(1.0, y1 / r[0])))}
+
+
+class PitchFeatures:
+    """Actor-pool stage: WAV bytes -> (f0_hz, voiced_conf) per clip.
+    On the synthetic corpus the fundamental is known exactly
+    (200 + (idx % 37)·13 Hz), so tests pin the estimator against
+    physics, not a frozen copy of itself."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "clip_id"):
+        self.bytes_col, self.id_col = bytes_col, id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from .. import audio as _audio
+        ids = t[self.id_col].to_pylist()
+        f0 = np.full(len(ids), np.nan)
+        conf = np.full(len(ids), np.nan)
+        for i, b in enumerate(t[self.bytes_col].to_pylist()):
+            sig, sr = (_audio.decode_wav_lenient(b) if b
+                       else (None, None))
+            if sig is None or not sr or len(sig) == 0:
+                continue
+            p = pitch_f0(sig, sr)
+            f0[i], conf[i] = p["f0_hz"], p["voiced_conf"]
+        return pa.table({
+            self.id_col: t[self.id_col],
+            "f0_hz": pa.array(np.round(f0, 4), type=pa.float64()),
+            "voiced_conf": pa.array(np.round(conf, 6), type=pa.float64())})
+
+
+def pitch_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
+                concurrency: int = 8):
+    return ds.map_batches(PitchFeatures,
+                          fn_constructor_kwargs={"bytes_col": bytes_col},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=pool_size(concurrency), num_cpus=1)

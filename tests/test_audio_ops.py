@@ -562,3 +562,34 @@ def test_dvector_training_sample_is_order_independent(clip_ds):
     for a, b in zip(w1["W"], w2["W"]):
         np.testing.assert_array_equal(a, b)
     np.testing.assert_array_equal(w1["mu"], w2["mu"])
+
+
+# ------------------------------------------------------------------ pitch
+
+
+def test_pitch_f0_known_tones():
+    """ACF pitch on known fundamentals: exact within 1 Hz, harmonic mix
+    resolves to the fundamental (not the octave), noise is unvoiced."""
+    for f in [200.0, 440.0, 668.0]:
+        p = ao.pitch_f0(tone(f), SR)
+        assert abs(p["f0_hz"] - f) < 1.0, (f, p)
+        assert p["voiced_conf"] > 0.8
+    # fundamental + second harmonic (the synth corpus shape)
+    mix = tone(260.0) + 0.2 * tone(520.0)
+    p = ao.pitch_f0(mix, SR)
+    assert abs(p["f0_hz"] - 260.0) < 1.0
+    noise = np.random.default_rng(3).uniform(-0.5, 0.5, SR)
+    assert ao.pitch_f0(noise, SR)["voiced_conf"] < 0.35
+
+
+def test_pitch_table_matches_corpus_physics(clip_ds):
+    """Over the synth table the estimated f0 must equal the generator's
+    200 + (idx % 37)·13 Hz for the vast majority of decodable clips
+    (violation classes — corrupt noise, aliasing sr lies — may differ)."""
+    out = ao.pitch_table(clip_ds, concurrency=2).to_pandas()
+    assert len(out) == 200
+    got = out.dropna(subset=["f0_hz"])
+    idx = got["clip_id"].str[5:].astype(int).to_numpy()
+    want = 200.0 + (idx % 37) * 13.0
+    ok = np.abs(got["f0_hz"].to_numpy() - want) < 2.0
+    assert ok.mean() > 0.9, f"only {ok.mean():.2f} match physics"
