@@ -1086,6 +1086,59 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN t USING (source)
             GROUP BY c.source, t.tot, t.n_langs
         """,
+        "fd_check": """
+            -- functional-dependency report over the fixed candidate list
+            WITH f1 AS (SELECT user_id AS l,
+                               count(DISTINCT event_type) AS d
+                        FROM events GROUP BY 1),
+            f2 AS (SELECT o_custkey AS l,
+                          count(DISTINCT o_orderpriority) AS d
+                   FROM orders GROUP BY 1),
+            f3 AS (SELECT l_partkey AS l,
+                          count(DISTINCT l_suppkey) AS d
+                   FROM lineitem GROUP BY 1),
+            f4 AS (SELECT c_custkey AS l,
+                          count(DISTINCT c_nationkey) AS d
+                   FROM customer GROUP BY 1)
+            SELECT 'events.user_id->event_type' AS fd,
+                   CAST(count(*) AS BIGINT) AS n_lhs,
+                   CAST(count(*) FILTER (WHERE d > 1) AS BIGINT)
+                       AS n_violating_lhs,
+                   bool_and(d <= 1) AS holds FROM f1
+            UNION ALL
+            SELECT 'orders.o_custkey->o_orderpriority',
+                   CAST(count(*) AS BIGINT),
+                   CAST(count(*) FILTER (WHERE d > 1) AS BIGINT),
+                   bool_and(d <= 1) FROM f2
+            UNION ALL
+            SELECT 'lineitem.l_partkey->l_suppkey',
+                   CAST(count(*) AS BIGINT),
+                   CAST(count(*) FILTER (WHERE d > 1) AS BIGINT),
+                   bool_and(d <= 1) FROM f3
+            UNION ALL
+            SELECT 'customer.c_custkey->c_nationkey',
+                   CAST(count(*) AS BIGINT),
+                   CAST(count(*) FILTER (WHERE d > 1) AS BIGINT),
+                   bool_and(d <= 1) FROM f4
+        """,
+        "mutual_information_events": """
+            -- plug-in MI(event_type; hour) in bits from the contingency
+            -- table; identical per-term IEEE divisions as the Ray side
+            WITH c AS (SELECT event_type, hour(ts) AS h, count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            t AS (SELECT sum(n) AS tot FROM c),
+            px AS (SELECT event_type, sum(n) AS nx FROM c GROUP BY 1),
+            py AS (SELECT h, sum(n) AS ny FROM c GROUP BY 1)
+            SELECT CAST(t.tot AS BIGINT) AS n,
+                   round(sum((c.n / t.tot)
+                             * log2((c.n / t.tot)
+                                    / ((px.nx / t.tot)
+                                       * (py.ny / t.tot)))), 6) AS mi_bits
+            FROM c
+            JOIN px USING (event_type)
+            JOIN py USING (h), t
+            GROUP BY t.tot
+        """,
         "snapshot_diff_events": """
             -- snapshot reconciliation vs the deterministically mutated
             -- version B (delete %101, double value %97, insert %103+10M);

@@ -1273,6 +1273,68 @@ def q_entropy_by_source(sf_dir: str):
     return out
 
 
+def q_fd_check(sf_dir: str):
+    """Functional-dependency constraint mining — does lhs -> rhs hold,
+    and over how many violating lhs values? The discovery side of the
+    declarative expectations suite: a held FD is a constraint worth
+    pinning; a near-held one localizes dirty keys. Four candidates across
+    three tables (mix of holding and failing). Per candidate: slim
+    distinct (lhs, rhs) pair partials per batch (bounded by distinct-pair
+    count, not rows) -> one cardinality-aware fold -> per-lhs distinct-rhs
+    count on the folded frame."""
+    cands = [("events", "user_id", "event_type"),
+             ("orders", "o_custkey", "o_orderpriority"),
+             ("lineitem", "l_partkey", "l_suppkey"),
+             ("customer", "c_custkey", "c_nationkey")]
+    out = []
+    for table, lhs, rhs in cands:
+        ds = _read(sf_dir, table, [lhs, rhs])
+
+        def pairs(df: pd.DataFrame, lhs=lhs, rhs=rhs) -> pd.DataFrame:
+            p = (df[[lhs, rhs]].drop_duplicates()
+                 .rename(columns={lhs: "l", rhs: "r"}))
+            p["c"] = 1
+            return p
+
+        m = _fold(ds.map_batches(pairs, batch_format="pandas"),
+                  ["l", "r"], {"c": "sum"})
+        per_lhs = m.groupby("l")["r"].nunique()
+        out.append({"fd": f"{table}.{lhs}->{rhs}",
+                    "n_lhs": int(len(per_lhs)),
+                    "n_violating_lhs": int((per_lhs > 1).sum()),
+                    "holds": bool((per_lhs <= 1).all())})
+    res = pd.DataFrame(out)
+    res["n_lhs"] = res["n_lhs"].astype("int64")
+    res["n_violating_lhs"] = res["n_violating_lhs"].astype("int64")
+    return res
+
+
+def q_mutual_information_events(sf_dir: str):
+    """Mutual information I(event_type; hour-of-day) in bits — the
+    cross-column dependence profile for categorical pairs (corr_events
+    covers the numeric case). One (type, hour, n) counting pass; the
+    plug-in MI estimate runs on the tiny folded contingency table with
+    the same per-term IEEE ops as the SQL oracle."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({"event_type": df["event_type"],
+                          "hour": df["ts"].dt.hour.astype(np.int64),
+                          "n": 1})
+        return t.groupby(["event_type", "hour"], as_index=False).sum()
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["event_type", "hour"], {"n": "sum"})
+    n = float(m["n"].sum())
+    pxy = m["n"].to_numpy(np.float64) / n
+    px = (m.groupby("event_type")["n"].transform("sum")
+          .to_numpy(np.float64) / n)
+    py = (m.groupby("hour")["n"].transform("sum")
+          .to_numpy(np.float64) / n)
+    mi = float((pxy * np.log2(pxy / (px * py))).sum())
+    return pd.DataFrame({"n": [int(n)], "mi_bits": rnd([mi], 6)})
+
+
 def q_snapshot_diff_events(sf_dir: str):
     """Snapshot reconciliation — the validation-engine diff between two
     table versions: which keys were added, removed, or changed. Version B
@@ -2853,6 +2915,8 @@ QUERIES = {
     "entropy_by_source": q_entropy_by_source,
     "corr_events": q_corr_events,
     "snapshot_diff_events": q_snapshot_diff_events,
+    "fd_check": q_fd_check,
+    "mutual_information_events": q_mutual_information_events,
     "percent_rank_events": q_percent_rank_events,
     "pivot_events": q_pivot_events,
     "funnel_events": q_funnel_events,
