@@ -1086,6 +1086,30 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN t USING (source)
             GROUP BY c.source, t.tot, t.n_langs
         """,
+        "expectations_freshness": """
+            -- freshness kind: stale groups vs explicit as_of
+            WITH m AS (SELECT user_id, max(ts) AS mt FROM events
+                       WHERE ts IS NOT NULL GROUP BY 1),
+            w AS (SELECT max(ts) AS mt FROM events WHERE ts IS NOT NULL)
+            SELECT 'freshness' AS check_name,
+                   'ts by user_id' AS column_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) FILTER (WHERE mt <
+                        TIMESTAMP '2024-01-30 00:00:00'
+                        - INTERVAL 86400 SECOND) AS BIGINT) AS violations,
+                   (1.0 - CAST(count(*) FILTER (WHERE mt <
+                        TIMESTAMP '2024-01-30 00:00:00'
+                        - INTERVAL 86400 SECOND) AS DOUBLE)
+                        / count(*)) >= 0.5 AS passed
+            FROM m
+            UNION ALL
+            SELECT 'freshness', 'ts', 1,
+                   CASE WHEN mt < TIMESTAMP '2024-01-30 00:00:00'
+                        - INTERVAL 604800 SECOND THEN 1 ELSE 0 END,
+                   mt >= TIMESTAMP '2024-01-30 00:00:00'
+                        - INTERVAL 604800 SECOND
+            FROM w
+        """,
         "fd_check": """
             -- functional-dependency report over the fixed candidate list
             WITH f1 AS (SELECT user_id AS l,

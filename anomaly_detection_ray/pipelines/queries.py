@@ -1273,6 +1273,23 @@ def q_entropy_by_source(sf_dir: str):
     return out
 
 
+def q_expectations_freshness(sf_dir: str):
+    """Freshness expectation kind: per-group (and whole-table) max event
+    time must be within max_lag_s of an EXPLICIT as_of (no wall clock —
+    deterministic, oracle-able; a scheduler passes its tick in). Slim
+    (group, max-ts) partials, one fold; violations = stale groups."""
+    from ..stages import expectations as ex
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    suite = [
+        {"check": "freshness", "column": "ts", "by": "user_id",
+         "as_of": "2024-01-30 00:00:00", "max_lag_s": 86400.0,
+         "mostly": 0.5},
+        {"check": "freshness", "column": "ts",
+         "as_of": "2024-01-30 00:00:00", "max_lag_s": 604800.0},
+    ]
+    return ex.run_expectations(ds, suite)
+
+
 def q_fd_check(sf_dir: str):
     """Functional-dependency constraint mining — does lhs -> rhs hold,
     and over how many violating lhs values? The discovery side of the
@@ -2916,6 +2933,7 @@ QUERIES = {
     "corr_events": q_corr_events,
     "snapshot_diff_events": q_snapshot_diff_events,
     "fd_check": q_fd_check,
+    "expectations_freshness": q_expectations_freshness,
     "mutual_information_events": q_mutual_information_events,
     "percent_rank_events": q_percent_rank_events,
     "pivot_events": q_pivot_events,

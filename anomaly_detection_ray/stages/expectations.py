@@ -96,7 +96,8 @@ _ROW_LOCAL = {"not_null", "in_range", "in_set", "regex",
 # stage appending <prefix>_code (int8: 1 OK, 0 warning, -1 error, -2
 # undefined) + <prefix>_status, reusing the stages/checks.py kernels.
 _GRADED = {"border", "zscore", "bytes_consistency", "transcript"}
-_KINDS = _ROW_LOCAL | _GRADED | {"unique", "dtype", "non_decreasing"}
+_KINDS = _ROW_LOCAL | _GRADED | {"unique", "dtype", "non_decreasing",
+                                 "freshness"}
 
 _GRADED_PREFIX = {"border": "bc", "zscore": "wf",
                   "bytes_consistency": "cc", "transcript": "tc"}
@@ -264,6 +265,14 @@ def _validate_suite(suite: list[dict], names) -> None:
         cols = [spec["column"]]
         if spec["check"] == "col_compare":
             cols.append(spec["other"])
+        if spec["check"] == "freshness":
+            for k in ("as_of", "max_lag_s"):
+                if k not in spec:
+                    raise ValueError("freshness requires explicit "
+                                     f"{k!r} — no wall-clock default "
+                                     "(determinism/oracle contract)")
+            if spec.get("by") is not None:
+                cols.append(spec["by"])
         for c in cols:
             if c not in names:
                 raise ValueError(
@@ -298,8 +307,45 @@ def run_expectations(ds, suite: list[dict]) -> pd.DataFrame:
     uniq_checks = [s for s in suite if s["check"] == "unique"]
     dtype_checks = [s for s in suite if s["check"] == "dtype"]
     ordered_checks = [s for s in suite if s["check"] == "non_decreasing"]
+    fresh_checks = [s for s in suite if s["check"] == "freshness"]
 
     records: list[dict[str, Any]] = []
+
+    for spec in fresh_checks:
+        # {"check": "freshness", "column": ts, "as_of": ISO-string|epoch-s,
+        #  "max_lag_s": L, "by": optional group col} — per group (or whole
+        # table) max(ts) must be within L of as_of. as_of is EXPLICIT, not
+        # wall clock: deterministic suites are oracle-able and re-runnable;
+        # a scheduler passes its tick time in. Violations = stale groups;
+        # n_rows = group count (so `mostly` reads "fraction of fresh
+        # groups"). Shape: slim (group, max-ts-epoch) partials, one fold.
+        col, by = spec["column"], spec.get("by")
+        as_of = pd.Timestamp(spec["as_of"], unit=(
+            "s" if isinstance(spec["as_of"], (int, float)) else None))
+        lag_us = int(float(spec["max_lag_s"]) * 1e6)
+        cols = [col] if by is None else sorted({col, by})
+
+        def fresh_partial(df: pd.DataFrame, col=col, by=by) -> pd.DataFrame:
+            ts = df[col].astype("datetime64[us]").astype(np.int64)
+            g = (pd.Series(["" ] * len(df)) if by is None
+                 else df[by].astype(str))
+            t = pd.DataFrame({"_g": g.to_numpy(), "mt": ts})
+            t = t[df[col].notna().to_numpy()]
+            return t.groupby("_g", as_index=False)["mt"].max()
+
+        folded = fold_partials(
+            ds.select_columns(cols).map_batches(
+                fresh_partial, batch_format="pandas"),
+            "_g", {"mt": "max"})
+        cutoff = as_of.value // 1000 - lag_us  # pandas .value is ns
+        n_groups = int(len(folded))
+        v = int((folded["mt"] < cutoff).sum()) if n_groups else 0
+        frac_ok = 1.0 if n_groups == 0 else 1.0 - v / n_groups
+        records.append({"check_name": "freshness",
+                        "column_name": (col if by is None
+                                        else f"{col} by {by}"),
+                        "n_rows": n_groups, "violations": v,
+                        "passed": frac_ok >= spec.get("mostly", 1.0)})
 
     for spec in ordered_checks:
         col, key = spec["column"], spec["by"]

@@ -96,7 +96,7 @@ def oracle_names():
     "pivot_events", "percent_rank_events", "user_event_paths",
     "benford_events", "heavy_hitters_events", "mode_events",
     "entropy_by_source", "corr_events", "snapshot_diff_events",
-    "fd_check", "mutual_information_events",
+    "fd_check", "mutual_information_events", "expectations_freshness",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]

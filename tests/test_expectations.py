@@ -408,3 +408,43 @@ def test_cli_expect_by_mode(ray_session, tmp_path, capsys):
     assert rc == 1
     printed = capsys.readouterr().out
     assert "status" in printed and "in_range" in printed
+
+
+def test_freshness_kind(ray_session):
+    """Per-group staleness vs an explicit as_of: group b's last row is a
+    day old -> violation; whole-table freshness passes; missing as_of is
+    rejected (no wall-clock default)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages import expectations as ex
+
+    t = pa.table({
+        "g": ["a", "a", "b", "b"],
+        "ts": pa.array(
+            pd.to_datetime(["2024-03-10 11:00", "2024-03-10 11:30",
+                            "2024-03-09 09:00", "2024-03-09 10:00"])),
+    })
+    ds = rd.from_arrow(t).repartition(2)
+    out = ex.run_expectations(ds, [
+        {"check": "freshness", "column": "ts", "by": "g",
+         "as_of": "2024-03-10 12:00:00", "max_lag_s": 3600.0},
+        {"check": "freshness", "column": "ts",
+         "as_of": "2024-03-10 12:00:00", "max_lag_s": 7200.0},
+    ]).set_index("column_name")
+    by_g = out.loc["ts by g"]
+    assert by_g["n_rows"] == 2 and by_g["violations"] == 1
+    assert not by_g["passed"]
+    whole = out.loc["ts"]
+    assert whole["n_rows"] == 1 and whole["violations"] == 0
+    assert whole["passed"]
+    # mostly tolerance: 1 stale of 2 groups passes at mostly=0.5
+    out2 = ex.run_expectations(ds, [
+        {"check": "freshness", "column": "ts", "by": "g",
+         "as_of": "2024-03-10 12:00:00", "max_lag_s": 3600.0,
+         "mostly": 0.5}])
+    assert out2["passed"].iloc[0]
+
+    with pytest.raises(ValueError, match="wall-clock"):
+        ex.run_expectations(ds, [
+            {"check": "freshness", "column": "ts", "max_lag_s": 60.0}])
