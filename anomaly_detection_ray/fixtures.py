@@ -70,6 +70,7 @@ FIXTURE_QUERIES = [
     "clip_speaker_clusters",
     "clip_dvector_speakers",
     "clip_pitch_features",
+    "clip_loudness_stats",
     "audio_fingerprint_dedup",
     "clip_segment_stats",
     "clip_resample_stats",

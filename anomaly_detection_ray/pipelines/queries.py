@@ -2776,6 +2776,20 @@ def q_clip_pitch_features(sf_dir: str):
     return ao.pitch_table(ds, concurrency=8)
 
 
+def q_clip_loudness_stats(sf_dir: str):
+    """Gated loudness per clip (stages/audio_ops.gated_loudness: BS.1770
+    gating algorithm — 400 ms blocks, 75% overlap, absolute then relative
+    gate — honestly labeled gated RMS dBFS, not LUFS, since K-weighting's
+    spec tables aren't reproducible here) + the normalization gain to
+    -23 dBFS. Gating means silence padding can't drag the estimate down
+    (pinned in test_audio_ops). Deterministic => fixture oracle."""
+    from ..sources.clips import read_clips
+    from ..stages import audio_ops as ao
+    path = _clip_table_path(sf_dir)
+    ds = read_clips(path, columns=["clip_id", "bytes"])
+    return ao.loudness_table(ds, concurrency=8)
+
+
 def q_clip_speaking_rate(sf_dir: str):
     """Transcript↔audio speaking-rate check over clip METADATA only
     (stages/checks.speaking_rate_stage) — the read prunes to
@@ -3037,6 +3051,7 @@ QUERIES = {
     "clip_speaker_clusters": q_clip_speaker_clusters,
     "clip_dvector_speakers": q_clip_dvector_speakers,
     "clip_pitch_features": q_clip_pitch_features,
+    "clip_loudness_stats": q_clip_loudness_stats,
     "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
     "clip_segment_stats": q_clip_segment_stats,
     "audio_prep_segments": q_audio_prep_segments,

@@ -520,12 +520,18 @@ class SegmentClips:
 
     def __init__(self, seg_ms: int = 1000, min_ms: int = 200,
                  bytes_col: str = "bytes", id_col: str = "clip_id",
-                 emit_bytes: bool = True):
+                 emit_bytes: bool = True, overlap_ms: int = 0):
+        # overlap_ms > 0 gives sliding windows (hop = seg_ms - overlap_ms)
+        # — the ASR-training chunking shape where boundary words must
+        # appear whole in at least one window
+        if not 0 <= overlap_ms < seg_ms:
+            raise ValueError("overlap_ms must be in [0, seg_ms)")
         self.seg_ms = seg_ms
         self.min_ms = min_ms
         self.bytes_col = bytes_col
         self.id_col = id_col
         self.emit_bytes = emit_bytes
+        self.overlap_ms = overlap_ms
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids: list[str] = []
@@ -543,7 +549,8 @@ class SegmentClips:
                 continue
             seg_n = max(1, int(sr * self.seg_ms / 1000.0))
             min_n = int(sr * self.min_ms / 1000.0)
-            for k, s in enumerate(range(0, len(sig), seg_n)):
+            hop_n = max(1, seg_n - int(sr * self.overlap_ms / 1000.0))
+            for k, s in enumerate(range(0, len(sig), hop_n)):
                 chunk = sig[s: s + seg_n]
                 if len(chunk) < min_n:
                     break
@@ -695,12 +702,14 @@ def fingerprint_neardup_pairs(ds, bytes_col: str = "bytes",
 
 def segment_clips(ds, seg_ms: int = 1000, min_ms: int = 200,
                   bytes_col: str = "bytes", batch_size: int = 32,
-                  concurrency: int = 8, emit_bytes: bool = True):
+                  concurrency: int = 8, emit_bytes: bool = True,
+                  overlap_ms: int = 0):
     return ds.map_batches(SegmentClips,
                           fn_constructor_kwargs={"seg_ms": seg_ms,
                                                  "min_ms": min_ms,
                                                  "bytes_col": bytes_col,
-                                                 "emit_bytes": emit_bytes},
+                                                 "emit_bytes": emit_bytes,
+                                                 "overlap_ms": overlap_ms},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=pool_size(concurrency), num_cpus=1)
 
@@ -1070,5 +1079,103 @@ def pitch_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
                 concurrency: int = 8):
     return ds.map_batches(PitchFeatures,
                           fn_constructor_kwargs={"bytes_col": bytes_col},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=pool_size(concurrency), num_cpus=1)
+
+
+# --------------------------------------------------------------- loudness
+
+def gated_loudness(sig: np.ndarray, sr: int, block_ms: float = 400.0,
+                   hop_ms: float = 100.0, abs_gate_db: float = -70.0,
+                   rel_gate_db: float = -10.0) -> dict[str, float]:
+    """Two-stage GATED loudness (the ITU-R BS.1770 gating algorithm —
+    400 ms blocks at 75% overlap, -70 dB absolute gate, then a -10 dB
+    relative gate off the surviving blocks' mean power — WITHOUT the
+    K-weighting pre-filter: its exact biquad coefficients are spec
+    tables this container cannot faithfully reproduce, so the measure is
+    honestly labeled gated RMS dBFS, not LUFS). Gating is the part that
+    matters for corpus work: long silences must not drag the loudness
+    estimate down, so normalization gains computed from it don't blast
+    speech that happens to sit in a quiet clip.
+
+    Returns integrated loudness_db, short-term range_db (p10..p95 of
+    block loudness after the absolute gate), and block counts."""
+    n = len(sig)
+    if n == 0 or sr <= 0:
+        return {"loudness_db": float("-inf"), "range_db": 0.0,
+                "n_blocks": 0, "n_gated": 0}
+    blk = int(sr * block_ms / 1000.0)
+    hop = max(1, int(sr * hop_ms / 1000.0))
+    if n < blk:
+        blk = n
+    x = np.asarray(sig, dtype=np.float64)
+    n_blocks = max(1, (len(x) - blk) // hop + 1)
+    idx = np.arange(blk)[None, :] + hop * np.arange(n_blocks)[:, None]
+    ms = (x[idx] ** 2).mean(axis=1)
+    with np.errstate(divide="ignore"):
+        ldb = 10.0 * np.log10(ms)
+    keep = ldb > abs_gate_db
+    if not keep.any():
+        return {"loudness_db": float("-inf"), "range_db": 0.0,
+                "n_blocks": int(n_blocks), "n_gated": int(n_blocks)}
+    rel_thresh = 10.0 * np.log10(ms[keep].mean()) + rel_gate_db
+    final = keep & (ldb > rel_thresh)
+    if not final.any():
+        final = keep
+    loud = 10.0 * np.log10(ms[final].mean())
+    surv = ldb[keep]
+    return {"loudness_db": float(loud),
+            "range_db": float(np.quantile(surv, 0.95)
+                              - np.quantile(surv, 0.10)),
+            "n_blocks": int(n_blocks),
+            "n_gated": int(n_blocks - final.sum())}
+
+
+class LoudnessStats:
+    """Actor-pool stage: WAV bytes -> gated loudness columns + the gain
+    (dB) to reach ``target_db`` — the corpus loudness-normalization
+    planning pass (apply is a scalar multiply inside any decode stage)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "clip_id",
+                 target_db: float = -23.0):
+        self.bytes_col, self.id_col = bytes_col, id_col
+        self.target_db = target_db
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from .. import audio as _audio
+        ids = t[self.id_col].to_pylist()
+        cols = {k: np.full(len(ids), np.nan) for k in
+                ("loudness_db", "range_db", "gain_db")}
+        nb = np.zeros(len(ids), dtype=np.int32)
+        ng = np.zeros(len(ids), dtype=np.int32)
+        for i, b in enumerate(t[self.bytes_col].to_pylist()):
+            sig, sr = (_audio.decode_wav_lenient(b) if b
+                       else (None, None))
+            if sig is None or not sr or len(sig) == 0:
+                continue
+            r = gated_loudness(sig, sr)
+            cols["loudness_db"][i] = r["loudness_db"]
+            cols["range_db"][i] = r["range_db"]
+            cols["gain_db"][i] = (self.target_db - r["loudness_db"]
+                                  if np.isfinite(r["loudness_db"])
+                                  else np.nan)
+            nb[i], ng[i] = r["n_blocks"], r["n_gated"]
+        return pa.table({
+            self.id_col: t[self.id_col],
+            "loudness_db": pa.array(np.round(cols["loudness_db"], 6),
+                                    type=pa.float64()),
+            "range_db": pa.array(np.round(cols["range_db"], 6),
+                                 type=pa.float64()),
+            "gain_db": pa.array(np.round(cols["gain_db"], 6),
+                                type=pa.float64()),
+            "n_blocks": pa.array(nb, type=pa.int32()),
+            "n_gated": pa.array(ng, type=pa.int32())})
+
+
+def loudness_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
+                   concurrency: int = 8, target_db: float = -23.0):
+    return ds.map_batches(LoudnessStats,
+                          fn_constructor_kwargs={"bytes_col": bytes_col,
+                                                 "target_db": target_db},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=pool_size(concurrency), num_cpus=1)

@@ -593,3 +593,67 @@ def test_pitch_table_matches_corpus_physics(clip_ds):
     want = 200.0 + (idx % 37) * 13.0
     ok = np.abs(got["f0_hz"].to_numpy() - want) < 2.0
     assert ok.mean() > 0.9, f"only {ok.mean():.2f} match physics"
+
+
+# --------------------------------------------------------------- loudness
+
+
+def test_gated_loudness_silence_immune():
+    """THE property gating buys: padding a clip with silence must not
+    drag integrated loudness down (ungated RMS would drop ~6 dB here)."""
+    sig = tone(300.0, 2.0)                       # amp .5 -> ms=.125
+    want = 10.0 * np.log10(0.125)                # ≈ -9.03 dBFS
+    base = ao.gated_loudness(sig, SR)
+    assert abs(base["loudness_db"] - want) < 0.2
+    padded = np.concatenate([np.zeros(2 * SR), sig, np.zeros(2 * SR)])
+    pad = ao.gated_loudness(padded, SR)
+    # boundary blocks straddling the silence edge survive the relative
+    # gate (faithful BS.1770 partial-block behavior): ~0.6 dB here, vs
+    # ~4.8 dB for ungated RMS over the same padded signal
+    assert abs(pad["loudness_db"] - base["loudness_db"]) < 1.0
+    ungated = 10.0 * np.log10((padded ** 2).mean())
+    assert base["loudness_db"] - ungated > 3.0
+    assert pad["n_gated"] > 0                    # silence blocks gated out
+    # gain plan: quieter clip needs more gain, exactly the dB difference
+    quiet = ao.gated_loudness(sig * 0.25, SR)    # -12 dB
+    assert abs((base["loudness_db"] - quiet["loudness_db"]) - 12.04) < 0.1
+
+
+def test_gated_loudness_edges():
+    assert ao.gated_loudness(np.zeros(0), SR)["loudness_db"] == float("-inf")
+    z = ao.gated_loudness(np.zeros(SR), SR)
+    assert z["loudness_db"] == float("-inf")     # all blocks under -70
+    short = ao.gated_loudness(tone(300.0, 0.05), SR)   # < one block
+    assert np.isfinite(short["loudness_db"])
+
+
+def test_loudness_table(clip_ds):
+    out = ao.loudness_table(clip_ds, concurrency=2).to_pandas()
+    assert len(out) == 200
+    fin = out.dropna(subset=["loudness_db"])
+    assert len(fin) > 150
+    # synth tones are ~amp .5 (some sr-lied clips shift level slightly)
+    assert fin["loudness_db"].between(-20, -3).mean() > 0.9
+    # gain plan targets -23 dBFS by construction
+    np.testing.assert_allclose(fin["gain_db"],
+                               -23.0 - fin["loudness_db"], atol=1e-6)
+
+
+def test_segment_clips_overlap(ray_session):
+    """Sliding-window chunking: hop = seg - overlap; every consecutive
+    pair of windows shares exactly overlap_ms of signal."""
+    import pyarrow as pa
+    sig = tone(440.0, 1.0, sr=8000)
+    wav = audio.encode_wav(sig, 8000)
+    ds = rd.from_arrow(pa.table({"clip_id": ["a"], "bytes": [wav]}))
+    segs = (ao.segment_clips(ds, seg_ms=400, min_ms=400, overlap_ms=100,
+                             concurrency=1).to_pandas()
+            .sort_values("seg_idx").reset_index(drop=True))
+    # hop 300 ms over 1000 ms -> starts 0,300,600 (900 leaves only 100ms)
+    assert segs["seg_start_ms"].tolist() == [0.0, 300.0, 600.0]
+    assert (segs["seg_dur_ms"] == 400.0).all()
+    a, _ = audio.decode_wav(segs["seg_bytes"].iloc[0])
+    b, _ = audio.decode_wav(segs["seg_bytes"].iloc[1])
+    np.testing.assert_allclose(a[2400:3200], b[:800], atol=2e-4)
+    with pytest.raises(ValueError):
+        ao.SegmentClips(seg_ms=400, overlap_ms=400)
