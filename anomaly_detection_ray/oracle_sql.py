@@ -1086,6 +1086,21 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN t USING (source)
             GROUP BY c.source, t.tot, t.n_langs
         """,
+        "heartbeat_gaps_events": """
+            -- missed-heartbeat detection: inter-event gaps per user
+            WITH d AS (
+                SELECT user_id,
+                       epoch_us(ts - lag(ts) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id)) / 1e6 AS gap_s
+                FROM events
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(*) FILTER (WHERE gap_s > 43200.0)
+                        AS BIGINT) AS n_gaps,
+                   round(max(gap_s), 3) AS max_gap_s
+            FROM d GROUP BY user_id
+        """,
         "expectations_freshness": """
             -- freshness kind: stale groups vs explicit as_of
             WITH m AS (SELECT user_id, max(ts) AS mt FROM events

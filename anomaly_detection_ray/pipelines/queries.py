@@ -1273,6 +1273,29 @@ def q_entropy_by_source(sf_dir: str):
     return out
 
 
+def q_heartbeat_gaps_events(sf_dir: str):
+    """Missed-heartbeat detection per series — the SLA/liveness check:
+    count inter-event gaps over 12 h and the max gap per user. Ordered
+    per-series kernel in groupby(user).map_groups (the group-fits-a-
+    worker series contract); gap seconds are exact integer-microsecond
+    differences / 1e6 so the lag-window oracle matches bit-for-bit."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    GAP_S = 43200.0
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        t = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        d = np.diff(t) / 1e6
+        return pd.DataFrame({
+            "user_id": [np.int64(g["user_id"].iloc[0])],
+            "n_events": [np.int64(len(g))],
+            "n_gaps": [np.int64((d > GAP_S).sum())],
+            "max_gap_s": [rnd(float(d.max()), 3) if len(d) else np.nan]})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+
+
 def q_expectations_freshness(sf_dir: str):
     """Freshness expectation kind: per-group (and whole-table) max event
     time must be within max_lag_s of an EXPLICIT as_of (no wall clock —
@@ -2948,6 +2971,7 @@ QUERIES = {
     "snapshot_diff_events": q_snapshot_diff_events,
     "fd_check": q_fd_check,
     "expectations_freshness": q_expectations_freshness,
+    "heartbeat_gaps_events": q_heartbeat_gaps_events,
     "mutual_information_events": q_mutual_information_events,
     "percent_rank_events": q_percent_rank_events,
     "pivot_events": q_pivot_events,
