@@ -123,6 +123,8 @@ def run_headline() -> dict:
         timed("webp_decode_features", lambda: Q["webp_decode_features"](SF_DIR))
         timed("video_frame_features", lambda: Q["video_frame_features"](SF_DIR))
 
+        timed("bpe_encode_documents", lambda: Q["bpe_encode_documents"](SF_DIR))
+
         def _text_prep():
             import shutil
             shutil.rmtree(f"/tmp/adr_text_prep/{sf_name}", ignore_errors=True)
@@ -147,6 +149,15 @@ def run_headline() -> dict:
             ao.MelFeatures, fn_constructor_kwargs={},
             batch_format="pyarrow", batch_size=64,
             concurrency=pool, num_cpus=1))
+
+        def _dvector():
+            # learned speaker-embedding pipeline: hash-slice sample ->
+            # driver-trained frame-MLP -> actor-pool embed (full table)
+            from anomaly_detection_ray.stages import dvector as dvm
+            ds = read_clips(clip_path, columns=["clip_id", "bytes"])
+            w = dvm.train_dvector(ds, n_train=48, epochs=30, seed=0)
+            return dvm.dvector_embedding_table(ds, w, concurrency=pool)
+        timed("clip_dvector_embed", _dvector)
 
         from anomaly_detection_ray.pipelines.audio_prep import (
             AudioPrepConfig, run_audio_prep)
