@@ -71,6 +71,7 @@ FIXTURE_QUERIES = [
     "clip_dvector_speakers",
     "clip_pitch_features",
     "clip_loudness_stats",
+    "clip_profile_store",
     "audio_fingerprint_dedup",
     "clip_segment_stats",
     "clip_resample_stats",

@@ -2799,6 +2799,25 @@ def q_clip_pitch_features(sf_dir: str):
     return ao.pitch_table(ds, concurrency=8)
 
 
+def q_clip_profile_store(sf_dir: str):
+    """Incrementally-maintained column profile of the clip table's
+    metadata (pipelines/profile_store): per-file mergeable partials keyed
+    by (path, size, rows) fingerprints; this call scans only files the
+    store hasn't seen (second run scans ZERO files) and the merged output
+    is bit-equal to a full profile_table rescan (test_profile_store).
+    Payload bytes are excluded at the read. Deterministic => fixture
+    oracle."""
+    from . import profile_store as ps
+    path = _clip_table_path(sf_dir)
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    store = f"/tmp/adr_profile_store/{sf}"
+    ps.update_profile_store(path, store,
+                            columns=["clip_id", "sr_hz", "dur_ms",
+                                     "codec", "transcript",
+                                     "partition_id"])
+    return ps.merged_profile(store)
+
+
 def q_clip_loudness_stats(sf_dir: str):
     """Gated loudness per clip (stages/audio_ops.gated_loudness: BS.1770
     gating algorithm — 400 ms blocks, 75% overlap, absolute then relative
@@ -3076,6 +3095,7 @@ QUERIES = {
     "clip_dvector_speakers": q_clip_dvector_speakers,
     "clip_pitch_features": q_clip_pitch_features,
     "clip_loudness_stats": q_clip_loudness_stats,
+    "clip_profile_store": q_clip_profile_store,
     "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
     "clip_segment_stats": q_clip_segment_stats,
     "audio_prep_segments": q_audio_prep_segments,

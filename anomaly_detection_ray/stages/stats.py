@@ -166,39 +166,57 @@ def profile_table(ds, columns: list[str] | None = None,
     s = ds.schema()
     types = dict(zip(s.names, s.types))
     cols = columns or list(s.names)
-    numeric = {c for c in cols
-               if isinstance(types[c], pa.DataType)
-               and (pa.types.is_integer(types[c])
-                    or pa.types.is_floating(types[c]))}
+    numeric = numeric_profile_cols(types, cols)
 
     def partial(t: pa.Table) -> pd.DataFrame:
-        rows = []
-        for c in cols:
-            arr = t[c]
-            n = len(arr)
-            nulls = arr.null_count
-            if c in numeric:
-                x = pc.cast(arr.drop_null(), pa.float64()).to_numpy(
-                    zero_copy_only=False)
-                x = x[~np.isnan(x)]
-                w = WelfordPartial.from_values(x)
-                rows.append((c, n, nulls, w.n, w.mean, w.M2,
-                             w.min, w.max, None, None))
-            else:
-                v = arr.drop_null()
-                if len(v):
-                    mm = pc.min_max(v).as_py()
-                    lo, hi = str(mm["min"]), str(mm["max"])
-                else:
-                    lo = hi = None
-                rows.append((c, n, nulls, 0, 0.0, 0.0,
-                             np.inf, -np.inf, lo, hi))
-        return pd.DataFrame(rows, columns=[
-            "column_name", "n", "nulls", "wn", "wmean", "wM2",
-            "wmin", "wmax", "smin", "smax"])
+        return profile_partial_frame(t, cols, numeric)
 
     parts = (ds.select_columns(cols)
              .map_batches(partial, batch_format="pyarrow").to_pandas())
+    return merge_profile_partials(parts, cols, types, numeric, round_to)
+
+
+def numeric_profile_cols(types: dict, cols: list[str]) -> set[str]:
+    return {c for c in cols
+            if isinstance(types[c], pa.DataType)
+            and (pa.types.is_integer(types[c])
+                 or pa.types.is_floating(types[c]))}
+
+
+def profile_partial_frame(t: pa.Table, cols: list[str],
+                          numeric: set[str]) -> pd.DataFrame:
+    """One mergeable profile-partial row per column for one Arrow batch —
+    shared by the one-shot profiler above and the incremental
+    per-file profile store (pipelines/profile_store)."""
+    rows = []
+    for c in cols:
+        arr = t[c]
+        n = len(arr)
+        nulls = arr.null_count
+        if c in numeric:
+            x = pc.cast(arr.drop_null(), pa.float64()).to_numpy(
+                zero_copy_only=False)
+            x = x[~np.isnan(x)]
+            w = WelfordPartial.from_values(x)
+            rows.append((c, n, nulls, w.n, w.mean, w.M2,
+                         w.min, w.max, None, None))
+        else:
+            v = arr.drop_null()
+            if len(v):
+                mm = pc.min_max(v).as_py()
+                lo, hi = str(mm["min"]), str(mm["max"])
+            else:
+                lo = hi = None
+            rows.append((c, n, nulls, 0, 0.0, 0.0,
+                         np.inf, -np.inf, lo, hi))
+    return pd.DataFrame(rows, columns=[
+        "column_name", "n", "nulls", "wn", "wmean", "wM2",
+        "wmin", "wmax", "smin", "smax"])
+
+
+def merge_profile_partials(parts: pd.DataFrame, cols: list[str],
+                           types: dict, numeric: set[str],
+                           round_to: int = 4) -> pd.DataFrame:
     out = []
     for c in cols:
         g = parts[parts["column_name"] == c]

@@ -1,0 +1,82 @@
+"""Incremental per-file profile store: merged output must equal a full
+profile_table rescan, and updates must touch only new/changed files."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from anomaly_detection_ray.pipelines import profile_store as ps
+from anomaly_detection_ray.stages.stats import profile_table
+
+
+def _write(dirp, name, start, n, seed=0):
+    rng = np.random.default_rng(seed + start)
+    t = pa.table({
+        "k": pa.array(np.arange(start, start + n), type=pa.int64()),
+        "x": pa.array(np.where(rng.random(n) < 0.1, np.nan,
+                               rng.normal(50, 10, n)), type=pa.float64()),
+        "s": pa.array([f"v{i % 7}" if i % 11 else None
+                       for i in range(start, start + n)],
+                      type=pa.string()),
+    })
+    pq.write_table(t, os.path.join(dirp, name))
+
+
+@pytest.fixture()
+def data_dir(tmp_path):
+    d = tmp_path / "data"
+    d.mkdir()
+    for i in range(3):
+        _write(str(d), f"part-{i}.parquet", i * 100, 100)
+    return str(d)
+
+
+def test_merged_equals_full_rescan(ray_session, data_dir, tmp_path):
+    store = str(tmp_path / "store")
+    res = ps.update_profile_store(data_dir, store)
+    assert res == {"n_files": 3, "n_profiled": 3, "n_reused": 0,
+                   "n_dropped": 0}
+    got = ps.merged_profile(store)
+    want = profile_table(rd.read_parquet(data_dir))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_incremental_touches_only_new_files(ray_session, data_dir,
+                                            tmp_path):
+    store = str(tmp_path / "store")
+    ps.update_profile_store(data_dir, store)
+
+    _write(data_dir, "part-3.parquet", 300, 50)
+    res = ps.update_profile_store(data_dir, store)
+    assert res["n_profiled"] == 1 and res["n_reused"] == 3
+    pd.testing.assert_frame_equal(
+        ps.merged_profile(store),
+        profile_table(rd.read_parquet(data_dir)))
+
+    # changed file (different row count) is re-profiled
+    _write(data_dir, "part-1.parquet", 100, 120)
+    res = ps.update_profile_store(data_dir, store)
+    assert res["n_profiled"] == 1 and res["n_reused"] == 3
+    pd.testing.assert_frame_equal(
+        ps.merged_profile(store),
+        profile_table(rd.read_parquet(data_dir)))
+
+    # deleted file drops out of the merge
+    os.remove(os.path.join(data_dir, "part-0.parquet"))
+    res = ps.update_profile_store(data_dir, store)
+    assert res["n_dropped"] == 1 and res["n_profiled"] == 0
+    pd.testing.assert_frame_equal(
+        ps.merged_profile(store),
+        profile_table(rd.read_parquet(data_dir)))
+
+
+def test_noop_update_profiles_nothing(ray_session, data_dir, tmp_path):
+    store = str(tmp_path / "store")
+    ps.update_profile_store(data_dir, store)
+    res = ps.update_profile_store(data_dir, store)
+    assert res["n_profiled"] == 0 and res["n_reused"] == 3
