@@ -1086,6 +1086,42 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN t USING (source)
             GROUP BY c.source, t.tot, t.n_langs
         """,
+        "chi2_drift_events": """
+            -- chi-squared homogeneity: first vs second half of month
+            WITH c AS (SELECT event_type,
+                              CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                   THEN 1 ELSE 0 END AS h,
+                              count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            ty AS (SELECT DISTINCT event_type FROM events),
+            grid AS (SELECT event_type, v.h
+                     FROM ty CROSS JOIN (VALUES (0), (1)) AS v(h)),
+            f AS (SELECT g.event_type, g.h,
+                         CAST(coalesce(c.n, 0) AS DOUBLE) AS n
+                  FROM grid g LEFT JOIN c
+                  ON c.event_type = g.event_type AND c.h = g.h),
+            r AS (SELECT event_type, sum(n) AS rn FROM f GROUP BY 1),
+            cl AS (SELECT h, sum(n) AS cn FROM f GROUP BY 1),
+            t AS (SELECT sum(n) AS tot FROM f),
+            cell AS (SELECT f.event_type, f.h, f.n,
+                            r.rn * cl.cn / t.tot AS e
+                     FROM f JOIN r USING (event_type)
+                     JOIN cl ON cl.h = f.h, t),
+            per AS (SELECT event_type,
+                           CAST(sum(n) FILTER (WHERE h = 0) AS BIGINT)
+                               AS n_first,
+                           CAST(sum(n) FILTER (WHERE h = 1) AS BIGINT)
+                               AS n_second,
+                           sum(pow(n - e, 2) / e) AS contrib
+                    FROM cell GROUP BY 1),
+            tot AS (SELECT sum(contrib) AS chi2,
+                           count(*) - 1 AS dof FROM per)
+            SELECT per.event_type, per.n_first, per.n_second,
+                   round(per.contrib, 6) AS chi2_contrib,
+                   round(tot.chi2, 6) AS chi2_total,
+                   CAST(tot.dof AS BIGINT) AS dof
+            FROM per, tot
+        """,
         "heartbeat_gaps_events": """
             -- missed-heartbeat detection: inter-event gaps per user
             WITH d AS (

@@ -1273,6 +1273,43 @@ def q_entropy_by_source(sf_dir: str):
     return out
 
 
+def q_chi2_drift_events(sf_dir: str):
+    """Chi-squared homogeneity test for CATEGORICAL drift (KS/PSI cover
+    numeric columns): does the event_type mix differ between the first
+    and second half of the month? One (half, type, n) counting pass; the
+    statistic runs on the tiny contingency fold with the same per-cell
+    IEEE ops as the SQL oracle. Emits per-type contributions plus the
+    total chi2 and degrees of freedom."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    SPLIT = pd.Timestamp("2024-01-16")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({"event_type": df["event_type"],
+                          "half": (df["ts"] >= SPLIT).astype(np.int64),
+                          "n": 1})
+        return t.groupby(["event_type", "half"], as_index=False).sum()
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["event_type", "half"], {"n": "sum"})
+    wide = (m.pivot_table(index="event_type", columns="half", values="n",
+                          fill_value=0, aggfunc="sum").reindex(
+                columns=[0, 1], fill_value=0))
+    o = wide.to_numpy(np.float64)
+    row = o.sum(axis=1, keepdims=True)
+    colsum = o.sum(axis=0, keepdims=True)
+    tot = o.sum()
+    e = row * colsum / tot
+    contrib = ((o - e) ** 2 / e).sum(axis=1)
+    out = pd.DataFrame({
+        "event_type": wide.index.to_numpy(),
+        "n_first": wide[0].to_numpy(np.int64),
+        "n_second": wide[1].to_numpy(np.int64),
+        "chi2_contrib": rnd(contrib, 6)})
+    out["chi2_total"] = rnd(float(contrib.sum()), 6)
+    out["dof"] = np.int64(len(wide) - 1)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_heartbeat_gaps_events(sf_dir: str):
     """Missed-heartbeat detection per series — the SLA/liveness check:
     count inter-event gaps over 12 h and the max gap per user. Ordered
@@ -2991,6 +3028,7 @@ QUERIES = {
     "fd_check": q_fd_check,
     "expectations_freshness": q_expectations_freshness,
     "heartbeat_gaps_events": q_heartbeat_gaps_events,
+    "chi2_drift_events": q_chi2_drift_events,
     "mutual_information_events": q_mutual_information_events,
     "percent_rank_events": q_percent_rank_events,
     "pivot_events": q_pivot_events,

@@ -97,7 +97,7 @@ def oracle_names():
     "benford_events", "heavy_hitters_events", "mode_events",
     "entropy_by_source", "corr_events", "snapshot_diff_events",
     "fd_check", "mutual_information_events", "expectations_freshness",
-    "heartbeat_gaps_events",
+    "heartbeat_gaps_events", "chi2_drift_events",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]
