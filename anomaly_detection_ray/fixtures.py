@@ -72,6 +72,7 @@ FIXTURE_QUERIES = [
     "clip_pitch_features",
     "clip_loudness_stats",
     "clip_profile_store",
+    "clip_expectations_incremental",
     "audio_fingerprint_dedup",
     "clip_segment_stats",
     "clip_resample_stats",

@@ -67,21 +67,14 @@ def _save_manifest(store_dir: str, manifest: dict) -> None:
     os.replace(tmp, p)
 
 
-def update_profile_store(input_dir: str, store_dir: str,
-                         columns: list[str] | None = None) -> dict:
-    """Bring the store up to date with ``input_dir``. Returns
-    {"n_files", "n_profiled", "n_reused", "n_dropped"} — the increment
-    contract tests pin is n_profiled == number of new/changed files."""
-    os.makedirs(os.path.join(store_dir, "partials"), exist_ok=True)
-    manifest = _load_manifest(store_dir)
-    seen = manifest["files"]
-
+def _plan_update(input_dir: str, seen: dict) -> tuple:
+    """(live, todo, dropped): fingerprint every parquet under input_dir
+    (footer metadata only) and classify against the store manifest."""
     files = sorted(
         os.path.relpath(os.path.join(r, fn), input_dir)
         for r, _, fns in os.walk(input_dir) for fn in fns
         if fn.endswith(".parquet"))
-    live = {}
-    todo = []
+    live, todo = {}, []
     for rel in files:
         fp = _fingerprint(os.path.join(input_dir, rel))
         prev = seen.get(rel)
@@ -91,6 +84,30 @@ def update_profile_store(input_dir: str, store_dir: str,
             todo.append(rel)
             live[rel] = {**fp, "partial": _partial_name(rel)}
     dropped = [rel for rel in seen if rel not in live]
+    return live, todo, dropped
+
+
+def _run_split(t: pa.Table):
+    """Yield (path, slice) for contiguous same-file runs of a tagged
+    batch (read_parquet(include_paths=True))."""
+    import numpy as np
+    arr = np.asarray(t.column("path").to_pylist(), dtype=object)
+    body = t.drop_columns(["path"])
+    bounds = np.flatnonzero(np.r_[True, arr[1:] != arr[:-1]])
+    for i, s in enumerate(bounds):
+        e = bounds[i + 1] if i + 1 < len(bounds) else len(arr)
+        yield arr[s], body.slice(s, e - s)
+
+
+def update_profile_store(input_dir: str, store_dir: str,
+                         columns: list[str] | None = None) -> dict:
+    """Bring the store up to date with ``input_dir``. Returns
+    {"n_files", "n_profiled", "n_reused", "n_dropped"} — the increment
+    contract tests pin is n_profiled == number of new/changed files."""
+    os.makedirs(os.path.join(store_dir, "partials"), exist_ok=True)
+    manifest = _load_manifest(store_dir)
+    seen = manifest["files"]
+    live, todo, dropped = _plan_update(input_dir, seen)
 
     if todo:
         paths = [os.path.join(input_dir, rel) for rel in todo]
@@ -101,19 +118,13 @@ def update_profile_store(input_dir: str, store_dir: str,
         numeric = numeric_profile_cols(types, cols)
 
         def partial(t: pa.Table) -> pd.DataFrame:
-            import numpy as np
+            # contiguous same-file runs: every partial row is
+            # attributable to ONE file (repeat runs of a file just yield
+            # extra mergeable rows)
             out = []
-            arr = np.asarray(t.column("path").to_pylist(), dtype=object)
-            body = t.drop_columns(["path"])
-            # split the batch into contiguous same-file runs so every
-            # partial row is attributable to ONE file (multiple runs of
-            # the same file just yield extra mergeable rows)
-            bounds = np.flatnonzero(np.r_[True, arr[1:] != arr[:-1]])
-            for i, s in enumerate(bounds):
-                e = bounds[i + 1] if i + 1 < len(bounds) else len(arr)
-                f = profile_partial_frame(body.slice(s, e - s), cols,
-                                          numeric)
-                f.insert(0, "src", arr[s])
+            for p, sl in _run_split(t):
+                f = profile_partial_frame(sl, cols, numeric)
+                f.insert(0, "src", p)
                 out.append(f)
             return pd.concat(out, ignore_index=True)
 
@@ -174,3 +185,105 @@ def _type_from_str(name: str) -> pa.DataType:
     if name.startswith("timestamp"):
         return pa.timestamp("us")
     return pa.string()  # label-only fallback (numeric set stays correct)
+
+
+# ------------------------------------------------- incremental expectations
+
+def update_expectation_store(input_dir: str, store_dir: str,
+                             suite: list[dict],
+                             columns: list[str] | None = None) -> dict:
+    """Incrementally-maintained ROW-LOCAL expectation verdicts: per-file
+    (check, n_rows, violations) partials under the same (path, size,
+    rows) fingerprint manifest as the profile store, so a suite over a
+    growing table re-validates ONLY new/changed files. Row-local kinds
+    only (not_null/in_range/in_set/regex/str_len_between/col_compare/
+    referential) — table-level kinds (unique, non_decreasing, freshness)
+    need cross-file state and are rejected with guidance. Changing the
+    suite invalidates the whole store (suite-hash contract, same idea as
+    ValidateConfig's config hash)."""
+    from ..stages.expectations import _ROW_LOCAL, _check_key, _compile_mask
+    bad = [s["check"] for s in suite if s["check"] not in _ROW_LOCAL]
+    if bad:
+        raise ValueError(
+            f"incremental expectations are row-local only; {bad!r} need "
+            "cross-file state — run them via run_expectations instead")
+
+    os.makedirs(os.path.join(store_dir, "exp_partials"), exist_ok=True)
+    manifest = _load_manifest(store_dir)
+    suite_hash = hashlib.md5(
+        json.dumps(suite, sort_keys=True, default=str).encode()
+    ).hexdigest()[:12]
+    if manifest.get("suite_hash") not in (None, suite_hash):
+        manifest = {"files": {}}          # suite changed: full rebuild
+    live, todo, dropped = _plan_update(input_dir, manifest.get("files", {}))
+
+    if todo:
+        keys = [_check_key(s) for s in suite]
+        compiled = [_compile_mask(s) for s in suite]
+        need = sorted({s["column"] for s in suite}
+                      | {s["other"] for s in suite
+                         if s["check"] == "col_compare"})
+        paths = [os.path.join(input_dir, rel) for rel in todo]
+        ds = rd.read_parquet(paths, columns=(columns or need),
+                             include_paths=True)
+
+        def partial(t: pa.Table) -> pd.DataFrame:
+            rows = []
+            for p, sl in _run_split(t):
+                for k, mask in zip(keys, compiled):
+                    rows.append((p, k, len(sl), int(mask(sl).sum())))
+            return pd.DataFrame(rows, columns=["src", "key", "n", "v"])
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        abs_to_rel = {os.path.abspath(os.path.join(input_dir, rel)): rel
+                      for rel in todo}
+        parts["rel"] = parts["src"].map(
+            lambda p: abs_to_rel.get(os.path.abspath(p), p))
+        for rel, g in parts.groupby("rel"):
+            agg = g.groupby("key", as_index=False)[["n", "v"]].sum()
+            pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                           os.path.join(store_dir, "exp_partials",
+                                        _partial_name(rel)))
+
+    for rel in dropped:
+        p = os.path.join(store_dir, "exp_partials", _partial_name(rel))
+        if os.path.exists(p):
+            os.remove(p)
+    manifest["files"] = live
+    manifest["suite_hash"] = suite_hash
+    manifest["suite"] = suite
+    _save_manifest(store_dir, manifest)
+    return {"n_files": len(live), "n_validated": len(todo),
+            "n_reused": len(live) - len(todo), "n_dropped": len(dropped)}
+
+
+def merged_expectations(store_dir: str) -> pd.DataFrame:
+    """Fold live per-file verdict partials into the run_expectations
+    summary shape (check_name, column_name, n_rows, violations, passed)
+    — no scan of the input data."""
+    from ..stages.expectations import _check_key, _col_label
+    manifest = _load_manifest(store_dir)
+    suite = manifest.get("suite", [])
+    frames = []
+    for rel in manifest["files"]:
+        p = os.path.join(store_dir, "exp_partials", _partial_name(rel))
+        frames.append(pq.read_table(p).to_pandas())
+    agg = (pd.concat(frames, ignore_index=True)
+           .groupby("key", as_index=False)[["n", "v"]].sum()
+           if frames else pd.DataFrame({"key": [], "n": [], "v": []}))
+    by_key = {r.key: r for r in agg.itertuples()}
+    records = []
+    for spec in suite:
+        r = by_key.get(_check_key(spec))
+        n = int(r.n) if r is not None else 0
+        v = int(r.v) if r is not None else 0
+        frac_ok = 1.0 if n == 0 else 1.0 - v / n
+        records.append({"check_name": spec["check"],
+                        "column_name": _col_label(spec),
+                        "n_rows": n, "violations": v,
+                        "passed": frac_ok >= spec.get("mostly", 1.0)})
+    out = pd.DataFrame.from_records(
+        records, columns=["check_name", "column_name", "n_rows",
+                          "violations", "passed"])
+    return (out.sort_values(["check_name", "column_name"])
+            .reset_index(drop=True))

@@ -2855,6 +2855,31 @@ def q_clip_profile_store(sf_dir: str):
     return ps.merged_profile(store)
 
 
+def q_clip_expectations_incremental(sf_dir: str):
+    """Row-local expectations over the clip table via the incremental
+    per-file verdict store (pipelines/profile_store.update_expectation_
+    store): only files the store hasn't fingerprinted re-validate (zero
+    on a second run), merged summary bit-equal to a full run_expectations
+    (test_profile_store). Deterministic => fixture oracle."""
+    from . import profile_store as ps
+    path = _clip_table_path(sf_dir)
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    store = f"/tmp/adr_exp_store/{sf}"
+    suite = [
+        {"check": "not_null", "column": "sr_hz"},
+        {"check": "in_range", "column": "sr_hz", "min": 8000,
+         "max": 48000, "mostly": 0.9},
+        {"check": "in_range", "column": "dur_ms", "min": 200,
+         "max": 15000, "mostly": 0.9},
+        {"check": "in_set", "column": "codec",
+         "values": ["pcm_s16le", "flac", "opus", "mp3", "amr"]},
+        {"check": "regex", "column": "clip_id",
+         "pattern": r"clip-\d{9}"},
+    ]
+    ps.update_expectation_store(path, store, suite)
+    return ps.merged_expectations(store)
+
+
 def q_clip_loudness_stats(sf_dir: str):
     """Gated loudness per clip (stages/audio_ops.gated_loudness: BS.1770
     gating algorithm — 400 ms blocks, 75% overlap, absolute then relative
@@ -3134,6 +3159,7 @@ QUERIES = {
     "clip_pitch_features": q_clip_pitch_features,
     "clip_loudness_stats": q_clip_loudness_stats,
     "clip_profile_store": q_clip_profile_store,
+    "clip_expectations_incremental": q_clip_expectations_incremental,
     "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
     "clip_segment_stats": q_clip_segment_stats,
     "audio_prep_segments": q_audio_prep_segments,

@@ -80,3 +80,42 @@ def test_noop_update_profiles_nothing(ray_session, data_dir, tmp_path):
     ps.update_profile_store(data_dir, store)
     res = ps.update_profile_store(data_dir, store)
     assert res["n_profiled"] == 0 and res["n_reused"] == 3
+
+
+def test_incremental_expectations(ray_session, data_dir, tmp_path):
+    """Row-local verdicts maintained per file: merged summary equals a
+    full run_expectations, only new files re-validate, and a suite
+    change rebuilds the store."""
+    from anomaly_detection_ray.stages.expectations import run_expectations
+
+    store = str(tmp_path / "store")
+    suite = [
+        {"check": "not_null", "column": "s"},
+        {"check": "in_range", "column": "x", "min": 0.0, "max": 100.0,
+         "mostly": 0.95},
+    ]
+    res = ps.update_expectation_store(data_dir, store, suite)
+    assert res["n_validated"] == 3
+    got = ps.merged_expectations(store)
+    want = run_expectations(rd.read_parquet(data_dir), suite)
+    pd.testing.assert_frame_equal(got, want)
+
+    _write(data_dir, "part-9.parquet", 900, 80)
+    res = ps.update_expectation_store(data_dir, store, suite)
+    assert res["n_validated"] == 1 and res["n_reused"] == 3
+    pd.testing.assert_frame_equal(
+        ps.merged_expectations(store),
+        run_expectations(rd.read_parquet(data_dir), suite))
+
+    # suite change invalidates: everything re-validates
+    suite2 = [{"check": "not_null", "column": "x"}]
+    res = ps.update_expectation_store(data_dir, store, suite2)
+    assert res["n_validated"] == 4
+    pd.testing.assert_frame_equal(
+        ps.merged_expectations(store),
+        run_expectations(rd.read_parquet(data_dir), suite2))
+
+    # table-level kinds are rejected with guidance
+    with pytest.raises(ValueError, match="row-local"):
+        ps.update_expectation_store(
+            data_dir, store, [{"check": "unique", "column": "k"}])
