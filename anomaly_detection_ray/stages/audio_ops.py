@@ -1038,7 +1038,15 @@ def pitch_f0(sig: np.ndarray, sr: int, fmin: float = 60.0,
     if lag_max <= lag_min:
         return {"f0_hz": float("nan"), "voiced_conf": float("nan")}
     seg = r[lag_min:lag_max + 1]
-    k = int(np.argmax(seg)) + lag_min
+    # subharmonic (octave-down) guard: a periodic signal peaks equally at
+    # T, 2T, 3T…, and integer-lag sampling can make a multiple LOOK
+    # higher when T is non-integer — take the SMALLEST lag within 5% of
+    # the max (the standard octave-error mitigation), then refine
+    top = float(seg.max())
+    is_peak = np.zeros(len(seg), dtype=bool)
+    is_peak[1:-1] = (seg[1:-1] >= seg[:-2]) & (seg[1:-1] >= seg[2:])
+    cand = np.flatnonzero(is_peak & (seg >= 0.95 * top))
+    k = lag_min + (int(cand[0]) if len(cand) else int(np.argmax(seg)))
     # parabolic refinement around the integer-lag peak
     y0, y1, y2 = r[k - 1], r[k], r[k + 1]
     denom = y0 - 2.0 * y1 + y2

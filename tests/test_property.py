@@ -217,3 +217,86 @@ def test_levenshtein_metric_properties(a, b):
     assert (d == 0) == (a == b)
     assert abs(len(a) - len(b)) <= d <= max(len(a), len(b), 0)
     assert levenshtein(a, a + b) == len(b)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(0, 50), min_size=1, max_size=2000),
+       st.integers(4, 64), st.integers(1, 7))
+def test_misra_gries_guarantee_any_stream(stream, k, n_chunks):
+    """For ANY stream, chunking, and k: the chunked-partials + compact
+    pipeline retains every key with true count > n/k, and lower bounds
+    never exceed true counts."""
+    from anomaly_detection_ray.functions.sketches import MisraGries
+
+    arr = np.asarray(stream)
+    parts = []
+    for chunk in np.array_split(arr, min(n_chunks, len(arr))):
+        if not len(chunk):
+            continue
+        mg = MisraGries(k)
+        mg.add_many(chunk)
+        ks, cs = mg.items()
+        parts.append(pd.DataFrame({"v": ks, "n": cs}))
+    m = pd.concat(parts).groupby("v", as_index=False)["n"].sum()
+    cand, lb = MisraGries.compact(m["v"].to_numpy(), m["n"].to_numpy(), k)
+    assert len(cand) <= k
+    truth = pd.Series(arr).value_counts()
+    must = set(truth[truth > len(arr) / k].index.tolist())
+    assert must <= set(int(x) for x in cand)
+    for key, c in zip(cand, lb):
+        assert c <= truth.get(int(key), 0)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.floats(60.0, 900.0), st.floats(0.05, 0.9),
+       st.sampled_from([8000, 16000, 44100]))
+def test_pitch_recovers_any_tone(freq, amp, sr):
+    """ACF pitch recovers ANY in-range fundamental within 2 Hz at any
+    amplitude and sample rate (freq must stay below Nyquist/4 for the
+    second-harmonic-free pure tone to be trackable)."""
+    from anomaly_detection_ray.stages import audio_ops as ao
+    t = np.arange(sr) / sr
+    sig = amp * np.sin(2 * np.pi * freq * t)
+    p = ao.pitch_f0(sig, sr)
+    assert abs(p["f0_hz"] - freq) < 2.0
+    assert p["voiced_conf"] > 0.7
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.floats(0.01, 1.0), st.floats(0.01, 1.0))
+def test_gated_loudness_gain_linearity(a1, a2):
+    """Scaling a signal by g moves gated loudness by exactly 20·log10(g)
+    (gating decisions are level-relative, so they shift together)."""
+    from anomaly_detection_ray.stages import audio_ops as ao
+    sr = 16000
+    rng = np.random.default_rng(11)
+    sig = rng.normal(0, 0.2, sr) * np.hanning(sr)
+    l1 = ao.gated_loudness(a1 * sig, sr)["loudness_db"]
+    l2 = ao.gated_loudness(a2 * sig, sr)["loudness_db"]
+    want = 20.0 * (np.log10(a1) - np.log10(a2))
+    assert abs((l1 - l2) - want) < 1e-6
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.text(alphabet="abcd ", min_size=0, max_size=40),
+                min_size=1, max_size=30))
+def test_bpe_encoder_counts_match_encode_word(texts):
+    """For ANY corpus: the memoizing encoder's token counts equal the
+    plain per-word encode_word (cache must be semantics-free)."""
+    from anomaly_detection_ray.functions import bpe
+
+    counts = pd.DataFrame({
+        "word": pd.Series([w for t in texts
+                           for w in bpe.WORD_RE.findall(t.lower())])
+    })
+    if counts.empty:
+        return
+    wc = counts.groupby("word").size().reset_index(name="cnt")
+    rules = bpe.train_bpe(wc, num_merges=8, min_freq=1)
+    enc = bpe.BpeEncoder(rules.to_dict("list"), cache_max=3)  # force resets
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = enc(df)
+    for i, t in enumerate(texts):
+        words = bpe.WORD_RE.findall(t.lower())
+        want = sum(len(bpe.encode_word(w, rules)) for w in words)
+        assert got["n_bpe_tokens"].iloc[i] == want
