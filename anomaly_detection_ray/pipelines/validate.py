@@ -72,6 +72,10 @@ class ValidateConfig:
     welford_warning_stages: tuple = (0.7, 0.9)
     snr_threshold: float = 30.0
     check_transcript_content: bool = True
+    # optional (lo_db, hi_db) gated-loudness gate, graded inside the SAME
+    # fidelity decode (no extra pass over payloads); None = off (default
+    # flagship output unchanged). Config-hashed => resume-invalidating.
+    loudness_bounds: tuple | None = None
     # 0 = auto: sizing.decode_pool_size() (cpus - max(3, cpus/4))
     fidelity_concurrency: int = 0
     fidelity_batch_size: int = 128
@@ -369,7 +373,9 @@ def build_pass_b(full_ds, cfg: ValidateConfig, pass_a: dict,
                             batch_format="pyarrow")
     ds = ds.map_batches(
         ck.FidelityCheck,
-        fn_constructor_kwargs={"seed": cfg.seed, "snr_threshold": cfg.snr_threshold},
+        fn_constructor_kwargs={"seed": cfg.seed,
+                               "snr_threshold": cfg.snr_threshold,
+                               "loudness_bounds": cfg.loudness_bounds},
         batch_format="pyarrow",
         batch_size=cfg.fidelity_batch_size,
         concurrency=(decode_pool_size() if cfg.fidelity_concurrency == 0
@@ -381,6 +387,8 @@ def build_pass_b(full_ds, cfg: ValidateConfig, pass_a: dict,
 
     ds = ds.map_batches(dup_flag, batch_format="pyarrow")
     code_cols = list(CODE_COLS)
+    if cfg.loudness_bounds:
+        code_cols.append("ld_code")
     extra_status_cols: list[str] = []
     if cfg.extra_suite:
         # declarative checks compiled ONCE, graded like any other check;
@@ -428,8 +436,10 @@ def build_pass_b(full_ds, cfg: ValidateConfig, pass_a: dict,
     # the verdict table — the slim table is ~1% of the input bytes
     slim_cols = [c for c in ["clip_id", "partition_id", "sr_hz", "dur_ms",
                              "codec", "status_code", "anomaly_score", "snr_db",
+                             "loudness_db",
                              "rv_reason", "bc_status", "cc_status", "tc_status",
                              "wf_status", "fid_status", "uq_status",
+                             "ld_status",
                              "ex_status"] + extra_status_cols + code_cols]
     ds = ds.map_batches(
         lambda t: t.select([c for c in slim_cols if c in t.column_names]),

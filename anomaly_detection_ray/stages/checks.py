@@ -156,10 +156,15 @@ class FidelityCheck:
     """
 
     def __init__(self, seed: int, snr_threshold: float = 30.0,
-                 max_samples: int = synth.MAX_SAMPLES):
+                 max_samples: int = synth.MAX_SAMPLES,
+                 loudness_bounds: tuple | None = None):
         self.seed = seed
         self.snr_threshold = snr_threshold
         self.max_samples = max_samples
+        # optional gated-loudness grade from the SAME decode (no extra
+        # pass): clips outside [lo_db, hi_db] dBFS are flagged — too
+        # quiet/hot for training. None (default) appends nothing.
+        self.loudness_bounds = loudness_bounds
 
     def __call__(self, t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -170,6 +175,11 @@ class FidelityCheck:
         code = np.full(n, OK_CODE, dtype=np.int8)
         status = np.full(n, "OK", dtype=object)
         snr = np.full(n, np.nan)
+        lb = self.loudness_bounds
+        if lb:
+            ld_code = np.full(n, UNDEFINED_CODE, dtype=np.int8)
+            ld_status = np.full(n, "Undefined", dtype=object)
+            loud = np.full(n, np.nan)
         for r in range(n):
             if payloads[r] is None or np.isnan(sr[r]) or np.isnan(dur[r]):
                 code[r] = UNDEFINED_CODE
@@ -180,6 +190,19 @@ class FidelityCheck:
                 code[r] = ERROR_CODE
                 status[r] = "Error: undecodable audio payload"
                 continue
+            if lb and dec_sr and len(dec):
+                from .audio_ops import gated_loudness
+                ldb = gated_loudness(dec, dec_sr)["loudness_db"]
+                loud[r] = ldb
+                if not np.isfinite(ldb) or ldb < lb[0]:
+                    ld_code[r] = ERROR_CODE
+                    ld_status[r] = "Error: gated loudness below floor"
+                elif ldb > lb[1]:
+                    ld_code[r] = ERROR_CODE
+                    ld_status[r] = "Error: gated loudness above ceiling"
+                else:
+                    ld_code[r] = OK_CODE
+                    ld_status[r] = "OK"
             n_samp = min(int(round(sr[r] * dur[r] / 1000.0)), self.max_samples)
             ref = audio.clip_signal(self.seed, int(idx[r]),
                                     min(int(sr[r]), 48000), int(dur[r]),
@@ -190,7 +213,12 @@ class FidelityCheck:
                 code[r] = ERROR_CODE
                 status[r] = "Error: decoded-PCM SNR below threshold"
         t = _append(t, "fid", code, status)
-        return t.append_column("snr_db", pa.array(snr, type=pa.float64()))
+        t = t.append_column("snr_db", pa.array(snr, type=pa.float64()))
+        if lb:
+            t = _append(t, "ld", ld_code, ld_status)
+            t = t.append_column("loudness_db",
+                                pa.array(loud, type=pa.float64()))
+        return t
 
 
 def flag_duplicates_stage(t: pa.Table, dup_ids: set[str] | frozenset[str],

@@ -259,3 +259,31 @@ def test_report_sink(run):
     got_tc = sum(v for k, v in summary["status_counts"].items()
                  if k.startswith("tc:"))
     assert got_tc == n_tc
+
+
+def test_loudness_gate_optional(clip_path, tmp_path, ray_session):
+    """loudness_bounds grades inside the fidelity decode: default off
+    (schema unchanged); with an absurd ceiling every decodable clip is
+    flagged; with wide bounds none are; config hash invalidates resume."""
+    cfg = vp.ValidateConfig(seed=SEED, P=P, loudness_bounds=(-100.0, -50.0))
+    res = vp.run_validation(clip_path, str(tmp_path / "a"), cfg,
+                            resume=False)
+    import ray.data as rd
+    v = rd.read_parquet(res["violations_path"]).to_pandas()
+    assert "ld_code" in v.columns and "loudness_db" in v.columns
+    # synth tones sit ~-9 dBFS: everything decodable breaches (-100,-50)
+    flagged = v[v["ld_code"] == -1]
+    assert len(flagged) > 0.8 * len(v)
+    assert (flagged["loudness_db"] > -50.0).all()
+
+    cfg2 = vp.ValidateConfig(seed=SEED, P=P, loudness_bounds=(-60.0, 0.0))
+    res2 = vp.run_validation(clip_path, str(tmp_path / "b"), cfg2,
+                             resume=False)
+    v2 = rd.read_parquet(res2["violations_path"]).to_pandas()
+    assert (v2["ld_code"] != -1).all()          # wide bounds: no flags
+    # default path unchanged: no ld columns at all
+    res3 = vp.run_validation(clip_path, str(tmp_path / "c"),
+                             vp.ValidateConfig(seed=SEED, P=P),
+                             resume=False)
+    v3 = rd.read_parquet(res3["violations_path"]).to_pandas()
+    assert "ld_code" not in v3.columns
