@@ -30,6 +30,7 @@ import hashlib
 import json
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -202,11 +203,17 @@ def update_expectation_store(input_dir: str, store_dir: str,
     suite invalidates the whole store (suite-hash contract, same idea as
     ValidateConfig's config hash)."""
     from ..stages.expectations import _ROW_LOCAL, _check_key, _compile_mask
-    bad = [s["check"] for s in suite if s["check"] not in _ROW_LOCAL]
+    bad = [s["check"] for s in suite
+           if s["check"] not in _ROW_LOCAL
+           and not (s["check"] == "unique" and s.get("approx"))]
     if bad:
         raise ValueError(
-            f"incremental expectations are row-local only; {bad!r} need "
-            "cross-file state — run them via run_expectations instead")
+            f"incremental expectations are row-local (plus approx unique) "
+            f"only; {bad!r} need cross-file state — run them via "
+            "run_expectations instead")
+    uniq_specs = [s for s in suite
+                  if s["check"] == "unique" and s.get("approx")]
+    row_specs = [s for s in suite if s["check"] in _ROW_LOCAL]
 
     os.makedirs(os.path.join(store_dir, "exp_partials"), exist_ok=True)
     manifest = _load_manifest(store_dir)
@@ -218,8 +225,10 @@ def update_expectation_store(input_dir: str, store_dir: str,
     live, todo, dropped = _plan_update(input_dir, manifest.get("files", {}))
 
     if todo:
-        keys = [_check_key(s) for s in suite]
-        compiled = [_compile_mask(s) for s in suite]
+        keys = [_check_key(s) for s in row_specs]
+        compiled = [_compile_mask(s) for s in row_specs]
+        uniq_cfg = [(_check_key(s), s["column"], int(s.get("hll_p", 14)))
+                    for s in uniq_specs]
         need = sorted({s["column"] for s in suite}
                       | {s["other"] for s in suite
                          if s["check"] == "col_compare"})
@@ -228,11 +237,24 @@ def update_expectation_store(input_dir: str, store_dir: str,
                              include_paths=True)
 
         def partial(t: pa.Table) -> pd.DataFrame:
+            import pyarrow.compute as _pc
+            from ..functions.sketches import HyperLogLog
             rows = []
             for p, sl in _run_split(t):
                 for k, mask in zip(keys, compiled):
-                    rows.append((p, k, len(sl), int(mask(sl).sum())))
-            return pd.DataFrame(rows, columns=["src", "key", "n", "v"])
+                    rows.append((p, k, len(sl), int(mask(sl).sum()), None))
+                for k, col, hp in uniq_cfg:
+                    # mirror run_expectations' approx path: NULLs are
+                    # excluded from both n and the register stream
+                    valid = sl[col].drop_null()
+                    h = pd.util.hash_pandas_object(
+                        valid.to_pandas(), index=False).to_numpy(np.uint64)
+                    hll = HyperLogLog(hp)
+                    hll.add_hashes(h)
+                    rows.append((p, k, len(valid), 0,
+                                 hll.registers.tobytes()))
+            return pd.DataFrame(rows,
+                                columns=["src", "key", "n", "v", "reg"])
 
         parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
         abs_to_rel = {os.path.abspath(os.path.join(input_dir, rel)): rel
@@ -240,7 +262,20 @@ def update_expectation_store(input_dir: str, store_dir: str,
         parts["rel"] = parts["src"].map(
             lambda p: abs_to_rel.get(os.path.abspath(p), p))
         for rel, g in parts.groupby("rel"):
-            agg = g.groupby("key", as_index=False)[["n", "v"]].sum()
+            agg = (g[g["reg"].isna()]
+                   .groupby("key", as_index=False)[["n", "v"]].sum())
+            agg["reg"] = None
+            urows = []
+            for k, gu in g[g["reg"].notna()].groupby("key"):
+                regs = None
+                for blob in gu["reg"]:
+                    r = np.frombuffer(blob, dtype=np.uint8)
+                    regs = r.copy() if regs is None else np.maximum(regs, r)
+                urows.append({"key": k, "n": int(gu["n"].sum()), "v": 0,
+                              "reg": regs.tobytes()})
+            if urows:
+                agg = pd.concat([agg, pd.DataFrame(urows)],
+                                ignore_index=True)
             pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
                            os.path.join(store_dir, "exp_partials",
                                         _partial_name(rel)))
@@ -268,15 +303,37 @@ def merged_expectations(store_dir: str) -> pd.DataFrame:
     for rel in manifest["files"]:
         p = os.path.join(store_dir, "exp_partials", _partial_name(rel))
         frames.append(pq.read_table(p).to_pandas())
-    agg = (pd.concat(frames, ignore_index=True)
-           .groupby("key", as_index=False)[["n", "v"]].sum()
-           if frames else pd.DataFrame({"key": [], "n": [], "v": []}))
+    allp = (pd.concat(frames, ignore_index=True) if frames
+            else pd.DataFrame({"key": [], "n": [], "v": [], "reg": []}))
+    if "reg" not in allp.columns:          # pre-unique stores
+        allp["reg"] = None
+    rowp = allp[allp["reg"].isna()]
+    agg = (rowp.groupby("key", as_index=False)[["n", "v"]].sum()
+           if len(rowp) else pd.DataFrame({"key": [], "n": [], "v": []}))
     by_key = {r.key: r for r in agg.itertuples()}
+    uniq = {}
+    for k, gu in allp[allp["reg"].notna()].groupby("key"):
+        regs = None
+        for blob in gu["reg"]:
+            r = np.frombuffer(blob, dtype=np.uint8)
+            regs = r.copy() if regs is None else np.maximum(regs, r)
+        uniq[k] = (int(gu["n"].sum()), regs)
     records = []
     for spec in suite:
-        r = by_key.get(_check_key(spec))
-        n = int(r.n) if r is not None else 0
-        v = int(r.v) if r is not None else 0
+        key = _check_key(spec)
+        if spec["check"] == "unique":
+            from ..functions.sketches import HyperLogLog
+            n, regs = uniq.get(key, (0, None))
+            if regs is None:
+                v = 0
+            else:
+                hll = HyperLogLog(int(spec.get("hll_p", 14)))
+                hll.registers = regs
+                v = max(0, int(round(n - hll.estimate())))
+        else:
+            r = by_key.get(key)
+            n = int(r.n) if r is not None else 0
+            v = int(r.v) if r is not None else 0
         frac_ok = 1.0 if n == 0 else 1.0 - v / n
         records.append({"check_name": spec["check"],
                         "column_name": _col_label(spec),

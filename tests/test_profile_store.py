@@ -119,3 +119,38 @@ def test_incremental_expectations(ray_session, data_dir, tmp_path):
     with pytest.raises(ValueError, match="row-local"):
         ps.update_expectation_store(
             data_dir, store, [{"check": "unique", "column": "k"}])
+
+
+def test_incremental_unique_approx(ray_session, data_dir, tmp_path):
+    """Approx unique joins the incremental store: per-file HLL registers
+    merge across files; result equals a full run_expectations approx run
+    (same hash stream, same estimator), and only new files re-validate."""
+    from anomaly_detection_ray.stages.expectations import run_expectations
+
+    store = str(tmp_path / "store")
+    suite = [
+        {"check": "not_null", "column": "s"},
+        {"check": "unique", "column": "k", "approx": True,
+         "mostly": 0.98},
+        {"check": "unique", "column": "s", "approx": True, "mostly": 0.5},
+    ]
+    res = ps.update_expectation_store(data_dir, store, suite)
+    assert res["n_validated"] == 3
+    got = ps.merged_expectations(store)
+    want = run_expectations(rd.read_parquet(data_dir), suite)
+    pd.testing.assert_frame_equal(got, want)
+    g = got.set_index(["check_name", "column_name"])
+    assert g.loc[("unique", "k"), "passed"]          # k is unique
+    assert not g.loc[("unique", "s"), "passed"]      # 7 distinct values
+
+    _write(data_dir, "part-7.parquet", 700, 60)
+    res = ps.update_expectation_store(data_dir, store, suite)
+    assert res["n_validated"] == 1 and res["n_reused"] == 3
+    pd.testing.assert_frame_equal(
+        ps.merged_expectations(store),
+        run_expectations(rd.read_parquet(data_dir), suite))
+
+    # exact unique still rejected
+    with pytest.raises(ValueError, match="row-local"):
+        ps.update_expectation_store(
+            data_dir, store, [{"check": "unique", "column": "k"}])
