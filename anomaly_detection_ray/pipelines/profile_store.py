@@ -93,6 +93,8 @@ def _run_split(t: pa.Table):
     batch (read_parquet(include_paths=True))."""
     import numpy as np
     arr = np.asarray(t.column("path").to_pylist(), dtype=object)
+    if len(arr) == 0:
+        return
     body = t.drop_columns(["path"])
     bounds = np.flatnonzero(np.r_[True, arr[1:] != arr[:-1]])
     for i, s in enumerate(bounds):
@@ -189,124 +191,356 @@ def _type_from_str(name: str) -> pa.DataType:
 
 
 # ------------------------------------------------- incremental expectations
+#
+# Per-file verdict/state partials under the same (path, size, rows)
+# fingerprint manifest as the profile store, so a suite over a growing
+# table re-validates ONLY new/changed files. Supported kinds and their
+# per-file state:
+#
+# - row-local (not_null/in_range/.../col_compare/referential):
+#   (n, violations) counters — sum at merge.
+# - unique approx: HLL registers — max at merge (the 10^12-key path).
+# - unique exact: native-dtype (value, count) tables — groupby-sum at
+#   merge; merge cost is O(total distinct), use approx past that.
+# - freshness: per-group max-event-time — max at merge; `as_of` /
+#   `max_lag_s` are MERGE-TIME params, so a scheduler tick with a new
+#   as_of revalidates zero files.
+# - non_decreasing (single order_by column): per-group
+#   (n, within-file descents, order-range, first/last value). When
+#   per-group order ranges are disjoint across files (the append-only
+#   time-ordered case) the merge is exact from partials: sum within-file
+#   descents + compare boundary values in range order. When a group's
+#   file ranges interleave (or tie), that group alone is recomputed
+#   exactly by re-reading just its files — O(affected rows), never a
+#   corpus rescan.
+#
+# Graded kinds and dtype stay with run_expectations (rejected with
+# guidance). The store hash covers only PARTIAL-DEFINING fields:
+# changing `mostly`/`as_of`/`max_lag_s` never rebuilds.
+
+_MERGE_TIME_KEYS = {"mostly", "as_of", "max_lag_s"}
+
+
+def _partial_sig(spec: dict) -> str:
+    """JSON of the partial-defining fields of a check spec (merge-time
+    params stripped) — the store key for the spec's per-file state."""
+    return json.dumps({k: v for k, v in spec.items()
+                       if k not in _MERGE_TIME_KEYS},
+                      sort_keys=True, default=str)
+
+
+def _sig_key(spec: dict) -> str:
+    return hashlib.md5(_partial_sig(spec).encode()).hexdigest()[:12]
+
+
+def _side_name(rel: str, spec: dict, fam: str) -> str:
+    base = _partial_name(rel)[:-len(".parquet")]
+    return f"{base}.{_sig_key(spec)}.{fam}.parquet"
+
+
+def _single_order_by(spec: dict) -> str:
+    ob = spec["order_by"]
+    if isinstance(ob, str):
+        return ob
+    if isinstance(ob, (list, tuple)) and len(ob) == 1:
+        return ob[0]
+    raise ValueError(
+        "incremental non_decreasing needs a single order_by column "
+        f"(got {ob!r}) — multi-column tie-breaking needs a full-order "
+        "rescan; run it via run_expectations instead")
+
+
+def _nd_group_stats(df: pd.DataFrame, col: str, ob: str) -> tuple | None:
+    """(n, descents, ob_min, ob_max, first_v, last_v) of one group's rows
+    sorted by ob, restricted to non-null `col` (run_expectations
+    per_group semantics, sliced per file)."""
+    s = df.sort_values(ob)
+    keep = s[col].notna().to_numpy()
+    if not keep.any():
+        return None
+    x = s[col].to_numpy()[keep]
+    v = 0
+    if len(x) > 1:
+        d = np.diff(x)
+        v = int((d < np.zeros(1, dtype=d.dtype)[0]).sum())
+    obv = s[ob].to_numpy()[keep]
+    return len(x), v, obv[0], obv[-1], x[0], x[-1]
+
 
 def update_expectation_store(input_dir: str, store_dir: str,
                              suite: list[dict],
                              columns: list[str] | None = None) -> dict:
-    """Incrementally-maintained ROW-LOCAL expectation verdicts: per-file
-    (check, n_rows, violations) partials under the same (path, size,
-    rows) fingerprint manifest as the profile store, so a suite over a
-    growing table re-validates ONLY new/changed files. Row-local kinds
-    only (not_null/in_range/in_set/regex/str_len_between/col_compare/
-    referential) — table-level kinds (unique, non_decreasing, freshness)
-    need cross-file state and are rejected with guidance. Changing the
-    suite invalidates the whole store (suite-hash contract, same idea as
-    ValidateConfig's config hash)."""
-    from ..stages.expectations import _ROW_LOCAL, _check_key, _compile_mask
-    bad = [s["check"] for s in suite
-           if s["check"] not in _ROW_LOCAL
-           and not (s["check"] == "unique" and s.get("approx"))]
+    """Bring the per-file expectation store up to date with ``input_dir``
+    (see the section comment above for kinds and state shapes). One
+    column-pruned Ray pass over just the new/changed files covers
+    row-local + approx-unique + freshness; each exact-unique and
+    non_decreasing check adds its own pruned pass over the same files.
+    Changing partial-defining suite fields rebuilds the store (suite-hash
+    contract, same idea as ValidateConfig's config hash); merge-time
+    fields (`mostly`, `as_of`, `max_lag_s`) just update the manifest."""
+    import shutil
+
+    from ..stages.expectations import _ROW_LOCAL
+
+    supported = _ROW_LOCAL | {"unique", "freshness", "non_decreasing"}
+    bad = [s["check"] for s in suite if s["check"] not in supported]
     if bad:
         raise ValueError(
-            f"incremental expectations are row-local (plus approx unique) "
-            f"only; {bad!r} need cross-file state — run them via "
-            "run_expectations instead")
-    uniq_specs = [s for s in suite
-                  if s["check"] == "unique" and s.get("approx")]
+            f"incremental expectations support row-local kinds plus "
+            f"unique/freshness/non_decreasing; {bad!r} need schema or "
+            "graded evaluation — run them via run_expectations instead")
     row_specs = [s for s in suite if s["check"] in _ROW_LOCAL]
+    uniq_approx = [s for s in suite
+                   if s["check"] == "unique" and s.get("approx")]
+    uniq_exact = [s for s in suite
+                  if s["check"] == "unique" and not s.get("approx")]
+    fresh_specs = [s for s in suite if s["check"] == "freshness"]
+    nd_specs = [s for s in suite if s["check"] == "non_decreasing"]
+    for s in fresh_specs:
+        for k in ("as_of", "max_lag_s"):
+            if k not in s:
+                raise ValueError(f"freshness requires explicit {k!r}")
+    nd_cfg = [(_sig_key(s), s["column"], s["by"], _single_order_by(s))
+              for s in nd_specs]
 
-    os.makedirs(os.path.join(store_dir, "exp_partials"), exist_ok=True)
+    part_dir = os.path.join(store_dir, "exp_partials")
+    os.makedirs(part_dir, exist_ok=True)
     manifest = _load_manifest(store_dir)
-    suite_hash = hashlib.md5(
-        json.dumps(suite, sort_keys=True, default=str).encode()
-    ).hexdigest()[:12]
+    suite_hash = hashlib.md5(json.dumps(
+        sorted(_partial_sig(s) for s in suite)).encode()).hexdigest()[:12]
     if manifest.get("suite_hash") not in (None, suite_hash):
         manifest = {"files": {}}          # suite changed: full rebuild
+        shutil.rmtree(part_dir)           # drop stale per-sig side files
+        os.makedirs(part_dir)
     live, todo, dropped = _plan_update(input_dir, manifest.get("files", {}))
 
+    abs_to_rel = {os.path.abspath(os.path.join(input_dir, rel)): rel
+                  for rel in todo}
+
+    def rel_of(p: str) -> str:
+        return abs_to_rel.get(os.path.abspath(p), p)
+
     if todo:
-        keys = [_check_key(s) for s in row_specs]
-        compiled = [_compile_mask(s) for s in row_specs]
-        uniq_cfg = [(_check_key(s), s["column"], int(s.get("hll_p", 14)))
-                    for s in uniq_specs]
-        need = sorted({s["column"] for s in suite}
-                      | {s["other"] for s in suite
-                         if s["check"] == "col_compare"})
         paths = [os.path.join(input_dir, rel) for rel in todo]
-        ds = rd.read_parquet(paths, columns=(columns or need),
-                             include_paths=True)
-
-        def partial(t: pa.Table) -> pd.DataFrame:
-            import pyarrow.compute as _pc
-            from ..functions.sketches import HyperLogLog
-            rows = []
-            for p, sl in _run_split(t):
-                for k, mask in zip(keys, compiled):
-                    rows.append((p, k, len(sl), int(mask(sl).sum()), None))
-                for k, col, hp in uniq_cfg:
-                    # mirror run_expectations' approx path: NULLs are
-                    # excluded from both n and the register stream
-                    valid = sl[col].drop_null()
-                    h = pd.util.hash_pandas_object(
-                        valid.to_pandas(), index=False).to_numpy(np.uint64)
-                    hll = HyperLogLog(hp)
-                    hll.add_hashes(h)
-                    rows.append((p, k, len(valid), 0,
-                                 hll.registers.tobytes()))
-            return pd.DataFrame(rows,
-                                columns=["src", "key", "n", "v", "reg"])
-
-        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-        abs_to_rel = {os.path.abspath(os.path.join(input_dir, rel)): rel
-                      for rel in todo}
-        parts["rel"] = parts["src"].map(
-            lambda p: abs_to_rel.get(os.path.abspath(p), p))
-        for rel, g in parts.groupby("rel"):
-            agg = (g[g["reg"].isna()]
-                   .groupby("key", as_index=False)[["n", "v"]].sum())
-            agg["reg"] = None
-            urows = []
-            for k, gu in g[g["reg"].notna()].groupby("key"):
-                regs = None
-                for blob in gu["reg"]:
-                    r = np.frombuffer(blob, dtype=np.uint8)
-                    regs = r.copy() if regs is None else np.maximum(regs, r)
-                urows.append({"key": k, "n": int(gu["n"].sum()), "v": 0,
-                              "reg": regs.tobytes()})
-            if urows:
-                agg = pd.concat([agg, pd.DataFrame(urows)],
-                                ignore_index=True)
-            pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
-                           os.path.join(store_dir, "exp_partials",
-                                        _partial_name(rel)))
+        # stale partials first: a re-validated file whose new version
+        # lost a check's rows must not keep the old state
+        for rel in todo:
+            base = _partial_name(rel)[:-len(".parquet")]
+            for fn in os.listdir(part_dir):
+                if fn.startswith(base):
+                    os.remove(os.path.join(part_dir, fn))
+        _main_pass(paths, part_dir, rel_of, row_specs, uniq_approx,
+                   columns)
+        _fresh_pass(paths, part_dir, rel_of, fresh_specs)
+        for spec in uniq_exact:
+            _vc_pass(paths, part_dir, rel_of, spec)
+        for sig, col, by, ob in nd_cfg:
+            _nd_pass(paths, part_dir, rel_of, sig, col, by, ob)
 
     for rel in dropped:
-        p = os.path.join(store_dir, "exp_partials", _partial_name(rel))
-        if os.path.exists(p):
-            os.remove(p)
+        base = _partial_name(rel)[:-len(".parquet")]
+        for fn in os.listdir(part_dir):
+            if fn.startswith(base):
+                os.remove(os.path.join(part_dir, fn))
     manifest["files"] = live
     manifest["suite_hash"] = suite_hash
     manifest["suite"] = suite
+    manifest["input_dir"] = os.path.abspath(input_dir)
     _save_manifest(store_dir, manifest)
     return {"n_files": len(live), "n_validated": len(todo),
             "n_reused": len(live) - len(todo), "n_dropped": len(dropped)}
 
 
+def _main_pass(paths, part_dir, rel_of, row_specs, uniq_approx,
+               columns) -> None:
+    """Row-local counters + approx-unique HLL registers, one pruned Ray
+    pass, one partial parquet per file (rows: key, n, v, reg)."""
+    from ..stages.expectations import _compile_mask
+
+    if not (row_specs or uniq_approx):
+        return
+    keys = [_sig_key(s) for s in row_specs]
+    compiled = [_compile_mask(s) for s in row_specs]
+    uniq_cfg = [(_sig_key(s), s["column"], int(s.get("hll_p", 14)))
+                for s in uniq_approx]
+    need = sorted({s["column"] for s in [*row_specs, *uniq_approx]}
+                  | {s["other"] for s in row_specs
+                     if s["check"] == "col_compare"})
+    ds = rd.read_parquet(paths, columns=(columns or need),
+                         include_paths=True)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        from ..functions.sketches import HyperLogLog
+        rows = []
+        for p, sl in _run_split(t):
+            for k, mask in zip(keys, compiled):
+                rows.append((p, k, len(sl), int(mask(sl).sum()), None))
+            for k, col, hp in uniq_cfg:
+                # mirror run_expectations' approx path: NULLs are
+                # excluded from both n and the register stream
+                valid = sl[col].drop_null()
+                h = pd.util.hash_pandas_object(
+                    valid.to_pandas(), index=False).to_numpy(np.uint64)
+                hll = HyperLogLog(hp)
+                hll.add_hashes(h)
+                rows.append((p, k, len(valid), 0,
+                             hll.registers.tobytes()))
+        return pd.DataFrame(rows,
+                            columns=["src", "key", "n", "v", "reg"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts["rel"] = parts["src"].map(rel_of)
+    for rel, g in parts.groupby("rel"):
+        agg = (g[g["reg"].isna()]
+               .groupby("key", as_index=False)[["n", "v"]].sum())
+        agg["reg"] = None
+        urows = []
+        for k, gu in g[g["reg"].notna()].groupby("key"):
+            regs = None
+            for blob in gu["reg"]:
+                r = np.frombuffer(blob, dtype=np.uint8)
+                regs = r.copy() if regs is None else np.maximum(regs, r)
+            urows.append({"key": k, "n": int(gu["n"].sum()), "v": 0,
+                          "reg": regs.tobytes()})
+        if urows:
+            agg = pd.concat([agg, pd.DataFrame(urows)],
+                            ignore_index=True)
+        pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                       os.path.join(part_dir, _partial_name(rel)))
+
+
+def _fresh_pass(paths, part_dir, rel_of, fresh_specs) -> None:
+    """Freshness state: per-file per-group max event time as exact int64
+    epoch-µs (own side parquet so the column is never nullable — a
+    null-padded int64 round-trips through pandas as float64 and loses µs
+    precision). `as_of`/`max_lag_s` are applied at merge time."""
+    if not fresh_specs:
+        return
+    fresh_cfg = [(_sig_key(s), s["column"], s.get("by"))
+                 for s in fresh_specs]
+    need = sorted({s["column"] for s in fresh_specs}
+                  | {s["by"] for s in fresh_specs
+                     if s.get("by") is not None})
+    ds = rd.read_parquet(paths, columns=need, include_paths=True)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        rows = []
+        for p, sl in _run_split(t):
+            for k, col, by in fresh_cfg:
+                # mirror run_expectations' fresh_partial exactly
+                df = sl.select(sorted({col} | ({by} if by is not None
+                                               else set()))).to_pandas()
+                ts = df[col].astype("datetime64[us]").astype(np.int64)
+                g = (pd.Series([""] * len(df)) if by is None
+                     else df[by].astype(str))
+                t2 = pd.DataFrame({"_g": g.to_numpy(), "mt": ts})
+                t2 = t2[df[col].notna().to_numpy()]
+                for gv, mt in t2.groupby("_g")["mt"].max().items():
+                    rows.append((p, k, gv, int(mt)))
+        return pd.DataFrame(rows, columns=["src", "key", "g", "mt"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return
+    parts["rel"] = parts["src"].map(rel_of)
+    for rel, g in parts.groupby("rel"):
+        fm = g.groupby(["key", "g"], as_index=False)["mt"].max()
+        base = _partial_name(rel)[:-len(".parquet")]
+        pq.write_table(
+            pa.table({"key": pa.array(list(fm["key"]), pa.string()),
+                      "g": pa.array(list(fm["g"]), pa.string()),
+                      "mt": pa.array([int(x) for x in fm["mt"]],
+                                     pa.int64())}),
+            os.path.join(part_dir, f"{base}.fr.parquet"))
+
+
+def _vc_pass(paths, part_dir, rel_of, spec) -> None:
+    """Exact-unique state: per-file (value, count) tables in the value's
+    NATIVE dtype (no lossy casts, no hash collisions)."""
+    col = spec["column"]
+    ds = rd.read_parquet(paths, columns=[col], include_paths=True)
+
+    def vc(t: pa.Table) -> pd.DataFrame:
+        out = []
+        for p, sl in _run_split(t):
+            s = sl[col].to_pandas()
+            g = s.groupby(s, dropna=True).size()
+            out.append(pd.DataFrame({"src": p, "val": g.index.to_numpy(),
+                                     "cnt": g.to_numpy()}))
+        return (pd.concat(out, ignore_index=True) if out
+                else pd.DataFrame({"src": [], "val": [], "cnt": []}))
+
+    parts = ds.map_batches(vc, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return
+    parts["rel"] = parts["src"].map(rel_of)
+    for rel, g in parts.groupby("rel"):
+        agg = g.groupby("val", dropna=True, as_index=False)["cnt"].sum()
+        pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
+                       os.path.join(part_dir, _side_name(rel, spec, "vc")))
+
+
+def _nd_pass(paths, part_dir, rel_of, sig, col, by, ob) -> None:
+    """non_decreasing state: one exact (n, descents, order-range,
+    first/last value) row per (file, group), native dtypes. groupby
+    (path, group) gives each task a whole group-within-file — exact even
+    when Ray splits a file across read batches."""
+    cols = sorted({col, by, ob})
+    ds = rd.read_parquet(paths, columns=cols, include_paths=True)
+    # groupby plans against the pre-read schema, which does not yet show
+    # the include_paths column — surface it with a no-op batch stage
+    ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        st = _nd_group_stats(df, col, ob)
+        if st is None:
+            return df.iloc[:0][["path", by]].assign(
+                n=pd.Series(dtype=np.int64), v=pd.Series(dtype=np.int64),
+                ob_min=df[ob].iloc[:0], ob_max=df[ob].iloc[:0],
+                first_v=df[col].iloc[:0], last_v=df[col].iloc[:0])
+        n, v, ob_min, ob_max, first_v, last_v = st
+        return pd.DataFrame({"path": [df["path"].iloc[0]],
+                             by: [df[by].iloc[0]],
+                             "n": [n], "v": [v],
+                             "ob_min": [ob_min], "ob_max": [ob_max],
+                             "first_v": [first_v], "last_v": [last_v]})
+
+    parts = (ds.groupby(["path", by])
+             .map_groups(stats, batch_format="pandas").to_pandas())
+    if not len(parts):
+        return
+    parts["rel"] = parts["path"].map(rel_of)
+    for rel, g in parts.groupby("rel"):
+        base = _partial_name(rel)[:-len(".parquet")]
+        pq.write_table(
+            pa.Table.from_pandas(g.drop(columns=["path", "rel"]),
+                                 preserve_index=False),
+            os.path.join(part_dir, f"{base}.{sig}.nd.parquet"))
+
+
 def merged_expectations(store_dir: str) -> pd.DataFrame:
-    """Fold live per-file verdict partials into the run_expectations
-    summary shape (check_name, column_name, n_rows, violations, passed)
-    — no scan of the input data."""
-    from ..stages.expectations import _check_key, _col_label
+    """Fold live per-file state into the run_expectations summary shape
+    (check_name, column_name, n_rows, violations, passed). No scan of
+    the input data — except non_decreasing groups whose per-file order
+    ranges interleave, which re-read exactly their own files."""
+    from ..functions.sketches import HyperLogLog
+    from ..stages.expectations import _ROW_LOCAL, _col_label
+
     manifest = _load_manifest(store_dir)
     suite = manifest.get("suite", [])
-    frames = []
-    for rel in manifest["files"]:
-        p = os.path.join(store_dir, "exp_partials", _partial_name(rel))
-        frames.append(pq.read_table(p).to_pandas())
+    part_dir = os.path.join(store_dir, "exp_partials")
+    rels = list(manifest["files"])
+    frames, fresh_frames = [], []
+    for rel in rels:
+        base = _partial_name(rel)[:-len(".parquet")]
+        p = os.path.join(part_dir, f"{base}.parquet")
+        if os.path.exists(p):
+            frames.append(pq.read_table(p).to_pandas())
+        fp = os.path.join(part_dir, f"{base}.fr.parquet")
+        if os.path.exists(fp):
+            fresh_frames.append(pq.read_table(fp).to_pandas())
     allp = (pd.concat(frames, ignore_index=True) if frames
             else pd.DataFrame({"key": [], "n": [], "v": [], "reg": []}))
-    if "reg" not in allp.columns:          # pre-unique stores
-        allp["reg"] = None
     rowp = allp[allp["reg"].isna()]
     agg = (rowp.groupby("key", as_index=False)[["n", "v"]].sum()
            if len(rowp) else pd.DataFrame({"key": [], "n": [], "v": []}))
@@ -318,12 +552,36 @@ def merged_expectations(store_dir: str) -> pd.DataFrame:
             r = np.frombuffer(blob, dtype=np.uint8)
             regs = r.copy() if regs is None else np.maximum(regs, r)
         uniq[k] = (int(gu["n"].sum()), regs)
+    freshp = (pd.concat(fresh_frames, ignore_index=True) if fresh_frames
+              else pd.DataFrame({"key": [], "g": [],
+                                 "mt": pd.Series([], dtype=np.int64)}))
+
+    # family order mirrors run_expectations so ties under the final
+    # stable sort land identically
     records = []
-    for spec in suite:
-        key = _check_key(spec)
-        if spec["check"] == "unique":
-            from ..functions.sketches import HyperLogLog
-            n, regs = uniq.get(key, (0, None))
+    for spec in [s for s in suite if s["check"] == "freshness"]:
+        key = _sig_key(spec)
+        g = freshp[freshp["key"] == key]
+        folded = (g.groupby("g")["mt"].max()
+                  if len(g) else pd.Series([], dtype=np.int64))
+        as_of = pd.Timestamp(spec["as_of"], unit=(
+            "s" if isinstance(spec["as_of"], (int, float)) else None))
+        cutoff = as_of.value // 1000 - int(float(spec["max_lag_s"]) * 1e6)
+        n = int(len(folded))
+        v = int((folded < cutoff).sum()) if n else 0
+        records.append((spec, spec["column"] if spec.get("by") is None
+                        else f"{spec['column']} by {spec['by']}", n, v))
+    for spec in [s for s in suite if s["check"] == "non_decreasing"]:
+        n, v = _merge_nd(manifest, part_dir, rels, spec)
+        records.append((spec, spec["column"], n, v))
+    for spec in [s for s in suite if s["check"] in _ROW_LOCAL]:
+        r = by_key.get(_sig_key(spec))
+        records.append((spec, _col_label(spec),
+                        int(r.n) if r is not None else 0,
+                        int(r.v) if r is not None else 0))
+    for spec in [s for s in suite if s["check"] == "unique"]:
+        if spec.get("approx"):
+            n, regs = uniq.get(_sig_key(spec), (0, None))
             if regs is None:
                 v = 0
             else:
@@ -331,16 +589,75 @@ def merged_expectations(store_dir: str) -> pd.DataFrame:
                 hll.registers = regs
                 v = max(0, int(round(n - hll.estimate())))
         else:
-            r = by_key.get(key)
-            n = int(r.n) if r is not None else 0
-            v = int(r.v) if r is not None else 0
+            vcs = []
+            for rel in rels:
+                p = os.path.join(part_dir, _side_name(rel, spec, "vc"))
+                if os.path.exists(p):
+                    vcs.append(pq.read_table(p).to_pandas())
+            if vcs:
+                counts = (pd.concat(vcs, ignore_index=True)
+                          .groupby("val", dropna=True)["cnt"].sum())
+                n = int(counts.sum())
+                v = int((counts - 1).clip(lower=0).sum())
+            else:
+                n, v = 0, 0
+        records.append((spec, spec["column"], n, v))
+
+    out_rows = []
+    for spec, label, n, v in records:
         frac_ok = 1.0 if n == 0 else 1.0 - v / n
-        records.append({"check_name": spec["check"],
-                        "column_name": _col_label(spec),
-                        "n_rows": n, "violations": v,
-                        "passed": frac_ok >= spec.get("mostly", 1.0)})
+        out_rows.append({"check_name": spec["check"], "column_name": label,
+                         "n_rows": n, "violations": v,
+                         "passed": frac_ok >= spec.get("mostly", 1.0)})
     out = pd.DataFrame.from_records(
-        records, columns=["check_name", "column_name", "n_rows",
-                          "violations", "passed"])
+        out_rows, columns=["check_name", "column_name", "n_rows",
+                           "violations", "passed"])
     return (out.sort_values(["check_name", "column_name"])
             .reset_index(drop=True))
+
+
+def _merge_nd(manifest: dict, part_dir: str, rels: list, spec: dict
+              ) -> tuple:
+    """Fold one non_decreasing check's per-(file, group) partials.
+    Disjoint per-group order ranges merge exactly from state (sum
+    within-file descents + boundary comparisons in range order); a group
+    whose file ranges interleave/tie is recomputed exactly from just its
+    own files."""
+    col, by, ob = spec["column"], spec["by"], _single_order_by(spec)
+    frames = []
+    for rel in rels:
+        p = os.path.join(part_dir, _side_name(rel, spec, "nd"))
+        if os.path.exists(p):
+            f = pq.read_table(p).to_pandas()
+            f["_rel"] = rel
+            frames.append(f)
+    if not frames:
+        return 0, 0
+    parts = pd.concat(frames, ignore_index=True)
+    n_total, v_total = 0, 0
+    for gval, g in parts.groupby(by, dropna=False, sort=False):
+        g = g.sort_values("ob_min", kind="stable")
+        if len(g) > 1 and (g["ob_max"].to_numpy()[:-1]
+                           >= g["ob_min"].to_numpy()[1:]).any():
+            # interleaved/tied ranges: exact recompute from this group's
+            # own files only
+            chunks = []
+            for rel in g["_rel"]:
+                t = pq.read_table(
+                    os.path.join(manifest["input_dir"], rel),
+                    columns=sorted({col, by, ob})).to_pandas()
+                chunks.append(t[t[by] == gval] if pd.notna(gval)
+                              else t[t[by].isna()])
+            st = _nd_group_stats(pd.concat(chunks, ignore_index=True),
+                                 col, ob)
+            if st is not None:
+                n_total += st[0]
+                v_total += st[1]
+            continue
+        n_total += int(g["n"].sum())
+        v_total += int(g["v"].sum())
+        if len(g) > 1:
+            last = g["last_v"].to_numpy()[:-1]
+            first = g["first_v"].to_numpy()[1:]
+            v_total += int((last > first).sum())
+    return n_total, v_total

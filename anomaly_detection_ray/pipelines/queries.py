@@ -2856,11 +2856,14 @@ def q_clip_profile_store(sf_dir: str):
 
 
 def q_clip_expectations_incremental(sf_dir: str):
-    """Row-local expectations over the clip table via the incremental
-    per-file verdict store (pipelines/profile_store.update_expectation_
-    store): only files the store hasn't fingerprinted re-validate (zero
-    on a second run), merged summary bit-equal to a full run_expectations
-    (test_profile_store). Deterministic => fixture oracle."""
+    """Expectations over the clip table via the incremental per-file
+    verdict store (pipelines/profile_store.update_expectation_store):
+    only files the store hasn't fingerprinted re-validate (zero on a
+    second run), merged summary bit-equal to a full run_expectations
+    (test_profile_store). Covers row-local kinds plus the maintained
+    table-level ones — exact unique from per-file value-count partials
+    and per-group non_decreasing with cross-file boundary stitching.
+    Deterministic => fixture oracle."""
     from . import profile_store as ps
     path = _clip_table_path(sf_dir)
     sf = os.path.basename(os.path.normpath(sf_dir))
@@ -2875,6 +2878,9 @@ def q_clip_expectations_incremental(sf_dir: str):
          "values": ["pcm_s16le", "flac", "opus", "mp3", "amr"]},
         {"check": "regex", "column": "clip_id",
          "pattern": r"clip-\d{9}"},
+        {"check": "unique", "column": "clip_id"},
+        {"check": "non_decreasing", "column": "dur_ms", "by": "codec",
+         "order_by": "clip_id", "mostly": 0.4},
     ]
     ps.update_expectation_store(path, store, suite)
     return ps.merged_expectations(store)

@@ -115,10 +115,11 @@ def test_incremental_expectations(ray_session, data_dir, tmp_path):
         ps.merged_expectations(store),
         run_expectations(rd.read_parquet(data_dir), suite2))
 
-    # table-level kinds are rejected with guidance
-    with pytest.raises(ValueError, match="row-local"):
+    # graded / schema kinds are rejected with guidance
+    with pytest.raises(ValueError, match="run_expectations"):
         ps.update_expectation_store(
-            data_dir, store, [{"check": "unique", "column": "k"}])
+            data_dir, store,
+            [{"check": "dtype", "column": "k", "type": "int64"}])
 
 
 def test_incremental_unique_approx(ray_session, data_dir, tmp_path):
@@ -150,7 +151,111 @@ def test_incremental_unique_approx(ray_session, data_dir, tmp_path):
         ps.merged_expectations(store),
         run_expectations(rd.read_parquet(data_dir), suite))
 
-    # exact unique still rejected
-    with pytest.raises(ValueError, match="row-local"):
-        ps.update_expectation_store(
-            data_dir, store, [{"check": "unique", "column": "k"}])
+    # `mostly` is merge-time only: tightening it revalidates nothing
+    suite3 = [dict(s) for s in suite]
+    suite3[1]["mostly"] = 0.5
+    res = ps.update_expectation_store(data_dir, store, suite3)
+    assert res["n_validated"] == 0 and res["n_reused"] == 4
+    pd.testing.assert_frame_equal(
+        ps.merged_expectations(store),
+        run_expectations(rd.read_parquet(data_dir), suite3))
+
+
+def _write_ts(dirp, name, ks, seed=0):
+    """Grouped time-series file: k (order), g (group), ts (event time),
+    val (noisy walk with NaNs) — the table-level-kind fixture."""
+    ks = np.asarray(ks, dtype=np.int64)
+    rng = np.random.default_rng(seed + int(ks[0]))
+    val = rng.normal(0.1, 1.0, len(ks)).cumsum()
+    val = np.where(rng.random(len(ks)) < 0.1, np.nan, val)
+    t = pa.table({
+        "k": pa.array(ks, type=pa.int64()),
+        "g": pa.array([f"g{int(i) % 3}" for i in ks], type=pa.string()),
+        "ts": pa.array(pd.to_datetime(ks * 60, unit="s")),
+        "val": pa.array(val, type=pa.float64()),
+    })
+    pq.write_table(t, os.path.join(dirp, name))
+
+
+@pytest.fixture()
+def ts_dir(tmp_path):
+    d = tmp_path / "ts_data"
+    d.mkdir()
+    for i in range(3):  # disjoint, append-only k ranges
+        _write_ts(str(d), f"part-{i}.parquet",
+                  np.arange(i * 100, (i + 1) * 100))
+    return str(d)
+
+
+def test_incremental_table_level_kinds(ray_session, ts_dir, tmp_path):
+    """Exact unique, freshness, and non_decreasing maintained per file:
+    merged summary equals a full run_expectations rescan; only new files
+    revalidate; merge-time as_of changes revalidate nothing."""
+    from anomaly_detection_ray.stages.expectations import run_expectations
+
+    store = str(tmp_path / "store")
+    suite = [
+        {"check": "unique", "column": "k"},
+        {"check": "unique", "column": "g", "mostly": 0.5},
+        {"check": "freshness", "column": "ts", "by": "g",
+         "as_of": "1970-01-01T06:00:00", "max_lag_s": 3600.0},
+        {"check": "non_decreasing", "column": "val", "by": "g",
+         "order_by": "k"},
+    ]
+    res = ps.update_expectation_store(ts_dir, store, suite)
+    assert res["n_validated"] == 3
+    got = ps.merged_expectations(store)
+    want = run_expectations(rd.read_parquet(ts_dir), suite)
+    pd.testing.assert_frame_equal(got, want)
+    g = got.set_index(["check_name", "column_name"])
+    assert g.loc[("unique", "k"), "passed"]
+    assert int(g.loc[("unique", "g"), "violations"]) == 300 - 3
+    # groups run to ts = 299*60 s < 6h - 1h cutoff → all three stale
+    assert int(g.loc[("freshness", "ts by g"), "violations"]) == 3
+    assert int(g.loc[("non_decreasing", "val"), "violations"]) > 0
+
+    # append-only growth: one new file revalidates, parity holds
+    _write_ts(ts_dir, "part-3.parquet", np.arange(300, 370))
+    res = ps.update_expectation_store(ts_dir, store, suite)
+    assert res["n_validated"] == 1 and res["n_reused"] == 3
+    pd.testing.assert_frame_equal(
+        ps.merged_expectations(store),
+        run_expectations(rd.read_parquet(ts_dir), suite))
+
+    # scheduler tick: new as_of is merge-time only — zero files rescan,
+    # verdict still moves
+    suite2 = [dict(s) for s in suite]
+    suite2[2] = {**suite2[2], "as_of": "1970-01-01T05:10:00"}
+    res = ps.update_expectation_store(ts_dir, store, suite2)
+    assert res["n_validated"] == 0 and res["n_reused"] == 4
+    got2 = ps.merged_expectations(store)
+    pd.testing.assert_frame_equal(
+        got2, run_expectations(rd.read_parquet(ts_dir), suite2))
+    g2 = got2.set_index(["check_name", "column_name"])
+    assert int(g2.loc[("freshness", "ts by g"), "violations"]) == 0
+
+    # multi-column order_by needs a full-order rescan: rejected
+    with pytest.raises(ValueError, match="single order_by"):
+        ps.update_expectation_store(ts_dir, store, [
+            {"check": "non_decreasing", "column": "val", "by": "g",
+             "order_by": ["k", "ts"]}])
+
+
+def test_incremental_nd_overlapping_files(ray_session, tmp_path):
+    """Files whose per-group order ranges interleave force the exact
+    per-group recompute path — merged output still equals a rescan."""
+    from anomaly_detection_ray.stages.expectations import run_expectations
+
+    d = tmp_path / "ov_data"
+    d.mkdir()
+    _write_ts(str(d), "even.parquet", np.arange(0, 200, 2))
+    _write_ts(str(d), "odd.parquet", np.arange(1, 200, 2))
+    _write_ts(str(d), "tail.parquet", np.arange(200, 260))  # disjoint
+
+    store = str(tmp_path / "store")
+    suite = [{"check": "non_decreasing", "column": "val", "by": "g",
+              "order_by": "k"}]
+    ps.update_expectation_store(str(d), store, suite)
+    pd.testing.assert_frame_equal(
+        ps.merged_expectations(store),
+        run_expectations(rd.read_parquet(str(d)), suite))
