@@ -518,11 +518,18 @@ def _nd_pass(paths, part_dir, rel_of, sig, col, by, ob) -> None:
             os.path.join(part_dir, f"{base}.{sig}.nd.parquet"))
 
 
-def merged_expectations(store_dir: str) -> pd.DataFrame:
+def merged_expectations(store_dir: str,
+                        vc_fold_rows: int = 500_000) -> pd.DataFrame:
     """Fold live per-file state into the run_expectations summary shape
     (check_name, column_name, n_rows, violations, passed). No scan of
     the input data — except non_decreasing groups whose per-file order
-    ranges interleave, which re-read exactly their own files."""
+    ranges interleave, which re-read exactly their own files.
+
+    Exact-unique merge is two-regime (the engine's standard fold shape):
+    below ``vc_fold_rows`` total stored (value, count) rows the driver
+    folds in pandas; above, the partials stream through a Ray
+    groupby-count — violations = n − distinct needs only the group COUNT
+    back, so the driver never holds O(distinct) values either way."""
     from ..functions.sketches import HyperLogLog
     from ..stages.expectations import _ROW_LOCAL, _col_label
 
@@ -589,18 +596,24 @@ def merged_expectations(store_dir: str) -> pd.DataFrame:
                 hll.registers = regs
                 v = max(0, int(round(n - hll.estimate())))
         else:
-            vcs = []
-            for rel in rels:
-                p = os.path.join(part_dir, _side_name(rel, spec, "vc"))
-                if os.path.exists(p):
-                    vcs.append(pq.read_table(p).to_pandas())
-            if vcs:
-                counts = (pd.concat(vcs, ignore_index=True)
+            paths = [os.path.join(part_dir, _side_name(rel, spec, "vc"))
+                     for rel in rels]
+            paths = [p for p in paths if os.path.exists(p)]
+            if not paths:
+                n, v = 0, 0
+            elif sum(pq.read_metadata(p).num_rows
+                     for p in paths) <= vc_fold_rows:
+                counts = (pd.concat([pq.read_table(p).to_pandas()
+                                     for p in paths], ignore_index=True)
                           .groupby("val", dropna=True)["cnt"].sum())
                 n = int(counts.sum())
                 v = int((counts - 1).clip(lower=0).sum())
             else:
-                n, v = 0, 0
+                # high-cardinality regime: violations = n − distinct, so
+                # only scalar aggregates leave the cluster
+                ds = rd.read_parquet(paths)
+                n = int(ds.sum("cnt"))
+                v = n - int(ds.groupby("val").count().count())
         records.append((spec, spec["column"], n, v))
 
     out_rows = []

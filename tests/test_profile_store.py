@@ -259,3 +259,19 @@ def test_incremental_nd_overlapping_files(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         ps.merged_expectations(store),
         run_expectations(rd.read_parquet(str(d)), suite))
+
+
+def test_exact_unique_ray_fold_regime(ray_session, ts_dir, tmp_path):
+    """Past the row threshold the exact-unique merge streams through a
+    Ray groupby-count instead of a driver pandas fold — identical
+    verdict (violations = n − distinct in both regimes)."""
+    from anomaly_detection_ray.stages.expectations import run_expectations
+
+    store = str(tmp_path / "store")
+    suite = [{"check": "unique", "column": "k"},
+             {"check": "unique", "column": "g", "mostly": 0.5}]
+    ps.update_expectation_store(ts_dir, store, suite)
+    want = run_expectations(rd.read_parquet(ts_dir), suite)
+    pd.testing.assert_frame_equal(
+        ps.merged_expectations(store, vc_fold_rows=1), want)
+    pd.testing.assert_frame_equal(ps.merged_expectations(store), want)
