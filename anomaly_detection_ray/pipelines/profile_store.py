@@ -519,17 +519,18 @@ def _nd_pass(paths, part_dir, rel_of, sig, col, by, ob) -> None:
 
 
 def merged_expectations(store_dir: str,
-                        vc_fold_rows: int = 500_000) -> pd.DataFrame:
+                        fold_rows: int = 500_000) -> pd.DataFrame:
     """Fold live per-file state into the run_expectations summary shape
     (check_name, column_name, n_rows, violations, passed). No scan of
     the input data — except non_decreasing groups whose per-file order
     ranges interleave, which re-read exactly their own files.
 
-    Exact-unique merge is two-regime (the engine's standard fold shape):
-    below ``vc_fold_rows`` total stored (value, count) rows the driver
-    folds in pandas; above, the partials stream through a Ray
-    groupby-count — violations = n − distinct needs only the group COUNT
-    back, so the driver never holds O(distinct) values either way."""
+    Exact-unique and freshness merges are two-regime (the engine's
+    standard fold shape): below ``fold_rows`` total stored partial rows
+    (footer metadata decides) the driver folds in pandas; above, the
+    partials stream through a Ray groupby — only scalar aggregates
+    (n − distinct for unique, stale-group count for freshness) leave the
+    cluster, so the driver never holds O(distinct)/O(groups) state."""
     from ..functions.sketches import HyperLogLog
     from ..stages.expectations import _ROW_LOCAL, _col_label
 
@@ -537,7 +538,7 @@ def merged_expectations(store_dir: str,
     suite = manifest.get("suite", [])
     part_dir = os.path.join(store_dir, "exp_partials")
     rels = list(manifest["files"])
-    frames, fresh_frames = [], []
+    frames, fr_paths = [], []
     for rel in rels:
         base = _partial_name(rel)[:-len(".parquet")]
         p = os.path.join(part_dir, f"{base}.parquet")
@@ -545,7 +546,7 @@ def merged_expectations(store_dir: str,
             frames.append(pq.read_table(p).to_pandas())
         fp = os.path.join(part_dir, f"{base}.fr.parquet")
         if os.path.exists(fp):
-            fresh_frames.append(pq.read_table(fp).to_pandas())
+            fr_paths.append(fp)
     allp = (pd.concat(frames, ignore_index=True) if frames
             else pd.DataFrame({"key": [], "n": [], "v": [], "reg": []}))
     rowp = allp[allp["reg"].isna()]
@@ -559,7 +560,10 @@ def merged_expectations(store_dir: str,
             r = np.frombuffer(blob, dtype=np.uint8)
             regs = r.copy() if regs is None else np.maximum(regs, r)
         uniq[k] = (int(gu["n"].sum()), regs)
-    freshp = (pd.concat(fresh_frames, ignore_index=True) if fresh_frames
+    small_fr = (fr_paths and sum(pq.read_metadata(p).num_rows
+                                 for p in fr_paths) <= fold_rows)
+    freshp = (pd.concat([pq.read_table(p).to_pandas() for p in fr_paths],
+                        ignore_index=True) if small_fr
               else pd.DataFrame({"key": [], "g": [],
                                  "mt": pd.Series([], dtype=np.int64)}))
 
@@ -568,14 +572,31 @@ def merged_expectations(store_dir: str,
     records = []
     for spec in [s for s in suite if s["check"] == "freshness"]:
         key = _sig_key(spec)
-        g = freshp[freshp["key"] == key]
-        folded = (g.groupby("g")["mt"].max()
-                  if len(g) else pd.Series([], dtype=np.int64))
         as_of = pd.Timestamp(spec["as_of"], unit=(
             "s" if isinstance(spec["as_of"], (int, float)) else None))
         cutoff = as_of.value // 1000 - int(float(spec["max_lag_s"]) * 1e6)
-        n = int(len(folded))
-        v = int((folded < cutoff).sum()) if n else 0
+        if fr_paths and not small_fr:
+            # high-group-cardinality regime: Ray groupby-max; only the
+            # group count and the stale count leave the cluster
+            import pyarrow.compute as _pc
+            from ray.data.aggregate import Max
+            folded_ds = (rd.read_parquet(fr_paths)
+                         .map_batches(lambda t, k=key: t.filter(
+                             _pc.equal(t["key"], k)),
+                             batch_format="pyarrow")
+                         .groupby("g").aggregate(Max("mt", alias_name="mt"))
+                         .materialize())
+            n = int(folded_ds.count())
+            v = (int(folded_ds.map_batches(
+                lambda t, c=cutoff: pd.DataFrame(
+                    {"v": [int((t["mt"].to_numpy() < c).sum())]}),
+                batch_format="pyarrow").sum("v")) if n else 0)
+        else:
+            g = freshp[freshp["key"] == key]
+            folded = (g.groupby("g")["mt"].max()
+                      if len(g) else pd.Series([], dtype=np.int64))
+            n = int(len(folded))
+            v = int((folded < cutoff).sum()) if n else 0
         records.append((spec, spec["column"] if spec.get("by") is None
                         else f"{spec['column']} by {spec['by']}", n, v))
     for spec in [s for s in suite if s["check"] == "non_decreasing"]:
@@ -602,7 +623,7 @@ def merged_expectations(store_dir: str,
             if not paths:
                 n, v = 0, 0
             elif sum(pq.read_metadata(p).num_rows
-                     for p in paths) <= vc_fold_rows:
+                     for p in paths) <= fold_rows:
                 counts = (pd.concat([pq.read_table(p).to_pandas()
                                      for p in paths], ignore_index=True)
                           .groupby("val", dropna=True)["cnt"].sum())

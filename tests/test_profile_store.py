@@ -262,16 +262,18 @@ def test_incremental_nd_overlapping_files(ray_session, tmp_path):
 
 
 def test_exact_unique_ray_fold_regime(ray_session, ts_dir, tmp_path):
-    """Past the row threshold the exact-unique merge streams through a
-    Ray groupby-count instead of a driver pandas fold — identical
-    verdict (violations = n − distinct in both regimes)."""
+    """Past the row threshold the exact-unique and freshness merges
+    stream through Ray groupbys instead of driver pandas folds —
+    identical verdicts in both regimes."""
     from anomaly_detection_ray.stages.expectations import run_expectations
 
     store = str(tmp_path / "store")
     suite = [{"check": "unique", "column": "k"},
-             {"check": "unique", "column": "g", "mostly": 0.5}]
+             {"check": "unique", "column": "g", "mostly": 0.5},
+             {"check": "freshness", "column": "ts", "by": "g",
+              "as_of": "1970-01-01T05:10:00", "max_lag_s": 3600.0}]
     ps.update_expectation_store(ts_dir, store, suite)
     want = run_expectations(rd.read_parquet(ts_dir), suite)
     pd.testing.assert_frame_equal(
-        ps.merged_expectations(store, vc_fold_rows=1), want)
+        ps.merged_expectations(store, fold_rows=1), want)
     pd.testing.assert_frame_equal(ps.merged_expectations(store), want)
