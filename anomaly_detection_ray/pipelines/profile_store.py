@@ -600,7 +600,7 @@ def merged_expectations(store_dir: str,
         records.append((spec, spec["column"] if spec.get("by") is None
                         else f"{spec['column']} by {spec['by']}", n, v))
     for spec in [s for s in suite if s["check"] == "non_decreasing"]:
-        n, v = _merge_nd(manifest, part_dir, rels, spec)
+        n, v = _merge_nd(manifest, part_dir, rels, spec, fold_rows)
         records.append((spec, spec["column"], n, v))
     for spec in [s for s in suite if s["check"] in _ROW_LOCAL]:
         r = by_key.get(_sig_key(spec))
@@ -650,48 +650,93 @@ def merged_expectations(store_dir: str,
             .reset_index(drop=True))
 
 
-def _merge_nd(manifest: dict, part_dir: str, rels: list, spec: dict
-              ) -> tuple:
-    """Fold one non_decreasing check's per-(file, group) partials.
-    Disjoint per-group order ranges merge exactly from state (sum
-    within-file descents + boundary comparisons in range order); a group
-    whose file ranges interleave/tie is recomputed exactly from just its
-    own files."""
+def _nd_fold_group(g: pd.DataFrame) -> tuple:
+    """(n, v, needs_recompute) for one group's per-file partial rows.
+    Exact when per-file order ranges are disjoint: sum within-file
+    descents + boundary comparisons in range order; interleaved/tied
+    ranges defer to an exact recompute."""
+    g = g.sort_values("ob_min", kind="stable")
+    if len(g) > 1 and (g["ob_max"].to_numpy()[:-1]
+                       >= g["ob_min"].to_numpy()[1:]).any():
+        return 0, 0, True
+    n = int(g["n"].sum())
+    v = int(g["v"].sum())
+    if len(g) > 1:
+        last = g["last_v"].to_numpy()[:-1]
+        first = g["first_v"].to_numpy()[1:]
+        v += int((last > first).sum())
+    return n, v, False
+
+
+def _nd_recompute(manifest: dict, rel_list: list, gval, col: str,
+                  by: str, ob: str) -> tuple:
+    """Exact (n, v) for ONE group by re-reading just its own files —
+    O(affected rows), never a corpus rescan."""
+    chunks = []
+    for rel in rel_list:
+        t = pq.read_table(os.path.join(manifest["input_dir"], rel),
+                          columns=sorted({col, by, ob})).to_pandas()
+        chunks.append(t[t[by] == gval] if pd.notna(gval)
+                      else t[t[by].isna()])
+    st = _nd_group_stats(pd.concat(chunks, ignore_index=True), col, ob)
+    return (st[0], st[1]) if st is not None else (0, 0)
+
+
+def _merge_nd(manifest: dict, part_dir: str, rels: list, spec: dict,
+              fold_rows: int = 500_000) -> tuple:
+    """Fold one non_decreasing check's per-(file, group) partials — see
+    _nd_fold_group. Two-regime like every other merge here: below
+    ``fold_rows`` partial rows the driver folds in pandas; above, the
+    partials stream through a Ray groupby(by).map_groups and only the
+    scalar sums plus the (rare) interleaved groups' file lists come back
+    to the driver for exact recompute."""
     col, by, ob = spec["column"], spec["by"], _single_order_by(spec)
-    frames = []
+    paths, path_rel = [], {}
     for rel in rels:
         p = os.path.join(part_dir, _side_name(rel, spec, "nd"))
         if os.path.exists(p):
-            f = pq.read_table(p).to_pandas()
-            f["_rel"] = rel
-            frames.append(f)
-    if not frames:
+            paths.append(p)
+            path_rel[os.path.abspath(p)] = rel
+    if not paths:
         return 0, 0
-    parts = pd.concat(frames, ignore_index=True)
     n_total, v_total = 0, 0
-    for gval, g in parts.groupby(by, dropna=False, sort=False):
-        g = g.sort_values("ob_min", kind="stable")
-        if len(g) > 1 and (g["ob_max"].to_numpy()[:-1]
-                           >= g["ob_min"].to_numpy()[1:]).any():
-            # interleaved/tied ranges: exact recompute from this group's
-            # own files only
-            chunks = []
-            for rel in g["_rel"]:
-                t = pq.read_table(
-                    os.path.join(manifest["input_dir"], rel),
-                    columns=sorted({col, by, ob})).to_pandas()
-                chunks.append(t[t[by] == gval] if pd.notna(gval)
-                              else t[t[by].isna()])
-            st = _nd_group_stats(pd.concat(chunks, ignore_index=True),
-                                 col, ob)
-            if st is not None:
-                n_total += st[0]
-                v_total += st[1]
-            continue
-        n_total += int(g["n"].sum())
-        v_total += int(g["v"].sum())
-        if len(g) > 1:
-            last = g["last_v"].to_numpy()[:-1]
-            first = g["first_v"].to_numpy()[1:]
-            v_total += int((last > first).sum())
+    if sum(pq.read_metadata(p).num_rows for p in paths) <= fold_rows:
+        frames = []
+        for p in paths:
+            f = pq.read_table(p).to_pandas()
+            f["_rel"] = path_rel[os.path.abspath(p)]
+            frames.append(f)
+        parts = pd.concat(frames, ignore_index=True)
+        for gval, g in parts.groupby(by, dropna=False, sort=False):
+            n, v, rec = _nd_fold_group(g)
+            if rec:
+                n, v = _nd_recompute(manifest, list(g["_rel"]), gval,
+                                     col, by, ob)
+            n_total += n
+            v_total += v
+        return n_total, v_total
+
+    nd_ds = rd.read_parquet(paths, include_paths=True)
+    nd_ds = nd_ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.rename(columns={"path": "_path"})
+        n, v, rec = _nd_fold_group(g)
+        return pd.DataFrame({
+            "n": [n], "v": [v], "gkey": [g[by].iloc[0]],
+            "rels": ["\n".join(sorted(set(g["_path"]))) if rec else ""]})
+
+    folded = (nd_ds.groupby(by)
+              .map_groups(per_group, batch_format="pandas").materialize())
+    n_total = int(folded.sum("n"))
+    v_total = int(folded.sum("v"))
+    over = folded.map_batches(
+        lambda df: df[df["rels"] != ""][["gkey", "rels"]],
+        batch_format="pandas").to_pandas()
+    for r in over.itertuples():
+        rel_list = [path_rel[os.path.abspath(p)]
+                    for p in r.rels.split("\n")]
+        n, v = _nd_recompute(manifest, rel_list, r.gkey, col, by, ob)
+        n_total += n
+        v_total += v
     return n_total, v_total

@@ -256,9 +256,11 @@ def test_incremental_nd_overlapping_files(ray_session, tmp_path):
     suite = [{"check": "non_decreasing", "column": "val", "by": "g",
               "order_by": "k"}]
     ps.update_expectation_store(str(d), store, suite)
+    want = run_expectations(rd.read_parquet(str(d)), suite)
+    pd.testing.assert_frame_equal(ps.merged_expectations(store), want)
+    # Ray-regime fold (groupby over the partials) + per-group recompute
     pd.testing.assert_frame_equal(
-        ps.merged_expectations(store),
-        run_expectations(rd.read_parquet(str(d)), suite))
+        ps.merged_expectations(store, fold_rows=1), want)
 
 
 def test_exact_unique_ray_fold_regime(ray_session, ts_dir, tmp_path):
@@ -271,7 +273,9 @@ def test_exact_unique_ray_fold_regime(ray_session, ts_dir, tmp_path):
     suite = [{"check": "unique", "column": "k"},
              {"check": "unique", "column": "g", "mostly": 0.5},
              {"check": "freshness", "column": "ts", "by": "g",
-              "as_of": "1970-01-01T05:10:00", "max_lag_s": 3600.0}]
+              "as_of": "1970-01-01T05:10:00", "max_lag_s": 3600.0},
+             {"check": "non_decreasing", "column": "val", "by": "g",
+              "order_by": "k"}]
     ps.update_expectation_store(ts_dir, store, suite)
     want = run_expectations(rd.read_parquet(ts_dir), suite)
     pd.testing.assert_frame_equal(
