@@ -18,7 +18,11 @@ Second mode — declarative constraint suites over any parquet table
         --data table_dir/ [--out violations_dir] [--num-cpus N]
 
 Prints the per-check summary; exit code 1 if any check failed; with
-``--out`` writes the rows violating any row-local check.
+``--out`` writes the rows violating any row-local check. With
+``--expect-store DIR`` the suite is maintained incrementally
+(pipelines/profile_store): each invocation re-validates only new/changed
+parquet files and summarises from the merged per-file state — the
+scheduler-tick mode for a growing table.
 """
 
 from __future__ import annotations
@@ -42,6 +46,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--expect-by", default=None, metavar="COLUMN",
                    help="grade the --expect-suite per group of this column "
                         "(per-partition verdicts; row sink unavailable)")
+    p.add_argument("--expect-store", default=None, metavar="DIR",
+                   help="maintain the --expect-suite incrementally in this "
+                        "store directory: only new/changed parquet files "
+                        "under --data re-validate (scheduler-tick mode); "
+                        "summary comes from the merged per-file state")
     p.add_argument("--data", default=None,
                    help="message CSV/JSON (default: the config's file_name)")
     p.add_argument("--out", default=None,
@@ -118,6 +127,19 @@ def _expect_mode(args) -> int:
         return 2
     with open(args.expect_suite) as f:
         suite = json.load(f)
+    if args.expect_store:
+        if args.expect_by or args.out:
+            sys.stderr.write("--expect-store is a table-level summary "
+                             "mode: drop --expect-by/--out\n")
+            return 2
+        from anomaly_detection_ray.pipelines import profile_store as ps
+        res = ps.update_expectation_store(args.data, args.expect_store,
+                                          suite)
+        print(f"validated {res['n_validated']} new/changed files, "
+              f"{res['n_reused']} reused, {res['n_dropped']} dropped")
+        summary = ps.merged_expectations(args.expect_store)
+        print(summary.to_string(index=False))
+        return 1 if int((~summary["passed"]).sum()) else 0
     ds = rd.read_parquet(args.data)
     if args.expect_by:
         summary = ex.run_expectations_by(ds, suite, by=args.expect_by)

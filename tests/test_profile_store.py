@@ -281,3 +281,39 @@ def test_exact_unique_ray_fold_regime(ray_session, ts_dir, tmp_path):
     pd.testing.assert_frame_equal(
         ps.merged_expectations(store, fold_rows=1), want)
     pd.testing.assert_frame_equal(ps.merged_expectations(store), want)
+
+
+def test_cli_expect_store_mode(ray_session, ts_dir, tmp_path, capsys):
+    """--expect-store: scheduler-tick CLI — first run validates all
+    files, a second run with one new file revalidates only it, exit code
+    reflects the merged verdict."""
+    import json
+
+    from anomaly_detection_ray.__main__ import main
+
+    suite_path = str(tmp_path / "suite.json")
+    with open(suite_path, "w") as f:
+        json.dump([
+            {"check": "unique", "column": "k"},
+            {"check": "freshness", "column": "ts", "by": "g",
+             "as_of": "1970-01-01T05:10:00", "max_lag_s": 3600.0},
+            {"check": "non_decreasing", "column": "val", "by": "g",
+             "order_by": "k", "mostly": 0.3},
+        ], f)
+    store = str(tmp_path / "store")
+    rc = main(["--expect-suite", suite_path, "--data", ts_dir,
+               "--expect-store", store])
+    out = capsys.readouterr().out
+    assert rc == 0 and "validated 3 new/changed files" in out
+    assert "non_decreasing" in out and "freshness" in out
+
+    _write_ts(ts_dir, "part-9.parquet", np.arange(300, 340))
+    rc = main(["--expect-suite", suite_path, "--data", ts_dir,
+               "--expect-store", store])
+    out = capsys.readouterr().out
+    assert "validated 1 new/changed files, 3 reused" in out
+
+    # incompatible flags are a usage error
+    assert main(["--expect-suite", suite_path, "--data", ts_dir,
+                 "--expect-store", store, "--out", str(tmp_path / "x")]
+                ) == 2
