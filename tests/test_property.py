@@ -300,3 +300,52 @@ def test_bpe_encoder_counts_match_encode_word(texts):
         words = bpe.WORD_RE.findall(t.lower())
         want = sum(len(bpe.encode_word(w, rules)) for w in words)
         assert got["n_bpe_tokens"].iloc[i] == want
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.data())
+def test_nd_fold_partition_invariance(data):
+    """Incremental non_decreasing: for ANY table (unique order keys, NaN
+    holes) split into ANY file assignment (disjoint, interleaved, or
+    tied ranges), per-file partials + the fold/recompute merge must equal
+    the direct whole-table computation (pipelines/profile_store)."""
+    from anomaly_detection_ray.pipelines.profile_store import (
+        _nd_fold_group, _nd_group_stats)
+
+    n = data.draw(st.integers(2, 50))
+    ks = data.draw(st.permutations(list(range(n))))
+    gs = data.draw(st.lists(st.integers(0, 2), min_size=n, max_size=n))
+    vals = data.draw(st.lists(
+        st.one_of(st.floats(-5, 5, allow_nan=False), st.just(np.nan)),
+        min_size=n, max_size=n))
+    files = data.draw(st.lists(st.integers(0, 3), min_size=n, max_size=n))
+    df = pd.DataFrame({"k": ks, "g": [f"g{i}" for i in gs],
+                       "val": vals, "file": files})
+
+    want_n = want_v = 0
+    for _, g in df.groupby("g"):
+        x = g.sort_values("k")["val"].dropna().to_numpy()
+        want_n += len(x)
+        if len(x) > 1:
+            want_v += int((np.diff(x) < 0).sum())
+
+    rows = []
+    for f, fd in df.groupby("file"):
+        for gv, gd in fd.groupby("g"):
+            stt = _nd_group_stats(gd, "val", "k")
+            if stt is not None:
+                rows.append((f, gv) + stt)
+    got_n = got_v = 0
+    if rows:
+        parts = pd.DataFrame(rows, columns=[
+            "_rel", "g", "n", "v", "ob_min", "ob_max", "first_v",
+            "last_v"])
+        for gv, g in parts.groupby("g"):
+            n_, v_, rec = _nd_fold_group(g)
+            if rec:  # interleaved/tied ranges: exact recompute
+                sub = df[(df["g"] == gv) & df["file"].isin(g["_rel"])]
+                stt = _nd_group_stats(sub, "val", "k")
+                n_, v_ = (stt[0], stt[1]) if stt is not None else (0, 0)
+            got_n += n_
+            got_v += v_
+    assert (got_n, got_v) == (want_n, want_v)
