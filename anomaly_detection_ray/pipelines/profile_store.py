@@ -271,11 +271,12 @@ def update_expectation_store(input_dir: str, store_dir: str,
                              suite: list[dict],
                              columns: list[str] | None = None) -> dict:
     """Bring the per-file expectation store up to date with ``input_dir``
-    (see the section comment above for kinds and state shapes). One
-    column-pruned Ray pass over just the new/changed files covers
-    row-local + approx-unique + freshness; each exact-unique and
-    non_decreasing check adds its own pruned pass over the same files.
-    Changing partial-defining suite fields rebuilds the store (suite-hash
+    (see the section comment above for kinds and state shapes). ONE
+    fused, column-pruned read per new/changed file — a Dataset of paths
+    fans out one task per file; each task computes every check's state
+    and writes the side parquets itself, so only acks return to the
+    driver (never O(rows)/O(distinct) partials). Changing
+    partial-defining suite fields rebuilds the store (suite-hash
     contract, same idea as ValidateConfig's config hash); merge-time
     fields (`mostly`, `as_of`, `max_lag_s`) just update the manifest."""
     import shutil
@@ -300,8 +301,8 @@ def update_expectation_store(input_dir: str, store_dir: str,
         for k in ("as_of", "max_lag_s"):
             if k not in s:
                 raise ValueError(f"freshness requires explicit {k!r}")
-    nd_cfg = [(_sig_key(s), s["column"], s["by"], _single_order_by(s))
-              for s in nd_specs]
+    for s in nd_specs:
+        _single_order_by(s)   # validate early (single-column contract)
 
     part_dir = os.path.join(store_dir, "exp_partials")
     os.makedirs(part_dir, exist_ok=True)
@@ -314,14 +315,7 @@ def update_expectation_store(input_dir: str, store_dir: str,
         os.makedirs(part_dir)
     live, todo, dropped = _plan_update(input_dir, manifest.get("files", {}))
 
-    abs_to_rel = {os.path.abspath(os.path.join(input_dir, rel)): rel
-                  for rel in todo}
-
-    def rel_of(p: str) -> str:
-        return abs_to_rel.get(os.path.abspath(p), p)
-
     if todo:
-        paths = [os.path.join(input_dir, rel) for rel in todo]
         # stale partials first: a re-validated file whose new version
         # lost a check's rows must not keep the old state
         for rel in todo:
@@ -329,13 +323,8 @@ def update_expectation_store(input_dir: str, store_dir: str,
             for fn in os.listdir(part_dir):
                 if fn.startswith(base):
                     os.remove(os.path.join(part_dir, fn))
-        _main_pass(paths, part_dir, rel_of, row_specs, uniq_approx,
-                   columns)
-        _fresh_pass(paths, part_dir, rel_of, fresh_specs)
-        for spec in uniq_exact:
-            _vc_pass(paths, part_dir, rel_of, spec)
-        for sig, col, by, ob in nd_cfg:
-            _nd_pass(paths, part_dir, rel_of, sig, col, by, ob)
+        _validate_files(input_dir, part_dir, todo, row_specs, uniq_approx,
+                        uniq_exact, fresh_specs, nd_specs, columns)
 
     for rel in dropped:
         base = _partial_name(rel)[:-len(".parquet")]
@@ -351,171 +340,132 @@ def update_expectation_store(input_dir: str, store_dir: str,
             "n_reused": len(live) - len(todo), "n_dropped": len(dropped)}
 
 
-def _main_pass(paths, part_dir, rel_of, row_specs, uniq_approx,
-               columns) -> None:
-    """Row-local counters + approx-unique HLL registers, one pruned Ray
-    pass, one partial parquet per file (rows: key, n, v, reg)."""
+def _validate_files(input_dir, part_dir, todo, row_specs, uniq_approx,
+                    uniq_exact, fresh_specs, nd_specs, columns) -> None:
+    """ONE fused, column-pruned read per new/changed file: a Dataset of
+    file paths fans out one task per file; each task computes every
+    check's per-file state — row-local counters + approx-unique HLL
+    registers (``<base>.parquet``), freshness per-group max event time
+    as exact int64 epoch-us (``<base>.fr.parquet`` — never nullable, so
+    it round-trips without the float64 precision loss a null-padded
+    int64 column suffers), exact-unique native-dtype value counts
+    (``<base>.<sig>.vc.parquet``), and per-group non_decreasing stats
+    (``<base>.<sig>.nd.parquet``) — and writes the side parquets itself.
+    Only acks return to the driver: never O(rows) or O(distinct)
+    partials (the exact-unique state of a near-unique column is
+    file-sized and goes straight from the task to the store). The store
+    directory must be visible to workers (same contract as every
+    parquet sink here)."""
     from ..stages.expectations import _compile_mask
 
-    if not (row_specs or uniq_approx):
-        return
     keys = [_sig_key(s) for s in row_specs]
     compiled = [_compile_mask(s) for s in row_specs]
     uniq_cfg = [(_sig_key(s), s["column"], int(s.get("hll_p", 14)))
                 for s in uniq_approx]
-    need = sorted({s["column"] for s in [*row_specs, *uniq_approx]}
-                  | {s["other"] for s in row_specs
-                     if s["check"] == "col_compare"})
-    ds = rd.read_parquet(paths, columns=(columns or need),
-                         include_paths=True)
+    fresh_cfg = [(_sig_key(s), s["column"], s.get("by"))
+                 for s in fresh_specs]
+    vc_cfg = [(s, s["column"]) for s in uniq_exact]
+    nd_cfg = [(s, s["column"], s["by"], _single_order_by(s))
+              for s in nd_specs]
+    need = columns or sorted(
+        {s["column"] for s in [*row_specs, *uniq_approx, *uniq_exact,
+                               *fresh_specs, *nd_specs]}
+        | {s["other"] for s in row_specs if s["check"] == "col_compare"}
+        | {s["by"] for s in [*fresh_specs, *nd_specs]
+           if s.get("by") is not None}
+        | {_single_order_by(s) for s in nd_specs})
 
-    def partial(t: pa.Table) -> pd.DataFrame:
+    def per_file(batch: pd.DataFrame) -> pd.DataFrame:
         from ..functions.sketches import HyperLogLog
-        rows = []
-        for p, sl in _run_split(t):
+        for rel in batch["rel"]:
+            t = pq.read_table(os.path.join(input_dir, rel), columns=need)
+            base = _partial_name(rel)[:-len(".parquet")]
+
+            main = {"key": [], "n": [], "v": [], "reg": []}
             for k, mask in zip(keys, compiled):
-                rows.append((p, k, len(sl), int(mask(sl).sum()), None))
+                main["key"].append(k)
+                main["n"].append(len(t))
+                main["v"].append(int(mask(t).sum()))
+                main["reg"].append(None)
             for k, col, hp in uniq_cfg:
                 # mirror run_expectations' approx path: NULLs are
                 # excluded from both n and the register stream
-                valid = sl[col].drop_null()
+                valid = t[col].drop_null()
                 h = pd.util.hash_pandas_object(
                     valid.to_pandas(), index=False).to_numpy(np.uint64)
                 hll = HyperLogLog(hp)
                 hll.add_hashes(h)
-                rows.append((p, k, len(valid), 0,
-                             hll.registers.tobytes()))
-        return pd.DataFrame(rows,
-                            columns=["src", "key", "n", "v", "reg"])
+                main["key"].append(k)
+                main["n"].append(len(valid))
+                main["v"].append(0)
+                main["reg"].append(hll.registers.tobytes())
+            if main["key"]:
+                pq.write_table(
+                    pa.table({"key": pa.array(main["key"], pa.string()),
+                              "n": pa.array(main["n"], pa.int64()),
+                              "v": pa.array(main["v"], pa.int64()),
+                              "reg": pa.array(main["reg"], pa.binary())}),
+                    os.path.join(part_dir, f"{base}.parquet"))
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    parts["rel"] = parts["src"].map(rel_of)
-    for rel, g in parts.groupby("rel"):
-        agg = (g[g["reg"].isna()]
-               .groupby("key", as_index=False)[["n", "v"]].sum())
-        agg["reg"] = None
-        urows = []
-        for k, gu in g[g["reg"].notna()].groupby("key"):
-            regs = None
-            for blob in gu["reg"]:
-                r = np.frombuffer(blob, dtype=np.uint8)
-                regs = r.copy() if regs is None else np.maximum(regs, r)
-            urows.append({"key": k, "n": int(gu["n"].sum()), "v": 0,
-                          "reg": regs.tobytes()})
-        if urows:
-            agg = pd.concat([agg, pd.DataFrame(urows)],
-                            ignore_index=True)
-        pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
-                       os.path.join(part_dir, _partial_name(rel)))
-
-
-def _fresh_pass(paths, part_dir, rel_of, fresh_specs) -> None:
-    """Freshness state: per-file per-group max event time as exact int64
-    epoch-µs (own side parquet so the column is never nullable — a
-    null-padded int64 round-trips through pandas as float64 and loses µs
-    precision). `as_of`/`max_lag_s` are applied at merge time."""
-    if not fresh_specs:
-        return
-    fresh_cfg = [(_sig_key(s), s["column"], s.get("by"))
-                 for s in fresh_specs]
-    need = sorted({s["column"] for s in fresh_specs}
-                  | {s["by"] for s in fresh_specs
-                     if s.get("by") is not None})
-    ds = rd.read_parquet(paths, columns=need, include_paths=True)
-
-    def partial(t: pa.Table) -> pd.DataFrame:
-        rows = []
-        for p, sl in _run_split(t):
+            fr = {"key": [], "g": [], "mt": []}
             for k, col, by in fresh_cfg:
                 # mirror run_expectations' fresh_partial exactly
-                df = sl.select(sorted({col} | ({by} if by is not None
-                                               else set()))).to_pandas()
+                df = t.select(sorted({col} | ({by} if by is not None
+                                              else set()))).to_pandas()
                 ts = df[col].astype("datetime64[us]").astype(np.int64)
                 g = (pd.Series([""] * len(df)) if by is None
                      else df[by].astype(str))
                 t2 = pd.DataFrame({"_g": g.to_numpy(), "mt": ts})
                 t2 = t2[df[col].notna().to_numpy()]
                 for gv, mt in t2.groupby("_g")["mt"].max().items():
-                    rows.append((p, k, gv, int(mt)))
-        return pd.DataFrame(rows, columns=["src", "key", "g", "mt"])
+                    fr["key"].append(k)
+                    fr["g"].append(gv)
+                    fr["mt"].append(int(mt))
+            if fr["key"]:
+                pq.write_table(
+                    pa.table({"key": pa.array(fr["key"], pa.string()),
+                              "g": pa.array(fr["g"], pa.string()),
+                              "mt": pa.array(fr["mt"], pa.int64())}),
+                    os.path.join(part_dir, f"{base}.fr.parquet"))
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    if not len(parts):
-        return
-    parts["rel"] = parts["src"].map(rel_of)
-    for rel, g in parts.groupby("rel"):
-        fm = g.groupby(["key", "g"], as_index=False)["mt"].max()
-        base = _partial_name(rel)[:-len(".parquet")]
-        pq.write_table(
-            pa.table({"key": pa.array(list(fm["key"]), pa.string()),
-                      "g": pa.array(list(fm["g"]), pa.string()),
-                      "mt": pa.array([int(x) for x in fm["mt"]],
-                                     pa.int64())}),
-            os.path.join(part_dir, f"{base}.fr.parquet"))
+            for spec, col in vc_cfg:
+                # native-dtype (value, count): no lossy casts, no hash
+                # collisions
+                s = t[col].to_pandas()
+                vc = s.groupby(s, dropna=True).size()
+                if len(vc):
+                    pq.write_table(
+                        pa.Table.from_pandas(
+                            pd.DataFrame({"val": vc.index.to_numpy(),
+                                          "cnt": vc.to_numpy()}),
+                            preserve_index=False),
+                        os.path.join(part_dir,
+                                     _side_name(rel, spec, "vc")))
 
+            for spec, col, by, ob in nd_cfg:
+                df = t.select(sorted({col, by, ob})).to_pandas()
+                frames = []
+                for gv, gd in df.groupby(by, dropna=False, sort=False):
+                    st = _nd_group_stats(gd, col, ob)
+                    if st is None:
+                        continue
+                    n, v, ob_min, ob_max, first_v, last_v = st
+                    frames.append(pd.DataFrame(
+                        {by: [gv], "n": [n], "v": [v],
+                         "ob_min": [ob_min], "ob_max": [ob_max],
+                         "first_v": [first_v], "last_v": [last_v]}))
+                if frames:
+                    pq.write_table(
+                        pa.Table.from_pandas(
+                            pd.concat(frames, ignore_index=True),
+                            preserve_index=False),
+                        os.path.join(part_dir,
+                                     _side_name(rel, spec, "nd")))
+        return batch[["rel"]]
 
-def _vc_pass(paths, part_dir, rel_of, spec) -> None:
-    """Exact-unique state: per-file (value, count) tables in the value's
-    NATIVE dtype (no lossy casts, no hash collisions)."""
-    col = spec["column"]
-    ds = rd.read_parquet(paths, columns=[col], include_paths=True)
-
-    def vc(t: pa.Table) -> pd.DataFrame:
-        out = []
-        for p, sl in _run_split(t):
-            s = sl[col].to_pandas()
-            g = s.groupby(s, dropna=True).size()
-            out.append(pd.DataFrame({"src": p, "val": g.index.to_numpy(),
-                                     "cnt": g.to_numpy()}))
-        return (pd.concat(out, ignore_index=True) if out
-                else pd.DataFrame({"src": [], "val": [], "cnt": []}))
-
-    parts = ds.map_batches(vc, batch_format="pyarrow").to_pandas()
-    if not len(parts):
-        return
-    parts["rel"] = parts["src"].map(rel_of)
-    for rel, g in parts.groupby("rel"):
-        agg = g.groupby("val", dropna=True, as_index=False)["cnt"].sum()
-        pq.write_table(pa.Table.from_pandas(agg, preserve_index=False),
-                       os.path.join(part_dir, _side_name(rel, spec, "vc")))
-
-
-def _nd_pass(paths, part_dir, rel_of, sig, col, by, ob) -> None:
-    """non_decreasing state: one exact (n, descents, order-range,
-    first/last value) row per (file, group), native dtypes. groupby
-    (path, group) gives each task a whole group-within-file — exact even
-    when Ray splits a file across read batches."""
-    cols = sorted({col, by, ob})
-    ds = rd.read_parquet(paths, columns=cols, include_paths=True)
-    # groupby plans against the pre-read schema, which does not yet show
-    # the include_paths column — surface it with a no-op batch stage
-    ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
-
-    def stats(df: pd.DataFrame) -> pd.DataFrame:
-        st = _nd_group_stats(df, col, ob)
-        if st is None:
-            return df.iloc[:0][["path", by]].assign(
-                n=pd.Series(dtype=np.int64), v=pd.Series(dtype=np.int64),
-                ob_min=df[ob].iloc[:0], ob_max=df[ob].iloc[:0],
-                first_v=df[col].iloc[:0], last_v=df[col].iloc[:0])
-        n, v, ob_min, ob_max, first_v, last_v = st
-        return pd.DataFrame({"path": [df["path"].iloc[0]],
-                             by: [df[by].iloc[0]],
-                             "n": [n], "v": [v],
-                             "ob_min": [ob_min], "ob_max": [ob_max],
-                             "first_v": [first_v], "last_v": [last_v]})
-
-    parts = (ds.groupby(["path", by])
-             .map_groups(stats, batch_format="pandas").to_pandas())
-    if not len(parts):
-        return
-    parts["rel"] = parts["path"].map(rel_of)
-    for rel, g in parts.groupby("rel"):
-        base = _partial_name(rel)[:-len(".parquet")]
-        pq.write_table(
-            pa.Table.from_pandas(g.drop(columns=["path", "rel"]),
-                                 preserve_index=False),
-            os.path.join(part_dir, f"{base}.{sig}.nd.parquet"))
+    (rd.from_items([{"rel": rel} for rel in todo])
+     .map_batches(per_file, batch_size=1, batch_format="pandas")
+     .materialize())
 
 
 def merged_expectations(store_dir: str,
