@@ -201,7 +201,8 @@ def _type_from_str(name: str) -> pa.DataType:
 #   (n, violations) counters — sum at merge.
 # - unique approx: HLL registers — max at merge (the 10^12-key path).
 # - unique exact: native-dtype (value, count) tables — groupby-sum at
-#   merge; merge cost is O(total distinct), use approx past that.
+#   merge (two-regime: Ray fold past a row threshold, so the driver
+#   never holds O(distinct); approx is still the 10^12-key path).
 # - freshness: per-group max-event-time — max at merge; `as_of` /
 #   `max_lag_s` are MERGE-TIME params, so a scheduler tick with a new
 #   as_of revalidates zero files.
