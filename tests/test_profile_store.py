@@ -317,3 +317,31 @@ def test_cli_expect_store_mode(ray_session, ts_dir, tmp_path, capsys):
     assert main(["--expect-suite", suite_path, "--data", ts_dir,
                  "--expect-store", store, "--out", str(tmp_path / "x")]
                 ) == 2
+
+
+def test_orphan_partials_overwritten(ray_session, ts_dir, tmp_path):
+    """Crash-safety: partials written before a crash that never reached
+    the manifest commit are garbage with no manifest entry — the next
+    update must replace them (content-keyed names + todo cleanup), never
+    merge them."""
+    from anomaly_detection_ray.pipelines.profile_store import (
+        _partial_name)
+    from anomaly_detection_ray.stages.expectations import run_expectations
+
+    store = str(tmp_path / "store")
+    part_dir = os.path.join(store, "exp_partials")
+    os.makedirs(part_dir)
+    # fake orphan state for a file the (empty) manifest has never seen
+    garbage = pa.table({"key": pa.array(["bogus"], pa.string()),
+                        "n": pa.array([10**9], pa.int64()),
+                        "v": pa.array([10**9], pa.int64()),
+                        "reg": pa.array([None], pa.binary())})
+    pq.write_table(garbage, os.path.join(
+        part_dir, _partial_name("part-0.parquet")))
+
+    suite = [{"check": "unique", "column": "k"},
+             {"check": "not_null", "column": "val"}]
+    ps.update_expectation_store(ts_dir, store, suite)
+    pd.testing.assert_frame_equal(
+        ps.merged_expectations(store),
+        run_expectations(rd.read_parquet(ts_dir), suite))
