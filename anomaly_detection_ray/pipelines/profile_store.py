@@ -469,6 +469,28 @@ def _validate_files(input_dir, part_dir, todo, row_specs, uniq_approx,
      .materialize())
 
 
+def _merge_main_rows(t: pa.Table) -> pd.DataFrame:
+    """Associatively merge (key, n, v, reg) partial rows: counters sum,
+    HLL registers elementwise-max — applied per Ray block in the
+    many-file regime and once more for the final driver fold."""
+    df = t.to_pandas()
+    plain = df[df["reg"].isna()]
+    agg = (plain.groupby("key", as_index=False)[["n", "v"]].sum()
+           if len(plain) else pd.DataFrame({"key": [], "n": [], "v": []}))
+    agg["reg"] = None
+    rows = []
+    for k, gu in df[df["reg"].notna()].groupby("key"):
+        regs = None
+        for blob in gu["reg"]:
+            r = np.frombuffer(blob, dtype=np.uint8)
+            regs = r.copy() if regs is None else np.maximum(regs, r)
+        rows.append({"key": k, "n": int(gu["n"].sum()), "v": 0,
+                     "reg": regs.tobytes()})
+    if rows:
+        agg = pd.concat([agg, pd.DataFrame(rows)], ignore_index=True)
+    return agg[["key", "n", "v", "reg"]]
+
+
 def merged_expectations(store_dir: str,
                         fold_rows: int = 500_000) -> pd.DataFrame:
     """Fold live per-file state into the run_expectations summary shape
@@ -476,12 +498,13 @@ def merged_expectations(store_dir: str,
     the input data — except non_decreasing groups whose per-file order
     ranges interleave, which re-read exactly their own files.
 
-    Exact-unique and freshness merges are two-regime (the engine's
-    standard fold shape): below ``fold_rows`` total stored partial rows
-    (footer metadata decides) the driver folds in pandas; above, the
-    partials stream through a Ray groupby — only scalar aggregates
-    (n − distinct for unique, stale-group count for freshness) leave the
-    cluster, so the driver never holds O(distinct)/O(groups) state."""
+    Every fold here is two-regime (the engine's standard shape): below
+    ``fold_rows`` total stored partial rows (footer metadata decides —
+    main counter/register files switch at ``fold_rows/64`` files) the
+    driver folds in pandas; above, the partials stream through Ray —
+    per-block pre-merge for counters/HLL registers, groupby folds for
+    unique/freshness/non_decreasing — so only per-key/scalar aggregates
+    reach the driver, never O(files)/O(distinct)/O(groups) raw state."""
     from ..functions.sketches import HyperLogLog
     from ..stages.expectations import _ROW_LOCAL, _col_label
 
@@ -489,17 +512,29 @@ def merged_expectations(store_dir: str,
     suite = manifest.get("suite", [])
     part_dir = os.path.join(store_dir, "exp_partials")
     rels = list(manifest["files"])
-    frames, fr_paths = [], []
+    main_paths, fr_paths = [], []
     for rel in rels:
         base = _partial_name(rel)[:-len(".parquet")]
         p = os.path.join(part_dir, f"{base}.parquet")
         if os.path.exists(p):
-            frames.append(pq.read_table(p).to_pandas())
+            main_paths.append(p)
         fp = os.path.join(part_dir, f"{base}.fr.parquet")
         if os.path.exists(fp):
             fr_paths.append(fp)
-    allp = (pd.concat(frames, ignore_index=True) if frames
-            else pd.DataFrame({"key": [], "n": [], "v": [], "reg": []}))
+    if len(main_paths) <= max(1, fold_rows // 64):
+        frames = [pq.read_table(p).to_pandas() for p in main_paths]
+        allp = (pd.concat(frames, ignore_index=True) if frames
+                else pd.DataFrame({"key": [], "n": [], "v": [],
+                                   "reg": []}))
+    else:
+        # many-file regime: read the per-file counter/register rows in
+        # parallel and pre-merge per block — the driver folds one row
+        # per (key, block), not one per (key, file)
+        allp = (rd.read_parquet(main_paths)
+                .map_batches(_merge_main_rows, batch_format="pyarrow")
+                .to_pandas())
+        allp = _merge_main_rows(pa.Table.from_pandas(
+            allp, preserve_index=False))
     rowp = allp[allp["reg"].isna()]
     agg = (rowp.groupby("key", as_index=False)[["n", "v"]].sum()
            if len(rowp) else pd.DataFrame({"key": [], "n": [], "v": []}))

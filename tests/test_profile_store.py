@@ -270,8 +270,11 @@ def test_exact_unique_ray_fold_regime(ray_session, ts_dir, tmp_path):
     from anomaly_detection_ray.stages.expectations import run_expectations
 
     store = str(tmp_path / "store")
-    suite = [{"check": "unique", "column": "k"},
+    suite = [{"check": "not_null", "column": "val", "mostly": 0.5},
+             {"check": "unique", "column": "k"},
              {"check": "unique", "column": "g", "mostly": 0.5},
+             {"check": "unique", "column": "k", "approx": True,
+              "mostly": 0.98},
              {"check": "freshness", "column": "ts", "by": "g",
               "as_of": "1970-01-01T05:10:00", "max_lag_s": 3600.0},
              {"check": "non_decreasing", "column": "val", "by": "g",
