@@ -220,6 +220,9 @@ def _type_from_str(name: str) -> pa.DataType:
 # changing `mostly`/`as_of`/`max_lag_s` never rebuilds.
 
 _MERGE_TIME_KEYS = {"mostly", "as_of", "max_lag_s"}
+# bump when the partial-file layout changes: rides the suite hash, so a
+# store written by an older layout rebuilds instead of being mis-read
+_STORE_VERSION = 2
 
 
 def _partial_sig(spec: dict) -> str:
@@ -309,7 +312,8 @@ def update_expectation_store(input_dir: str, store_dir: str,
     os.makedirs(part_dir, exist_ok=True)
     manifest = _load_manifest(store_dir)
     suite_hash = hashlib.md5(json.dumps(
-        sorted(_partial_sig(s) for s in suite)).encode()).hexdigest()[:12]
+        [_STORE_VERSION, sorted(_partial_sig(s) for s in suite)]
+    ).encode()).hexdigest()[:12]
     if manifest.get("suite_hash") not in (None, suite_hash):
         manifest = {"files": {}}          # suite changed: full rebuild
         shutil.rmtree(part_dir)           # drop stale per-sig side files
