@@ -1396,13 +1396,16 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             p AS (
               SELECT doc_id, n_tokens,
-                     coalesce(SUM(n_tokens) OVER
+                     -- DuckDB SUM(BIGINT) OVER yields HUGEINT, which pandas
+                     -- renders as float64 and the driver hashes as floats;
+                     -- cast back so dtypes match the engine's int64
+                     CAST(coalesce(SUM(n_tokens) OVER
                        (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
-                        AND 1 PRECEDING), 0) AS start_tok
+                        AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
               FROM t)
             SELECT doc_id, n_tokens, start_tok,
-                   start_tok // 512 AS pack_id,
-                   start_tok % 512 AS pack_offset
+                   CAST(start_tok // 512 AS BIGINT) AS pack_id,
+                   CAST(start_tok % 512 AS BIGINT) AS pack_offset
             FROM p
         """,
         "mixture_sample_documents": """

@@ -10,10 +10,11 @@ stages: stateless kernels in ``map_batches``, order-dependent kernels in
 
 A user of the reference can point ``run_reference_config`` at their config +
 message CSV/JSON and get the same per-record verdict columns, computed
-data-parallel. Unsupported scorers (Keras/Prophet/rrcf-backed: GAN,
-Trend_Classification, fb_Prophet, RRCF_trees) raise NotImplementedError with
-the reason (those libraries are deliberately out of the dependency set; see
-SURVEY.md §2.4).
+data-parallel. Every reference scorer resolves — including the model-backed
+ones (GAN via the from-scratch numpy autoencoder in stages/autoencoder.py,
+Trend_Classification via stages/trend.py, fb_Prophet via the seasonal
+forecaster in stages/asof.py, RRCF_trees via stages/rrcf.py); `_UNSUPPORTED`
+is empty and exists only as the hook for future env-blocked names.
 """
 
 from __future__ import annotations

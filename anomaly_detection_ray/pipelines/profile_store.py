@@ -258,7 +258,7 @@ def _nd_group_stats(df: pd.DataFrame, col: str, ob: str) -> tuple | None:
     """(n, descents, ob_min, ob_max, first_v, last_v) of one group's rows
     sorted by ob, restricted to non-null `col` (run_expectations
     per_group semantics, sliced per file)."""
-    s = df.sort_values(ob)
+    s = df.sort_values(ob, kind="stable")
     keep = s[col].notna().to_numpy()
     if not keep.any():
         return None
@@ -294,13 +294,26 @@ def update_expectation_store(input_dir: str, store_dir: str,
             f"incremental expectations support row-local kinds plus "
             f"unique/freshness/non_decreasing; {bad!r} need schema or "
             "graded evaluation — run them via run_expectations instead")
-    row_specs = [s for s in suite if s["check"] in _ROW_LOCAL]
-    uniq_approx = [s for s in suite
-                   if s["check"] == "unique" and s.get("approx")]
-    uniq_exact = [s for s in suite
-                  if s["check"] == "unique" and not s.get("approx")]
-    fresh_specs = [s for s in suite if s["check"] == "freshness"]
-    nd_specs = [s for s in suite if s["check"] == "non_decreasing"]
+    # state is per-_sig_key: two specs differing only in merge-time fields
+    # (mostly/as_of/max_lag_s) share one state row, so fan out each sig
+    # ONCE — appending it per variant would double-count n/v in the merge
+    # (merged_expectations looks up by sig, one row serves all variants)
+    def _dedup_sig(specs: list[dict]) -> list[dict]:
+        seen: dict[str, dict] = {}
+        for s in specs:
+            seen.setdefault(_sig_key(s), s)
+        return list(seen.values())
+
+    row_specs = _dedup_sig([s for s in suite if s["check"] in _ROW_LOCAL])
+    uniq_approx = _dedup_sig([s for s in suite
+                              if s["check"] == "unique" and s.get("approx")])
+    uniq_exact = _dedup_sig([s for s in suite
+                             if s["check"] == "unique"
+                             and not s.get("approx")])
+    fresh_specs = _dedup_sig([s for s in suite
+                              if s["check"] == "freshness"])
+    nd_specs = _dedup_sig([s for s in suite
+                           if s["check"] == "non_decreasing"])
     for s in fresh_specs:
         for k in ("as_of", "max_lag_s"):
             if k not in s:
@@ -311,8 +324,10 @@ def update_expectation_store(input_dir: str, store_dir: str,
     part_dir = os.path.join(store_dir, "exp_partials")
     os.makedirs(part_dir, exist_ok=True)
     manifest = _load_manifest(store_dir)
+    # set-dedupe: adding a merge-time-only variant adds no new state, so
+    # it must not change the hash (identical to sorted(...) otherwise)
     suite_hash = hashlib.md5(json.dumps(
-        [_STORE_VERSION, sorted(_partial_sig(s) for s in suite)]
+        [_STORE_VERSION, sorted({_partial_sig(s) for s in suite})]
     ).encode()).hexdigest()[:12]
     if manifest.get("suite_hash") not in (None, suite_hash):
         manifest = {"files": {}}          # suite changed: full rebuild
@@ -320,22 +335,27 @@ def update_expectation_store(input_dir: str, store_dir: str,
         os.makedirs(part_dir)
     live, todo, dropped = _plan_update(input_dir, manifest.get("files", {}))
 
+    # ONE directory listing bucketed by the 16-char hash prefix — per-rel
+    # listdir would make a full rebuild O(todo x store-files)
+    by_base: dict[str, list[str]] = {}
+    for fn in os.listdir(part_dir):
+        by_base.setdefault(fn[:16], []).append(fn)
+
+    def _drop_partials(rel: str) -> None:
+        base = _partial_name(rel)[:-len(".parquet")]
+        for fn in by_base.pop(base, []):
+            os.remove(os.path.join(part_dir, fn))
+
     if todo:
         # stale partials first: a re-validated file whose new version
         # lost a check's rows must not keep the old state
         for rel in todo:
-            base = _partial_name(rel)[:-len(".parquet")]
-            for fn in os.listdir(part_dir):
-                if fn.startswith(base):
-                    os.remove(os.path.join(part_dir, fn))
+            _drop_partials(rel)
         _validate_files(input_dir, part_dir, todo, row_specs, uniq_approx,
                         uniq_exact, fresh_specs, nd_specs, columns)
 
     for rel in dropped:
-        base = _partial_name(rel)[:-len(".parquet")]
-        for fn in os.listdir(part_dir):
-            if fn.startswith(base):
-                os.remove(os.path.join(part_dir, fn))
+        _drop_partials(rel)
     manifest["files"] = live
     manifest["suite_hash"] = suite_hash
     manifest["suite"] = suite
@@ -646,6 +666,11 @@ def _nd_fold_group(g: pd.DataFrame) -> tuple:
     descents + boundary comparisons in range order; interleaved/tied
     ranges defer to an exact recompute."""
     g = g.sort_values("ob_min", kind="stable")
+    # null order_by values make ob_min/ob_max NaN/NaT: every >= compare
+    # is False, which would silently treat the files as disjoint — defer
+    # to the exact recompute instead (boundary order is undefined)
+    if g["ob_min"].isna().any() or g["ob_max"].isna().any():
+        return 0, 0, True
     if len(g) > 1 and (g["ob_max"].to_numpy()[:-1]
                        >= g["ob_min"].to_numpy()[1:]).any():
         return 0, 0, True

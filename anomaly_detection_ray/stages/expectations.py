@@ -359,7 +359,9 @@ def run_expectations(ds, suite: list[dict]) -> pd.DataFrame:
 
         def per_group(g: pd.DataFrame, col=col, order_by=order_by
                       ) -> pd.DataFrame:
-            x = g.sort_values(order_by)[col].dropna().to_numpy()
+            # stable sort pins tie semantics so the incremental store's
+            # per-file slices (_nd_group_stats) fold to the same counts
+            x = g.sort_values(order_by, kind="stable")[col].dropna().to_numpy()
             v = 0
             if len(x) > 1:
                 d = np.diff(x)  # timedelta64 for datetime cols: compare

@@ -120,7 +120,11 @@ def bloom_dedup_candidates(ds, key_col: str = "clip_id", n_shards: int = 8,
     candidates = ds.map_batches(phase1, batch_format="pandas",
                                 concurrency=n_shards).to_pandas()
     if candidates.empty:
-        return pd.DataFrame({key_col: [], "cnt": []})
+        # typed empty frame: untyped [] columns default to object and
+        # coerce to float downstream, which breaks dtype parity with the
+        # oracle's VARCHAR/BIGINT schema on 0-row results
+        return pd.DataFrame({key_col: pd.Series([], dtype=object),
+                             "cnt": pd.Series([], dtype="int64")})
     # exact confirm: count candidate ids in the original dataset
     cand_set = set(candidates[key_col])
     cand_ref = ray.put(cand_set)

@@ -348,3 +348,84 @@ def test_orphan_partials_overwritten(ray_session, ts_dir, tmp_path):
     pd.testing.assert_frame_equal(
         ps.merged_expectations(store),
         run_expectations(rd.read_parquet(ts_dir), suite))
+
+def test_merge_time_variants_share_state(ray_session, ts_dir, tmp_path):
+    """Two specs differing only in merge-time fields (same _sig_key) must
+    fan out ONCE: state rows are per-sig, so appending them per variant
+    double-counted n/v in the merge (spurious verdict flips)."""
+    from anomaly_detection_ray.stages.expectations import run_expectations
+
+    store = str(tmp_path / "store")
+    suite = [
+        {"check": "unique", "column": "k", "approx": True, "mostly": 0.99},
+        {"check": "unique", "column": "k", "approx": True, "mostly": 0.5},
+        {"check": "unique", "column": "k", "mostly": 0.99},
+        {"check": "unique", "column": "k", "mostly": 0.5},
+        {"check": "not_null", "column": "val", "mostly": 0.99},
+        {"check": "not_null", "column": "val", "mostly": 0.5},
+        {"check": "freshness", "column": "ts", "by": "g",
+         "as_of": "1970-01-01T05:10:00", "max_lag_s": 3600.0},
+        {"check": "freshness", "column": "ts", "by": "g",
+         "as_of": "1970-01-01T06:00:00", "max_lag_s": 3600.0},
+        {"check": "non_decreasing", "column": "val", "by": "g",
+         "order_by": "k", "mostly": 0.99},
+        {"check": "non_decreasing", "column": "val", "by": "g",
+         "order_by": "k", "mostly": 0.3},
+    ]
+    ps.update_expectation_store(ts_dir, store, suite)
+    got = ps.merged_expectations(store)
+    want = run_expectations(rd.read_parquet(ts_dir), suite)
+    pd.testing.assert_frame_equal(got, want)
+    # k IS unique: the strict variant must pass (the double-count bug
+    # made violations = n_rows - 1 per extra variant and flipped this)
+    g = got.reset_index()
+    row = g[(g.check_name == "unique") & (g.column_name == "k")]
+    assert row["passed"].all() and (row["violations"] == 0).all()
+
+    # adding a merge-time-only variant later revalidates nothing
+    suite2 = [*suite,
+              {"check": "not_null", "column": "val", "mostly": 0.7}]
+    res = ps.update_expectation_store(ts_dir, store, suite2)
+    assert res["n_validated"] == 0
+    pd.testing.assert_frame_equal(
+        ps.merged_expectations(store),
+        run_expectations(rd.read_parquet(ts_dir), suite2))
+
+
+def test_nd_null_order_keys_force_recompute(ray_session, tmp_path):
+    """Null order_by values make per-file ob ranges NaN: every range
+    comparison is False, which silently treated interleaved files as
+    disjoint — they must defer to the exact recompute instead."""
+    from anomaly_detection_ray.stages.expectations import run_expectations
+
+    d = tmp_path / "nd_null"
+    d.mkdir()
+
+    def _write_nulls(name, ks, null_at):
+        ks = np.asarray(ks, dtype=np.float64)
+        val = np.arange(len(ks), dtype=np.float64)
+        val[::3] -= 5.0          # descents to count
+        k = ks.copy()
+        if null_at is not None:
+            k[null_at] = np.nan
+        t = pa.table({
+            "k": pa.array(k, type=pa.float64()),
+            "g": pa.array([f"g{int(i) % 2}" for i in ks],
+                          type=pa.string()),
+            "val": pa.array(val, type=pa.float64()),
+        })
+        pq.write_table(t, os.path.join(str(d), name))
+
+    # one null order key in one file; ranges otherwise overlap the
+    # second file so both fold paths are exercised
+    _write_nulls("a.parquet", np.arange(0, 100), null_at=7)
+    _write_nulls("b.parquet", np.arange(50, 150), null_at=None)
+
+    store = str(tmp_path / "store")
+    suite = [{"check": "non_decreasing", "column": "val", "by": "g",
+              "order_by": "k"}]
+    ps.update_expectation_store(str(d), store, suite)
+    want = run_expectations(rd.read_parquet(str(d)), suite)
+    pd.testing.assert_frame_equal(ps.merged_expectations(store), want)
+    pd.testing.assert_frame_equal(
+        ps.merged_expectations(store, fold_rows=1), want)

@@ -7,7 +7,10 @@ Usage: python tools/oracle_check.py [sf_dir] [name ...]
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import numpy as np
@@ -38,6 +41,21 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def dtype_class(dt) -> str:
+    """Coarse dtype class for driver-hash parity: the driver hashes a
+    pandas frame, so int64 123 vs float64 123.0 is a hash mismatch even
+    when values are equal (the round-3 pack_documents red row)."""
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "datetime"
+    return "other"
+
+
 def compare(a: pd.DataFrame, b: pd.DataFrame) -> dict:
     a, b = canon(a), canon(b)
     out = {"rows": (len(a), len(b)), "rows_match": len(a) == len(b),
@@ -45,6 +63,12 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> dict:
     if not (out["rows_match"] and out["schema_match"]):
         out["cols"] = (list(a.columns), list(b.columns))
         return out
+    # dtype-class parity mirrors the driver's hash sensitivity: values can
+    # be numerically equal yet hash differently when one side is int and
+    # the other float (e.g. DuckDB HUGEINT -> pandas float64)
+    dtype_bad = {c: (dtype_class(a[c].dtype), dtype_class(b[c].dtype))
+                 for c in a.columns
+                 if dtype_class(a[c].dtype) != dtype_class(b[c].dtype)}
     bad = {}
     for c in a.columns:
         x, y = a[c].to_numpy(), b[c].to_numpy()
@@ -61,7 +85,8 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> dict:
         if n_bad:
             bad[c] = n_bad
     out["value_mismatch_cols"] = bad
-    out["match"] = not bad
+    out["dtype_mismatch_cols"] = dtype_bad
+    out["match"] = not bad and not dtype_bad
     return out
 
 
