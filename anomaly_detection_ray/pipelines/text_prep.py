@@ -73,6 +73,10 @@ class TextPrepConfig:
     # extra full text pass when on). Victims ride the same drop-set
     # regimes as the exact/MinHash victims and count as drop_dup.
     max_dup_frac: float = 1.0
+    # Edge count past which MinHash connected components switch from
+    # driver union-find to Ray label propagation (both bit-identical;
+    # lowered in tests to force the large regime).
+    cc_edge_threshold: int = 200_000
 
 
 # Side-channel accumulation: pipelines/sidechannel.ShardedSink — sharded
@@ -179,11 +183,13 @@ def run_text_prep(path: str, out_dir: str,
         victims = dd.exact_dedup_victims(ds).map_batches(
             pin_ids, batch_format="pyarrow")
         if cfg.near_dup_threshold > 0:
+            # clusters stay a Dataset end to end (pair dedup and CC run
+            # as Ray groupbys) — no O(near-dup pairs) driver frame
             clusters = dd.minhash_dedup(
-                ds, threshold=cfg.near_dup_threshold)
-            if len(clusters):
-                victims = victims.union(
-                    rd.from_pandas(clusters[["doc_id"]].astype(np.int64)))
+                ds, threshold=cfg.near_dup_threshold, as_dataset=True,
+                cc_edge_threshold=cfg.cc_edge_threshold)
+            victims = victims.union(
+                clusters.map_batches(pin_ids, batch_format="pyarrow"))
         if span_victims is not None:
             victims = victims.union(
                 span_victims.map_batches(pin_ids, batch_format="pyarrow"))

@@ -48,7 +48,8 @@ def _union_find(pairs: pd.DataFrame, a_col: str, b_col: str) -> pd.DataFrame:
 
 def _label_propagation(edges, a_col: str, b_col: str,
                        max_iters: int,
-                       num_partitions: int = 8) -> pd.DataFrame:
+                       num_partitions: int = 8,
+                       as_dataset: bool = False):
     from ray.data.aggregate import Min, Sum
 
     from ..functions.rayutil import arrowize
@@ -115,6 +116,12 @@ def _label_propagation(edges, a_col: str, b_col: str,
         raise RuntimeError(
             f"connected components did not converge in {max_iters} "
             f"iterations; raise max_iters")
+    if as_dataset:
+        # worker-resident result: (node, component) stays a Dataset so a
+        # dup-heavy corpus's cluster table never transits the driver
+        return labels.map_batches(
+            lambda t: t.rename_columns(["node", "component"]),
+            batch_format="pyarrow")
     out = labels.to_pandas().rename(columns={"label": "component"})
     return out.sort_values("node").reset_index(drop=True)
 
@@ -122,16 +129,30 @@ def _label_propagation(edges, a_col: str, b_col: str,
 def connected_components(pairs, a_col: str = "id_a", b_col: str = "id_b",
                          edge_threshold: int = 200_000,
                          max_iters: int = 50,
-                         num_partitions: int = 8) -> pd.DataFrame:
+                         num_partitions: int = 8,
+                         as_dataset: bool = False):
     """(node, component=min id in component) from an edge list — pandas
     DataFrame or Ray Dataset. Small edge lists fold on the driver; past
-    ``edge_threshold`` edges the Ray label-propagation path runs."""
+    ``edge_threshold`` edges the Ray label-propagation path runs.
+
+    ``as_dataset=True`` returns a Ray Dataset in BOTH regimes (the small
+    regime's exact union-find result is wrapped) so callers in the
+    anti-join curation path never hold O(dup-cluster) rows on the driver.
+    A Dataset input is counted to pick the regime — pass it materialized
+    so the count doesn't re-execute the upstream plan."""
     import ray.data as rd
 
     if isinstance(pairs, pd.DataFrame):
-        if len(pairs) <= edge_threshold:
-            return (_union_find(pairs, a_col, b_col)
-                    .sort_values("node").reset_index(drop=True))
+        small = len(pairs) <= edge_threshold
+    else:
+        small = pairs.count() <= edge_threshold
+        if small:
+            pairs = pairs.to_pandas()
+    if small:
+        out = (_union_find(pairs, a_col, b_col)
+               .sort_values("node").reset_index(drop=True))
+        return rd.from_pandas(out) if as_dataset else out
+    if isinstance(pairs, pd.DataFrame):
         pairs = rd.from_pandas(pairs)
     return _label_propagation(pairs, a_col, b_col, max_iters,
-                              num_partitions)
+                              num_partitions, as_dataset=as_dataset)

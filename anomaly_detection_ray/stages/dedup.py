@@ -102,6 +102,30 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 # ------------------------------------------------------------- MinHash LSH
 
+def _pin_pair_schema(t):
+    """Normalize a (possibly EMPTY, column-less — ray 2.49 groupby wart)
+    block to the typed (id_a, id_b, est_jaccard) pair schema."""
+    import pyarrow as pa
+
+    def col(name, typ):
+        if name in t.column_names:
+            return t[name].cast(typ)
+        return pa.array([], type=typ)
+
+    return pa.table({"id_a": col("id_a", pa.int64()),
+                     "id_b": col("id_b", pa.int64()),
+                     "est_jaccard": col("est_jaccard", pa.float64())})
+
+
+def _empty_pairs_ds():
+    import pyarrow as pa
+    import ray.data as rd
+    return rd.from_arrow(pa.table(
+        {"id_a": pa.array([], pa.int64()),
+         "id_b": pa.array([], pa.int64()),
+         "est_jaccard": pa.array([], pa.float64())}))
+
+
 class MinHashSignatures:
     """text -> MinHash signature + band keys (exploded to one row per
     band). Plain task-pool map_batches callable — the only per-process
@@ -136,7 +160,8 @@ class MinHashSignatures:
 
 def minhash_candidate_pairs(ds, text_col="text", id_col="doc_id", k=64,
                             bands=16, shingle_k=3, max_bucket=256,
-                            stage_dir: str | None = None):
+                            stage_dir: str | None = None,
+                            as_dataset: bool = False):
     """Candidate pairs with MinHash-estimated Jaccard (from full signatures),
     deduped across bands.
 
@@ -184,6 +209,8 @@ def minhash_candidate_pairs(ds, text_col="text", id_col="doc_id", k=64,
             ["band_id", "band_key"], {"cnt": "sum"})
         hot = counts[counts["cnt"] >= 2] if not counts.empty else counts
         if hot.empty:
+            if as_dataset:
+                return _empty_pairs_ds()
             return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
         hot_ref = ray.put(hot[["band_id", "band_key"]].reset_index(drop=True))
 
@@ -205,6 +232,19 @@ def minhash_candidate_pairs(ds, text_col="text", id_col="doc_id", k=64,
                  .map_batches(hot_rows, batch_format="pandas")
                  .groupby(["band_id", "band_key"])
                  .map_groups(bucket_pairs, batch_format="pandas"))
+        if as_dataset:
+            # cross-band dedup as a Ray groupby-Max: pairs never fold to a
+            # driver frame (the anti-join curation regime's contract).
+            # Materialize before the staging dir is removed — blocks then
+            # live in the (spillable) object store.
+            from ray.data.aggregate import Max
+            return (pairs.map_batches(_pin_pair_schema,
+                                      batch_format="pyarrow")
+                    .groupby(["id_a", "id_b"])
+                    .aggregate(Max("est_jaccard",
+                                   alias_name="est_jaccard"))
+                    .map_batches(_pin_pair_schema, batch_format="pyarrow")
+                    .materialize())
         df = fold_partials(pairs, ["id_a", "id_b"], {"est_jaccard": "max"})
     finally:
         if own_stage:
@@ -234,10 +274,39 @@ def verify_jaccard(texts_by_id: dict, pairs: pd.DataFrame,
 
 
 def minhash_dedup(ds, text_col="text", id_col="doc_id", k=64, bands=16,
-                  shingle_k=3, threshold=0.8):
-    """Full near-dup pipeline -> DataFrame of (id, cluster_rep) for docs in
-    near-duplicate clusters (est_jaccard >= threshold)."""
+                  shingle_k=3, threshold=0.8, as_dataset: bool = False,
+                  cc_edge_threshold: int = 200_000):
+    """Full near-dup pipeline -> (id, cluster_rep) rows for docs in
+    near-duplicate clusters (est_jaccard >= threshold).
+
+    ``as_dataset=True`` keeps candidate pairs AND the cluster table as Ray
+    Datasets end to end (pair dedup = Ray groupby-Max, components = the
+    two-regime CC with a Dataset result): on a dup-heavy corpus nothing
+    O(pairs) or O(cluster members) ever lands on the driver.
+    ``cc_edge_threshold`` picks the CC regime (union-find below, Ray label
+    propagation above) — both bit-identical."""
     from .cc import connected_components
+    if as_dataset:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        pairs_ds = minhash_candidate_pairs(ds, text_col, id_col, k, bands,
+                                           shingle_k, as_dataset=True)
+        kept = pairs_ds.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["est_jaccard"],
+                                                threshold)),
+            batch_format="pyarrow").materialize()
+        if kept.count() == 0:
+            return rd_empty_clusters(id_col)
+        comp = connected_components(kept, "id_a", "id_b",
+                                    edge_threshold=cc_edge_threshold,
+                                    as_dataset=True)
+
+        def nonrep(t: pa.Table, id_col=id_col) -> pa.Table:
+            t = t.filter(pc.not_equal(t["node"], t["component"]))
+            return pa.table({id_col: t["node"].cast(pa.int64()),
+                             "cluster_rep": t["component"].cast(pa.int64())})
+
+        return comp.map_batches(nonrep, batch_format="pyarrow")
     pairs = minhash_candidate_pairs(ds, text_col, id_col, k, bands, shingle_k)
     if pairs.empty:
         return pd.DataFrame({id_col: [], "cluster_rep": []})
@@ -245,10 +314,19 @@ def minhash_dedup(ds, text_col="text", id_col="doc_id", k=64, bands=16,
     # groups via the two-regime CC (driver union-find here, Ray label
     # propagation on a dup-heavy corpus); output keeps the historical
     # semantics: one row per NON-representative member -> its kept rep
-    comp = connected_components(kept, "id_a", "id_b")
+    comp = connected_components(kept, "id_a", "id_b",
+                                edge_threshold=cc_edge_threshold)
     comp = comp[comp["node"] != comp["component"]]
     return (comp.rename(columns={"node": id_col, "component": "cluster_rep"})
             .astype(np.int64).sort_values(id_col).reset_index(drop=True))
+
+
+def rd_empty_clusters(id_col: str = "doc_id"):
+    import pyarrow as pa
+    import ray.data as rd
+    return rd.from_arrow(pa.table(
+        {id_col: pa.array([], pa.int64()),
+         "cluster_rep": pa.array([], pa.int64())}))
 
 
 # ------------------------------------------------- exact n-gram Jaccard

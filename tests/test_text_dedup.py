@@ -631,3 +631,26 @@ def test_bpe_encoder_stage_matches_encode_word(ray_session, docs_ds):
         g = got[got["doc_id"] == row["doc_id"]].iloc[0]
         assert g["n_words"] == len(words)
         assert g["n_bpe_tokens"] == want
+
+def test_minhash_dedup_as_dataset_parity(docs_ds):
+    """as_dataset=True keeps pairs + clusters worker-resident; both CC
+    regimes (union-find and forced label propagation) must be bit-equal
+    to the historical pandas path."""
+    from anomaly_detection_ray.stages import dedup
+    want = dedup.minhash_dedup(docs_ds, threshold=0.6)
+    for cc_thr in (200_000, 0):   # small regime, forced-large regime
+        got = (dedup.minhash_dedup(docs_ds, threshold=0.6, as_dataset=True,
+                                   cc_edge_threshold=cc_thr)
+               .to_pandas().astype("int64")
+               .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_minhash_pairs_as_dataset_parity(docs_ds):
+    from anomaly_detection_ray.stages import dedup
+    want = (dedup.minhash_candidate_pairs(docs_ds)
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    got = (dedup.minhash_candidate_pairs(docs_ds, as_dataset=True)
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)

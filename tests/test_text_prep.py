@@ -201,3 +201,27 @@ def test_max_dup_frac_gates_internally_repetitive_doc(ray_session, tmp_path):
     assert rep_id not in kept_b and rep_id not in kept_a
     assert kept_b == kept_a
     assert m_b["drop_dup"].sum() >= 1 and m_a["drop_dup"].sum() >= 1
+
+def test_anti_join_forced_large_cc_matches_broadcast(ray_session,
+                                                     tmp_path_factory):
+    """cc_edge_threshold=0 forces MinHash connected components through
+    the Ray label-propagation regime with pairs/clusters as Datasets end
+    to end — survivors and metrics must still be bit-equal to the
+    broadcast regime."""
+    from anomaly_detection_ray.pipelines.text_prep import (TextPrepConfig,
+                                                           run_text_prep)
+    out_bc = str(tmp_path_factory.mktemp("tp_bc2"))
+    res_bc = run_text_prep(DOCS, out_bc,
+                           TextPrepConfig(P=4, drop_mode="broadcast"),
+                           resume=False)
+    out_lg = str(tmp_path_factory.mktemp("tp_lg"))
+    res_lg = run_text_prep(DOCS, out_lg,
+                           TextPrepConfig(P=4, drop_mode="anti_join",
+                                          cc_edge_threshold=0),
+                           resume=False)
+    a = _written(out_bc).sort_values("doc_id").reset_index(drop=True)
+    b = _written(out_lg).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+    ma = res_bc["metrics"].sort_values("partition_id").reset_index(drop=True)
+    mb = res_lg["metrics"].sort_values("partition_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(ma.astype("int64"), mb.astype("int64"))
