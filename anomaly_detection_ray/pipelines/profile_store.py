@@ -155,19 +155,51 @@ def update_profile_store(input_dir: str, store_dir: str,
             "n_reused": len(live) - len(todo), "n_dropped": len(dropped)}
 
 
-def merged_profile(store_dir: str, round_to: int = 4) -> pd.DataFrame:
+def _premerge_profile_rows(df: pd.DataFrame) -> pd.DataFrame:
+    """Associatively reduce profile-partial rows to ONE row per column
+    (same schema in and out) — the per-Ray-block combiner for the
+    many-file merge regime."""
+    from ..functions.sketches import WelfordPartial
+    out = []
+    for c, g in df.groupby("column_name", sort=False):
+        acc = WelfordPartial()
+        for r in g.itertuples(index=False):
+            acc = acc.merge(WelfordPartial(int(r.wn), float(r.wmean),
+                                           float(r.wM2), float(r.wmin),
+                                           float(r.wmax)))
+        lo, hi = g["smin"].dropna(), g["smax"].dropna()
+        out.append((c, int(g["n"].sum()), int(g["nulls"].sum()),
+                    acc.n, acc.mean, acc.M2, acc.min, acc.max,
+                    lo.min() if len(lo) else None,
+                    hi.max() if len(hi) else None))
+    return pd.DataFrame(out, columns=[
+        "column_name", "n", "nulls", "wn", "wmean", "wM2",
+        "wmin", "wmax", "smin", "smax"])
+
+
+def merged_profile(store_dir: str, round_to: int = 4,
+                   fold_files: int = 8192) -> pd.DataFrame:
     """Fold all live per-file partials into the profile_table output —
-    NO scan of the input data."""
+    NO scan of the input data. Two-regime like every merge here: below
+    ``fold_files`` live files the driver reads the partials sequentially;
+    above, they stream through a Ray read with per-block pre-merge, so
+    the driver folds O(blocks x cols) rows instead of doing O(files)
+    reads (the store targets ~100k-file tables)."""
     manifest = _load_manifest(store_dir)
     cols = manifest.get("columns", [])
-    frames = []
-    for rel, meta in manifest["files"].items():
-        p = os.path.join(store_dir, "partials",
-                         meta.get("partial", _partial_name(rel)))
-        frames.append(pq.read_table(p).to_pandas())
-    if not frames:
+    paths = [os.path.join(store_dir, "partials",
+                          meta.get("partial", _partial_name(rel)))
+             for rel, meta in manifest["files"].items()]
+    if not paths:
         return pd.DataFrame()
-    parts = pd.concat(frames, ignore_index=True)
+    if len(paths) <= fold_files:
+        parts = pd.concat([pq.read_table(p).to_pandas() for p in paths],
+                          ignore_index=True)
+    else:
+        parts = (rd.read_parquet(paths)
+                 .map_batches(lambda t: _premerge_profile_rows(t.to_pandas()),
+                              batch_format="pyarrow")
+                 .to_pandas())
     # rebuild arrow types from their stored string names for dtype labels
     types = {c: _type_from_str(manifest["types"][c]) for c in cols}
     numeric = numeric_profile_cols(types, cols)
@@ -683,18 +715,38 @@ def _nd_fold_group(g: pd.DataFrame) -> tuple:
     return n, v, False
 
 
-def _nd_recompute(manifest: dict, rel_list: list, gval, col: str,
+def _nd_recompute(input_dir: str, rel_list: list, gval, col: str,
                   by: str, ob: str) -> tuple:
     """Exact (n, v) for ONE group by re-reading just its own files —
     O(affected rows), never a corpus rescan."""
     chunks = []
     for rel in rel_list:
-        t = pq.read_table(os.path.join(manifest["input_dir"], rel),
+        t = pq.read_table(os.path.join(input_dir, rel),
                           columns=sorted({col, by, ob})).to_pandas()
         chunks.append(t[t[by] == gval] if pd.notna(gval)
                       else t[t[by].isna()])
     st = _nd_group_stats(pd.concat(chunks, ignore_index=True), col, ob)
     return (st[0], st[1]) if st is not None else (0, 0)
+
+
+def _nd_recompute_fanout(input_dir: str, jobs: list, col: str, by: str,
+                         ob: str) -> tuple:
+    """Run the interleaved-group exact recomputes as parallel Ray tasks
+    (one per group; each reads only its own files) and sum the results —
+    the driver never reads input files itself. Serial fallback without a
+    Ray session (pure-pandas unit tests)."""
+    import ray as _ray
+    if not jobs:
+        return 0, 0
+    if _ray.is_initialized():
+        task = _ray.remote(num_cpus=1)(_nd_recompute)
+        results = _ray.get([task.remote(input_dir, rels, gval, col, by, ob)
+                            for gval, rels in jobs])
+    else:
+        results = [_nd_recompute(input_dir, rels, gval, col, by, ob)
+                   for gval, rels in jobs]
+    return (int(sum(n for n, _ in results)),
+            int(sum(v for _, v in results)))
 
 
 def _merge_nd(manifest: dict, part_dir: str, rels: list, spec: dict,
@@ -722,14 +774,17 @@ def _merge_nd(manifest: dict, part_dir: str, rels: list, spec: dict,
             f["_rel"] = path_rel[os.path.abspath(p)]
             frames.append(f)
         parts = pd.concat(frames, ignore_index=True)
+        jobs = []
         for gval, g in parts.groupby(by, dropna=False, sort=False):
             n, v, rec = _nd_fold_group(g)
             if rec:
-                n, v = _nd_recompute(manifest, list(g["_rel"]), gval,
-                                     col, by, ob)
+                jobs.append((gval, list(g["_rel"])))
+                continue
             n_total += n
             v_total += v
-        return n_total, v_total
+        rn, rv = _nd_recompute_fanout(manifest["input_dir"], jobs,
+                                      col, by, ob)
+        return n_total + rn, v_total + rv
 
     nd_ds = rd.read_parquet(paths, include_paths=True)
     nd_ds = nd_ds.map_batches(lambda t: t, batch_format="pyarrow")
@@ -748,10 +803,8 @@ def _merge_nd(manifest: dict, part_dir: str, rels: list, spec: dict,
     over = folded.map_batches(
         lambda df: df[df["rels"] != ""][["gkey", "rels"]],
         batch_format="pandas").to_pandas()
-    for r in over.itertuples():
-        rel_list = [path_rel[os.path.abspath(p)]
-                    for p in r.rels.split("\n")]
-        n, v = _nd_recompute(manifest, rel_list, r.gkey, col, by, ob)
-        n_total += n
-        v_total += v
-    return n_total, v_total
+    jobs = [(r.gkey, [path_rel[os.path.abspath(p)]
+                      for p in r.rels.split("\n")])
+            for r in over.itertuples()]
+    rn, rv = _nd_recompute_fanout(manifest["input_dir"], jobs, col, by, ob)
+    return n_total + rn, v_total + rv

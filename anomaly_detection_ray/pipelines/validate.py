@@ -86,6 +86,13 @@ class ValidateConfig:
     # driver_fold_max_rows and the shuffle otherwise (unknown size => shuffle)
     pass_a_mode: str = "auto"
     driver_fold_max_rows: int = 20_000_000
+    # pass-B duplicate FLAG regime (shuffle dup_mode only): at most this
+    # many confirmed duplicate hashes ride a ray.put broadcast (8 B each —
+    # 40 MB default cap); past it the dup set stays a Dataset and the flag
+    # becomes a left-outer hash join of the slim verdict stream against it,
+    # so an adversarially dup-heavy table never produces an unbounded
+    # broadcast (0 forces the join regime in tests)
+    dup_flag_broadcast_max: int = 5_000_000
     # additive declarative checks (stages/expectations.py row-local specs,
     # e.g. {"check": "in_set", "column": "codec", "values": [...]}) graded
     # into pass B as one more check column (ex_code/ex_status) feeding the
@@ -211,12 +218,21 @@ def run_pass_a(meta_ds, cfg: ValidateConfig, out_dir: str | None = None,
             if with_hashes:
                 hc_frames.append(p["hash_counts"])
 
+    dup_ds = None
     if with_hashes:
         dup_counts = _dup_driver(hc_frames, out_dir, completed)
     else:
-        dup_counts = _dup_shuffle(meta_ds, out_dir, completed)
-    dup_hashes = np.sort(dup_counts["clip_id_hash"].to_numpy(np.int64)
-                         .astype(np.uint64))
+        dups = _dup_shuffle(meta_ds, out_dir, completed)
+        if dups.count() > cfg.dup_flag_broadcast_max:
+            # dup-heavy table: the confirmed-dup set never lands on the
+            # driver — pass B flags via a hash join against this Dataset
+            dup_ds = dups
+            dup_counts = None
+        else:
+            dup_counts = _dup_frame(dups)
+    dup_hashes = (np.sort(dup_counts["clip_id_hash"].to_numpy(np.int64)
+                          .astype(np.uint64))
+                  if dup_counts is not None else None)
 
     # two-level salted codec merge (level 1 happened per batch per salt)
     codec_stats = _fold_welford_keyed(pd.concat(codec_rows, ignore_index=True)) \
@@ -233,6 +249,7 @@ def run_pass_a(meta_ds, cfg: ValidateConfig, out_dir: str | None = None,
     return {
         "dup_hashes": dup_hashes,
         "dup_counts": dup_counts,
+        "dup_ds": dup_ds,
         "hll_estimate": hll_acc.estimate(),
         "dur_stats": dur_acc,
         "codec_stats": codec_stats,
@@ -272,11 +289,14 @@ def _persist_hash_ledger_driver(live: pd.DataFrame, out_dir: str) -> None:
             os.path.join(d, "hashes.parquet"))
 
 
-def _dup_shuffle(meta_ds, out_dir: str | None, completed) -> pd.DataFrame:
+def _dup_shuffle(meta_ds, out_dir: str | None, completed):
     """At-scale duplicate confirmation: stream hash-count partials to the
     per-partition ledger (no shuffle — the write splits blocks by partition
     value), then key-shuffle the READ-BACK to global counts. Disk-backed, so
-    nothing pins the object store and the ledger survives for resume."""
+    nothing pins the object store and the ledger survives for resume.
+    Returns a materialized (clip_id_hash, cnt>1) DATASET — the caller
+    decides whether it folds to a driver frame (broadcast flag regime) or
+    feeds the pass-B hash join directly."""
     partials = meta_ds.map_batches(_hash_count_partial, batch_format="pyarrow")
     if out_dir is None:
         merged = partials.groupby("clip_id_hash").sum("cnt")
@@ -294,14 +314,27 @@ def _dup_shuffle(meta_ds, out_dir: str | None, completed) -> pd.DataFrame:
         # ... then confirm from the read-back (covers completed partitions too)
         merged = (rd.read_parquet(hd, columns=["clip_id_hash", "cnt"])
                   .groupby("clip_id_hash").sum("cnt"))
-    dups = merged.map_batches(
-        lambda t: t.filter(pc.greater(t["sum(cnt)"], 1)),
-        batch_format="pyarrow")
+
+    def keep_dups(t: pa.Table) -> pa.Table:
+        if "sum(cnt)" not in t.column_names:  # empty block loses schema
+            return pa.table({"clip_id_hash": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        t = t.filter(pc.greater(t["sum(cnt)"], 1))
+        return pa.table({"clip_id_hash": t["clip_id_hash"].cast(pa.int64()),
+                         "cnt": t["sum(cnt)"].cast(pa.int64())})
+
+    # materialized so the caller's count() and any downstream join don't
+    # re-execute the ledger read-back
+    return (merged.map_batches(keep_dups, batch_format="pyarrow")
+            .materialize())
+
+
+def _dup_frame(dups) -> pd.DataFrame:
+    """Driver frame of a (small) confirmed-duplicate Dataset."""
     df = dups.to_pandas()
-    if "sum(cnt)" not in df.columns:  # empty result loses schema
+    if df.empty:
         return pd.DataFrame({"clip_id_hash": pd.Series(dtype=np.int64),
                              "cnt": pd.Series(dtype=np.int64)})
-    df = df.rename(columns={"sum(cnt)": "cnt"})
     return df.astype({"clip_id_hash": np.int64, "cnt": np.int64})
 
 
@@ -345,8 +378,21 @@ def build_pass_b(full_ds, cfg: ValidateConfig, pass_a: dict,
     """Wire the per-row check chain onto the full Dataset (lazy). With a
     ``metrics_actor`` the chain also emits per-batch metric partials as a side
     output, so ONE downstream consumer (the violations write) drives the
-    whole pipeline — no materialize, no second pass."""
-    dup_ref = ray.put(np.sort(np.asarray(pass_a["dup_hashes"], dtype=np.uint64)))
+    whole pipeline — no materialize, no second pass.
+
+    The duplicate flag is two-regime: a sorted-hash-array broadcast when
+    pass A folded the confirmed-dup set to the driver (``dup_hashes``), a
+    bucketed semi-join MARK of the SLIM verdict stream against the dup-set
+    Dataset when it didn't (``dup_ds`` — adversarially dup-heavy tables;
+    joins.semi_mark_keys, one groupby exchange, no driver hop). The flag
+    runs after the payload-dropping projection in both regimes so the
+    exchange never shuffles audio bytes; the OR-combine and the per-record
+    anomaly score are computed from the same code columns afterwards, so
+    both regimes are value-identical."""
+    dup_ds = pass_a.get("dup_ds")
+    dup_ref = (ray.put(np.sort(np.asarray(pass_a["dup_hashes"],
+                                          dtype=np.uint64)))
+               if dup_ds is None else None)
     dur_mean = pass_a["dur_stats"].mean
     dur_std = pass_a["dur_stats"].std
 
@@ -382,10 +428,6 @@ def build_pass_b(full_ds, cfg: ValidateConfig, pass_a: dict,
                      else pool_size(cfg.fidelity_concurrency)),
         num_cpus=1)
 
-    def dup_flag(t: pa.Table) -> pa.Table:
-        return ck.flag_duplicate_hashes_stage(t, ray.get(dup_ref))
-
-    ds = ds.map_batches(dup_flag, batch_format="pyarrow")
     code_cols = list(CODE_COLS)
     if cfg.loudness_bounds:
         code_cols.append("ld_code")
@@ -430,10 +472,9 @@ def build_pass_b(full_ds, cfg: ValidateConfig, pass_a: dict,
 
             ds = ds.map_batches(suite_stage, batch_format="pyarrow")
             code_cols.append("ex_code")
-    ds = ds.map_batches(lambda t: combine_stage(t, code_cols, mode="or"),
-                        batch_format="pyarrow")
-    # drop the audio payload + transcript before anything downstream consumes
-    # the verdict table — the slim table is ~1% of the input bytes
+    # drop the audio payload + transcript before the dup flag and combine —
+    # the slim table is ~1% of the input bytes, so the join regime's
+    # all-to-all only ever moves verdict-sized rows
     slim_cols = [c for c in ["clip_id", "partition_id", "sr_hz", "dur_ms",
                              "codec", "status_code", "anomaly_score", "snr_db",
                              "loudness_db",
@@ -441,6 +482,43 @@ def build_pass_b(full_ds, cfg: ValidateConfig, pass_a: dict,
                              "wf_status", "fid_status", "uq_status",
                              "ld_status",
                              "ex_status"] + extra_status_cols + code_cols]
+    ds = ds.map_batches(
+        lambda t: t.select([c for c in slim_cols if c in t.column_names]),
+        batch_format="pyarrow")
+    if dup_ds is None:
+        def dup_flag(t: pa.Table) -> pa.Table:
+            return ck.flag_duplicate_hashes_stage(t, ray.get(dup_ref))
+
+        ds = ds.map_batches(dup_flag, batch_format="pyarrow")
+    else:
+        from ..stages.joins import semi_mark_keys
+
+        keys = dup_ds.map_batches(
+            lambda t: pa.table(
+                {"clip_id_hash": t["clip_id_hash"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+        def add_hash(t: pa.Table) -> pa.Table:
+            h = _id_hashes(t["clip_id"].to_pandas())
+            return t.append_column(
+                "clip_id_hash", pa.array(h.astype(np.int64),
+                                         type=pa.int64()))
+
+        # bucketed semi-join MARK (tagged union + one groupby exchange —
+        # NOT Dataset.join, whose CPU-holding aggregator actors starve
+        # against the fidelity pool on small CPU budgets); bucket count
+        # scales with P so each group stays a bounded slice of the slim
+        # verdict stream
+        ds = semi_mark_keys(
+            ds.map_batches(add_hash, batch_format="pyarrow"), keys,
+            on="clip_id_hash", mark="uq_dup",
+            num_buckets=max(16, int(cfg.P)))
+        ds = ds.map_batches(ck.flag_duplicates_join_stage,
+                            batch_format="pyarrow")
+    ds = ds.map_batches(lambda t: combine_stage(t, code_cols, mode="or"),
+                        batch_format="pyarrow")
+    # combine appended status_code/anomaly_score last — restore the
+    # declared slim column order for a stable output schema
     ds = ds.map_batches(
         lambda t: t.select([c for c in slim_cols if c in t.column_names]),
         batch_format="pyarrow")

@@ -26,5 +26,13 @@ def read_clips(path: str, columns: list[str] | None = None,
     if partitions is not None:
         flt = pc.field("partition_id").isin(partitions)
     if hasattr(rd, "read_lance") and str(path).endswith(".lance"):
-        return rd.read_lance(path, columns=columns, **kwargs)
+        # ray.data.read_lance takes the row filter as a SQL boolean string
+        # (ray 2.49 signature; pylance itself is env-blocked — the call
+        # shape is pinned by tests/test_fault_tolerance.py's mock)
+        lance_flt = None
+        if partitions is not None:
+            ids = ", ".join(str(int(p)) for p in partitions)
+            lance_flt = f"partition_id IN ({ids})"
+        return rd.read_lance(path, columns=columns, filter=lance_flt,
+                             **kwargs)
     return rd.read_parquet(path, columns=columns, filter=flt, **kwargs)

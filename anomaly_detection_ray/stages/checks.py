@@ -231,6 +231,19 @@ def flag_duplicates_stage(t: pa.Table, dup_ids: set[str] | frozenset[str],
     return _append(t, prefix, code, status)
 
 
+def flag_duplicates_join_stage(t: pa.Table, prefix: str = "uq") -> pa.Table:
+    """Uniqueness flag from the join regime: a left-outer join against the
+    confirmed-dup Dataset left a ``uq_dup`` marker (null = not a dup) and
+    the transient ``clip_id_hash`` join key — consume both and emit the
+    same code/status columns the broadcast path does."""
+    dup = pc.fill_null(t["uq_dup"], False).to_numpy(
+        zero_copy_only=False).astype(bool)
+    t = t.drop_columns(["clip_id_hash", "uq_dup"])
+    code = np.where(dup, ERROR_CODE, OK_CODE).astype(np.int8)
+    status = np.where(dup, "Error: duplicate clip_id", "OK").astype(object)
+    return _append(t, prefix, code, status)
+
+
 def flag_duplicate_hashes_stage(t: pa.Table, dup_hashes: np.ndarray,
                                 prefix: str = "uq") -> pa.Table:
     """Uniqueness flag by broadcast SORTED 64-bit id-hash array — the hash is

@@ -131,3 +131,80 @@ def anti_join_keys(left, keys, on: str):
 
     return both.groupby(on).map_groups(keep_unmatched,
                                        batch_format="pyarrow")
+
+
+def semi_mark_keys(left, keys, on: str, mark: str = "__hit",
+                   num_buckets: int = 64):
+    """Distributed LEFT SEMI mark-join: append a boolean ``mark`` column
+    to ``left`` (True iff the row's ``on`` value appears in the key-only
+    Dataset ``keys``) without ever collecting the key set on the driver —
+    the membership-flag path for sets too large to broadcast
+    (pipelines/validate pass-B duplicate flag on dup-heavy tables).
+
+    Built from the same tagged-union + groupby machinery as
+    anti_join_keys — ray 2.49's native ``Dataset.join`` spawns
+    num_partitions CPU-holding aggregator ACTORS that starve against a
+    pipeline's own actor pools on small CPU budgets (observed wedge at 4
+    CPUs with a fidelity pool + metrics actor holding 3 of them), and
+    mishandles empty right hash partitions — but grouped by a HASH BUCKET
+    of the key instead of the key itself, so the one all-to-all exchange
+    yields ``num_buckets`` bounded groups and each group resolves
+    membership with ONE vectorized ``np.isin`` rather than per-key group
+    calls. Size ``num_buckets`` so |left| / num_buckets fits a worker
+    heap — the caller scales it with the data."""
+    import pyarrow as pa
+
+    from ..functions.rayutil import arrowize
+
+    left = arrowize(left)
+    keys = arrowize(keys)
+    schema = left.schema().base_schema
+    names = list(schema.names)
+
+    def bucket_of(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        vals = np.asarray(col.to_pandas())
+        return (pd.util.hash_array(vals) % num_buckets).astype(np.int32)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = t.select(names)
+        t = t.append_column(
+            "__side", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+        return t.append_column("__bucket", pa.array(bucket_of(t[on])))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        # empty blocks out of upstream groupby stages can arrive with NO
+        # columns at all (ray 2.49 wart); normalize them to the schema
+        n = t.num_rows if on in t.column_names else 0
+        cols = {}
+        for c in names:
+            typ = schema.field(c).type
+            cols[c] = (t[on].cast(typ) if c == on and n
+                       else pa.nulls(n, type=typ))
+        out = pa.table(cols)
+        out = out.append_column(
+            "__side", pa.array(np.ones(n, dtype=np.int8)))
+        return out.append_column("__bucket", pa.array(bucket_of(out[on])))
+
+    both = (left.map_batches(tag_left, batch_format="pyarrow")
+            .union(keys.map_batches(tag_right, batch_format="pyarrow")))
+
+    def mark_bucket(t: pa.Table) -> pa.Table:
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        vals = np.asarray(t[on].to_pandas())
+        hits = np.isin(vals[side == 0], vals[side == 1])
+        out = t.drop_columns(["__side", "__bucket"])
+        out = out.filter(pa.array(side == 0))
+        return out.append_column(mark, pa.array(hits))
+
+    marked = both.groupby("__bucket").map_groups(mark_bucket,
+                                                 batch_format="pyarrow")
+
+    def fix_schema(t: pa.Table) -> pa.Table:
+        # groupby over an empty union leg can emit schema-less blocks
+        if mark in t.column_names:
+            return t
+        cols = {c: pa.nulls(0, type=schema.field(c).type) for c in names}
+        cols[mark] = pa.array([], type=pa.bool_())
+        return pa.table(cols)
+
+    return marked.map_batches(fix_schema, batch_format="pyarrow")

@@ -51,3 +51,27 @@ def test_actor_pool_survives_actor_death(ray_session, tmp_path):
     assert len(out) == 500
     assert (out["doubled"] == out["id"] * 2).all()
     assert os.path.exists(flag)
+
+
+def test_read_clips_lance_call_shape(monkeypatch):
+    """Pin the one-line Lance switch (sources/clips.py): a .lance path
+    must route to ray.data.read_lance with pruned columns and the
+    partition filter rendered as the SQL boolean string that API takes —
+    pylance is env-blocked, so the call shape is verified via a mock."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.sources import clips
+
+    calls = []
+    monkeypatch.setattr(rd, "read_lance",
+                        lambda uri, **kw: calls.append((uri, kw)) or "DS")
+    got = clips.read_clips("/data/clips.lance",
+                           columns=["clip_id", "sr_hz"], partitions=[1, 3])
+    assert got == "DS"
+    uri, kw = calls[0]
+    assert uri == "/data/clips.lance"
+    assert kw["columns"] == ["clip_id", "sr_hz"]
+    assert kw["filter"] == "partition_id IN (1, 3)"
+    # no partitions: no filter pushed
+    clips.read_clips("/data/clips.lance", columns=["clip_id"])
+    assert calls[1][1]["filter"] is None

@@ -521,3 +521,45 @@ def test_prefix_pack_matches_numpy_cumsum(ray_session):
     out2 = run(9, 7)  # different partitioning AND bucket count
     pd.testing.assert_frame_equal(
         out.astype("int64"), out2.astype("int64"))
+
+
+def test_semi_mark_keys_parity(ray_session):
+    """semi_mark_keys must mark exactly the rows whose key appears in the
+    key Dataset (pandas isin parity), preserve row count and columns, and
+    agree across bucket counts / partitionings — including the all-miss
+    (empty key set) and all-hit extremes."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.joins import semi_mark_keys
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({
+        "k": rng.integers(-2**40, 2**40, size=1000),
+        "val": rng.normal(size=1000)})
+    key_vals = pd.concat([left["k"].sample(137, random_state=3),
+                          pd.Series(rng.integers(-2**40, 2**40, size=50))])
+    keys = pd.DataFrame({"k": key_vals.to_numpy()})
+    want = left.assign(hit=left["k"].isin(set(keys["k"])))
+
+    def run(nb, nparts):
+        got = semi_mark_keys(
+            rd.from_pandas(left).repartition(nparts),
+            rd.from_pandas(keys).repartition(3),
+            on="k", mark="hit", num_buckets=nb).to_pandas()
+        return got.sort_values(["k", "val"]).reset_index(drop=True)
+
+    expect = want.sort_values(["k", "val"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(run(16, 4), expect)
+    pd.testing.assert_frame_equal(run(3, 9), expect)
+
+    # empty key set: every row present, none marked
+    none = semi_mark_keys(
+        rd.from_pandas(left),
+        rd.from_pandas(keys.iloc[:0]), on="k", mark="hit").to_pandas()
+    assert len(none) == len(left) and not none["hit"].any()
+
+    # every key present: all marked
+    allhit = semi_mark_keys(
+        rd.from_pandas(left),
+        rd.from_pandas(left[["k"]]), on="k", mark="hit").to_pandas()
+    assert len(allhit) == len(left) and allhit["hit"].all()

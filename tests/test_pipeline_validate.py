@@ -287,3 +287,32 @@ def test_loudness_gate_optional(clip_path, tmp_path, ray_session):
                              resume=False)
     v3 = rd.read_parquet(res3["violations_path"]).to_pandas()
     assert "ld_code" not in v3.columns
+
+def test_dup_flag_join_regime_matches_broadcast(clip_path, tmp_path):
+    """Forcing the pass-B duplicate flag through the left-outer hash join
+    (dup_flag_broadcast_max=0) must yield value-identical verdicts,
+    metrics, and violation rows to the broadcast regime — the synth table
+    injects duplicates, so the uq check is genuinely exercised."""
+    base = dict(seed=SEED, P=P, fidelity_concurrency=2,
+                fidelity_batch_size=128, pass_a_mode="shuffle")
+    res_bc = vp.run_validation(clip_path, str(tmp_path / "bc"),
+                               vp.ValidateConfig(**base), resume=False)
+    res_jn = vp.run_validation(
+        clip_path, str(tmp_path / "jn"),
+        vp.ValidateConfig(**base, dup_flag_broadcast_max=0), resume=False)
+
+    va = res_bc["verdicts"].sort_values("partition_id").reset_index(drop=True)
+    vb = res_jn["verdicts"].sort_values("partition_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(va, vb)
+
+    # duplicate rows share clip_id, so the sort key needs the
+    # row-distinguishing columns too
+    key = ["clip_id", "partition_id", "dur_ms", "sr_hz"]
+    a = (_violations_df(res_bc).sort_values(key)
+         .reset_index(drop=True))
+    b = (_violations_df(res_jn).sort_values(key)
+         .reset_index(drop=True))
+    assert sorted(a.columns) == sorted(b.columns)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    # uq flags present and identical (the regime under test)
+    assert (a["uq_code"] == b["uq_code"]).all() and (a["uq_code"] == -1).any()

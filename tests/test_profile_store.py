@@ -429,3 +429,51 @@ def test_nd_null_order_keys_force_recompute(ray_session, tmp_path):
     pd.testing.assert_frame_equal(ps.merged_expectations(store), want)
     pd.testing.assert_frame_equal(
         ps.merged_expectations(store, fold_rows=1), want)
+
+def test_merged_profile_ray_fold_regime(ray_session, data_dir, tmp_path,
+                                        monkeypatch):
+    """Past fold_files live files the profile merge streams through a Ray
+    read with per-block pre-merge: output equals the driver regime (and
+    the full rescan), and the DRIVER performs zero per-file parquet
+    reads — O(blocks) rows come back, not O(files)."""
+    store = str(tmp_path / "store")
+    ps.update_profile_store(data_dir, store)
+    want = ps.merged_profile(store)                     # driver regime
+    pd.testing.assert_frame_equal(
+        want, profile_table(rd.read_parquet(data_dir)))
+
+    reads = []
+    real = pq.read_table
+    monkeypatch.setattr(ps.pq, "read_table",
+                        lambda *a, **k: reads.append(a) or real(*a, **k))
+    got = ps.merged_profile(store, fold_files=1)        # forced Ray regime
+    pd.testing.assert_frame_equal(got, want)
+    assert reads == []  # partial reads happened in Ray tasks, not here
+
+
+def test_nd_recompute_fans_out_as_ray_tasks(ray_session, tmp_path,
+                                            monkeypatch):
+    """Interleaved-group non_decreasing recomputes run as Ray tasks: the
+    driver process never reads input files during the merge, and the
+    verdict still equals a full rescan."""
+    from anomaly_detection_ray.stages.expectations import run_expectations
+
+    d = tmp_path / "ov"
+    d.mkdir()
+    _write_ts(str(d), "even.parquet", np.arange(0, 200, 2))
+    _write_ts(str(d), "odd.parquet", np.arange(1, 200, 2))
+    store = str(tmp_path / "store")
+    suite = [{"check": "non_decreasing", "column": "val", "by": "g",
+              "order_by": "k"}]
+    ps.update_expectation_store(str(d), store, suite)
+    want = run_expectations(rd.read_parquet(str(d)), suite)
+
+    driver_input_reads = []
+    real = pq.read_table
+    def spy(path, *a, **k):
+        if str(path).startswith(str(d)):
+            driver_input_reads.append(path)
+        return real(path, *a, **k)
+    monkeypatch.setattr(ps.pq, "read_table", spy)
+    pd.testing.assert_frame_equal(ps.merged_expectations(store), want)
+    assert driver_input_reads == []
