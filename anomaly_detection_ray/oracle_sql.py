@@ -1461,6 +1461,13 @@ def oracle_sql() -> dict[str, str]:
                                     WHERE o_orderstatus = 'P')
             ORDER BY c_custkey
         """,
+        "semi_mark_orders_customer": """
+            SELECT o_orderkey, o_custkey,
+                   o_custkey IN (SELECT c_custkey FROM customer
+                                 WHERE c_mktsegment = 'BUILDING')
+                       AS building_cust
+            FROM orders ORDER BY o_orderkey
+        """,
         "skew_join_lineitem_supplier": """
             SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
                    round(sum(l_extendedprice * (1 - l_discount)), 2)

@@ -364,6 +364,29 @@ def q_anti_join_customer_orders(sf_dir: str):
     return out.sort("c_custkey")
 
 
+def q_semi_mark_orders_customer(sf_dir: str):
+    """Every order marked with whether its customer sits in the BUILDING
+    market segment — the distributed LEFT SEMI **mark** join
+    (stages/joins.semi_mark_keys: tagged union + one bucket-grouped
+    exchange, one vectorized isin per bucket; no driver-side key set, no
+    Dataset.join aggregator actors). Same machinery the flagship's pass-B
+    duplicate flag uses past its broadcast threshold, here oracle-gated
+    against DuckDB's IN-subquery semantics."""
+    from ..stages.joins import semi_mark_keys
+    ords = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def seg_keys(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+        return pa.table({"o_custkey": keep["c_custkey"]})
+
+    keys = cust.map_batches(seg_keys, batch_format="pyarrow")
+    out = semi_mark_keys(ords, keys, on="o_custkey",
+                         mark="building_cust", num_buckets=32)
+    return out.sort("o_orderkey")
+
+
 def q_skew_join_lineitem_supplier(sf_dir: str):
     """Skew-aware hybrid join (stages/joins.skew_aware_join): lineitem ⋈
     supplier on suppkey with a threshold that classifies the busiest
@@ -3072,6 +3095,7 @@ QUERIES = {
     "skew_join_lineitem_supplier": q_skew_join_lineitem_supplier,
     "large_orders": q_large_orders,
     "anti_join_customer_orders": q_anti_join_customer_orders,
+    "semi_mark_orders_customer": q_semi_mark_orders_customer,
     "sessionize_events": q_sessionize_events,
     "interval_join_events": q_interval_join_events,
     "stratified_sample_documents": q_stratified_sample_documents,

@@ -1,0 +1,191 @@
+"""REST service parity tests (reference api/src/component/router.py):
+full detector CRUD lifecycle, config endpoints, single-record
+detect_anomaly semantics (1 iff any configured check grades Error —
+Test.classify_data), status gating, error envelope + status codes, and
+the engine-native batch endpoint. The server runs on an ephemeral
+localhost port, driven with urllib only.
+"""
+
+import json
+import os
+import urllib.error
+import urllib.request
+
+import pytest
+
+from anomaly_detection_ray.api.server import start_background
+from anomaly_detection_ray.api.store import DetectorStore
+
+BORDER_CONFIG = {
+    "anomaly_detection_alg": ["BorderCheck()"],
+    "anomaly_detection_conf": [{
+        "input_vector_size": 1,
+        "warning_stages": [0.9],
+        "UL": 4.0,
+        "LL": -4.0,
+        "output": ["TerminalOutput()"],
+        "output_conf": [{}],
+    }],
+}
+
+
+@pytest.fixture(scope="module")
+def api(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("api")
+    cfg_dir = str(root / "configuration")
+    os.makedirs(cfg_dir)
+    with open(os.path.join(cfg_dir, "border_check.json"), "w") as f:
+        json.dump(BORDER_CONFIG, f)
+    store = DetectorStore(str(root / "detectors.sqlite"), cfg_dir)
+    srv, thread = start_background(store)
+    host, port = srv.server_address[:2]
+    yield f"http://{host}:{port}"
+    srv.shutdown()
+    store.close()
+
+
+def call(base, method, path, body=None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(base + path, data=data, method=method,
+                                 headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_config_endpoints(api):
+    status, cfg = call(api, "GET", "/configuration/border_check.json")
+    assert status == 200 and cfg == BORDER_CONFIG
+
+    status, err = call(api, "GET", "/configuration/nope.json")
+    assert status == 404
+    assert err["error"]["status_code"] == 404 and err["error"]["path"]
+
+    status, avail = call(api, "GET", "/available_configs")
+    assert status == 200
+    assert {"name": "BORDER_CHECK", "filename": "border_check.json"} in avail
+
+
+def test_detector_lifecycle_and_detection(api):
+    # empty store lists as 404, like the reference's DetectorNotFound
+    status, _ = call(api, "GET", "/detectors")
+    assert status == 404
+
+    # create from a named config: starts inactive, config persisted
+    status, res = call(api, "POST", "/detectors/create",
+                       {"name": "b1", "description": "border",
+                        "config_name": "border_check.json"})
+    assert status == 200
+    det = res["detector"]
+    did = det["id"]
+    assert det["status"] == "inactive"
+    assert det["config_name"] == "detector_b1.json"
+    assert json.loads(det["config"]) == BORDER_CONFIG
+
+    # parameters endpoint returns the conf section
+    status, params = call(api, "GET", f"/detectors/{did}/parameters")
+    assert status == 200
+    assert params == BORDER_CONFIG["anomaly_detection_conf"]
+
+    # detection refused while inactive (400, reference DetectorNotActive)
+    status, err = call(
+        api, "POST",
+        f"/detectors/{did}/detect_anomaly?timestamp=1.0&ftr_vector=0.5")
+    assert status == 400 and "not active" in err["error"]["message"]
+
+    status, det2 = call(api, "PUT", f"/detectors/{did}/active")
+    assert status == 200 and det2["status"] == "active"
+
+    # in-range value -> 0; out-of-border -> 1 (BorderCheck UL=4)
+    status, pred = call(
+        api, "POST",
+        f"/detectors/{did}/detect_anomaly?timestamp=1.0&ftr_vector=0.5")
+    assert (status, pred) == (200, 0)
+    status, pred = call(
+        api, "POST",
+        f"/detectors/{did}/detect_anomaly?timestamp=2.0&ftr_vector=9.5")
+    assert (status, pred) == (200, 1)
+
+    # update name/description
+    status, det3 = call(api, "PUT", f"/detectors/{did}",
+                        {"description": "renamed"})
+    assert status == 200 and det3["description"] == "renamed"
+
+    # unknown id -> 404 everywhere
+    for method, path in [("GET", "/detectors/9999"),
+                         ("GET", "/detectors/9999/parameters"),
+                         ("PUT", "/detectors/9999/active"),
+                         ("DELETE", "/detectors/9999")]:
+        status, err = call(api, method, path)
+        assert status == 404, (method, path)
+
+    # inline-config create (alg + conf, no config_name)
+    status, res2 = call(api, "POST", "/detectors/create",
+                        {"name": "b2", "description": None,
+                         "config_data": BORDER_CONFIG})
+    assert status == 200
+    assert json.loads(res2["detector"]["config"]) == BORDER_CONFIG
+
+    status, dets = call(api, "GET", "/detectors")
+    assert status == 200 and [d["name"] for d in dets] == ["b1", "b2"]
+
+    # delete one removes its persisted config file
+    cfg_path = call(api, "GET", "/configuration/detector_b2.json")
+    assert cfg_path[0] == 200
+    status, _ = call(api, "DELETE", f"/detectors/{res2['detector']['id']}")
+    assert status == 200
+    assert call(api, "GET", "/configuration/detector_b2.json")[0] == 404
+
+    # delete all -> {"status": "OK"}, store empty again
+    status, ok = call(api, "DELETE", "/detectors")
+    assert (status, ok) == (200, {"status": "OK"})
+    assert call(api, "GET", "/detectors")[0] == 404
+
+
+def test_detect_file_batch(api, tmp_path):
+    """Engine extension: batch-score a message JSON through the
+    distributed chain; summary counts must match the border math."""
+    data = {"data": [{"timestamp": float(i),
+                      "ftr_vector": [9.5 if i % 10 == 0 else 0.1]}
+                     for i in range(100)]}
+    p = tmp_path / "msgs.json"
+    p.write_text(json.dumps(data))
+
+    status, res = call(api, "POST", "/detectors/create",
+                       {"name": "bf", "description": "",
+                        "config_name": "border_check.json"})
+    did = res["detector"]["id"]
+    call(api, "PUT", f"/detectors/{did}/active")
+
+    status, summary = call(api, "POST", f"/detectors/{did}/detect_file",
+                           {"data_path": str(p)})
+    assert status == 200
+    assert summary["rows"] == 100
+    assert summary["anomalies"] == 10  # every 10th value breaches UL=4
+
+    call(api, "DELETE", "/detectors")
+
+
+def test_bad_requests(api):
+    status, _ = call(api, "POST", "/detectors/create", {"name": "x"})
+    assert status == 400  # neither config_name nor inline config
+
+    status, res = call(api, "POST", "/detectors/create",
+                       {"name": "b3", "description": "",
+                        "config_name": "border_check.json"})
+    did = res["detector"]["id"]
+    call(api, "PUT", f"/detectors/{did}/active")
+
+    # missing params / non-numeric -> 400
+    status, _ = call(api, "POST", f"/detectors/{did}/detect_anomaly")
+    assert status == 400
+    status, _ = call(
+        api, "POST",
+        f"/detectors/{did}/detect_anomaly?timestamp=a&ftr_vector=b")
+    assert status == 400
+    # bad status value -> 400
+    status, _ = call(api, "PUT", f"/detectors/{did}/bogus")
+    assert status == 400
+    call(api, "DELETE", "/detectors")

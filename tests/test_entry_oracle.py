@@ -85,7 +85,8 @@ def oracle_names():
     "deterministic_shuffle_documents", "skew_join_lineitem_supplier",
     "exact_quantiles_events", "temporal_drift_events",
     "refined_quantiles_norms", "expectations_orders",
-    "anti_join_customer_orders", "expectations_lineitem",
+    "anti_join_customer_orders", "semi_mark_orders_customer",
+    "expectations_lineitem",
     "expectations_by_status", "expectations_events_order",
     "profile_events",
     "dup_spans_documents", "editdist_dedup_documents", "cusum_events",
