@@ -160,6 +160,11 @@ class DetectorStore:
         return self._row(r)
 
     def list(self) -> list[dict]:
+        """Empty table -> 404. Deliberate deviation: the reference's
+        router.get_detectors raises DetectorNotFoundException for an empty
+        table but its own blanket ``except Exception`` rewraps it as a 500
+        (router.py:134-141 — the not-found never reaches the client);
+        this store returns the plainly intended 404 instead."""
         rows = self._con.execute(
             "SELECT * FROM detectors ORDER BY id").fetchall()
         if not rows:
@@ -167,6 +172,8 @@ class DetectorStore:
         return [self._row(r) for r in rows]
 
     def set_status(self, detector_id: int, status: str) -> dict:
+        """Stricter than the reference (service.py:211-224 accepts any
+        string): only the two states the detect endpoints interpret."""
         if status not in ("active", "inactive"):
             raise ApiError(400, f"Invalid status '{status}'.")
         self.get(detector_id)
