@@ -103,7 +103,7 @@ class DetectorStore:
         self.config_dir = config_dir
         os.makedirs(config_dir, exist_ok=True)
         os.makedirs(os.path.dirname(os.path.abspath(db_path)), exist_ok=True)
-        self._lock = threading.Lock()
+        self._lock = threading.RLock()  # create() reads back under the lock
         self._con = sqlite3.connect(db_path, check_same_thread=False)
         with self._lock:
             self._con.execute(_SCHEMA)
@@ -151,9 +151,13 @@ class DetectorStore:
             return self.get(cur.lastrowid)
 
     def get(self, detector_id: int) -> dict:
-        r = self._con.execute(
-            "SELECT * FROM detectors WHERE id = ?", (detector_id,)
-        ).fetchone()
+        # reads take the lock too: correctness only needs sqlite's
+        # serialized mode (threadsafety 3), but guarding keeps the store
+        # safe on builds compiled at lower levels
+        with self._lock:
+            r = self._con.execute(
+                "SELECT * FROM detectors WHERE id = ?", (detector_id,)
+            ).fetchone()
         if r is None:
             raise ApiError(
                 404, f"Anomaly detector with ID {detector_id} not found.")
@@ -165,8 +169,9 @@ class DetectorStore:
         table but its own blanket ``except Exception`` rewraps it as a 500
         (router.py:134-141 — the not-found never reaches the client);
         this store returns the plainly intended 404 instead."""
-        rows = self._con.execute(
-            "SELECT * FROM detectors ORDER BY id").fetchall()
+        with self._lock:
+            rows = self._con.execute(
+                "SELECT * FROM detectors ORDER BY id").fetchall()
         if not rows:
             raise ApiError(404, "Anomaly detector not found.")
         return [self._row(r) for r in rows]

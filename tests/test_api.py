@@ -189,3 +189,35 @@ def test_bad_requests(api):
     status, _ = call(api, "PUT", f"/detectors/{did}/bogus")
     assert status == 400
     call(api, "DELETE", "/detectors")
+
+
+def test_concurrent_requests(api):
+    """The service is a ThreadingHTTPServer over one shared sqlite
+    connection: a burst of concurrent creates + detections + reads must
+    all succeed with consistent state (no lost writes, no cross-thread
+    connection errors)."""
+    import concurrent.futures as cf
+
+    def mk(i):
+        s, r = call(api, "POST", "/detectors/create",
+                    {"name": f"cc{i}", "description": "",
+                     "config_name": "border_check.json"})
+        assert s == 200, r
+        did = r["detector"]["id"]
+        s, _ = call(api, "PUT", f"/detectors/{did}/active")
+        assert s == 200
+        s, pred = call(
+            api, "POST",
+            f"/detectors/{did}/detect_anomaly?timestamp={i}&ftr_vector=9.9")
+        assert (s, pred) == (200, 1)
+        s, got = call(api, "GET", f"/detectors/{did}")
+        assert s == 200 and got["status"] == "active"
+        return did
+
+    with cf.ThreadPoolExecutor(max_workers=8) as ex:
+        ids = list(ex.map(mk, range(12)))
+    assert len(set(ids)) == 12  # autoincrement never reused under races
+    status, dets = call(api, "GET", "/detectors")
+    assert status == 200
+    assert {d["id"] for d in dets} >= set(ids)
+    call(api, "DELETE", "/detectors")
