@@ -563,3 +563,25 @@ def test_semi_mark_keys_parity(ray_session):
         rd.from_pandas(left),
         rd.from_pandas(left[["k"]]), on="k", mark="hit").to_pandas()
     assert len(allhit) == len(left) and allhit["hit"].all()
+
+
+def test_semi_mark_keys_string_and_null_keys(ray_session):
+    """String keys route through the pandas object-hash bucket path; null
+    left keys never match (SQL IN semantics for the present-key case) and
+    survive with mark=False."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.joins import semi_mark_keys
+
+    left = pd.DataFrame({
+        "k": ["a", "b", None, "c", "dd", None, "b"],
+        "v": list(range(7))})
+    keys = pd.DataFrame({"k": ["b", "dd", "zz"]})
+    got = semi_mark_keys(rd.from_pandas(left).repartition(3),
+                         rd.from_pandas(keys),
+                         on="k", mark="hit", num_buckets=4).to_pandas()
+    got = got.sort_values("v").reset_index(drop=True)
+    assert len(got) == 7
+    want = left["k"].isin({"b", "dd"}).to_numpy()
+    assert (got["hit"].to_numpy() == want).all()
+    assert not got.loc[got["k"].isna(), "hit"].any()
