@@ -26,7 +26,8 @@ Pass B (full — streams bytes exactly once, ONE execution, no materialize):
     row_validate → border(sr_hz) → byte-length consistency → transcript
     presence/equality (vectorized regeneration) → broadcast-Welford z-check
     on dur_ms → PCM decode + SNR fidelity (actor pool) → duplicate flag
-    (broadcast hash set) → OR-combine → slim projection → per-batch metric
+    (broadcast hash set; map-side per-partition dup files past the
+    broadcast cap — see build_pass_b) → OR-combine → slim projection → per-batch metric
     partials to an accumulator actor (side output; idempotent under task
     retry via a content key) → violations filter → partition-keyed parquet
     write (the single consumer that drives the stream).
@@ -219,15 +220,25 @@ def run_pass_a(meta_ds, cfg: ValidateConfig, out_dir: str | None = None,
                 hc_frames.append(p["hash_counts"])
 
     dup_ds = None
+    dup_dir = None
     if with_hashes:
         dup_counts = _dup_driver(hc_frames, out_dir, completed)
     else:
         dups = _dup_shuffle(meta_ds, out_dir, completed)
         if dups.count() > cfg.dup_flag_broadcast_max:
             # dup-heavy table: the confirmed-dup set never lands on the
-            # driver — pass B flags via a hash join against this Dataset
-            dup_ds = dups
+            # driver
             dup_counts = None
+            if out_dir is not None:
+                # ledger on disk => map-side flag regime: persist, per
+                # partition, the confirmed-dup hashes present in it; pass B
+                # loads only the partitions a batch touches and never
+                # shuffles the (wide, fidelity-decoded) verdict stream
+                dup_dir = _persist_partition_dup_flags(dups, out_dir, cfg)
+            else:
+                # ad-hoc Dataset input (no ledger): pass B semi-joins the
+                # slim verdict stream against this Dataset instead
+                dup_ds = dups
         else:
             dup_counts = _dup_frame(dups)
     dup_hashes = (np.sort(dup_counts["clip_id_hash"].to_numpy(np.int64)
@@ -250,6 +261,7 @@ def run_pass_a(meta_ds, cfg: ValidateConfig, out_dir: str | None = None,
         "dup_hashes": dup_hashes,
         "dup_counts": dup_counts,
         "dup_ds": dup_ds,
+        "dup_dir": dup_dir,
         "hll_estimate": hll_acc.estimate(),
         "dur_stats": dur_acc,
         "codec_stats": codec_stats,
@@ -338,6 +350,49 @@ def _dup_frame(dups) -> pd.DataFrame:
     return df.astype({"clip_id_hash": np.int64, "cnt": np.int64})
 
 
+def _dup_flag_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "dup_flags")
+
+
+def _persist_partition_dup_flags(dups, out_dir: str,
+                                 cfg: "ValidateConfig") -> str:
+    """Map-side flag regime for dup-heavy tables: semi-mark the hive-
+    partitioned id-hash LEDGER (one slim row per batch-distinct
+    (partition, hash)) against the confirmed-dup set and write, per
+    partition, the duplicate hashes PRESENT IN that partition. Pass B then
+    flags map-side (checks.flag_duplicates_partitioned_stage, worker-cached
+    per-partition arrays), so the verdict stream never shuffles — the only
+    exchange moves 8-byte ledger keys, not status-string verdict rows, and
+    the shuffle barrier leaves the fidelity-decode path entirely."""
+    dup_dir = _dup_flag_dir(out_dir)
+    if os.path.isdir(dup_dir):
+        # dup membership is global (a fresh partition can turn a completed
+        # partition's ids into duplicates): regenerate the whole map
+        shutil.rmtree(dup_dir)
+    os.makedirs(dup_dir, exist_ok=True)
+    from ..stages.joins import semi_mark_keys
+
+    keys = dups.map_batches(
+        lambda t: pa.table({"clip_id_hash": t["clip_id_hash"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    # hive read-back surfaces partition_id as a (string-typed) column
+    ledger = rd.read_parquet(_hash_dir(out_dir),
+                             columns=["clip_id_hash", "partition_id"])
+    marked = semi_mark_keys(ledger, keys, on="clip_id_hash", mark="__dup",
+                            num_buckets=max(16, int(cfg.P)))
+
+    def keep_flagged(t: pa.Table) -> pa.Table:
+        t = t.filter(t["__dup"])
+        return pa.table({
+            "clip_id_hash": t["clip_id_hash"].cast(pa.int64()),
+            "partition_id": t["partition_id"].cast(pa.int64()),
+        })
+
+    (marked.map_batches(keep_flagged, batch_format="pyarrow")
+     .write_parquet(dup_dir, partition_cols=["partition_id"]))
+    return dup_dir
+
+
 def _fold_welford_keyed(df: pd.DataFrame) -> pd.DataFrame:
     from ..functions.sketches import WelfordPartial
     out = []
@@ -380,19 +435,23 @@ def build_pass_b(full_ds, cfg: ValidateConfig, pass_a: dict,
     output, so ONE downstream consumer (the violations write) drives the
     whole pipeline — no materialize, no second pass.
 
-    The duplicate flag is two-regime: a sorted-hash-array broadcast when
-    pass A folded the confirmed-dup set to the driver (``dup_hashes``), a
-    bucketed semi-join MARK of the SLIM verdict stream against the dup-set
-    Dataset when it didn't (``dup_ds`` — adversarially dup-heavy tables;
-    joins.semi_mark_keys, one groupby exchange, no driver hop). The flag
-    runs after the payload-dropping projection in both regimes so the
-    exchange never shuffles audio bytes; the OR-combine and the per-record
-    anomaly score are computed from the same code columns afterwards, so
-    both regimes are value-identical."""
+    The duplicate flag is three-regime: a sorted-hash-array broadcast when
+    pass A folded the confirmed-dup set to the driver (``dup_hashes``); a
+    MAP-SIDE flag against pass A's per-partition dup files when the set was
+    too big to broadcast but the ledger is on disk (``dup_dir`` — each task
+    loads only the partitions its batch touches, worker-cached, NO shuffle
+    of the verdict stream); a bucketed semi-join MARK of the SLIM verdict
+    stream against the dup-set Dataset only when there is no ledger
+    (``dup_ds`` — ad-hoc Dataset input; joins.semi_mark_keys, one groupby
+    exchange, no driver hop). The flag runs after the payload-dropping
+    projection in every regime so no exchange ever moves audio bytes; the
+    OR-combine and the per-record anomaly score are computed from the same
+    code columns afterwards, so all regimes are value-identical."""
     dup_ds = pass_a.get("dup_ds")
+    dup_dir = pass_a.get("dup_dir")
     dup_ref = (ray.put(np.sort(np.asarray(pass_a["dup_hashes"],
                                           dtype=np.uint64)))
-               if dup_ds is None else None)
+               if dup_ds is None and dup_dir is None else None)
     dur_mean = pass_a["dur_stats"].mean
     dur_std = pass_a["dur_stats"].std
 
@@ -485,11 +544,16 @@ def build_pass_b(full_ds, cfg: ValidateConfig, pass_a: dict,
     ds = ds.map_batches(
         lambda t: t.select([c for c in slim_cols if c in t.column_names]),
         batch_format="pyarrow")
-    if dup_ds is None:
+    if dup_ref is not None:
         def dup_flag(t: pa.Table) -> pa.Table:
             return ck.flag_duplicate_hashes_stage(t, ray.get(dup_ref))
 
         ds = ds.map_batches(dup_flag, batch_format="pyarrow")
+    elif dup_dir is not None:
+        def dup_flag_part(t: pa.Table) -> pa.Table:
+            return ck.flag_duplicates_partitioned_stage(t, dup_dir)
+
+        ds = ds.map_batches(dup_flag_part, batch_format="pyarrow")
     else:
         from ..stages.joins import semi_mark_keys
 

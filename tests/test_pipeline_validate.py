@@ -288,11 +288,13 @@ def test_loudness_gate_optional(clip_path, tmp_path, ray_session):
     v3 = rd.read_parquet(res3["violations_path"]).to_pandas()
     assert "ld_code" not in v3.columns
 
-def test_dup_flag_join_regime_matches_broadcast(clip_path, tmp_path):
-    """Forcing the pass-B duplicate flag through the left-outer hash join
-    (dup_flag_broadcast_max=0) must yield value-identical verdicts,
-    metrics, and violation rows to the broadcast regime — the synth table
-    injects duplicates, so the uq check is genuinely exercised."""
+def test_dup_flag_partitioned_regime_matches_broadcast(clip_path, tmp_path):
+    """Forcing the pass-B duplicate flag past the broadcast cap
+    (dup_flag_broadcast_max=0) with the ledger on disk must take the
+    MAP-SIDE regime (per-partition dup files from pass A, no verdict-stream
+    shuffle) and yield value-identical verdicts, metrics, and violation
+    rows to the broadcast regime — the synth table injects duplicates, so
+    the uq check is genuinely exercised."""
     base = dict(seed=SEED, P=P, fidelity_concurrency=2,
                 fidelity_batch_size=128, pass_a_mode="shuffle")
     res_bc = vp.run_validation(clip_path, str(tmp_path / "bc"),
@@ -300,6 +302,11 @@ def test_dup_flag_join_regime_matches_broadcast(clip_path, tmp_path):
     res_jn = vp.run_validation(
         clip_path, str(tmp_path / "jn"),
         vp.ValidateConfig(**base, dup_flag_broadcast_max=0), resume=False)
+    # the map-side regime actually ran: pass A persisted per-partition dup
+    # files and at least one partition carries confirmed-dup hashes
+    dup_dir = os.path.join(str(tmp_path / "jn"), "dup_flags")
+    assert os.path.isdir(dup_dir)
+    assert any(d.startswith("partition_id=") for d in os.listdir(dup_dir))
 
     va = res_bc["verdicts"].sort_values("partition_id").reset_index(drop=True)
     vb = res_jn["verdicts"].sort_values("partition_id").reset_index(drop=True)
@@ -316,3 +323,62 @@ def test_dup_flag_join_regime_matches_broadcast(clip_path, tmp_path):
     pd.testing.assert_frame_equal(a, b[a.columns])
     # uq flags present and identical (the regime under test)
     assert (a["uq_code"] == b["uq_code"]).all() and (a["uq_code"] == -1).any()
+
+
+def test_dup_flag_semi_join_fallback_matches_broadcast(clip_path):
+    """No ledger on disk (ad-hoc Dataset input, out_dir=None): past the
+    broadcast cap the flag falls back to the bucketed semi-join of the slim
+    verdict stream — full verdict frame value-identical to the broadcast
+    regime."""
+    from anomaly_detection_ray.sources.clips import META_COLUMNS, read_clips
+    base = dict(seed=SEED, P=P, fidelity_concurrency=2,
+                fidelity_batch_size=128)
+    cfg_bc = vp.ValidateConfig(**base)
+    cfg_jn = vp.ValidateConfig(**base, dup_flag_broadcast_max=0)
+    meta = read_clips(clip_path, columns=META_COLUMNS)
+    pa_bc = vp.run_pass_a(meta, cfg_bc, out_dir=None, dup_mode="shuffle")
+    pa_jn = vp.run_pass_a(meta, cfg_jn, out_dir=None, dup_mode="shuffle")
+    assert pa_jn["dup_ds"] is not None and pa_jn["dup_dir"] is None
+
+    key = ["clip_id", "partition_id", "dur_ms", "sr_hz"]
+    a = (vp.build_pass_b(read_clips(clip_path), cfg_bc, pa_bc).to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    b = (vp.build_pass_b(read_clips(clip_path), cfg_jn, pa_jn).to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    assert sorted(a.columns) == sorted(b.columns)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    assert (a["uq_code"] == -1).any()
+
+
+def test_flag_duplicates_partitioned_stage_unit(tmp_path):
+    """Map-side dup flag: per-partition files consulted per batch slice, a
+    partition with no dup file means no dup rows there, and the worker
+    cache invalidates when a partition's files change on disk."""
+    import pyarrow as pa
+    from anomaly_detection_ray.stages import checks as ck
+
+    ids = pd.Series(["a", "b", "c", "d"])
+    h = vp._id_hashes(ids)
+    dup_dir = str(tmp_path / "dup_flags")
+
+    def write(pid, hashes):
+        d = os.path.join(dup_dir, f"partition_id={pid}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pa.table({"clip_id_hash": np.sort(np.asarray(
+            hashes, dtype=np.uint64)).astype(np.int64)}),
+            os.path.join(d, "f.parquet"))
+
+    write(0, [h[0], h[1]])   # a, b dup in partition 0
+    write(1, [h[2]])         # c dup in partition 1
+    t = pa.table({"clip_id": ["a", "b", "c", "d", "a"],
+                  "partition_id": pa.array([0, 0, 1, 2, 1], pa.int64())})
+    out = ck.flag_duplicates_partitioned_stage(t, dup_dir)
+    # "a" in partition 1 is NOT in partition 1's dup file; partition 2 has
+    # no file at all
+    assert out["uq_code"].to_pylist() == [-1, -1, -1, 1, 1]
+
+    # rewrite partition 0 (drop "a") — the scandir fingerprint must
+    # invalidate the cached array within the same process
+    write(0, [h[1]])
+    out2 = ck.flag_duplicates_partitioned_stage(t, dup_dir)
+    assert out2["uq_code"].to_pylist() == [1, -1, -1, 1, 1]
