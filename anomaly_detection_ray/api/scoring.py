@@ -17,8 +17,11 @@ the Ray data plane the single-record endpoint cannot show.
 
 from __future__ import annotations
 
+import hashlib
+import json
 import math
-from typing import Any
+import threading
+from typing import Any, Callable
 
 import numpy as np
 import pandas as pd
@@ -35,6 +38,79 @@ def _record_frame(timestamp: float, ftr_vector: list[float]) -> pd.DataFrame:
     return pd.DataFrame(cols)
 
 
+# ---- warm per-detector chains ------------------------------------------
+# The reference rebuilds a fresh consumer per detect_anomaly call
+# (router.py:79-117), so there is no cross-call scorer state to preserve:
+# a compiled chain is a pure function of the config. For kernel-only
+# configs (plus AND/OR combinations) we compile the pandas kernel ONCE per
+# config hash and score the 1-row record in-process — the Ray data plane
+# is for datasets, not single records, and this keeps the serving path off
+# the cluster scheduler entirely. Configs needing training or windowed
+# determiners (model/GAN/prophet/repair/PercentScore) fall back to the
+# full chain, same verdicts either way (pinned by test_api parity test).
+_CHAIN_CACHE: dict[str, Callable[[pd.DataFrame], pd.DataFrame] | None] = {}
+_CHAIN_LOCK = threading.Lock()
+_CHAIN_CACHE_MAX = 128
+
+
+def _config_key(config: dict) -> str:
+    return hashlib.sha256(
+        json.dumps(config, sort_keys=True, default=str).encode()).hexdigest()
+
+
+def _compile_record_chain(config: dict):
+    """Compile a config into an in-process 1-row scorer, or None when the
+    config needs the full Ray chain (training, repair, windowed scoring)."""
+    from ..pipelines.config import _flatten, parse_config
+    from ..stages.combination import combine_stage
+    from ..stages.series import make_series_kernel
+
+    checks = parse_config(config)
+    flat = _flatten(checks)
+    if any(c["kind"] != "kernel" or "repair" in c for c in flat):
+        return None
+    if any(ch["kind"] == "combination" and ch["determiner"] not in ("AND", "OR")
+           for ch in checks):
+        return None
+    specs = [{"name": c["name"], "kernel": c["kernel"], "params": c["params"]}
+             for c in flat]
+    per_group = make_series_kernel(specs, "f0", ["ts"], valid_col=None,
+                                   keep_status=True)
+    combos = [(ch["name"], ch["determiner"].lower(),
+               [f"{s['name']}_code" for s in _flatten(ch["sub"])])
+              for ch in checks if ch["kind"] == "combination"]
+
+    def run(frame: pd.DataFrame) -> pd.DataFrame:
+        out = per_group(frame)
+        if combos:
+            import pyarrow as pa
+            t = pa.Table.from_pandas(out)
+            for name, mode, cols in combos:
+                t = combine_stage(t, cols, mode=mode, out_col=f"{name}_code")
+            out = t.to_pandas()
+        return out
+
+    return run
+
+
+def _warm_chain(config: dict):
+    key = _config_key(config)
+    with _CHAIN_LOCK:
+        if key in _CHAIN_CACHE:
+            return _CHAIN_CACHE[key]
+    try:
+        chain = _compile_record_chain(config)
+    except Exception:
+        # let the full path raise the same error with the reference's
+        # error envelope; never cache a poisoned entry as a scorer
+        chain = None
+    with _CHAIN_LOCK:
+        if len(_CHAIN_CACHE) >= _CHAIN_CACHE_MAX:
+            _CHAIN_CACHE.clear()
+        _CHAIN_CACHE[key] = chain
+    return chain
+
+
 def detect_anomaly_record(config: dict, timestamp: float,
                           ftr_vector: list[float],
                           base_dir: str | None = None) -> int:
@@ -46,10 +122,15 @@ def detect_anomaly_record(config: dict, timestamp: float,
                                            and math.isnan(v))
                              for v in ftr_vector):
         raise ApiError(400, "ftr_vector must be non-empty numbers")
-    ds = rd.from_pandas(_record_frame(timestamp, ftr_vector))
+    frame = _record_frame(timestamp, ftr_vector)
     try:
-        out = run_reference_config(config, ds=ds, base_dir=base_dir)
-        row = out.to_pandas()
+        chain = _warm_chain(config)
+        if chain is not None:
+            row = chain(frame)
+        else:
+            out = run_reference_config(config, ds=rd.from_pandas(frame),
+                                       base_dir=base_dir)
+            row = out.to_pandas()
     except ApiError:
         raise
     except Exception as e:  # reference ProcessingException -> 500

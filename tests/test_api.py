@@ -221,3 +221,51 @@ def test_concurrent_requests(api):
     assert status == 200
     assert {d["id"] for d in dets} >= set(ids)
     call(api, "DELETE", "/detectors")
+
+
+def test_warm_chain_parity_and_fallback(ray_session):
+    """Kernel-only configs score through the compiled in-process chain;
+    the verdict must equal the full Ray chain's for the same record, the
+    compiled chain must be cached per config hash, and configs needing
+    training/windows must fall back (chain is None)."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.api import scoring
+    from anomaly_detection_ray.pipelines.config import run_reference_config
+
+    combo_config = {
+        "anomaly_detection_alg": ["Combination()"],
+        "anomaly_detection_conf": [{
+            "anomaly_algorithms": ["BorderCheck()", "EMA()"],
+            "anomaly_algorithms_configurations": [
+                {"input_vector_size": 1, "warning_stages": [0.9],
+                 "UL": 4.0, "LL": -4.0},
+                {"input_vector_size": 1, "N": 5, "warning_stages": [0.9],
+                 "UL": 3.0, "LL": -3.0},
+            ],
+            "status_determiner": "AND()",
+        }],
+    }
+    for config in (BORDER_CONFIG, combo_config):
+        scoring._CHAIN_CACHE.clear()
+        chain = scoring._warm_chain(config)
+        assert chain is not None
+        assert scoring._warm_chain(config) is chain  # cache hit
+        for ts, v in [(1.0, 0.5), (2.0, 9.5), (3.0, -9.5), (4.0, 3.5)]:
+            fast = scoring.detect_anomaly_record(config, ts, [v])
+            frame = scoring._record_frame(ts, [v])
+            full = run_reference_config(
+                config, ds=rd.from_pandas(frame)).to_pandas()
+            code_cols = [c for c in full.columns if c.endswith("_code")]
+            want = int(bool((full.iloc[0][code_cols].to_numpy()
+                             == scoring.ERROR_CODE).any()))
+            assert fast == want, (config, ts, v)
+
+    model_config = {
+        "anomaly_detection_alg": ["IsolationForest()"],
+        "anomaly_detection_conf": [{
+            "input_vector_size": 1,
+            "train_conf": {"max_samples": 64, "max_features": 1},
+        }],
+    }
+    assert scoring._warm_chain(model_config) is None  # full-chain fallback
