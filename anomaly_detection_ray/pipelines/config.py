@@ -131,7 +131,11 @@ def _resolve(name: str, c: dict, prefix: str) -> list[dict]:
                  "determiner_conf": c.get("status_determiner_conf", {}),
                  "sub": sub}]
     if name in ("IsolationForest", "PCA", "Clustering"):
-        return [{"kind": "model", "name": prefix, "model": name, "conf": c}]
+        # reference trains at configure time from train_data when present
+        # (isolation_forest.py:88-89, clustering similarly); top-level key
+        # so run_reference_config's path resolution covers it
+        return [{"kind": "model", "name": prefix, "model": name, "conf": c,
+                 "train_data": c.get("train_data")}]
     if name == "GAN":
         # numpy MLP autoencoder (stages/autoencoder.py MLPAutoencoder) with
         # the reference's scoring mechanics (gan.py:151-175)
@@ -276,30 +280,58 @@ def _apply_model_stage(ds, spec: dict, value_col: str):
     from ..stages import iforest as if_mod
     c = spec["conf"]
     tc = c.get("train_conf", {})
-    sample = ds.limit(int(tc.get("max_samples", 2048)) * 4).to_pandas()
-    X = sample[[value_col]].to_numpy(dtype=np.float64)
+    # train from the config's train_data file when given (reference
+    # semantics: models fit at configure time from the train file,
+    # isolation_forest.py:88-89); otherwise a stream-head sample
+    tp = spec.get("train_data")
+    if tp:
+        tds = read_message_json(tp) if tp.endswith(".json") \
+            else read_message_csv(tp)
+    else:
+        tds = ds
+    sample = tds.limit(int(tc.get("max_samples", 2048)) * 4).to_pandas()
+    train_col = value_col
+    if tp and value_col not in sample.columns:
+        # custom value_col over a message-format train file: train on its
+        # first feature column
+        train_col = "f0"
+    X = sample[[train_col]].to_numpy(dtype=np.float64)
     X = X[~np.isnan(X).any(axis=1)]
+    # the score stages emit fixed column names (if_/pca_/cl_); rename to
+    # the check's config prefix so combinations resolve members and two
+    # model checks in one config never collide
+    prefix = spec["name"]
     if spec["model"] == "IsolationForest":
         model = if_mod.IsolationForestModel(
             max_samples=int(tc.get("max_samples", 256)), seed=0).fit(X)
-        return if_mod.score_stage(ds, model, [value_col])
+        out = if_mod.score_stage(ds, model, [value_col])
+        return _rename_model_cols(out, "if", prefix)
     if spec["model"] == "PCA":
         ncomp = min(int(tc.get("N_components", 1)), X.shape[1])
         pca, forest = if_mod.fit_pca_iforest(
             X, n_components=ncomp, max_samples=int(tc.get("max_samples", 256)),
             seed=0)
-        return if_mod.pca_score_stage(ds, pca, forest, [value_col])
+        out = if_mod.pca_score_stage(ds, pca, forest, [value_col])
+        return _rename_model_cols(out, "pca", prefix)
     if spec["model"] == "Clustering":
         import ray as _ray
         model = if_mod.DBSCANCoreModel(
             eps=c["eps"], min_samples=c["min_samples"],
             treshold=c["treshold"]).fit(X)
-        return ds.map_batches(
+        out = ds.map_batches(
             if_mod.ClusteringScore,
             fn_constructor_kwargs={"model_ref": _ray.put(model),
                                    "feature_cols": [value_col]},
             batch_format="pyarrow", concurrency=2, num_cpus=1)
+        return _rename_model_cols(out, "cl", prefix)
     raise NotImplementedError(spec["model"])
+
+
+def _rename_model_cols(ds, fixed: str, prefix: str):
+    names = ds.schema().names
+    ren = {f"{fixed}_{s}": f"{prefix}_{s}" for s in ("code", "status", "score")
+           if f"{fixed}_{s}" in names}
+    return ds.rename_columns(ren) if ren else ds
 
 
 def _apply_combination(ds, ch: dict, key_col: str):

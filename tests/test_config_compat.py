@@ -414,3 +414,35 @@ def test_cli_main_runs_reference_config(ray_session, tmp_path, capsys):
                     for p in glob.glob(str(out / "*.parquet"))])
     assert (df["a0_bordercheck_code"] != 1).all()
     assert {9.0, -5.0} <= set(df["f0"])  # the injected outliers made it out
+
+
+def test_model_config_trains_from_train_data_file(ray_session, tmp_path):
+    """Reference semantics (isolation_forest.py:88-89): models with
+    train_data fit from the train FILE at configure time, not from the
+    scored stream. A Clustering detector trained on a tight cluster at 0
+    must flag a stream of constant 100s; trained on the stream itself it
+    would grade them OK — so the verdict pins which data trained it."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.config import run_reference_config
+
+    rng = np.random.default_rng(3)
+    train = tmp_path / "train.csv"
+    pd.DataFrame({"timestamp": np.arange(200) * 1.0,
+                  "ftr_vector": rng.normal(0, 0.05, 200).round(4)}).to_csv(
+        train, index=False)
+    conf = {"anomaly_detection_alg": ["Clustering()"],
+            "anomaly_detection_conf": [{
+                "input_vector_size": 1, "eps": 0.5, "min_samples": 5,
+                "treshold": 0.4, "train_data": str(train)}]}
+    stream = rd.from_pandas(pd.DataFrame(
+        {"ts": np.arange(50) * 1.0, "f0": np.full(50, 100.0)}))
+    out = run_reference_config(conf, ds=stream).to_pandas()
+    assert (out["a0_clustering_code"] == ERROR_CODE).all()
+
+    conf_nt = {"anomaly_detection_alg": ["Clustering()"],
+               "anomaly_detection_conf": [{
+                   "input_vector_size": 1, "eps": 0.5, "min_samples": 5,
+                   "treshold": 0.4}]}
+    out_nt = run_reference_config(conf_nt, ds=stream).to_pandas()
+    assert (out_nt["a0_clustering_code"] == OK_CODE).all()
