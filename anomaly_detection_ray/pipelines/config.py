@@ -278,52 +278,73 @@ def _fit_gan_kernel(spec: dict, ds, value_col: str):
 
 def _apply_model_stage(ds, spec: dict, value_col: str):
     from ..stages import iforest as if_mod
-    c = spec["conf"]
-    tc = c.get("train_conf", {})
-    # train from the config's train_data file when given (reference
-    # semantics: models fit at configure time from the train file,
-    # isolation_forest.py:88-89); otherwise a stream-head sample
-    tp = spec.get("train_data")
-    if tp:
-        tds = read_message_json(tp) if tp.endswith(".json") \
-            else read_message_csv(tp)
-    else:
-        tds = ds
-    sample = tds.limit(int(tc.get("max_samples", 2048)) * 4).to_pandas()
-    train_col = value_col
-    if tp and value_col not in sample.columns:
-        # custom value_col over a message-format train file: train on its
-        # first feature column
-        train_col = "f0"
-    X = sample[[train_col]].to_numpy(dtype=np.float64)
-    X = X[~np.isnan(X).any(axis=1)]
+    sample = model_train_sample(spec, ds)
+    fitted = fit_model_from_sample(spec, sample, value_col)
     # the score stages emit fixed column names (if_/pca_/cl_); rename to
     # the check's config prefix so combinations resolve members and two
     # model checks in one config never collide
     prefix = spec["name"]
     if spec["model"] == "IsolationForest":
-        model = if_mod.IsolationForestModel(
-            max_samples=int(tc.get("max_samples", 256)), seed=0).fit(X)
-        out = if_mod.score_stage(ds, model, [value_col])
+        out = if_mod.score_stage(ds, fitted, [value_col])
         return _rename_model_cols(out, "if", prefix)
     if spec["model"] == "PCA":
-        ncomp = min(int(tc.get("N_components", 1)), X.shape[1])
-        pca, forest = if_mod.fit_pca_iforest(
-            X, n_components=ncomp, max_samples=int(tc.get("max_samples", 256)),
-            seed=0)
+        pca, forest = fitted
         out = if_mod.pca_score_stage(ds, pca, forest, [value_col])
         return _rename_model_cols(out, "pca", prefix)
     if spec["model"] == "Clustering":
         import ray as _ray
-        model = if_mod.DBSCANCoreModel(
-            eps=c["eps"], min_samples=c["min_samples"],
-            treshold=c["treshold"]).fit(X)
         out = ds.map_batches(
             if_mod.ClusteringScore,
-            fn_constructor_kwargs={"model_ref": _ray.put(model),
+            fn_constructor_kwargs={"model_ref": _ray.put(fitted),
                                    "feature_cols": [value_col]},
             batch_format="pyarrow", concurrency=2, num_cpus=1)
         return _rename_model_cols(out, "cl", prefix)
+    raise NotImplementedError(spec["model"])
+
+
+def model_train_sample(spec: dict, ds=None) -> pd.DataFrame:
+    """Bounded training sample for a model spec: the config's ``train_data``
+    message file when given (reference semantics — models fit at configure
+    time from the train file, isolation_forest.py:88-89), else a head
+    sample of the scored stream ``ds``."""
+    tc = spec["conf"].get("train_conf", {})
+    tp = spec.get("train_data")
+    if tp:
+        tds = read_message_json(tp) if tp.endswith(".json") \
+            else read_message_csv(tp)
+    elif ds is not None:
+        tds = ds
+    else:
+        raise ValueError(f"{spec['name']}: no train_data and no stream")
+    return tds.limit(int(tc.get("max_samples", 2048)) * 4).to_pandas()
+
+
+def fit_model_from_sample(spec: dict, sample: pd.DataFrame, value_col: str):
+    """Fit the spec's model objects from a training sample frame. Shared by
+    the Dataset scoring stage and the serving warm chain (api/scoring.py)
+    so fit semantics cannot drift between them."""
+    from ..stages import iforest as if_mod
+    c = spec["conf"]
+    tc = c.get("train_conf", {})
+    train_col = value_col
+    if spec.get("train_data") and value_col not in sample.columns:
+        # custom value_col over a message-format train file: train on its
+        # first feature column
+        train_col = "f0"
+    X = sample[[train_col]].to_numpy(dtype=np.float64)
+    X = X[~np.isnan(X).any(axis=1)]
+    if spec["model"] == "IsolationForest":
+        return if_mod.IsolationForestModel(
+            max_samples=int(tc.get("max_samples", 256)), seed=0).fit(X)
+    if spec["model"] == "PCA":
+        ncomp = min(int(tc.get("N_components", 1)), X.shape[1])
+        return if_mod.fit_pca_iforest(
+            X, n_components=ncomp, max_samples=int(tc.get("max_samples", 256)),
+            seed=0)
+    if spec["model"] == "Clustering":
+        return if_mod.DBSCANCoreModel(
+            eps=c["eps"], min_samples=c["min_samples"],
+            treshold=c["treshold"]).fit(X)
     raise NotImplementedError(spec["model"])
 
 

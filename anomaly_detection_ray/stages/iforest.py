@@ -130,35 +130,43 @@ class IsolationForestModel:
         return np.where(self.scores(X) > 0.5, -1, 1)
 
 
+def iforest_score_table(t: pa.Table, model: IsolationForestModel,
+                        feature_cols: list[str],
+                        prefix: str = "if") -> pa.Table:
+    """Pure table scorer — appends <prefix>_code/_status/_score (Error on
+    outlier, isolation_forest.py:141-147). Shared by the actor-pool stage
+    and the in-process serving warm chain so scoring cannot drift."""
+    X = np.column_stack([
+        pa.compute.cast(t[c], pa.float64()).to_numpy(zero_copy_only=False)
+        for c in feature_cols])
+    valid = ~np.isnan(X).any(axis=1)
+    code = np.full(t.num_rows, UNDEFINED_CODE, dtype=np.int8)
+    status = np.full(t.num_rows, "Undefined", dtype=object)
+    score = np.full(t.num_rows, np.nan)
+    if valid.any():
+        s = model.scores(X[valid])
+        pred_err = s > 0.5
+        code[valid] = np.where(pred_err, ERROR_CODE, OK_CODE)
+        sv = status[valid]
+        sv[pred_err] = "Error: outlier detected"
+        sv[~pred_err] = "OK"
+        status[valid] = sv
+        score[valid] = s
+    return (t.append_column(f"{prefix}_code", pa.array(code, type=pa.int8()))
+             .append_column(f"{prefix}_status", pa.array(status, type=pa.string()))
+             .append_column(f"{prefix}_score", pa.array(score, type=pa.float64())))
+
+
 class IForestScore:
     """Actor-pool scoring stage: model deserialized ONCE per actor from the
-    broadcast ref; per batch one vectorized predict. Appends
-    if_code/if_status/if_score (Error on outlier — isolation_forest.py:141-147)."""
+    broadcast ref; per batch one vectorized predict."""
 
     def __init__(self, model_ref, feature_cols: list[str]):
         self.model: IsolationForestModel = ray.get(model_ref)
         self.feature_cols = feature_cols
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        X = np.column_stack([
-            pa.compute.cast(t[c], pa.float64()).to_numpy(zero_copy_only=False)
-            for c in self.feature_cols])
-        valid = ~np.isnan(X).any(axis=1)
-        code = np.full(t.num_rows, UNDEFINED_CODE, dtype=np.int8)
-        status = np.full(t.num_rows, "Undefined", dtype=object)
-        score = np.full(t.num_rows, np.nan)
-        if valid.any():
-            s = self.model.scores(X[valid])
-            pred_err = s > 0.5
-            code[valid] = np.where(pred_err, ERROR_CODE, OK_CODE)
-            sv = status[valid]
-            sv[pred_err] = "Error: outlier detected"
-            sv[~pred_err] = "OK"
-            status[valid] = sv
-            score[valid] = s
-        return (t.append_column("if_code", pa.array(code, type=pa.int8()))
-                 .append_column("if_status", pa.array(status, type=pa.string()))
-                 .append_column("if_score", pa.array(score, type=pa.float64())))
+        return iforest_score_table(t, self.model, self.feature_cols)
 
 
 def fit_from_dataset(ds, feature_cols: list[str], sample_rows: int = 4096,
@@ -214,10 +222,37 @@ class PCAModel:
         return (np.asarray(X, dtype=np.float64) - self.mean_) @ self.components_
 
 
+def pca_iforest_score_table(t: pa.Table, pca: "PCAModel",
+                            model: IsolationForestModel,
+                            feature_cols: list[str],
+                            prefix: str = "pca") -> pa.Table:
+    """Pure table scorer — PCA projection then iForest score (pca.py
+    semantics), appending <prefix>_code/_status/_score. Shared by the
+    actor-pool stage and the serving warm chain."""
+    X = np.column_stack([
+        pa.compute.cast(t[c], pa.float64()).to_numpy(zero_copy_only=False)
+        for c in feature_cols])
+    valid = ~np.isnan(X).any(axis=1)
+    code = np.full(t.num_rows, UNDEFINED_CODE, dtype=np.int8)
+    status = np.full(t.num_rows, "Undefined", dtype=object)
+    score = np.full(t.num_rows, np.nan)
+    if valid.any():
+        s = model.scores(pca.transform(X[valid]))
+        pred_err = s > 0.5
+        code[valid] = np.where(pred_err, ERROR_CODE, OK_CODE)
+        sv = status[valid]
+        sv[pred_err] = "Error: outlier detected"
+        sv[~pred_err] = "OK"
+        status[valid] = sv
+        score[valid] = s
+    return (t.append_column(f"{prefix}_code", pa.array(code, type=pa.int8()))
+             .append_column(f"{prefix}_status", pa.array(status, type=pa.string()))
+             .append_column(f"{prefix}_score", pa.array(score, type=pa.float64())))
+
+
 class PCAIForestScore:
     """Actor-pool stage: project with a broadcast PCAModel then score with a
-    broadcast IsolationForestModel (pca.py semantics). Appends
-    pca_code/pca_status/pca_score."""
+    broadcast IsolationForestModel."""
 
     def __init__(self, pca_ref, model_ref, feature_cols: list[str]):
         self.pca: PCAModel = ray.get(pca_ref)
@@ -225,25 +260,8 @@ class PCAIForestScore:
         self.feature_cols = feature_cols
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        X = np.column_stack([
-            pa.compute.cast(t[c], pa.float64()).to_numpy(zero_copy_only=False)
-            for c in self.feature_cols])
-        valid = ~np.isnan(X).any(axis=1)
-        code = np.full(t.num_rows, UNDEFINED_CODE, dtype=np.int8)
-        status = np.full(t.num_rows, "Undefined", dtype=object)
-        score = np.full(t.num_rows, np.nan)
-        if valid.any():
-            s = self.model.scores(self.pca.transform(X[valid]))
-            pred_err = s > 0.5
-            code[valid] = np.where(pred_err, ERROR_CODE, OK_CODE)
-            sv = status[valid]
-            sv[pred_err] = "Error: outlier detected"
-            sv[~pred_err] = "OK"
-            status[valid] = sv
-            score[valid] = s
-        return (t.append_column("pca_code", pa.array(code, type=pa.int8()))
-                 .append_column("pca_status", pa.array(status, type=pa.string()))
-                 .append_column("pca_score", pa.array(score, type=pa.float64())))
+        return pca_iforest_score_table(t, self.pca, self.model,
+                                       self.feature_cols)
 
 
 def fit_pca_iforest(X: np.ndarray, n_components: int,
@@ -293,6 +311,25 @@ class DBSCANCoreModel:
         return np.where(near, OK_CODE, ERROR_CODE).astype(np.int8)
 
 
+def clustering_score_table(t: pa.Table, model: "DBSCANCoreModel",
+                           feature_cols: list[str],
+                           prefix: str = "cl") -> pa.Table:
+    """Pure table scorer for DBSCANCoreModel, appending
+    <prefix>_code/_status. Shared by the actor-pool stage and the serving
+    warm chain."""
+    X = np.column_stack([
+        pa.compute.cast(t[c], pa.float64()).to_numpy(zero_copy_only=False)
+        for c in feature_cols])
+    valid = ~np.isnan(X).any(axis=1)
+    code = np.full(t.num_rows, UNDEFINED_CODE, dtype=np.int8)
+    if valid.any():
+        code[valid] = model.predict_codes(X[valid])
+    status = np.where(code == ERROR_CODE, "Error: outlier detected",
+                      np.where(code == UNDEFINED_CODE, "Undefined", "OK")).astype(object)
+    return (t.append_column(f"{prefix}_code", pa.array(code, type=pa.int8()))
+             .append_column(f"{prefix}_status", pa.array(status, type=pa.string())))
+
+
 class ClusteringScore:
     """Actor-pool scoring stage for DBSCANCoreModel (cl_code/cl_status)."""
 
@@ -301,14 +338,4 @@ class ClusteringScore:
         self.feature_cols = feature_cols
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        X = np.column_stack([
-            pa.compute.cast(t[c], pa.float64()).to_numpy(zero_copy_only=False)
-            for c in self.feature_cols])
-        valid = ~np.isnan(X).any(axis=1)
-        code = np.full(t.num_rows, UNDEFINED_CODE, dtype=np.int8)
-        if valid.any():
-            code[valid] = self.model.predict_codes(X[valid])
-        status = np.where(code == ERROR_CODE, "Error: outlier detected",
-                          np.where(code == UNDEFINED_CODE, "Undefined", "OK")).astype(object)
-        return (t.append_column("cl_code", pa.array(code, type=pa.int8()))
-                 .append_column("cl_status", pa.array(status, type=pa.string())))
+        return clustering_score_table(t, self.model, self.feature_cols)

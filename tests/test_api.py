@@ -269,3 +269,82 @@ def test_warm_chain_parity_and_fallback(ray_session):
         }],
     }
     assert scoring._warm_chain(model_config) is None  # full-chain fallback
+
+
+def _full_chain_verdict(config, ts, vec):
+    import ray.data as rd
+
+    from anomaly_detection_ray.api import scoring
+    from anomaly_detection_ray.pipelines.config import run_reference_config
+
+    frame = scoring._record_frame(ts, vec)
+    full = run_reference_config(config, ds=rd.from_pandas(frame)).to_pandas()
+    code_cols = [c for c in full.columns if c.endswith("_code")]
+    return int(bool((full.iloc[0][code_cols].to_numpy()
+                     == scoring.ERROR_CODE).any()))
+
+
+def test_warm_chain_fitted_models_from_train_data(ray_session, tmp_path):
+    """Model/GAN configs WITH a train_data file compile to a warm chain
+    (the model fits once at compile time) and every verdict equals the
+    full Ray chain's; retraining the file (mtime change) recompiles."""
+    import numpy as np
+    import pandas as pd
+
+    from anomaly_detection_ray.api import scoring
+
+    rng = np.random.default_rng(11)
+    train = tmp_path / "train.csv"
+    pd.DataFrame({"timestamp": np.arange(300) * 1.0,
+                  "ftr_vector": rng.normal(0, 0.05, 300).round(4)}).to_csv(
+        train, index=False)
+
+    configs = {
+        "clustering": {"anomaly_detection_alg": ["Clustering()"],
+                       "anomaly_detection_conf": [{
+                           "input_vector_size": 1, "eps": 0.5,
+                           "min_samples": 5, "treshold": 0.4,
+                           "train_data": str(train)}]},
+        "iforest": {"anomaly_detection_alg": ["IsolationForest()"],
+                    "anomaly_detection_conf": [{
+                        "input_vector_size": 1,
+                        "train_conf": {"max_samples": 64},
+                        "train_data": str(train)}]},
+        "pca": {"anomaly_detection_alg": ["PCA()"],
+                "anomaly_detection_conf": [{
+                    "input_vector_size": 1,
+                    "train_conf": {"max_samples": 64, "N_components": 1},
+                    "train_data": str(train)}]},
+        "gan": {"anomaly_detection_alg": ["GAN()"],
+                "anomaly_detection_conf": [{
+                    "input_vector_size": 1,
+                    "train_conf": {"N_shifts": 4, "N_latent": 2, "K": 1.5,
+                                   "len_window": 100},
+                    "train_data": str(train)}]},
+    }
+    scoring._CHAIN_CACHE.clear()
+    for name, config in configs.items():
+        chain = scoring._warm_chain(config)
+        assert chain is not None, name
+        assert scoring._warm_chain(config) is chain, name  # cache hit
+        for ts, v in [(1.0, 0.02), (2.0, 100.0), (3.0, -0.03)]:
+            fast = scoring.detect_anomaly_record(config, ts, [v])
+            assert fast == _full_chain_verdict(config, ts, [v]), (name, ts, v)
+    # a detector trained on the tight cluster at 0 must flag 100
+    assert scoring.detect_anomaly_record(configs["clustering"], 9.0, [100.0]) == 1
+    assert scoring.detect_anomaly_record(configs["clustering"], 9.0, [0.01]) == 0
+
+    # retrain the file around 100: the fingerprint key recompiles the
+    # chain and the verdicts flip — no config change, no cache flush
+    cfg = configs["clustering"]
+    old_chain = scoring._warm_chain(cfg)
+    pd.DataFrame({"timestamp": np.arange(300) * 1.0,
+                  "ftr_vector": (100 + rng.normal(0, 0.05, 300)).round(4)}
+                 ).to_csv(train, index=False)
+    os.utime(train, ns=(os.stat(train).st_mtime_ns + 10**9,) * 2)
+    new_chain = scoring._warm_chain(cfg)
+    assert new_chain is not None and new_chain is not old_chain
+    assert scoring.detect_anomaly_record(cfg, 9.0, [100.0]) == 0
+    assert scoring.detect_anomaly_record(cfg, 9.0, [0.01]) == 1
+    assert scoring.detect_anomaly_record(cfg, 9.0, [100.0]) \
+        == _full_chain_verdict(cfg, 9.0, [100.0])
