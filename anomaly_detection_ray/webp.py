@@ -182,15 +182,37 @@ class _PrefixCode:
                 self.maxcode[ln] = code - 1
             code <<= 1
         self.max_len = max_len
-        self.lut = lut
+        # plain list + precomputed mask: per-symbol list indexing is ~3x
+        # faster than numpy scalar indexing in the sequential decode loop
+        self.lut = lut.tolist()
+        self.lut_mask = (1 << self.lut_bits) - 1
 
     def decode(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
-        packed = int(self.lut[br.peek_raw(self.lut_bits)])
+        # inlined peek_raw/drop: the entropy loop is the decoder's hot path
+        # and the method-call overhead dominated it (profiled ~2x)
+        acc = br.acc
+        nbits = br.nbits
+        if nbits < self.lut_bits:
+            data = br.data
+            pos = br.pos
+            n = br.n
+            while nbits < self.lut_bits and pos < n:
+                acc |= data[pos] << nbits
+                pos += 1
+                nbits += 8
+            br.pos = pos
+        packed = self.lut[acc & self.lut_mask]
         if packed >= 0:
-            br.drop(packed & 31)
+            ln = packed & 31
+            if ln > nbits:
+                raise ValueError("VP8L stream truncated")
+            br.acc = acc >> ln
+            br.nbits = nbits - ln
             return packed >> 5
+        br.acc = acc
+        br.nbits = nbits
         code = 0
         for ln in range(1, self.max_len + 1):
             code = (code << 1) | br.bits(1)
@@ -483,21 +505,39 @@ def _decode_entropy_image(br: _BitReader, xsize: int, ysize: int,
             "d": _read_prefix_code(br, 40),
         })
 
-    cache = np.zeros(cache_size, dtype=np.uint64) if cache_size else None
-    pix = np.zeros(xsize * ysize, dtype=np.uint32)
+    cache = [0] * cache_size if cache_size else None
+    # pixels and the color cache accumulate in plain Python lists (scalar
+    # np-array loads/stores are slow); LZ77 back-refs read the list directly
+    pix = [0] * (xsize * ysize)
     n_px = xsize * ysize
     i = 0
     grp = groups[0]
+    meta_list = meta.tolist() if meta is not None else None
+    # hoist bound methods out of the per-symbol loop
+    dec_g = grp["g"].decode
+    dec_r = grp["r"].decode
+    dec_b = grp["b"].decode
+    dec_a = grp["a"].decode
+    dec_d = grp["d"].decode
+    cur_gi = 0
     while i < n_px:
-        if meta is not None:
+        if meta_list is not None:
             y, x = divmod(i, xsize)
-            grp = groups[int(meta[(y >> huffman_bits) * meta_xs
-                                  + (x >> huffman_bits)])]
-        s = grp["g"].decode(br)
+            gi = meta_list[(y >> huffman_bits) * meta_xs
+                           + (x >> huffman_bits)]
+            if gi != cur_gi:
+                cur_gi = gi
+                grp = groups[gi]
+                dec_g = grp["g"].decode
+                dec_r = grp["r"].decode
+                dec_b = grp["b"].decode
+                dec_a = grp["a"].decode
+                dec_d = grp["d"].decode
+        s = dec_g(br)
         if s < 256:
-            r = grp["r"].decode(br)
-            b = grp["b"].decode(br)
-            a = grp["a"].decode(br)
+            r = dec_r(br)
+            b = dec_b(br)
+            a = dec_a(br)
             v = (a << 24) | (r << 16) | (s << 8) | b
             pix[i] = v
             if cache is not None:
@@ -505,7 +545,7 @@ def _decode_entropy_image(br: _BitReader, xsize: int, ysize: int,
             i += 1
         elif s < 280:
             length = _prefix_extra_value(s - 256, br)
-            dist_code = _prefix_extra_value(grp["d"].decode(br), br)
+            dist_code = _prefix_extra_value(dec_d(br), br)
             if dist_code > 120:
                 dist = dist_code - 120
             else:
@@ -514,7 +554,7 @@ def _decode_entropy_image(br: _BitReader, xsize: int, ysize: int,
             if dist > i or i + length > n_px:
                 raise ValueError("LZ77 reference out of range")
             for _ in range(length):
-                v = int(pix[i - dist])
+                v = pix[i - dist]
                 pix[i] = v
                 if cache is not None:
                     cache[(0x1E35A7BD * v) % (1 << 32)
@@ -526,7 +566,7 @@ def _decode_entropy_image(br: _BitReader, xsize: int, ysize: int,
                 raise ValueError("color-cache reference without a cache")
             pix[i] = cache[idx]
             i += 1
-    return pix, xsize, transforms
+    return np.array(pix, dtype=np.uint32), xsize, transforms
 
 
 def _inverse_transforms(pix: np.ndarray, xsize: int, ysize: int,

@@ -29,6 +29,21 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CLIP_N = int(os.environ.get("ADR_CLIP_N", "20000"))
 
 
+def _vm_health_probe() -> float:
+    """Fixed-work CPU probe (3x 1500^2 matmul, ~20 GFLOP), untimed w.r.t.
+    the pipelines. The sandbox VM swings ~2-4x between phases (BASELINE.md
+    "measurement variance"); recording the probe next to every bench makes
+    rounds comparable: healthy phase ~0.2-0.5 s, degraded ~1-2 s."""
+    import numpy as np
+    a = np.ones((1500, 1500))
+    b = np.ones((1500, 1500))
+    a @ b  # warm BLAS threads
+    t0 = time.perf_counter()
+    for _ in range(3):
+        a @ b
+    return round(time.perf_counter() - t0, 3)
+
+
 def _warm_cache(d=None):
     """Pull input files into the OS page cache so timings measure the engine,
     not the disk (both scaling runs must see identical I/O conditions)."""
@@ -188,6 +203,7 @@ def run_headline() -> dict:
         "num_cpus": NUM_CPUS,
         "clip_rows": CLIP_N,
         "clips_per_sec": round(clips_per_sec, 2),
+        "vm_matmul_s": _vm_health_probe(),
     }
     ray.shutdown()
     return out
@@ -288,6 +304,8 @@ def run_scaling() -> dict:
         "sec_32": r_hi["value"],
         "sf": r_hi["sf"],
         "clip_n": int(clip_n),
+        "vm_matmul_s": _vm_health_probe(),
+        "vm_matmul_s_legs": [r.get("vm_matmul_s") for r in (r_hi, *r_con, r_lo)],
     }
 
 
