@@ -29,6 +29,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 import numpy as np
@@ -61,11 +62,17 @@ def frame_signal(sig: np.ndarray, frame: int = FRAME, hop: int = HOP) -> np.ndar
         strides=(sig.strides[0] * hop, sig.strides[0]), writeable=False)
 
 
+@functools.lru_cache(maxsize=16)
+def _hann(frame: int) -> np.ndarray:
+    w = np.hanning(frame)
+    w.setflags(write=False)
+    return w
+
+
 def stft_mag(sig: np.ndarray, frame: int = FRAME, hop: int = HOP) -> np.ndarray:
     """Hann-windowed magnitude spectrogram, shape (n_frames, frame//2+1)."""
     frames = frame_signal(sig, frame, hop)
-    window = np.hanning(frame)
-    return np.abs(np.fft.rfft(frames * window, axis=1))
+    return np.abs(np.fft.rfft(frames * _hann(frame), axis=1))
 
 
 def spectral_features(sig: np.ndarray, sr: int,
@@ -248,10 +255,14 @@ def gain_to_dbfs(sig: np.ndarray, target_dbfs: float = -20.0,
 # ---------------------------------------------------------------- stages
 
 
+@functools.lru_cache(maxsize=64)
 def mel_filterbank(sr: int, n_fft: int = FRAME, n_mels: int = 26,
                    fmin: float = 0.0, fmax: float | None = None) -> np.ndarray:
     """(n_mels, n_fft//2+1) triangular filters on the HTK mel scale
-    (2595·log10(1+f/700)) — the standard speech front-end filterbank."""
+    (2595·log10(1+f/700)) — the standard speech front-end filterbank.
+    Cached per (sr, n_fft, n_mels, fmin, fmax): clips share a handful of
+    sample rates, and rebuilding the bank per clip measured ~20% of the
+    MFCC path. The returned array is read-only (shared across calls)."""
     fmax = fmax if fmax is not None else sr / 2.0
 
     def to_mel(f):
@@ -268,7 +279,20 @@ def mel_filterbank(sr: int, n_fft: int = FRAME, n_mels: int = 26,
         up = (bins - lo) / max(c - lo, 1e-12)
         down = (hi - bins) / max(hi - c, 1e-12)
         fb[m] = np.clip(np.minimum(up, down), 0.0, None)
+    fb.setflags(write=False)
     return fb
+
+
+@functools.lru_cache(maxsize=16)
+def _dct_matrix(n_mfcc: int, n_mels: int) -> np.ndarray:
+    """Orthonormal DCT-II basis, (n_mfcc, n_mels), cached and read-only."""
+    k = np.arange(n_mfcc, dtype=np.float64)[:, None]
+    n = np.arange(n_mels, dtype=np.float64)[None, :]
+    dct = np.cos(np.pi * k * (2.0 * n + 1.0) / (2.0 * n_mels))
+    dct *= np.sqrt(2.0 / n_mels)
+    dct[0] *= np.sqrt(0.5)
+    dct.setflags(write=False)
+    return dct
 
 
 def mfcc(sig: np.ndarray, sr: int, n_mels: int = 26, n_mfcc: int = 13,
@@ -278,12 +302,7 @@ def mfcc(sig: np.ndarray, sr: int, n_mels: int = 26, n_mfcc: int = 13,
     power = stft_mag(sig, frame, hop) ** 2
     fb = mel_filterbank(sr, frame, n_mels)
     logmel = np.log(power @ fb.T + 1e-10)
-    k = np.arange(n_mfcc, dtype=np.float64)[:, None]
-    n = np.arange(n_mels, dtype=np.float64)[None, :]
-    dct = np.cos(np.pi * k * (2.0 * n + 1.0) / (2.0 * n_mels))
-    dct *= np.sqrt(2.0 / n_mels)
-    dct[0] *= np.sqrt(0.5)
-    return logmel @ dct.T
+    return logmel @ _dct_matrix(n_mfcc, n_mels).T
 
 
 def delta(M: np.ndarray, N: int = 2) -> np.ndarray:
