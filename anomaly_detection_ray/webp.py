@@ -511,15 +511,36 @@ def _decode_entropy_image(br: _BitReader, xsize: int, ysize: int,
     pix = [0] * (xsize * ysize)
     n_px = xsize * ysize
     i = 0
-    grp = groups[0]
     meta_list = meta.tolist() if meta is not None else None
-    # hoist bound methods out of the per-symbol loop
-    dec_g = grp["g"].decode
-    dec_r = grp["r"].decode
-    dec_b = grp["b"].decode
-    dec_a = grp["a"].decode
-    dec_d = grp["d"].decode
+
+    # The literal path decodes 4 prefix symbols per pixel; at 64k+ pixels
+    # the _PrefixCode.decode call overhead alone dominated wall time
+    # (profiled: 263k calls). Fuse the LUT fast path inline and mirror the
+    # bit-reader state (acc/nbits/pos) in locals, syncing to ``br`` only
+    # around the rare slow paths (LUT miss, LZ77 extra bits). Per channel:
+    # (single_or_-1, lut, lut_bits, lut_mask, code_obj).
+    def _flat(grp):
+        out = []
+        for ch in ("g", "r", "b", "a", "d"):
+            c = grp[ch]
+            if c.single is not None:
+                out.append((c.single, (), 0, 0, c))
+            else:
+                out.append((-1, c.lut, c.lut_bits, c.lut_mask, c))
+        return out
+
+    flats = [_flat(g) for g in groups]
+    ((g_single, g_lut, g_bits, g_mask, g_obj),
+     (r_single, r_lut, r_bits, r_mask, r_obj),
+     (b_single, b_lut, b_bits, b_mask, b_obj),
+     (a_single, a_lut, a_bits, a_mask, a_obj),
+     (_, _, _, _, d_obj)) = flats[0]
     cur_gi = 0
+    data = br.data
+    n = br.n
+    acc = br.acc
+    nbits = br.nbits
+    pos = br.pos
     while i < n_px:
         if meta_list is not None:
             y, x = divmod(i, xsize)
@@ -527,25 +548,106 @@ def _decode_entropy_image(br: _BitReader, xsize: int, ysize: int,
                            + (x >> huffman_bits)]
             if gi != cur_gi:
                 cur_gi = gi
-                grp = groups[gi]
-                dec_g = grp["g"].decode
-                dec_r = grp["r"].decode
-                dec_b = grp["b"].decode
-                dec_a = grp["a"].decode
-                dec_d = grp["d"].decode
-        s = dec_g(br)
+                ((g_single, g_lut, g_bits, g_mask, g_obj),
+                 (r_single, r_lut, r_bits, r_mask, r_obj),
+                 (b_single, b_lut, b_bits, b_mask, b_obj),
+                 (a_single, a_lut, a_bits, a_mask, a_obj),
+                 (_, _, _, _, d_obj)) = flats[gi]
+        # --- inline decode: green/length/cache symbol
+        if g_single >= 0:
+            s = g_single
+        else:
+            if nbits < g_bits:
+                while nbits < g_bits and pos < n:
+                    acc |= data[pos] << nbits
+                    pos += 1
+                    nbits += 8
+            packed = g_lut[acc & g_mask]
+            if packed >= 0:
+                ln = packed & 31
+                if ln > nbits:
+                    raise ValueError("VP8L stream truncated")
+                acc >>= ln
+                nbits -= ln
+                s = packed >> 5
+            else:
+                br.acc, br.nbits, br.pos = acc, nbits, pos
+                s = g_obj.decode(br)
+                acc, nbits, pos = br.acc, br.nbits, br.pos
         if s < 256:
-            r = dec_r(br)
-            b = dec_b(br)
-            a = dec_a(br)
+            # --- inline decode: red
+            if r_single >= 0:
+                r = r_single
+            else:
+                if nbits < r_bits:
+                    while nbits < r_bits and pos < n:
+                        acc |= data[pos] << nbits
+                        pos += 1
+                        nbits += 8
+                packed = r_lut[acc & r_mask]
+                if packed >= 0:
+                    ln = packed & 31
+                    if ln > nbits:
+                        raise ValueError("VP8L stream truncated")
+                    acc >>= ln
+                    nbits -= ln
+                    r = packed >> 5
+                else:
+                    br.acc, br.nbits, br.pos = acc, nbits, pos
+                    r = r_obj.decode(br)
+                    acc, nbits, pos = br.acc, br.nbits, br.pos
+            # --- inline decode: blue
+            if b_single >= 0:
+                b = b_single
+            else:
+                if nbits < b_bits:
+                    while nbits < b_bits and pos < n:
+                        acc |= data[pos] << nbits
+                        pos += 1
+                        nbits += 8
+                packed = b_lut[acc & b_mask]
+                if packed >= 0:
+                    ln = packed & 31
+                    if ln > nbits:
+                        raise ValueError("VP8L stream truncated")
+                    acc >>= ln
+                    nbits -= ln
+                    b = packed >> 5
+                else:
+                    br.acc, br.nbits, br.pos = acc, nbits, pos
+                    b = b_obj.decode(br)
+                    acc, nbits, pos = br.acc, br.nbits, br.pos
+            # --- inline decode: alpha
+            if a_single >= 0:
+                a = a_single
+            else:
+                if nbits < a_bits:
+                    while nbits < a_bits and pos < n:
+                        acc |= data[pos] << nbits
+                        pos += 1
+                        nbits += 8
+                packed = a_lut[acc & a_mask]
+                if packed >= 0:
+                    ln = packed & 31
+                    if ln > nbits:
+                        raise ValueError("VP8L stream truncated")
+                    acc >>= ln
+                    nbits -= ln
+                    a = packed >> 5
+                else:
+                    br.acc, br.nbits, br.pos = acc, nbits, pos
+                    a = a_obj.decode(br)
+                    acc, nbits, pos = br.acc, br.nbits, br.pos
             v = (a << 24) | (r << 16) | (s << 8) | b
             pix[i] = v
             if cache is not None:
                 cache[(0x1E35A7BD * v) % (1 << 32) >> (32 - cache_bits)] = v
             i += 1
         elif s < 280:
+            br.acc, br.nbits, br.pos = acc, nbits, pos
             length = _prefix_extra_value(s - 256, br)
-            dist_code = _prefix_extra_value(dec_d(br), br)
+            dist_code = _prefix_extra_value(d_obj.decode(br), br)
+            acc, nbits, pos = br.acc, br.nbits, br.pos
             if dist_code > 120:
                 dist = dist_code - 120
             else:
@@ -566,6 +668,7 @@ def _decode_entropy_image(br: _BitReader, xsize: int, ysize: int,
                 raise ValueError("color-cache reference without a cache")
             pix[i] = cache[idx]
             i += 1
+    br.acc, br.nbits, br.pos = acc, nbits, pos
     return np.array(pix, dtype=np.uint32), xsize, transforms
 
 
