@@ -2910,11 +2910,11 @@ def q_clip_expectations_incremental(sf_dir: str):
 
 
 def q_clip_loudness_stats(sf_dir: str):
-    """Gated loudness per clip (stages/audio_ops.gated_loudness: BS.1770
-    gating algorithm — 400 ms blocks, 75% overlap, absolute then relative
-    gate — honestly labeled gated RMS dBFS, not LUFS, since K-weighting's
-    spec tables aren't reproducible here) + the normalization gain to
-    -23 dBFS. Gating means silence padding can't drag the estimate down
+    """Integrated LUFS per clip (stages/audio_ops.gated_loudness: full
+    ITU-R BS.1770-4 — parametric K-weighting biquads validated against
+    the spec's 48 kHz tables, 400 ms blocks at 75% overlap, -0.691
+    offset, absolute then relative gate) + the normalization gain to
+    -23 LUFS. Gating means silence padding can't drag the estimate down
     (pinned in test_audio_ops). Deterministic => fixture oracle."""
     from ..sources.clips import read_clips
     from ..stages import audio_ops as ao

@@ -1112,18 +1112,92 @@ def pitch_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
 
 # --------------------------------------------------------------- loudness
 
+def k_weighting_coeffs(sr: int) -> tuple[tuple, tuple, tuple, tuple]:
+    """ITU-R BS.1770-4 K-weighting as two biquads (shelf_b, shelf_a,
+    hp_b, hp_a) at sample rate ``sr``.
+
+    Derived parametrically from the spec's analog parameters — stage-1
+    spherical-head high shelf (fc 1681.97 Hz, +3.99984 dB, Q 0.70718)
+    and stage-2 RLB high-pass (fc 38.1355 Hz, Q 0.50033) — via the
+    published bilinear design (De Man 2013, "Evaluation of
+    implementations of the ITU-R BS.1770 loudness algorithm"; the same
+    parameterization pyloudnorm documents). At sr=48000 this reproduces
+    the coefficient tables printed in BS.1770-4 itself to <1e-15
+    (pinned in tests/test_audio_ops.py), which cross-validates both the
+    parameters and the design math; unlike the fixed tables it is exact
+    at EVERY clip sample rate, not just 48 kHz."""
+    G, fc, Q = 3.999843853973347, 1681.974450955533, 0.7071752369554196
+    K = np.tan(np.pi * fc / sr)
+    Vh = 10.0 ** (G / 20.0)
+    Vb = Vh ** 0.4996667741545416
+    a0 = 1.0 + K / Q + K * K
+    shelf_b = ((Vh + Vb * K / Q + K * K) / a0, 2.0 * (K * K - Vh) / a0,
+               (Vh - Vb * K / Q + K * K) / a0)
+    shelf_a = (1.0, 2.0 * (K * K - 1.0) / a0, (1.0 - K / Q + K * K) / a0)
+    fc2, Q2 = 38.13547087602444, 0.5003270373238773
+    K = np.tan(np.pi * fc2 / sr)
+    a0 = 1.0 + K / Q2 + K * K
+    hp_b = (1.0, -2.0, 1.0)
+    hp_a = (1.0, 2.0 * (K * K - 1.0) / a0, (1.0 - K / Q2 + K * K) / a0)
+    return shelf_b, shelf_a, hp_b, hp_a
+
+
+@functools.lru_cache(maxsize=32)
+def _k_weight_fir(sr: int) -> np.ndarray:
+    """Truncated impulse response of the K-weighting cascade at ``sr``,
+    cached per sample rate and returned read-only.
+
+    The 4th-order IIR is applied as FFT convolution with this kernel:
+    the slowest pole (the 38 Hz high-pass, |p| ≈ sqrt(hp_a2)) sets the
+    truncation length for a 1e-13 envelope, so the FIR result matches
+    the exact recurrence to float64 noise (pinned against dsp.lfilter)
+    while the per-clip cost is one rfft round-trip instead of a Python
+    per-sample loop.
+
+    ``sr`` is clamped into [4000, 192000] for the DESIGN: beyond that
+    range the header is lying (the synth corpus ships such clips) and
+    the unclamped high-pass pole walks to 1, making the kernel
+    unboundedly long — a clamped-rate K-weighting is still the right
+    measure for whatever signal actually decoded."""
+    from ..functions import dsp
+    sr = min(max(sr, 4000), 192000)
+    shelf_b, shelf_a, hp_b, hp_a = k_weighting_coeffs(sr)
+    radius = max(np.sqrt(abs(shelf_a[2])), np.sqrt(abs(hp_a[2])))
+    n = int(np.log(1e-13) / np.log(min(radius, 1.0 - 1e-9))) + 8
+    imp = np.zeros(n)
+    imp[0] = 1.0
+    h = dsp.lfilter(np.array(hp_b), np.array(hp_a),
+                    dsp.lfilter(np.array(shelf_b), np.array(shelf_a), imp))
+    h.setflags(write=False)
+    return h
+
+
+def k_weight(sig: np.ndarray, sr: int) -> np.ndarray:
+    """Apply the BS.1770 K-weighting pre-filter (zero initial state,
+    same-length output) via FFT convolution with the cached kernel."""
+    x = np.asarray(sig, dtype=np.float64)
+    n = len(x)
+    if n == 0 or sr <= 0:
+        return x
+    h = _k_weight_fir(min(max(int(sr), 4000), 192000))
+    m = 1 << int(np.ceil(np.log2(n + len(h) - 1)))
+    y = np.fft.irfft(np.fft.rfft(x, m) * np.fft.rfft(h, m), m)[:n]
+    return y
+
+
 def gated_loudness(sig: np.ndarray, sr: int, block_ms: float = 400.0,
                    hop_ms: float = 100.0, abs_gate_db: float = -70.0,
-                   rel_gate_db: float = -10.0) -> dict[str, float]:
-    """Two-stage GATED loudness (the ITU-R BS.1770 gating algorithm —
-    400 ms blocks at 75% overlap, -70 dB absolute gate, then a -10 dB
-    relative gate off the surviving blocks' mean power — WITHOUT the
-    K-weighting pre-filter: its exact biquad coefficients are spec
-    tables this container cannot faithfully reproduce, so the measure is
-    honestly labeled gated RMS dBFS, not LUFS). Gating is the part that
-    matters for corpus work: long silences must not drag the loudness
-    estimate down, so normalization gains computed from it don't blast
-    speech that happens to sit in a quiet clip.
+                   rel_gate_db: float = -10.0,
+                   k_weighting: bool = True) -> dict[str, float]:
+    """Integrated LUFS per ITU-R BS.1770-4 (mono, channel weight 1):
+    K-weighting pre-filter (parametric biquads, see k_weighting_coeffs),
+    400 ms blocks at 75% overlap, -0.691 dB offset, -70 LUFS absolute
+    gate, then a -10 LU relative gate off the surviving blocks' mean
+    power. ``k_weighting=False`` degrades to the round-3 gated RMS dBFS
+    measure (no pre-filter, no offset). Gating is the part that matters
+    for corpus work: long silences must not drag the loudness estimate
+    down, so normalization gains computed from it don't blast speech
+    that happens to sit in a quiet clip.
 
     Returns integrated loudness_db, short-term range_db (p10..p95 of
     block loudness after the absolute gate), and block counts."""
@@ -1135,21 +1209,26 @@ def gated_loudness(sig: np.ndarray, sr: int, block_ms: float = 400.0,
     hop = max(1, int(sr * hop_ms / 1000.0))
     if n < blk:
         blk = n
-    x = np.asarray(sig, dtype=np.float64)
+    if k_weighting:
+        x = k_weight(sig, sr)
+        off = -0.691
+    else:
+        x = np.asarray(sig, dtype=np.float64)
+        off = 0.0
     n_blocks = max(1, (len(x) - blk) // hop + 1)
     idx = np.arange(blk)[None, :] + hop * np.arange(n_blocks)[:, None]
     ms = (x[idx] ** 2).mean(axis=1)
     with np.errstate(divide="ignore"):
-        ldb = 10.0 * np.log10(ms)
+        ldb = off + 10.0 * np.log10(ms)
     keep = ldb > abs_gate_db
     if not keep.any():
         return {"loudness_db": float("-inf"), "range_db": 0.0,
                 "n_blocks": int(n_blocks), "n_gated": int(n_blocks)}
-    rel_thresh = 10.0 * np.log10(ms[keep].mean()) + rel_gate_db
+    rel_thresh = off + 10.0 * np.log10(ms[keep].mean()) + rel_gate_db
     final = keep & (ldb > rel_thresh)
     if not final.any():
         final = keep
-    loud = 10.0 * np.log10(ms[final].mean())
+    loud = off + 10.0 * np.log10(ms[final].mean())
     surv = ldb[keep]
     return {"loudness_db": float(loud),
             "range_db": float(np.quantile(surv, 0.95)
@@ -1159,9 +1238,10 @@ def gated_loudness(sig: np.ndarray, sr: int, block_ms: float = 400.0,
 
 
 class LoudnessStats:
-    """Actor-pool stage: WAV bytes -> gated loudness columns + the gain
-    (dB) to reach ``target_db`` — the corpus loudness-normalization
-    planning pass (apply is a scalar multiply inside any decode stage)."""
+    """Actor-pool stage: WAV bytes -> integrated-LUFS columns + the gain
+    (dB) to reach ``target_db`` (default -23 LUFS, the EBU R128 target)
+    — the corpus loudness-normalization planning pass (apply is a scalar
+    multiply inside any decode stage)."""
 
     def __init__(self, bytes_col: str = "bytes", id_col: str = "clip_id",
                  target_db: float = -23.0):

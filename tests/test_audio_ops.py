@@ -598,11 +598,65 @@ def test_pitch_table_matches_corpus_physics(clip_ds):
 # --------------------------------------------------------------- loudness
 
 
+def k_response_db(freq: float, sr: int) -> float:
+    """|H| of the K-weighting cascade at ``freq``, from the biquads."""
+    sb, sa, hb, ha = ao.k_weighting_coeffs(sr)
+    z = np.exp(-1j * 2 * np.pi * freq / sr)
+    h = (np.polyval(sb[::-1], z) / np.polyval(sa[::-1], z)) \
+        * (np.polyval(hb[::-1], z) / np.polyval(ha[::-1], z))
+    return float(20.0 * np.log10(abs(h)))
+
+
+def test_k_weighting_spec_tables():
+    """The parametric design must reproduce the 48 kHz coefficient
+    tables printed in ITU-R BS.1770-4 itself — two independent public
+    sources agreeing pins both the analog parameters and the bilinear
+    math, so the design is trustworthy at every other sample rate."""
+    sb, sa, hb, ha = ao.k_weighting_coeffs(48000)
+    np.testing.assert_allclose(
+        sb, [1.53512485958697, -2.69169618940638, 1.19839281085285],
+        atol=1e-12)
+    np.testing.assert_allclose(
+        sa, [1.0, -1.69065929318241, 0.73248077421585], atol=1e-12)
+    np.testing.assert_allclose(hb, [1.0, -2.0, 1.0], atol=0)
+    np.testing.assert_allclose(
+        ha, [1.0, -1.99004745483398, 0.99007225036621], atol=1e-12)
+
+
+def test_k_weight_fir_matches_direct_recurrence():
+    """The truncated-FIR fft path must equal the exact IIR recurrence
+    (dsp.lfilter) to float noise at every corpus sample rate."""
+    from anomaly_detection_ray.functions import dsp
+    for sr in (8000, 16000, 44100, 48000):
+        x = np.random.default_rng(sr).normal(size=4000)
+        sb, sa, hb, ha = ao.k_weighting_coeffs(sr)
+        ref = dsp.lfilter(np.array(hb), np.array(ha),
+                          dsp.lfilter(np.array(sb), np.array(sa), x))
+        np.testing.assert_allclose(ao.k_weight(x, sr), ref, atol=1e-9)
+    # lying sr headers (synth corpus ships them) must not blow up the
+    # kernel length — design clamps to the standard audio range
+    assert np.isfinite(ao.k_weight(np.ones(100), 2_000_000_000)).all()
+
+
+def test_lufs_sine_values():
+    """A full-scale 997 Hz sine measures amp dBFS - 0.691 + H(997) LUFS
+    (the spec's worked construction); H(997) ~ 0 dB at 48 kHz."""
+    t = np.arange(48000 * 3) / 48000.0
+    r = ao.gated_loudness(np.sin(2 * np.pi * 997 * t), 48000)
+    want = 10 * np.log10(0.5) - 0.691 + k_response_db(997.0, 48000)
+    assert abs(r["loudness_db"] - want) < 0.05
+    # the -0.691 offset exists exactly to cancel H at the 997 Hz
+    # reference tone: a full-scale 997 Hz sine reads -3.01 LUFS
+    assert abs(k_response_db(997.0, 48000) - 0.691) < 0.01
+    assert abs(r["loudness_db"] - 10 * np.log10(0.5)) < 0.05
+
+
 def test_gated_loudness_silence_immune():
     """THE property gating buys: padding a clip with silence must not
     drag integrated loudness down (ungated RMS would drop ~6 dB here)."""
     sig = tone(300.0, 2.0)                       # amp .5 -> ms=.125
-    want = 10.0 * np.log10(0.125)                # ≈ -9.03 dBFS
+    want = (10.0 * np.log10(0.125) - 0.691      # ≈ -9.03 dBFS -> LUFS
+            + k_response_db(300.0, SR))
     base = ao.gated_loudness(sig, SR)
     assert abs(base["loudness_db"] - want) < 0.2
     padded = np.concatenate([np.zeros(2 * SR), sig, np.zeros(2 * SR)])
