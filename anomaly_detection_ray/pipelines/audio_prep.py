@@ -49,10 +49,12 @@ class AudioPrepConfig:
     err_clip: float = 0.01          # clipping_ratio above => drop
     max_flatness: float = 1.0       # spectral flatness above => drop (1.0 = off)
     min_speech: float = 0.0         # speech_ratio below => drop (0.0 = off)
+    min_snr_db: float | None = None  # blind SNR below => drop (None = off)
     batch_size: int = 32
     concurrency: int = 0            # 0 = auto (decode_pool_size)
     resampler: str = "linear"       # "linear" (cheap) | "sinc" (anti-aliased)
-    target_dbfs: float | None = None  # RMS loudness normalization (None=off)
+    target_dbfs: float | None = None  # loudness normalization (None=off)
+    level_mode: str = "rms"         # "rms" | "peak" | "lufs" (BS.1770 gated)
 
 
 # Side-channel accumulation: pipelines/sidechannel.ShardedSink — sharded
@@ -100,11 +102,17 @@ class AudioPrep:
                     if not np.isnan(flat) and flat > cfg.max_flatness:
                         st["drop_quality"] += 1
                         continue
+            if cfg.min_snr_db is not None:
+                snr = ao.snr_estimate(sig, sr)["snr_db"]
+                if not np.isnan(snr) and snr < cfg.min_snr_db:
+                    st["drop_quality"] += 1
+                    continue
             rs = (ao.resample_sinc(sig, sr, cfg.target_sr)
                   if cfg.resampler == "sinc"
                   else ao.resample_linear(sig, sr, cfg.target_sr))
             if cfg.target_dbfs is not None:
-                rs = ao.gain_to_dbfs(rs, cfg.target_dbfs)
+                rs = ao.gain_to_dbfs(rs, cfg.target_dbfs,
+                                     mode=cfg.level_mode, sr=cfg.target_sr)
             seg_n = max(1, int(cfg.target_sr * cfg.seg_ms / 1000.0))
             min_n = int(cfg.target_sr * cfg.min_ms / 1000.0)
             kept_any = False

@@ -2728,9 +2728,11 @@ def q_clip_audio_features(sf_dir: str):
 
 
 def q_clip_spectral_features(sf_dir: str):
-    """STFT spectral descriptors + VAD + clipping + 4-valued audio-quality
-    verdict per clip (stages/audio_ops.SpectralFeatures; deterministic =>
-    fixture oracle)."""
+    """STFT spectral descriptors + VAD + clipping + blind SNR (spectral
+    noise-floor, physics-pinned in test_audio_ops) + 4-valued
+    audio-quality verdict per clip (stages/audio_ops.SpectralFeatures;
+    ONE stft per clip feeds both kernels; deterministic => fixture
+    oracle)."""
     from ..sources.clips import read_clips
     from ..stages import audio_ops as ao
     path = _clip_table_path(sf_dir)
@@ -2738,8 +2740,8 @@ def q_clip_spectral_features(sf_dir: str):
     out = ao.spectral_feature_table(ds, concurrency=8)
     return out.select_columns(
         ["clip_id", "zcr", "centroid_hz", "bandwidth_hz", "rolloff_hz",
-         "flatness", "speech_ratio", "clipping_ratio", "n_segments",
-         "aq_code"])
+         "flatness", "speech_ratio", "clipping_ratio", "snr_db",
+         "n_segments", "aq_code"])
 
 
 def q_clip_mel_features(sf_dir: str):

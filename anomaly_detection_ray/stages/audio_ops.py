@@ -76,17 +76,19 @@ def stft_mag(sig: np.ndarray, frame: int = FRAME, hop: int = HOP) -> np.ndarray:
 
 
 def spectral_features(sig: np.ndarray, sr: int,
-                      frame: int = FRAME, hop: int = HOP) -> dict[str, float]:
+                      frame: int = FRAME, hop: int = HOP,
+                      S: np.ndarray | None = None) -> dict[str, float]:
     """Clip-level spectral descriptors from the time-averaged magnitude
     spectrum: zero-crossing rate (crossings/sec), spectral centroid /
     bandwidth / 85% rolloff (Hz), and spectral flatness (geometric/arith
-    mean of power)."""
+    mean of power). Pass ``S`` (magnitude spectrogram at frame/hop) to
+    reuse an already-computed STFT."""
     if len(sig) < 2:
         return {k: float("nan") for k in
                 ("zcr", "centroid_hz", "bandwidth_hz", "rolloff_hz", "flatness")}
     zcr = float(np.count_nonzero(np.signbit(sig[1:]) != np.signbit(sig[:-1]))
                 / (len(sig) / sr))
-    mag = stft_mag(sig, frame, hop).mean(axis=0)
+    mag = (stft_mag(sig, frame, hop) if S is None else S).mean(axis=0)
     freqs = np.fft.rfftfreq(frame, d=1.0 / sr)
     power = mag**2
     total = float(power.sum())
@@ -132,6 +134,51 @@ def clipping_stats(sig: np.ndarray, full_scale: float = 0.999) -> dict[str, floa
         return {"clipping_ratio": float("nan"), "dc_offset": float("nan")}
     return {"clipping_ratio": float(np.mean(np.abs(sig) >= full_scale)),
             "dc_offset": float(np.mean(sig))}
+
+
+def snr_estimate(sig: np.ndarray, sr: int, frame: int = 512,
+                 hop: int = 256, P: np.ndarray | None = None) -> dict[str, float]:
+    """Blind per-clip SNR: spectral noise-floor estimation (the
+    minimum/percentile-statistics family, Martin 2001's principle).
+
+    Per-frequency-bin noise PSD = temporal MEDIAN of the power
+    spectrogram corrected for the exponential periodogram distribution
+    (median = ln2 x mean for complex-Gaussian noise bins); the median
+    ACROSS bins then rejects the few tonal bins whose own floor is
+    contaminated by steady signal. SNR = (mean total - noise) / noise.
+    Physics-tested within 0.2 dB from +37 to +1 dB true SNR on
+    tone+white and AM-modulated synth clips (test_audio_ops). Assumes
+    the signal is sparse in time or frequency (speech/music/tones);
+    a pause-free broadband signal reads as noise (documented limit of
+    every noise-floor method). Returns snr_db plus the noise/signal
+    levels in dBFS. Pass ``P`` (power spectrogram, frames x bins) to
+    reuse an already-computed STFT."""
+    x = np.asarray(sig, dtype=np.float64)
+    if len(x) == 0 or sr <= 0:
+        return {"snr_db": float("nan"), "noise_db": float("nan"),
+                "signal_db": float("nan")}
+    if P is None:
+        if len(x) < frame:
+            frame = max(16, 1 << int(np.log2(max(len(x), 16))))
+            hop = max(8, frame // 2)
+        P = stft_mag(x, frame, hop) ** 2
+    if P.size == 0:
+        return {"snr_db": float("nan"), "noise_db": float("nan"),
+                "signal_db": float("nan")}
+    floor = np.median(P, axis=0) / np.log(2.0)
+    noise_pow = float(np.median(floor)) * P.shape[1]
+    tot = float(P.sum(axis=1).mean())
+    if noise_pow <= 0.0:
+        return {"snr_db": float("inf"), "noise_db": float("-inf"),
+                "signal_db": 10.0 * np.log10(max(tot, 1e-300))}
+    sig_pow = max(tot - noise_pow, noise_pow * 1e-12)
+    # dBFS scaling: power spectrogram sums are per-frame window energies;
+    # report levels relative to the mean-square of the frames so
+    # noise_db/signal_db decompose the clip's own power
+    scale = tot / max(float(np.mean(x * x)), 1e-300)
+    return {"snr_db": float(10.0 * np.log10(sig_pow / noise_pow)),
+            "noise_db": float(10.0 * np.log10(noise_pow / scale)),
+            "signal_db": float(10.0 * np.log10(sig_pow / scale))}
 
 
 def band_edges(sr: int, n_edges: int = FP_BANDS, fmin: float = FP_FMIN,
@@ -237,18 +284,29 @@ def resample_sinc(sig: np.ndarray, sr_from: int, sr_to: int,
 
 
 def gain_to_dbfs(sig: np.ndarray, target_dbfs: float = -20.0,
-                 mode: str = "rms", limit: float = 0.999) -> np.ndarray:
-    """Loudness normalization: scale so the clip's RMS (or peak) sits at
-    ``target_dbfs`` (dB re full scale 1.0), then hard-limit to ±limit —
-    the corpus-leveling step before training-window extraction."""
+                 mode: str = "rms", limit: float = 0.999,
+                 sr: int | None = None) -> np.ndarray:
+    """Loudness normalization: scale so the clip's RMS, peak, or gated
+    integrated loudness (``mode="lufs"``, needs ``sr``; silence-immune —
+    padding can't inflate the gain the way RMS leveling does) sits at
+    ``target_dbfs``, then hard-limit to ±limit — the corpus-leveling
+    step before training-window extraction."""
     sig = np.asarray(sig, dtype=np.float64)
     if len(sig) == 0:
         return sig
-    level = (float(np.sqrt(np.mean(sig * sig))) if mode == "rms"
-             else float(np.max(np.abs(sig))))
-    if level <= 0.0:
-        return sig
-    gain = 10.0 ** ((target_dbfs - 20.0 * np.log10(level)) / 20.0)
+    if mode == "lufs":
+        if not sr:
+            raise ValueError("mode='lufs' requires sr")
+        level_db = gated_loudness(sig, sr)["loudness_db"]
+        if not np.isfinite(level_db):
+            return sig
+    else:
+        level = (float(np.sqrt(np.mean(sig * sig))) if mode == "rms"
+                 else float(np.max(np.abs(sig))))
+        if level <= 0.0:
+            return sig
+        level_db = 20.0 * np.log10(level)
+    gain = 10.0 ** ((target_dbfs - level_db) / 20.0)
     return np.clip(sig * gain, -limit, limit)
 
 
@@ -422,7 +480,8 @@ class SpectralFeatures:
 
     FLOAT_COLS = ("zcr", "centroid_hz", "bandwidth_hz", "rolloff_hz",
                   "flatness", "speech_ratio", "lead_silence_ms",
-                  "trail_silence_ms", "clipping_ratio", "dc_offset")
+                  "trail_silence_ms", "clipping_ratio", "dc_offset",
+                  "snr_db", "noise_db")
 
     def __init__(self, bytes_col: str = "bytes", err_clip: float = 0.01,
                  warn_clip: float = 0.001, min_speech: float = 0.1,
@@ -447,9 +506,17 @@ class SpectralFeatures:
             sig, sr = audio.decode_wav_lenient(b)
             if sig is None or not sr:
                 continue
-            feats = spectral_features(sig, sr)
+            # ONE stft per clip, shared by the descriptor and blind-SNR
+            # kernels (an extra fft pass measured ~15% of this stage)
+            S = (stft_mag(np.asarray(sig, dtype=np.float64), FRAME, HOP)
+                 if len(sig) >= FRAME else None)
+            feats = spectral_features(sig, sr, S=S)
             feats.update(vad_stats(sig, sr))
             feats.update(clipping_stats(sig))
+            snr = snr_estimate(sig, sr, FRAME, HOP,
+                               P=None if S is None else S ** 2)
+            feats["snr_db"] = snr["snr_db"]
+            feats["noise_db"] = snr["noise_db"]
             n_seg[i] = int(feats.pop("n_segments"))
             for k, v in feats.items():
                 cols[k][i] = v

@@ -97,6 +97,39 @@ def test_spectral_feature_table(clip_ds):
     assert (ok["clipping_ratio"] == 0.0).all()
 
 
+def test_snr_estimate_physics():
+    """Blind SNR must track the constructed tone+noise SNR within ~1 dB
+    from strong to weak signal, including AM modulation; pure noise
+    reads strongly negative; the shared-STFT path equals the standalone
+    path exactly."""
+    t = np.arange(SR * 2) / SR
+    rng = np.random.default_rng(3)
+    for a, s in [(0.5, 0.005), (0.5, 0.02), (0.5, 0.1), (0.2, 0.1)]:
+        x = a * np.sin(2 * np.pi * 300 * t) + rng.normal(0, s, len(t))
+        true = 10 * np.log10((a * a / 2) / (s * s))
+        assert abs(ao.snr_estimate(x, SR)["snr_db"] - true) < 1.0
+    env = 0.5 * (1 + np.sin(2 * np.pi * 3 * t))
+    x = 0.5 * env * np.sin(2 * np.pi * 300 * t) + rng.normal(0, .02, len(t))
+    true = 10 * np.log10((0.25 * np.mean(env ** 2) / 2) / 4e-4)
+    assert abs(ao.snr_estimate(x, SR)["snr_db"] - true) < 1.0
+    assert ao.snr_estimate(rng.normal(0, .1, SR), SR)["snr_db"] < -10.0
+    # shared-STFT path identity + edge cases
+    P = ao.stft_mag(x, 512, 256) ** 2
+    assert (ao.snr_estimate(x, SR, P=P)["snr_db"]
+            == ao.snr_estimate(x, SR)["snr_db"])
+    assert np.isnan(ao.snr_estimate(np.zeros(0), SR)["snr_db"])
+    assert np.isfinite(ao.snr_estimate(tone(300.0, 0.01), SR)["snr_db"]) \
+        or np.isinf(ao.snr_estimate(tone(300.0, 0.01), SR)["snr_db"])
+
+
+def test_spectral_table_snr_columns(clip_ds):
+    out = ao.spectral_feature_table(clip_ds, concurrency=2).to_pandas()
+    ok = out[out["aq_code"] == 1]
+    # clean synth tones: high SNR; corpus-wide majority decodable
+    assert (ok["snr_db"] > 10.0).mean() > 0.8
+    assert ok["noise_db"].notna().all()
+
+
 def test_spectral_stage_bad_payload(ray_session):
     import pyarrow as pa
     ds = rd.from_arrow(pa.table({"clip_id": ["x", "y"],
@@ -278,6 +311,27 @@ def test_gain_to_dbfs():
                            mode="peak")
     assert np.abs(loud).max() <= 0.999 + 1e-12
     assert ao.gain_to_dbfs(np.zeros(10)).sum() == 0.0  # silence: no-op
+
+
+def test_gain_to_lufs_silence_immune():
+    """LUFS-mode leveling targets gated loudness, so silence padding
+    must not change the applied gain — the failure mode of RMS leveling
+    on padded corpus clips (it over-amplifies by the pad ratio)."""
+    sig = tone(300.0, 2.0, amp=0.05)             # quiet clip
+    out = ao.gain_to_dbfs(sig, target_dbfs=-23.0, mode="lufs", sr=SR)
+    assert abs(ao.gated_loudness(out, SR)["loudness_db"] - (-23.0)) < 0.3
+    padded = np.concatenate([np.zeros(2 * SR), sig, np.zeros(2 * SR)])
+    outp = ao.gain_to_dbfs(padded, target_dbfs=-23.0, mode="lufs", sr=SR)
+    g = np.abs(out).max() / np.abs(sig).max()
+    gp = np.abs(outp).max() / np.abs(sig).max()
+    assert abs(20 * np.log10(gp / g)) < 1.0      # gain ~unchanged by pad
+    rms = ao.gain_to_dbfs(padded, target_dbfs=-23.0, mode="rms")
+    g_rms = np.abs(rms).max() / np.abs(sig).max()
+    assert 20 * np.log10(g_rms / gp) > 3.0       # RMS over-amplifies
+    # all-silence: no-op, and missing sr is an error
+    assert ao.gain_to_dbfs(np.zeros(SR), mode="lufs", sr=SR).sum() == 0.0
+    with pytest.raises(ValueError):
+        ao.gain_to_dbfs(sig, mode="lufs")
 
 
 def test_delta_matches_naive_htk_regression():

@@ -98,6 +98,23 @@ def test_quality_gate_drops_flat_noise(clip_path, tmp_path):
     m = res["metrics"]
     gt = synth.ground_truth(SEED, N, P)
     assert int(m["drop_quality"].sum()) >= len(gt["corrupt_pcm"])
+
+
+def test_snr_gate_drops_noise_keeps_tones(clip_path, tmp_path):
+    """min_snr_db drops the pure-noise corrupt_pcm clips (blind SNR reads
+    them strongly negative) while keeping clean tonal clips — and drops
+    nothing when off."""
+    gt = synth.ground_truth(SEED, N, P)
+    cfg = ap.AudioPrepConfig(P=P, min_snr_db=5.0, concurrency=2)
+    res = ap.run_audio_prep(clip_path, str(tmp_path / "snr"), cfg,
+                            resume=False)
+    m = res["metrics"]
+    assert int(m["drop_quality"].sum()) >= len(gt["corrupt_pcm"])
+    df = _segments_df(res)
+    noise_ids = {f"clip-{i:09d}" for i in gt["corrupt_pcm"]}
+    assert not (set(df["clip_id"].unique()) & noise_ids)
+    # clean tones survive: most clips still produce segments
+    assert int(m["kept"].sum()) > 0.7 * N
     df = _segments_df(res)
     corrupt_ids = {f"clip-{i:09d}" for i in gt["corrupt_pcm"]}
     assert not (set(df["clip_id"].unique()) & corrupt_ids)
@@ -120,6 +137,12 @@ def test_sinc_resampler_and_loudness_normalization(clip_path,
                              target_dbfs=-20.0)
     assert (ckpt.config_hash(asdict(cfg))
             != ckpt.config_hash(asdict(ap.AudioPrepConfig(P=P))))
+    # level_mode is part of the config identity (lufs vs rms leveling
+    # produces different payloads => must invalidate checkpoints)
+    lufs = ap.AudioPrepConfig(P=P, target_dbfs=-20.0, level_mode="lufs")
+    assert (ckpt.config_hash(asdict(lufs))
+            != ckpt.config_hash(asdict(
+                ap.AudioPrepConfig(P=P, target_dbfs=-20.0))))
     res = ap.run_audio_prep(clip_path, str(out), cfg, resume=False)
     df = _segments_df(res)
     assert len(df) > 100
