@@ -55,6 +55,7 @@ class AudioPrepConfig:
     resampler: str = "linear"       # "linear" (cheap) | "sinc" (anti-aliased)
     target_dbfs: float | None = None  # loudness normalization (None=off)
     level_mode: str = "rms"         # "rms" | "peak" | "lufs" (BS.1770 gated)
+    seg_mode: str = "fixed"         # "fixed" windows | "vad" (cut at silence)
 
 
 # Side-channel accumulation: pipelines/sidechannel.ShardedSink — sharded
@@ -115,17 +116,28 @@ class AudioPrep:
                                      mode=cfg.level_mode, sr=cfg.target_sr)
             seg_n = max(1, int(cfg.target_sr * cfg.seg_ms / 1000.0))
             min_n = int(cfg.target_sr * cfg.min_ms / 1000.0)
+            if cfg.seg_mode == "vad":
+                # silence-aware rows: speech spans (small pauses closed,
+                # context-padded), each span then cut to <= seg_ms
+                spans = ao.vad_segments(rs, cfg.target_sr)
+                ranges = [(s0 + s, min(s0 + s + seg_n, e0))
+                          for s0, e0 in spans
+                          for s in range(0, e0 - s0, seg_n)]
+            else:
+                ranges = [(s, min(s + seg_n, len(rs)))
+                          for s in range(0, len(rs), seg_n)]
             kept_any = False
-            for k, s in enumerate(range(0, len(rs), seg_n)):
-                chunk = rs[s: s + seg_n]
-                if len(chunk) < min_n:
-                    break
+            k = 0
+            for s, e in ranges:
+                if e - s < min_n:
+                    continue
                 ids.append(cid)
                 pids.append(pid)
                 seg_idx.append(k)
+                k += 1
                 start_ms.append(s / cfg.target_sr * 1000.0)
-                dur_ms.append(len(chunk) / cfg.target_sr * 1000.0)
-                payloads.append(audio.encode_wav(chunk, cfg.target_sr))
+                dur_ms.append((e - s) / cfg.target_sr * 1000.0)
+                payloads.append(audio.encode_wav(rs[s:e], cfg.target_sr))
                 kept_any = True
             if kept_any:
                 st["kept"] += 1

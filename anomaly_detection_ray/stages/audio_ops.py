@@ -127,6 +127,51 @@ def vad_stats(sig: np.ndarray, sr: int, threshold_db: float = -40.0,
             "trail_silence_ms": trail, "n_segments": n_seg}
 
 
+def vad_segments(sig: np.ndarray, sr: int, threshold_db: float = -40.0,
+                 frame_ms: float = 25.0, hop_ms: float = 10.0,
+                 min_gap_ms: float = 200.0,
+                 pad_ms: float = 50.0) -> list[tuple[int, int]]:
+    """Speech spans as (start_sample, end_sample) pairs: energy-VAD
+    frames (same detector as vad_stats), gaps shorter than
+    ``min_gap_ms`` closed (intra-utterance pauses stay inside one
+    span), then each span padded by ``pad_ms`` context on both sides.
+
+    The boundary primitive for silence-aware corpus segmentation: a
+    fixed window chops words in half and keeps padding; cutting at VAD
+    boundaries yields utterance-shaped training rows."""
+    n = len(sig)
+    if n == 0 or sr <= 0:
+        return []
+    frame = max(2, int(sr * frame_ms / 1000.0))
+    hop = max(1, int(sr * hop_ms / 1000.0))
+    frames = frame_signal(sig, frame, hop)
+    if len(frames) == 0:
+        return [(0, n)]
+    rms = np.sqrt(np.mean(frames ** 2, axis=1))
+    peak = float(rms.max(initial=0.0))
+    if peak <= 0.0:
+        return []
+    active = rms > peak * 10.0 ** (threshold_db / 20.0)
+    idx = np.nonzero(active)[0]
+    if len(idx) == 0:
+        return []
+    # runs of active frames; close gaps below min_gap
+    max_gap = max(1, int(min_gap_ms / hop_ms))
+    breaks = np.nonzero(np.diff(idx) > max_gap)[0]
+    starts = np.concatenate([[idx[0]], idx[breaks + 1]])
+    ends = np.concatenate([idx[breaks], [idx[-1]]])
+    pad = int(sr * pad_ms / 1000.0)
+    out = []
+    for s_f, e_f in zip(starts, ends):
+        s = max(0, int(s_f) * hop - pad)
+        e = min(n, int(e_f) * hop + frame + pad)
+        if out and s <= out[-1][1]:
+            out[-1] = (out[-1][0], e)          # padding merged spans
+        else:
+            out.append((s, e))
+    return out
+
+
 def clipping_stats(sig: np.ndarray, full_scale: float = 0.999) -> dict[str, float]:
     """Fraction of samples at/above digital full scale + DC offset (the
     two classic recording-quality defects)."""

@@ -97,6 +97,27 @@ def test_spectral_feature_table(clip_ds):
     assert (ok["clipping_ratio"] == 0.0).all()
 
 
+def test_vad_segments_boundaries():
+    """Speech spans land on the constructed tone/silence boundaries
+    (within a VAD frame + pad), intra-utterance pauses below min_gap
+    stay inside one span, and pure silence yields no spans."""
+    sig = np.concatenate([tone(300.0, 1.0), np.zeros(int(1.5 * SR)),
+                          tone(440.0, 0.5)])
+    spans = ao.vad_segments(sig, SR)
+    assert len(spans) == 2
+    tol = int(0.12 * SR)                         # frame + pad slack
+    assert abs(spans[0][0] - 0) <= tol
+    assert abs(spans[0][1] - SR) <= tol
+    assert abs(spans[1][0] - int(2.5 * SR)) <= tol
+    assert abs(spans[1][1] - len(sig)) <= tol
+    # a 120 ms pause (< min_gap 200 ms) does NOT split the utterance
+    sig2 = np.concatenate([tone(300.0, 0.5), np.zeros(int(0.12 * SR)),
+                           tone(300.0, 0.5)])
+    assert len(ao.vad_segments(sig2, SR)) == 1
+    assert ao.vad_segments(np.zeros(SR), SR) == []
+    assert ao.vad_segments(np.zeros(0), SR) == []
+
+
 def test_snr_estimate_physics():
     """Blind SNR must track the constructed tone+noise SNR within ~1 dB
     from strong to weak signal, including AM modulation; pure noise

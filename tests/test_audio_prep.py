@@ -100,6 +100,32 @@ def test_quality_gate_drops_flat_noise(clip_path, tmp_path):
     assert int(m["drop_quality"].sum()) >= len(gt["corrupt_pcm"])
 
 
+def test_vad_segmentation_mode(clip_path, tmp_path):
+    """seg_mode='vad' cuts at silence boundaries: emitted segments are
+    speech-dense (energy-active), durations respect seg_ms/min_ms, and
+    the config hash differs from fixed-window mode."""
+    from anomaly_detection_ray.pipelines import checkpoint as ckpt
+    from anomaly_detection_ray.stages import audio_ops as ao
+    from dataclasses import asdict
+
+    cfg = ap.AudioPrepConfig(P=P, seg_mode="vad", concurrency=2)
+    assert (ckpt.config_hash(asdict(cfg))
+            != ckpt.config_hash(asdict(ap.AudioPrepConfig(P=P))))
+    res = ap.run_audio_prep(clip_path, str(tmp_path / "vad"), cfg,
+                            resume=False)
+    df = _segments_df(res)
+    assert len(df) > 100
+    assert df["seg_dur_ms"].max() <= 1000.0 + 1e-6
+    assert df["seg_dur_ms"].min() >= 200.0
+    ratios = []
+    for b in df["bytes"].head(50):
+        sig, sr = audio.decode_wav(b)
+        ratios.append(ao.vad_stats(sig, sr)["speech_ratio"])
+    # vad-cut rows are speech-shaped; fixed windows over padded clips
+    # would include fully-silent rows (ratio ~0)
+    assert float(np.median(ratios)) > 0.7
+
+
 def test_snr_gate_drops_noise_keeps_tones(clip_path, tmp_path):
     """min_snr_db drops the pure-noise corrupt_pcm clips (blind SNR reads
     them strongly negative) while keeping clean tonal clips — and drops
