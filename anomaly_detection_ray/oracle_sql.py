@@ -1870,6 +1870,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id)
         """,
+        "robust_zscore_events": """
+            -- group-wise robust z-score: (value - median) / MAD.
+            -- median() is quantile_cont(0.5) (midpoint interpolation),
+            -- matching numpy.median; NULL for null values and
+            -- zero-MAD groups (NULLIF)
+            WITH med AS (
+              SELECT user_id, median(value) AS med
+              FROM events WHERE value IS NOT NULL GROUP BY user_id
+            ), mad AS (
+              SELECT e.user_id, median(abs(e.value - m.med)) AS mad
+              FROM events e JOIN med m USING (user_id)
+              WHERE e.value IS NOT NULL GROUP BY e.user_id
+            )
+            SELECT e.event_id, e.user_id,
+                   round((e.value - m.med) / NULLIF(d.mad, 0.0), 6) AS rz
+            FROM events e
+            LEFT JOIN med m USING (user_id)
+            LEFT JOIN mad d USING (user_id)
+        """,
         "covariance_embeddings": """
             -- sample covariance of the leading 8 embedding dims via
             -- covar_samp over an unnest self-join (the engine computes

@@ -113,6 +113,51 @@ def q_zscore_events(sf_dir: str):
     return ds.map_batches(apply, batch_format="pandas")
 
 
+def q_robust_zscore_events(sf_dir: str):
+    """Group-wise ROBUST z-score: (value - group median) / group MAD —
+    the outlier-resistant twin of zscore_events (mean/std break down
+    when the contamination you're hunting inflates them; median/MAD
+    have a 50% breakdown point). One groupby exchange of slim
+    (user_id, value) rows with per-group vectorized median+MAD (the
+    same per-key-fits-one-worker contract as the series kernels); the
+    group-stats table is user-cardinality bounded and broadcast for the
+    one-pass apply, exactly the zscore_events shape. NULL for null
+    values and zero-MAD groups (NULLIF semantics)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def grp(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            med, mad = np.nan, np.nan
+        else:
+            med = float(np.median(v))
+            mad = float(np.median(np.abs(v - med)))
+        return pd.DataFrame({"user_id": [df["user_id"].iloc[0]],
+                             "med": [med], "mad": [mad]})
+
+    st = (ds.select_columns(["user_id", "value"])
+            .groupby("user_id").map_groups(grp, batch_format="pandas")
+            .to_pandas())
+    med = dict(zip(st["user_id"].astype(str), st["med"]))
+    mad = dict(zip(st["user_id"].astype(str), st["mad"]))
+    st_ref = ray.put((med, mad))
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        m, d = ray.get(st_ref)
+        k = df["user_id"].astype(str)
+        me = k.map(m).to_numpy(np.float64)
+        ma = k.map(d).to_numpy(np.float64)
+        v = df["value"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rz = (v - me) / np.where(ma == 0.0, np.nan, ma)
+        return pd.DataFrame({"event_id": df["event_id"],
+                             "user_id": df["user_id"],
+                             "rz": rnd(pd.Series(rz), 6)})
+
+    return ds.map_batches(apply, batch_format="pandas")
+
+
 def _welford_series(sf_dir: str, N):
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
     out = series_mod.apply_series_checks(
@@ -3063,6 +3108,7 @@ QUERIES = {
     "border_check_events": q_border_check_events,
     "grouped_stats_events": q_grouped_stats_events,
     "zscore_events": q_zscore_events,
+    "robust_zscore_events": q_robust_zscore_events,
     "welford_window_events": q_welford_window_events,
     "welford_inf_events": q_welford_inf_events,
     "uniqueness_events": q_uniqueness_events,
