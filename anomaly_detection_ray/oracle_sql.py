@@ -1889,6 +1889,31 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN med m USING (user_id)
             LEFT JOIN mad d USING (user_id)
         """,
+        "winsorize_events": """
+            -- group-wise p05/p95 clamp; quantile_cont matches
+            -- numpy.quantile's linear interpolation
+            WITH b AS (
+              SELECT user_id,
+                     quantile_cont(value, 0.05) AS lo,
+                     quantile_cont(value, 0.95) AS hi
+              FROM events WHERE value IS NOT NULL GROUP BY user_id
+            )
+            SELECT e.event_id, e.user_id,
+                   round(least(greatest(e.value, b.lo), b.hi), 6) AS value_w
+            FROM events e LEFT JOIN b USING (user_id)
+        """,
+        "impute_median_events": """
+            -- null values filled with the group median; all-null groups
+            -- stay null
+            WITH m AS (
+              SELECT user_id, median(value) AS med
+              FROM events WHERE value IS NOT NULL GROUP BY user_id
+            )
+            SELECT e.event_id, e.user_id,
+                   round(coalesce(e.value, m.med), 6) AS value_f,
+                   e.value IS NULL AS was_null
+            FROM events e LEFT JOIN m USING (user_id)
+        """,
         "covariance_embeddings": """
             -- sample covariance of the leading 8 embedding dims via
             -- covar_samp over an unnest self-join (the engine computes

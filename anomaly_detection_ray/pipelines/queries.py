@@ -158,6 +158,74 @@ def q_robust_zscore_events(sf_dir: str):
     return ds.map_batches(apply, batch_format="pandas")
 
 
+def q_winsorize_events(sf_dir: str):
+    """Group-wise winsorization: clamp value into the group's
+    [p05, p95] (np.quantile linear interpolation == DuckDB
+    quantile_cont) — the standard heavy-tail taming transform before
+    training on raw metrics. Same exchange shape as
+    robust_zscore_events: one slim groupby, cardinality-bounded
+    bounds table broadcast, vectorized clamp apply."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def grp(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        v = v[~np.isnan(v)]
+        lo, hi = ((np.nan, np.nan) if len(v) == 0 else
+                  (float(np.quantile(v, 0.05)), float(np.quantile(v, 0.95))))
+        return pd.DataFrame({"user_id": [df["user_id"].iloc[0]],
+                             "lo": [lo], "hi": [hi]})
+
+    st = (ds.select_columns(["user_id", "value"])
+            .groupby("user_id").map_groups(grp, batch_format="pandas")
+            .to_pandas())
+    st_ref = ray.put((dict(zip(st["user_id"].astype(str), st["lo"])),
+                      dict(zip(st["user_id"].astype(str), st["hi"]))))
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = ray.get(st_ref)
+        k = df["user_id"].astype(str)
+        v = df["value"].to_numpy(np.float64)
+        w = np.clip(v, k.map(lo).to_numpy(np.float64),
+                    k.map(hi).to_numpy(np.float64))
+        return pd.DataFrame({"event_id": df["event_id"],
+                             "user_id": df["user_id"],
+                             "value_w": rnd(pd.Series(w), 6)})
+
+    return ds.map_batches(apply, batch_format="pandas")
+
+
+def q_impute_median_events(sf_dir: str):
+    """Distributed batch imputation: null values filled with the
+    group's median (the robust batch twin of the reference's sequential
+    LastNAverage repair — normalization.py replaces a flagged record
+    from its trailing window; at rest, the whole-corpus median is the
+    order-free equivalent). Groups that are entirely null stay null."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def grp(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        v = v[~np.isnan(v)]
+        return pd.DataFrame({"user_id": [df["user_id"].iloc[0]],
+                             "med": [float(np.median(v)) if len(v) else np.nan]})
+
+    st = (ds.select_columns(["user_id", "value"])
+            .groupby("user_id").map_groups(grp, batch_format="pandas")
+            .to_pandas())
+    st_ref = ray.put(dict(zip(st["user_id"].astype(str), st["med"])))
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(st_ref)
+        v = df["value"].to_numpy(np.float64)
+        med = df["user_id"].astype(str).map(m).to_numpy(np.float64)
+        filled = np.where(np.isnan(v), med, v)
+        return pd.DataFrame({"event_id": df["event_id"],
+                             "user_id": df["user_id"],
+                             "value_f": rnd(pd.Series(filled), 6),
+                             "was_null": np.isnan(v)})
+
+    return ds.map_batches(apply, batch_format="pandas")
+
+
 def _welford_series(sf_dir: str, N):
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
     out = series_mod.apply_series_checks(
@@ -3109,6 +3177,8 @@ QUERIES = {
     "grouped_stats_events": q_grouped_stats_events,
     "zscore_events": q_zscore_events,
     "robust_zscore_events": q_robust_zscore_events,
+    "winsorize_events": q_winsorize_events,
+    "impute_median_events": q_impute_median_events,
     "welford_window_events": q_welford_window_events,
     "welford_inf_events": q_welford_inf_events,
     "uniqueness_events": q_uniqueness_events,

@@ -91,7 +91,8 @@ def oracle_names():
     "profile_events",
     "dup_spans_documents", "editdist_dedup_documents", "cusum_events",
     "large_orders", "doc_split_documents", "contamination_documents",
-    "zscore_events", "robust_zscore_events",
+    "zscore_events", "robust_zscore_events", "winsorize_events",
+    "impute_median_events",
     "cusum_reset_events", "source_quality_report",
     "doc_quality_verdicts", "covariance_embeddings",
     "equidepth_histogram_events", "rollup_events", "funnel_events",
