@@ -47,6 +47,7 @@ FIXTURE_QUERIES = [
     "autoencoder_events",
     "gan_autoencoder_events",
     "rrcf_events",
+    "matrix_profile_events",
     "trend_mlp_events",
     "image_decode_features",
     "jpeg_decode_features",

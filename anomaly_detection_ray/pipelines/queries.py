@@ -2067,6 +2067,18 @@ def _series_events(sf_dir: str, checks):
                               [f"{c['name']}_code" for c in checks])
 
 
+def q_matrix_profile_events(sf_dir: str):
+    """Matrix-profile discord check per user series (functions/matprof:
+    STOMP self-join, Yeh 2016 / Zhu 2016): flags subsequences whose
+    nearest-neighbor distance is a robust-z outlier of the profile —
+    shape anomalies that window statistics miss because each point is
+    locally in-band. Deterministic (no RNG) => fixture oracle; brute-
+    force definitional parity pinned in tests/test_matprof.py."""
+    return _series_events(sf_dir, [{"name": "mpf",
+                                    "kernel": "matrix_profile",
+                                    "params": {"m": 16, "threshold": 6.0}}])
+
+
 def q_ema_check_events(sf_dir: str):
     return _series_events(sf_dir, [{"name": "ema", "kernel": "ema",
                                     "params": {"N": 10, "UL": EV_UL, "LL": EV_LL,
@@ -3269,6 +3281,7 @@ QUERIES = {
     "trend_classification_events": q_trend_classification_events,
     "trend_mlp_events": q_trend_mlp_events,
     "rrcf_events": q_rrcf_events,
+    "matrix_profile_events": q_matrix_profile_events,
     "repair_events": q_repair_events,
     "percent_score_events": q_percent_score_events,
     "feature_construction_events": q_feature_construction_events,

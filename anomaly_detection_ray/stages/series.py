@@ -48,7 +48,13 @@ def _register_rrcf():
     KERNELS["rrcf"] = rrcf_mod.rrcf_check
 
 
+def _register_matprof():
+    from ..functions import matprof
+    KERNELS["matrix_profile"] = matprof.matrix_profile_check
+
+
 _register_rrcf()
+_register_matprof()
 
 
 def make_series_kernel(checks: list[dict[str, Any]], value_col: str,

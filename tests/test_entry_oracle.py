@@ -130,7 +130,8 @@ def test_rows_only_queries_run(entrymod):
                  "iforest_events", "pca_iforest_events", "clustering_events",
                  "forecast_band_events", "autoencoder_events",
                  "reference_config_borders", "tdigest_quantiles_events",
-                 "trend_classification_events", "rrcf_events"]:
+                 "trend_classification_events", "rrcf_events",
+                 "matrix_profile_events"]:
         df = to_df(q[name]("/root/testdata/sf0.001"))
         assert df is not None and len(df.columns) > 0, name
 
