@@ -48,6 +48,7 @@ FIXTURE_QUERIES = [
     "gan_autoencoder_events",
     "rrcf_events",
     "matrix_profile_events",
+    "changepoint_events",
     "trend_mlp_events",
     "image_decode_features",
     "jpeg_decode_features",

@@ -2079,6 +2079,18 @@ def q_matrix_profile_events(sf_dir: str):
                                     "params": {"m": 16, "threshold": 6.0}}])
 
 
+def q_changepoint_events(sf_dir: str):
+    """Optimal multiple-changepoint audit per user series
+    (functions/changepoint: exact PELT, Killick 2012, BIC penalty with
+    a level-shift-immune first-difference noise estimate) — recovers
+    WHERE a source's level changed after the fact, complementing the
+    sequential CUSUM kernel that raises WHILE drift accumulates. Exact
+    optimality pinned against a full O(n²) DP in tests/test_changepoint.
+    Deterministic => fixture oracle."""
+    return _series_events(sf_dir, [{"name": "cp", "kernel": "changepoint",
+                                    "params": {"min_size": 5}}])
+
+
 def q_ema_check_events(sf_dir: str):
     return _series_events(sf_dir, [{"name": "ema", "kernel": "ema",
                                     "params": {"N": 10, "UL": EV_UL, "LL": EV_LL,
@@ -3282,6 +3294,7 @@ QUERIES = {
     "trend_mlp_events": q_trend_mlp_events,
     "rrcf_events": q_rrcf_events,
     "matrix_profile_events": q_matrix_profile_events,
+    "changepoint_events": q_changepoint_events,
     "repair_events": q_repair_events,
     "percent_score_events": q_percent_score_events,
     "feature_construction_events": q_feature_construction_events,

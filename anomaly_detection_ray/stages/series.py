@@ -53,6 +53,14 @@ def _register_matprof():
     KERNELS["matrix_profile"] = matprof.matrix_profile_check
 
 
+def _register_changepoint():
+    from ..functions import changepoint
+    KERNELS["changepoint"] = changepoint.changepoint_check
+
+
+_register_changepoint()
+
+
 _register_rrcf()
 _register_matprof()
 

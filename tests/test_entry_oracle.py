@@ -131,7 +131,7 @@ def test_rows_only_queries_run(entrymod):
                  "forecast_band_events", "autoencoder_events",
                  "reference_config_borders", "tdigest_quantiles_events",
                  "trend_classification_events", "rrcf_events",
-                 "matrix_profile_events"]:
+                 "matrix_profile_events", "changepoint_events"]:
         df = to_df(q[name]("/root/testdata/sf0.001"))
         assert df is not None and len(df.columns) > 0, name
 
