@@ -73,6 +73,7 @@ FIXTURE_QUERIES = [
     "clip_dvector_speakers",
     "clip_pitch_features",
     "clip_loudness_stats",
+    "clip_declip_stats",
     "clip_profile_store",
     "clip_expectations_incremental",
     "audio_fingerprint_dedup",

@@ -46,6 +46,7 @@ class AudioPrepConfig:
     target_sr: int = 16000
     seg_ms: int = 1000
     min_ms: int = 200
+    declip: bool = False            # cubic declip repair before grading
     err_clip: float = 0.01          # clipping_ratio above => drop
     max_flatness: float = 1.0       # spectral flatness above => drop (1.0 = off)
     min_speech: float = 0.0         # speech_ratio below => drop (0.0 = off)
@@ -89,6 +90,9 @@ class AudioPrep:
             if sig is None or not sr or len(sig) == 0:
                 st["drop_decode"] += 1
                 continue
+            if cfg.declip:
+                sig, _ = ao.declip(sig)   # repair, THEN grade: salvages
+                                          # clips the gate would drop
             clip_r = ao.clipping_stats(sig)["clipping_ratio"]
             if clip_r > cfg.err_clip:
                 st["drop_quality"] += 1

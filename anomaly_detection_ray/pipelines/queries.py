@@ -2984,6 +2984,23 @@ def q_clip_dvector_speakers(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def q_clip_declip_stats(sf_dir: str):
+    """Declip repair audit per clip (stages/audio_ops.declip: cubic
+    reconstruction of clipped runs from their unclipped neighbors — the
+    audio counterpart of the reference's LastNAverage value repair):
+    clipping ratio before/after and samples repaired. >20 dB SNR
+    recovery pinned on hard-clipped sines in test_audio_ops.
+    Deterministic => fixture oracle."""
+    from ..sources.clips import read_clips
+    from ..stages import audio_ops as ao
+    path = _clip_table_path(sf_dir)
+    ds = read_clips(path, columns=["clip_id", "bytes"])
+    # 0.45 FS: the synth tones peak ~0.5, so the fixture exercises real
+    # runs + repairs (at 0.999 the corpus has zero clipped samples and
+    # the oracle would pin only schema)
+    return ao.declip_table(ds, concurrency=8, full_scale=0.45)
+
+
 def q_clip_pitch_features(sf_dir: str):
     """Fundamental-frequency track per clip (stages/audio_ops.pitch_f0:
     FFT autocorrelation + parabolic peak refinement, actor pool). The
@@ -3332,6 +3349,7 @@ QUERIES = {
     "clip_dvector_speakers": q_clip_dvector_speakers,
     "clip_pitch_features": q_clip_pitch_features,
     "clip_loudness_stats": q_clip_loudness_stats,
+    "clip_declip_stats": q_clip_declip_stats,
     "clip_profile_store": q_clip_profile_store,
     "clip_expectations_incremental": q_clip_expectations_incremental,
     "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
