@@ -51,6 +51,8 @@ class AudioPrepConfig:
     max_flatness: float = 1.0       # spectral flatness above => drop (1.0 = off)
     min_speech: float = 0.0         # speech_ratio below => drop (0.0 = off)
     min_snr_db: float | None = None  # blind SNR below => drop (None = off)
+    denoise_below_snr: float | None = None  # Wiener-denoise clips under
+                                    # this blind SNR; clean clips untouched
     batch_size: int = 32
     concurrency: int = 0            # 0 = auto (decode_pool_size)
     resampler: str = "linear"       # "linear" (cheap) | "sinc" (anti-aliased)
@@ -107,11 +109,18 @@ class AudioPrep:
                     if not np.isnan(flat) and flat > cfg.max_flatness:
                         st["drop_quality"] += 1
                         continue
-            if cfg.min_snr_db is not None:
+            if cfg.min_snr_db is not None or cfg.denoise_below_snr is not None:
                 snr = ao.snr_estimate(sig, sr)["snr_db"]
-                if not np.isnan(snr) and snr < cfg.min_snr_db:
+                if (cfg.min_snr_db is not None and not np.isnan(snr)
+                        and snr < cfg.min_snr_db):
                     st["drop_quality"] += 1
                     continue
+                # salvage the band above the drop gate but below the
+                # denoise threshold; clean clips stay bit-untouched (the
+                # Wiener floor HURTS already-clean audio — see kernel doc)
+                if (cfg.denoise_below_snr is not None and not np.isnan(snr)
+                        and snr < cfg.denoise_below_snr):
+                    sig = ao.denoise_wiener(sig, sr)
             rs = (ao.resample_sinc(sig, sr, cfg.target_sr)
                   if cfg.resampler == "sinc"
                   else ao.resample_linear(sig, sr, cfg.target_sr))

@@ -127,6 +127,51 @@ def vad_stats(sig: np.ndarray, sr: int, threshold_db: float = -40.0,
             "trail_silence_ms": trail, "n_segments": n_seg}
 
 
+def denoise_wiener(sig: np.ndarray, sr: int, frame: int = 512,
+                   hop: int = 256, alpha: float = 0.98,
+                   gain_floor: float = 0.05) -> np.ndarray:
+    """Decision-directed Wiener denoising (Ephraim & Malah 1984's
+    a-priori SNR recursion with the Wiener gain): noise PSD from the
+    same exponential-corrected median floor as snr_estimate, per-frame
+    a-priori SNR xi smoothed by ``alpha`` (this smoothing — not the
+    subtraction — is what kills musical noise: plain spectral
+    subtraction coherently keeps the loudest noise atoms and measures
+    ~0 dB net), COLA Hann overlap-add resynthesis (identity >60 dB
+    pinned).
+
+    Measured behavior (pinned in tests): +5 dB SNR at 5 dB input,
+    ~+1 dB at 11 dB, -23 dB on pure noise, but a ~-20 dB processing
+    floor that HURTS already-clean audio — callers should gate on
+    snr_estimate and leave clean clips untouched (audio_prep's
+    ``denoise_below_snr`` does exactly that)."""
+    x = np.asarray(sig, dtype=np.float64)
+    n = len(x)
+    if n < frame or sr <= 0:
+        return x.copy()
+    w = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(frame) / frame)
+    n_f = (n - frame) // hop + 1
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_f)[:, None]
+    F = np.fft.rfft(x[idx] * w, axis=1)
+    P = F.real ** 2 + F.imag ** 2
+    noise = max(float(np.median(np.median(P, axis=0))) / np.log(2.0), 1e-300)
+    G = np.empty_like(P)
+    prev = np.zeros(P.shape[1])
+    for i in range(n_f):
+        gamma = P[i] / noise
+        xi = alpha * prev + (1.0 - alpha) * np.maximum(gamma - 1.0, 0.0)
+        g = np.maximum(xi / (1.0 + xi), gain_floor)
+        G[i] = g
+        prev = g * g * gamma
+    y_f = np.fft.irfft(F * G, frame, axis=1)
+    y = np.zeros(n)
+    wsum = np.zeros(n)
+    for i in range(n_f):
+        s = i * hop
+        y[s:s + frame] += y_f[i] * w
+        wsum[s:s + frame] += w * w
+    return np.where(wsum > 1e-6, y / np.maximum(wsum, 1e-6), x)
+
+
 def declip(sig: np.ndarray, full_scale: float = 0.999
            ) -> tuple[np.ndarray, int]:
     """Repair clipped runs by cubic reconstruction: each maximal run of

@@ -100,6 +100,45 @@ def test_quality_gate_drops_flat_noise(clip_path, tmp_path):
     assert int(m["drop_quality"].sum()) >= len(gt["corrupt_pcm"])
 
 
+def test_denoise_gate_salvages_band(clip_path, tmp_path):
+    """denoise_below_snr processes only the band above the drop gate:
+    pure-noise clips still drop (min_snr_db), tonal clips pass through
+    bit-identically (their blind SNR sits above the threshold), and the
+    config hash changes."""
+    from anomaly_detection_ray.pipelines import checkpoint as ckpt
+    from dataclasses import asdict
+
+    gt = synth.ground_truth(SEED, N, P)
+    cfg = ap.AudioPrepConfig(P=P, min_snr_db=0.0, denoise_below_snr=8.0,
+                             concurrency=2)
+    assert (ckpt.config_hash(asdict(cfg)) != ckpt.config_hash(asdict(
+        ap.AudioPrepConfig(P=P, min_snr_db=0.0))))
+    res = ap.run_audio_prep(clip_path, str(tmp_path / "dn"), cfg,
+                            resume=False)
+    m = res["metrics"]
+    # pure-noise corrupt_pcm clips sit far below 0 dB => dropped
+    assert int(m["drop_quality"].sum()) >= len(gt["corrupt_pcm"])
+    df = _segments_df(res)
+    noise_ids = {f"clip-{i:09d}" for i in gt["corrupt_pcm"]}
+    assert not (set(df["clip_id"].unique()) & noise_ids)
+    # clean tones (>8 dB blind SNR) are byte-identical to the no-denoise
+    # run: the gate never touched them
+    base = ap.run_audio_prep(clip_path, str(tmp_path / "base"),
+                             ap.AudioPrepConfig(P=P, min_snr_db=0.0,
+                                                concurrency=2),
+                             resume=False)
+    # the synth table deliberately repeats clip_ids (the 'dup'
+    # violation class), so align on rows whose key is unique per run
+    def uniq(frame):
+        k = ["clip_id", "seg_idx"]
+        return (frame[~frame.duplicated(subset=k, keep=False)]
+                .set_index(k)["bytes"])
+    got, bse = uniq(df), uniq(_segments_df(base))
+    shared = got.index.intersection(bse.index)
+    assert len(shared) > 100
+    assert (got.loc[shared] == bse.loc[shared]).all()
+
+
 def test_vad_segmentation_mode(clip_path, tmp_path):
     """seg_mode='vad' cuts at silence boundaries: emitted segments are
     speech-dense (energy-active), durations respect seg_ms/min_ms, and
