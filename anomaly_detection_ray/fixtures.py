@@ -74,6 +74,10 @@ FIXTURE_QUERIES = [
     "clip_pitch_features",
     "clip_loudness_stats",
     "clip_declip_stats",
+    "clip_denoise_stats",
+    "clip_tempo_features",
+    "clip_stretch_stats",
+    "clip_codec_stats",
     "clip_profile_store",
     "clip_expectations_incremental",
     "audio_fingerprint_dedup",

@@ -3001,6 +3001,66 @@ def q_clip_declip_stats(sf_dir: str):
     return ao.declip_table(ds, concurrency=8, full_scale=0.45)
 
 
+def q_clip_denoise_stats(sf_dir: str):
+    """SNR-gated Wiener denoise audit per clip
+    (stages/audio_ops.DenoiseStats over the denoise_wiener kernel:
+    decision-directed a-priori-SNR Wiener gain, Ephraim & Malah 1984):
+    blind SNR before/after, processed flag, residual-energy delta. Only
+    clips under the blind-SNR threshold are processed — the kernel's
+    processing floor hurts clean audio (pinned in test_audio_ops).
+    Deterministic => fixture oracle."""
+    from ..sources.clips import read_clips
+    from ..stages import audio_ops as ao
+    path = _clip_table_path(sf_dir)
+    ds = read_clips(path, columns=["clip_id", "bytes"])
+    return ao.denoise_table(ds, concurrency=8, below_snr_db=10.0)
+
+
+def q_clip_tempo_features(sf_dir: str):
+    """Tempo / rhythm features per clip (stages/audio_ops.TempoFeatures:
+    spectral-flux onset envelope with a -60 dB relative floor ->
+    autocorrelation tempo, Ellis 2007). The synth corpus is steady
+    tones, so the honest output is NaN bpm nearly everywhere — the
+    fixture pins exactly that (the gates are the product; a tempo
+    estimator that hallucinates BPM on non-rhythmic audio poisons any
+    corpus-level music/speech routing built on it). Physics (click
+    tracks at known BPM recovered within 1 BPM) is pinned in
+    tests/test_audio_ops. Deterministic => fixture oracle."""
+    from ..sources.clips import read_clips
+    from ..stages import audio_ops as ao
+    path = _clip_table_path(sf_dir)
+    ds = read_clips(path, columns=["clip_id", "bytes"])
+    return ao.tempo_table(ds, concurrency=8)
+
+
+def q_clip_stretch_stats(sf_dir: str):
+    """WSOLA time-stretch audit per clip
+    (stages/audio_ops.StretchStats over the time_stretch kernel,
+    Verhelst & Roelands 1993): per rate, achieved duration ratio and f0
+    before/after — pitch preservation is the property that separates
+    WSOLA from resampling, pinned in test_audio_ops. Deterministic =>
+    fixture oracle."""
+    from ..sources.clips import read_clips
+    from ..stages import audio_ops as ao
+    path = _clip_table_path(sf_dir)
+    ds = read_clips(path, columns=["clip_id", "bytes"])
+    return ao.stretch_table(ds, concurrency=8, rates=(0.9, 1.1))
+
+
+def q_clip_codec_stats(sf_dir: str):
+    """Telephone-codec robustness-augmentation audit per clip
+    (stages/audio_ops.CodecStats: 300-3400 Hz band-limit -> 8 kHz ->
+    G.711 mu-law round-trip -> back): post-codec SNR and energy ratio.
+    Band physics (voice band survives, out-of-band dies, mu-law SNR
+    ~38 dB) pinned in test_audio_ops. Deterministic => fixture
+    oracle."""
+    from ..sources.clips import read_clips
+    from ..stages import audio_ops as ao
+    path = _clip_table_path(sf_dir)
+    ds = read_clips(path, columns=["clip_id", "bytes"])
+    return ao.codec_table(ds, concurrency=8)
+
+
 def q_clip_pitch_features(sf_dir: str):
     """Fundamental-frequency track per clip (stages/audio_ops.pitch_f0:
     FFT autocorrelation + parabolic peak refinement, actor pool). The
@@ -3350,6 +3410,10 @@ QUERIES = {
     "clip_pitch_features": q_clip_pitch_features,
     "clip_loudness_stats": q_clip_loudness_stats,
     "clip_declip_stats": q_clip_declip_stats,
+    "clip_denoise_stats": q_clip_denoise_stats,
+    "clip_tempo_features": q_clip_tempo_features,
+    "clip_stretch_stats": q_clip_stretch_stats,
+    "clip_codec_stats": q_clip_codec_stats,
     "clip_profile_store": q_clip_profile_store,
     "clip_expectations_incremental": q_clip_expectations_incremental,
     "audio_fingerprint_dedup": q_audio_fingerprint_dedup,

@@ -165,6 +165,24 @@ def test_declip_table(clip_ds):
     assert (hit["n_repaired"] > 0).all()
 
 
+def test_denoise_table(clip_ds):
+    out = ao.denoise_table(clip_ds, concurrency=2,
+                           below_snr_db=10.0).to_pandas()
+    assert len(out) == 200
+    fin = out.dropna(subset=["snr_before_db"])
+    # corrupt_pcm noise clips sit far below the 10 dB gate and get
+    # processed; pure-noise input collapses (energy drop, SNR reported
+    # lower or unchanged is fine — blind SNR on residue is undefined)
+    proc = fin[fin["denoised"]]
+    assert len(proc) > 0
+    assert (proc["energy_delta_db"] < -3.0).all()
+    # clean tonal clips (blind SNR above the gate) are untouched
+    clean = fin[~fin["denoised"]]
+    assert len(clean) > 100
+    assert (clean["energy_delta_db"] == 0.0).all()
+    assert (clean["snr_after_db"] == clean["snr_before_db"]).all()
+
+
 def test_vad_segments_boundaries():
     """Speech spans land on the constructed tone/silence boundaries
     (within a VAD frame + pad), intra-utterance pauses below min_gap
@@ -854,3 +872,99 @@ def test_segment_clips_overlap(ray_session):
     np.testing.assert_allclose(a[2400:3200], b[:800], atol=2e-4)
     with pytest.raises(ValueError):
         ao.SegmentClips(seg_ms=400, overlap_ms=400)
+
+
+def _clicks(bpm, dur=8.0, sr=SR, namp=0.0):
+    x = np.zeros(int(dur * sr))
+    period = int(60.0 / bpm * sr)
+    for s in range(0, len(x) - 200, period):
+        t = np.arange(200) / sr
+        x[s:s + 200] += np.sin(2 * np.pi * 1000 * t) * np.exp(-t * 80)
+    if namp:
+        x = x + np.random.default_rng(1).normal(0, namp, len(x))
+    return x
+
+
+def test_tempo_estimate_physics():
+    """Click tracks at known BPM recover within 1 BPM (noisy within 2);
+    steady tones, silence, and white noise honestly report NaN — the
+    documented flux and clarity gates."""
+    for bpm in (90, 120, 150):
+        assert abs(ao.tempo_estimate(_clicks(bpm), SR)["bpm"] - bpm) < 1.0
+    r = ao.tempo_estimate(_clicks(120, namp=0.1), SR)
+    assert abs(r["bpm"] - 120) < 2.0 and r["pulse_clarity"] > 0.25
+    tone = 0.5 * np.sin(2 * np.pi * 440 * np.arange(SR * 4) / SR)
+    assert np.isnan(ao.tempo_estimate(tone, SR)["bpm"])
+    assert np.isnan(ao.tempo_estimate(np.zeros(SR * 2), SR)["bpm"])
+    noise = np.random.default_rng(0).normal(0, 0.1, SR * 4)
+    assert np.isnan(ao.tempo_estimate(noise, SR)["bpm"])
+    # short input: NaN, no crash
+    assert np.isnan(ao.tempo_estimate(np.ones(100), SR)["bpm"])
+
+
+def test_time_stretch_physics():
+    """WSOLA changes duration by 1/rate while preserving pitch — the
+    property that distinguishes it from resampling (which scales f0 by
+    the rate). Rate 1 is a copy."""
+    t = np.arange(SR * 2) / SR
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t)
+    for rate in (0.8, 1.25):
+        y = ao.time_stretch(tone, SR, rate)
+        assert abs(len(y) * rate / len(tone) - 1.0) < 0.05
+        assert abs(ao.pitch_f0(y, SR)["f0_hz"] - 440.0) < 2.0
+        # resampling by the same rate shifts pitch: the contrast case
+        rs = ao.resample_linear(tone, SR, int(SR / rate))
+        assert abs(ao.pitch_f0(rs, SR)["f0_hz"] - 440.0 * rate) < 5.0
+    assert np.array_equal(ao.time_stretch(tone, SR, 1.0), tone)
+    with pytest.raises(ValueError):
+        ao.time_stretch(tone, SR, 0.0)
+
+
+def test_codec_telephone_physics():
+    """G.711 mu-law round-trip SNR ~38 dB on a half-scale sine with <=
+    2^bits distinct levels; the telephone channel keeps the voice band
+    (1 kHz survives) and kills out-of-band content (100 Hz, 6 kHz)."""
+    t = np.arange(SR * 2) / SR
+    sn = 0.5 * np.sin(2 * np.pi * 1000 * t)
+    y = ao.mu_law_roundtrip(sn)
+    assert 10 * np.log10(np.mean(sn ** 2) / np.mean((y - sn) ** 2)) > 30.0
+    assert len(np.unique(y)) <= 256
+    # coarse quantizer: worse SNR, fewer levels (monotone sanity)
+    y4 = ao.mu_law_roundtrip(sn, bits=4)
+    assert len(np.unique(y4)) <= 16
+    assert (10 * np.log10(np.mean(sn ** 2) / np.mean((y4 - sn) ** 2))
+            < 10 * np.log10(np.mean(sn ** 2) / np.mean((y - sn) ** 2)))
+
+    def ratio(f):
+        s = 0.5 * np.sin(2 * np.pi * f * t)
+        out = ao.codec_telephone(s, SR)
+        return np.mean(out ** 2) / np.mean(s ** 2)
+
+    assert ratio(1000.0) > 0.7
+    assert ratio(100.0) < 1e-3
+    assert ratio(6000.0) < 1e-3
+    assert len(ao.codec_telephone(np.zeros(0), SR)) == 0
+
+
+def test_tempo_stretch_codec_tables(clip_ds):
+    tempo = ao.tempo_table(clip_ds, concurrency=2).to_pandas()
+    assert len(tempo) == 200
+    # synth corpus is steady tones/noise — no rhythmic content, so the
+    # honest answer is NaN bpm everywhere (the gates working at scale)
+    assert tempo["bpm"].isna().mean() > 0.9
+
+    st = ao.stretch_table(clip_ds, concurrency=2,
+                          rates=(0.9, 1.1)).to_pandas()
+    fin = st.dropna(subset=["f0_before"])
+    fin = fin[fin["f0_before"] > 0]
+    assert len(fin) > 100
+    # duration ratio tracks 1/rate and pitch is preserved per variant
+    assert ((fin["dur_ratio"] * fin["rate"] - 1.0).abs() < 0.12).all()
+    ok = (fin["f0_after"] - fin["f0_before"]).abs() < 0.05 * fin["f0_before"]
+    assert ok.mean() > 0.9
+
+    cd = ao.codec_table(clip_ds, concurrency=2).to_pandas()
+    fin = cd.dropna(subset=["codec_snr_db"])
+    assert len(fin) > 150
+    # narrowband channel: energy never grows above the original
+    assert (fin["energy_ratio"] < 1.5).all()
