@@ -1259,6 +1259,69 @@ def oracle_sql() -> dict[str, str]:
                        AS corr_value_hour
             FROM s
         """,
+        "regression_events": """
+            -- per-user OLS of value vs epoch-days via the identical
+            -- raw-moments closed form the Ray side folds (NOT
+            -- regr_slope(), whose streaming update would differ in ulps
+            -- before rounding); x = epoch_us/86400e6 - 20000 days
+            -- bit-matches the engine's centered float64 expression
+            WITH m AS (
+              SELECT user_id, count(*) AS n,
+                     sum(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0
+                         - 20000.0) AS sx,
+                     sum(value) AS sy,
+                     sum((CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0
+                          - 20000.0)
+                         * (CAST(epoch_us(ts) AS DOUBLE)
+                            / 86400000000.0 - 20000.0)) AS sxx,
+                     sum(value * value) AS syy,
+                     sum((CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0
+                          - 20000.0) * value) AS sxy
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+              GROUP BY 1)
+            SELECT user_id, CAST(n AS BIGINT) AS n,
+                   round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6)
+                       AS slope_per_day,
+                   round((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                          * sx) / n, 4) AS intercept,
+                   round(CASE WHEN (syy - sy * sy / n) > 0
+                         THEN (sxy - sx * sy / n) * (sxy - sx * sy / n)
+                              / ((sxx - sx * sx / n)
+                                 * (syy - sy * sy / n))
+                         ELSE NULL END, 6) AS r2
+            FROM m
+            WHERE n >= 2 AND (sxx - sx * sx / n) > 0
+        """,
+        "autocorr_events": """
+            -- per-user lag-1 autocorrelation over the (ts, event_id)-
+            -- ordered valid-value series; pairs skip invalid values
+            -- (filter BEFORE the window), raw-moments Pearson mirrors
+            -- the engine's fold
+            WITH v AS (
+              SELECT user_id, ts, event_id, value
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+            ), p AS (
+              SELECT user_id, value AS b,
+                     lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS a
+              FROM v
+            ), m AS (
+              SELECT user_id, count(*) AS n, sum(a) AS sa, sum(b) AS sb,
+                     sum(a * a) AS saa, sum(b * b) AS sbb,
+                     sum(a * b) AS sab
+              FROM p WHERE a IS NOT NULL GROUP BY 1
+            )
+            SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+                   round((sab - sa * sb / n)
+                         / sqrt((saa - sa * sa / n)
+                                * (sbb - sb * sb / n)), 6)
+                       AS autocorr_lag1
+            FROM m
+            WHERE n >= 2 AND (saa - sa * sa / n) > 0
+                  AND (sbb - sb * sb / n) > 0
+        """,
         "percent_rank_events": """
             -- order-statistics window; min-rank ties, (rank-1)/(n-1)
             SELECT event_id,

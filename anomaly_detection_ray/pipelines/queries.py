@@ -1635,6 +1635,90 @@ def q_corr_events(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_regression_events(sf_dir: str):
+    """Per-user OLS trend line of value over time (slope/day, intercept,
+    r²) — the per-entity drift-rate profile (is this source's metric
+    creeping, and how fast?). Mergeable raw-moment partials (n, Σx, Σy,
+    Σxx, Σxy, Σyy) per user fold associatively — one slim exchange
+    bounded by user cardinality, no raw-row shuffle; the oracle computes
+    the identical closed form over the identical moments. x is epoch
+    DAYS minus a fixed reference (day 20000 ≈ 2024-10): small-magnitude
+    x keeps both the Σxx - (Σx)²/n cancellation and the intercept's
+    slope·mean(x) amplification well inside float64 — with raw epoch
+    days the intercept mismatched the oracle in the 4th decimal (ulp
+    slope differences × 20600 days), measured before centering."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=["value"])
+        x = (d["ts"].to_numpy("datetime64[us]").astype(np.int64)
+             / 86400e6 - 20000.0)
+        y = d["value"].to_numpy(np.float64)
+        t = pd.DataFrame({"user_id": d["user_id"], "x": x, "y": y,
+                          "xx": x * x, "yy": y * y, "xy": x * y,
+                          "n": 1.0})
+        return t.groupby("user_id", as_index=False).sum()
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["user_id"], {c: "sum" for c in
+                            ["x", "y", "xx", "yy", "xy", "n"]})
+    n = m["n"].to_numpy(np.float64)
+    sx, sy = m["x"].to_numpy(), m["y"].to_numpy()
+    cov = m["xy"].to_numpy() - sx * sy / n
+    vx = m["xx"].to_numpy() - sx * sx / n
+    vy = m["yy"].to_numpy() - sy * sy / n
+    keep = (n >= 2) & (vx > 0)
+    slope = cov / vx
+    out = pd.DataFrame({
+        "user_id": m["user_id"].astype("int64"),
+        "n": n.astype(np.int64),
+        "slope_per_day": rnd(slope, 6),
+        "intercept": rnd((sy - slope * sx) / n, 4),
+        "r2": rnd(np.where(vy > 0, cov * cov / (vx * vy), np.nan), 6),
+    })
+    return out[keep].reset_index(drop=True)
+
+
+def q_autocorr_events(sf_dir: str):
+    """Per-user lag-1 autocorrelation of the time-ordered value series —
+    the memory/whiteness profile (a sensor whose residuals suddenly
+    autocorrelate has drifted or stuck). Order-dependent, so it rides
+    the series partitioning assumption (one user's series per task,
+    stages/series.py): groupby(user).map_groups sorts by (ts, event_id)
+    — the deterministic tiebreak the oracle's window ORDER BY mirrors —
+    and emits one row per user. Pearson r over the (v[t-1], v[t]) pairs
+    equals SQL corr(value, lag(value)) exactly up to summation order;
+    both sides round to 6dp."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        v = g["value"].to_numpy(np.float64)
+        ok = ~np.isnan(v)
+        v = v[ok]
+        uid = int(g["user_id"].iloc[0])
+        if len(v) < 3:
+            return pd.DataFrame({"user_id": [], "n_pairs": [],
+                                 "autocorr_lag1": []})
+        a, b = v[:-1], v[1:]
+        n = len(a)
+        cov = (a * b).sum() - a.sum() * b.sum() / n
+        va = (a * a).sum() - a.sum() ** 2 / n
+        vb = (b * b).sum() - b.sum() ** 2 / n
+        if va <= 0 or vb <= 0:
+            return pd.DataFrame({"user_id": [], "n_pairs": [],
+                                 "autocorr_lag1": []})
+        return pd.DataFrame({"user_id": [uid], "n_pairs": [n],
+                             "autocorr_lag1": rnd(cov / np.sqrt(va * vb),
+                                                  6)})
+
+    out = (ds.groupby("user_id")
+             .map_groups(per_user, batch_format="pandas")).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def q_pivot_events(sf_dir: str):
     """Crosstab pivot — user rows × event-type count columns: slim
     (user, type, n) partials fold once (cardinality-aware); the pivot to
@@ -3410,6 +3494,8 @@ QUERIES = {
     "clip_pitch_features": q_clip_pitch_features,
     "clip_loudness_stats": q_clip_loudness_stats,
     "clip_declip_stats": q_clip_declip_stats,
+    "regression_events": q_regression_events,
+    "autocorr_events": q_autocorr_events,
     "clip_denoise_stats": q_clip_denoise_stats,
     "clip_tempo_features": q_clip_tempo_features,
     "clip_stretch_stats": q_clip_stretch_stats,
