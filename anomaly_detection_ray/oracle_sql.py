@@ -1259,6 +1259,24 @@ def oracle_sql() -> dict[str, str]:
                        AS corr_value_hour
             FROM s
         """,
+        "gini_events": """
+            -- exact Gini per type via a straight sort; ties ordered
+            -- arbitrarily (sum i*x is tie-order invariant)
+            WITH v AS (SELECT event_type, value FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)
+                             AND value >= 0),
+            r AS (SELECT event_type, value,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY value) AS i
+                  FROM v),
+            m AS (SELECT event_type, count(*) AS n, sum(value) AS s,
+                         sum(i * value) AS t FROM r GROUP BY 1)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   round(CASE WHEN s > 0
+                         THEN 2.0 * t / (n * s) - (n + 1.0) / n
+                         ELSE NULL END, 6) AS gini
+            FROM m
+        """,
         "regression_events": """
             -- per-user OLS of value vs epoch-days via the identical
             -- raw-moments closed form the Ray side folds (NOT
@@ -1729,6 +1747,39 @@ def oracle_sql() -> dict[str, str]:
                              / n.n_windows
                         ELSE 0.0 END AS dup_frac
             FROM nwin n LEFT JOIN docdup d USING (doc_id)
+        """,
+        "vocab_documents": """
+            -- corpus vocabulary top-100; deterministic (n desc, word)
+            -- tie-break matches the engine's sort
+            WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                       FROM documents WHERE text IS NOT NULL),
+            c AS (SELECT word, count(*) AS n FROM w
+                  WHERE word <> '' GROUP BY 1)
+            SELECT word, CAST(n AS BIGINT) AS n
+            FROM c ORDER BY n DESC, word LIMIT 100
+        """,
+        "zipf_documents": """
+            -- OLS of ln(freq) on ln(rank) over the full vocabulary via
+            -- the identical raw-moments closed form the engine computes
+            WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                       FROM documents WHERE text IS NOT NULL),
+            c AS (SELECT word, count(*) AS n FROM w
+                  WHERE word <> '' GROUP BY 1),
+            r AS (SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, word)
+                                 AS DOUBLE)) AS x,
+                         ln(CAST(n AS DOUBLE)) AS y FROM c),
+            m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                         sum(x * x) AS sxx, sum(y * y) AS syy,
+                         sum(x * y) AS sxy FROM r)
+            SELECT CAST(n AS BIGINT) AS n_vocab,
+                   round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6)
+                       AS zipf_slope,
+                   round(CASE WHEN (syy - sy * sy / n) > 0
+                         THEN (sxy - sx * sy / n) * (sxy - sx * sy / n)
+                              / ((sxx - sx * sx / n)
+                                 * (syy - sy * sy / n))
+                         ELSE NULL END, 6) AS fit_r2
+            FROM m
         """,
         "token_count_documents": """
             SELECT doc_id,

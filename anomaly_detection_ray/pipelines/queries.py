@@ -1719,6 +1719,22 @@ def q_autocorr_events(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_gini_events(sf_dir: str):
+    """Exact per-type Gini concentration of event values — the
+    inequality profile (is traffic/value concentrated in a few heavy
+    records?). Exact order statistics WITHOUT a global sort: histogram
+    refinement assigns every bucket a known global rank window
+    (stages/gini.exact_gini; same multi-pass shape as the refined
+    quantiles). The oracle sorts outright — identical closed form, tie
+    order provably irrelevant."""
+    from ..stages.gini import exact_gini
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = exact_gini(ds, "value", "event_type")
+    out["n"] = out["n"].astype("int64")
+    out["gini"] = rnd(out["gini"], 6)
+    return out.reset_index(drop=True)
+
+
 def q_pivot_events(sf_dir: str):
     """Crosstab pivot — user rows × event-type count columns: slim
     (user, type, n) partials fold once (cardinality-aware); the pivot to
@@ -1849,6 +1865,66 @@ def q_token_count_documents(sf_dir: str):
                              "n_tokens": tx.token_count(df["text"])})
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def q_vocab_documents(sf_dir: str):
+    """Corpus vocabulary frequency, top 100 by (count desc, word asc) —
+    the coverage table every tokenizer/mixture decision reads first.
+    Per-batch word-count partials (split + explode + groupby) fold once
+    (exchange bounded by vocabulary size, not corpus size — the same
+    shape as BPE's word-count pass); the top-k cut happens on the folded
+    table. Oracle: unnest(string_split) + identical deterministic
+    tie-break."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["text"].fillna("").str.split(" ").explode()
+        w = w[w != ""]
+        return (pd.DataFrame({"word": w, "n": 1})
+                .groupby("word", as_index=False).sum())
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["word"], {"n": "sum"})
+    m["n"] = m["n"].astype("int64")
+    out = (m.sort_values(["n", "word"], ascending=[False, True],
+                         kind="stable")
+           .head(100).reset_index(drop=True))
+    return out[["word", "n"]]
+
+
+def q_zipf_documents(sf_dir: str):
+    """Zipf-law fit over the full vocabulary: OLS of log(freq) on
+    log(rank) (rank by count desc, word asc) — one scalar shape check
+    (exponent ~ -1 for natural text; a pile of boilerplate or synthetic
+    spam bends it) plus fit r² and vocab size. Same single fold as
+    q_vocab_documents; the regression runs on the driver over the folded
+    vocab (bounded). Oracle computes the identical moments closed form
+    over the identical ranking."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["text"].fillna("").str.split(" ").explode()
+        w = w[w != ""]
+        return (pd.DataFrame({"word": w, "n": 1})
+                .groupby("word", as_index=False).sum())
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["word"], {"n": "sum"})
+    m = m.sort_values(["n", "word"], ascending=[False, True],
+                      kind="stable").reset_index(drop=True)
+    x = np.log(np.arange(1, len(m) + 1, dtype=np.float64))
+    y = np.log(m["n"].to_numpy(np.float64))
+    n = float(len(m))
+    sx, sy = x.sum(), y.sum()
+    cov = (x * y).sum() - sx * sy / n
+    vx = (x * x).sum() - sx * sx / n
+    vy = (y * y).sum() - sy * sy / n
+    slope = cov / vx
+    return pd.DataFrame({
+        "n_vocab": [np.int64(len(m))],
+        "zipf_slope": rnd(slope, 6),
+        "fit_r2": rnd(cov * cov / (vx * vy) if vy > 0 else np.nan, 6),
+    })
 
 
 def q_text_quality_documents(sf_dir: str):
@@ -3423,6 +3499,8 @@ QUERIES = {
     "deterministic_shuffle_documents": q_deterministic_shuffle_documents,
     "exact_dedup_documents": q_exact_dedup_documents,
     "token_count_documents": q_token_count_documents,
+    "vocab_documents": q_vocab_documents,
+    "zipf_documents": q_zipf_documents,
     "text_quality_documents": q_text_quality_documents,
     "repetition_stats_documents": q_repetition_stats_documents,
     "pii_redact_documents": q_pii_redact_documents,
@@ -3495,6 +3573,7 @@ QUERIES = {
     "clip_loudness_stats": q_clip_loudness_stats,
     "clip_declip_stats": q_clip_declip_stats,
     "regression_events": q_regression_events,
+    "gini_events": q_gini_events,
     "autocorr_events": q_autocorr_events,
     "clip_denoise_stats": q_clip_denoise_stats,
     "clip_tempo_features": q_clip_tempo_features,

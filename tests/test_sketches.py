@@ -191,3 +191,54 @@ def test_misra_gries_guarantee_and_merge():
     # lower bounds never exceed true counts
     for key, c in zip(cand, lb):
         assert c <= truth.get(int(key), 0)
+
+
+def _brute_gini(v: np.ndarray) -> float:
+    v = np.sort(v[(~np.isnan(v)) & (v >= 0)])
+    n = len(v)
+    s = v.sum()
+    if n == 0 or s <= 0:
+        return float("nan")
+    i = np.arange(1, n + 1, dtype=np.float64)
+    return float(2.0 * (i * v).sum() / (n * s) - (n + 1.0) / n)
+
+
+def test_exact_gini_vs_sort(ray_session):
+    """Histogram-refinement Gini equals the sorted closed form on a
+    multi-group mixture with heavy tails, point-mass ties, NaNs, and
+    negatives (excluded by domain) — with bins/max_collect forced small
+    so recursion, the tie shortcut, and the collect path all fire."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.gini import exact_gini
+
+    r = np.random.default_rng(5)
+    frames = []
+    truth = {}
+    specs = {
+        "uniform": r.uniform(0, 100, 9000),
+        "pareto": (r.pareto(1.3, 9000) + 1) * 10,
+        "ties": np.concatenate([np.full(4000, 7.0), r.uniform(0, 20, 5000)]),
+        "messy": np.concatenate([r.exponential(3, 7000),
+                                 np.full(300, np.nan), -r.uniform(1, 5, 200)]),
+        "zeros": np.zeros(500),
+    }
+    for g, v in specs.items():
+        frames.append(pd.DataFrame({"grp": g, "x": v}))
+        truth[g] = _brute_gini(v)
+    df = pd.concat(frames, ignore_index=True)
+    ds = rd.from_pandas(df).repartition(8)
+    got = exact_gini(ds, "x", "grp", bins=8, max_collect=2000)
+    assert list(got["grp"]) == sorted(specs)
+    for _, row in got.iterrows():
+        want = truth[row["grp"]]
+        if np.isnan(want):
+            assert np.isnan(row["gini"]), row["grp"]
+        else:
+            assert abs(row["gini"] - want) < 1e-9, (row["grp"],
+                                                    row["gini"], want)
+    # n excludes NaN/negative rows
+    nm = got.set_index("grp")["n"]
+    assert nm["messy"] == 7000
+    assert nm["zeros"] == 500 and np.isnan(got.set_index("grp")
+                                           .loc["zeros", "gini"])
