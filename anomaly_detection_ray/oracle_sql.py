@@ -1277,6 +1277,150 @@ def oracle_sql() -> dict[str, str]:
                          ELSE NULL END, 6) AS gini
             FROM m
         """,
+        "moments_events": """
+            -- grouped skewness / excess kurtosis about the group mean:
+            -- central power sums (the engine's pass-2 fold), population
+            -- formulas g1 = m3/m2^1.5, g2 = m4/m2^2 - 3
+            WITH m AS (SELECT event_type, avg(value) AS mu,
+                              count(*) AS n
+                       FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)
+                       GROUP BY 1),
+            s AS (SELECT e.event_type,
+                         sum((e.value - m.mu) * (e.value - m.mu)) AS d2,
+                         sum((e.value - m.mu) * (e.value - m.mu)
+                             * (e.value - m.mu)) AS d3,
+                         sum((e.value - m.mu) * (e.value - m.mu)
+                             * (e.value - m.mu) * (e.value - m.mu)) AS d4
+                  FROM events e JOIN m ON e.event_type = m.event_type
+                  WHERE e.value IS NOT NULL AND NOT isnan(e.value)
+                  GROUP BY 1)
+            SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
+                   round(CASE WHEN s.d2 > 0
+                         THEN (s.d3 / m.n) / pow(s.d2 / m.n, 1.5)
+                         ELSE NULL END, 6) AS skewness,
+                   round(CASE WHEN s.d2 > 0
+                         THEN (s.d4 / m.n) / pow(s.d2 / m.n, 2) - 3.0
+                         ELSE NULL END, 6) AS kurtosis
+            FROM m JOIN s ON m.event_type = s.event_type
+        """,
+        "ntile_events": """
+            -- per-user quartile buckets; (value, event_id) pins tie
+            -- order so NTILE is deterministic
+            SELECT event_id, user_id,
+                   ntile(4) OVER (PARTITION BY user_id
+                                  ORDER BY value, event_id) AS tile
+            FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        """,
+        "reconcile_orders_lineitem": """
+            -- header-vs-detail reconciliation; money sums are
+            -- decimal-exact at 6 dp so round-6 and the off-grid
+            -- 0.0100005 tolerance are association-order-proof
+            WITH li AS (
+              SELECT l_orderkey,
+                     sum(l_extendedprice * (1 - l_discount)
+                         * (1 + l_tax)) AS t
+              FROM lineitem GROUP BY 1)
+            SELECT o.o_orderkey, o.o_totalprice,
+                   round(li.t, 6) AS lineitem_total,
+                   round(o.o_totalprice - li.t, 6) AS price_diff,
+                   coalesce(abs(o.o_totalprice - li.t) <= 0.0100005,
+                            FALSE) AS recon_ok
+            FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+        """,
+        "format_audit_customer": """
+            -- per-rule conformance counts; violations = rows whose
+            -- predicate is not strictly TRUE (NULL fails)
+            WITH c AS (SELECT count(*) AS n FROM customer)
+            SELECT 'acctbal_in_range' AS rule,
+                   CAST(c.n AS BIGINT) AS n_checked,
+                   CAST(c.n - (SELECT count(*) FROM customer
+                               WHERE c_acctbal BETWEEN -1000.0 AND 10000.0)
+                        AS BIGINT) AS n_violations,
+                   round((c.n - (SELECT count(*) FROM customer
+                                 WHERE c_acctbal BETWEEN -1000.0
+                                       AND 10000.0)) * 1.0 / c.n, 6)
+                       AS violation_rate
+            FROM c
+            UNION ALL
+            SELECT 'acctbal_nonneg', CAST(c.n AS BIGINT),
+                   CAST(c.n - (SELECT count(*) FROM customer
+                               WHERE c_acctbal >= 0) AS BIGINT),
+                   round((c.n - (SELECT count(*) FROM customer
+                                 WHERE c_acctbal >= 0)) * 1.0 / c.n, 6)
+            FROM c
+            UNION ALL
+            SELECT 'custkey_positive', CAST(c.n AS BIGINT),
+                   CAST(c.n - (SELECT count(*) FROM customer
+                               WHERE c_custkey >= 0) AS BIGINT),
+                   round((c.n - (SELECT count(*) FROM customer
+                                 WHERE c_custkey >= 0)) * 1.0 / c.n, 6)
+            FROM c
+            UNION ALL
+            SELECT 'name_format', CAST(c.n AS BIGINT),
+                   CAST(c.n - (SELECT count(*) FROM customer
+                               WHERE regexp_matches(c_name,
+                                     '^Customer#[0-9]{9}$')) AS BIGINT),
+                   round((c.n - (SELECT count(*) FROM customer
+                                 WHERE regexp_matches(c_name,
+                                       '^Customer#[0-9]{9}$')))
+                         * 1.0 / c.n, 6)
+            FROM c
+            UNION ALL
+            SELECT 'segment_known', CAST(c.n AS BIGINT),
+                   CAST(c.n - (SELECT count(*) FROM customer
+                               WHERE c_mktsegment IN ('AUTOMOBILE',
+                                     'BUILDING', 'FURNITURE', 'HOUSEHOLD',
+                                     'MACHINERY')) AS BIGINT),
+                   round((c.n - (SELECT count(*) FROM customer
+                                 WHERE c_mktsegment IN ('AUTOMOBILE',
+                                       'BUILDING', 'FURNITURE',
+                                       'HOUSEHOLD', 'MACHINERY')))
+                         * 1.0 / c.n, 6)
+            FROM c
+        """,
+        "cast_audit_events": """
+            -- castability / parse audit over the semi-structured props
+            -- column (json_valid / extracted-k TRY_CAST / domain) plus
+            -- type + load-window rules; NULL predicate = violation
+            WITH t AS (SELECT count(*) AS n FROM events),
+            k AS (SELECT CASE WHEN json_valid(props)
+                         THEN TRY_CAST(json_extract_string(props, '$.k')
+                                       AS BIGINT) END AS kv,
+                         json_valid(props) AS jv,
+                         -- json ints only: reject 87.5-style extracts
+                         CASE WHEN json_valid(props) THEN
+                           json_type(json_extract(props, '$.k'))
+                         END AS kt,
+                         event_type, value, ts
+                  FROM events),
+            agg AS (
+              SELECT
+                count(*) AS n,
+                count(*) FILTER (WHERE value IS NOT NULL
+                                 AND NOT isnan(value)) AS ok_value,
+                count(*) FILTER (WHERE jv) AS ok_json,
+                count(*) FILTER (WHERE kv IS NOT NULL
+                                 AND kt IN ('UBIGINT', 'BIGINT'))
+                    AS ok_kint,
+                count(*) FILTER (WHERE kt IN ('UBIGINT', 'BIGINT')
+                                 AND kv BETWEEN 0 AND 89) AS ok_kdom,
+                count(*) FILTER (WHERE event_type IN ('click', 'error',
+                                 'purchase', 'signup', 'view')) AS ok_type,
+                count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-01'
+                                 AND ts < TIMESTAMP '2026-01-01') AS ok_ts
+              FROM k)
+            SELECT r.rule, CAST(agg.n AS BIGINT) AS n_checked,
+                   CAST(agg.n - r.ok AS BIGINT) AS n_violations,
+                   round((agg.n - r.ok) * 1.0 / agg.n, 6) AS violation_rate
+            FROM agg, LATERAL (VALUES
+                ('event_type_known', agg.ok_type),
+                ('props_json_valid', agg.ok_json),
+                ('props_k_in_domain', agg.ok_kdom),
+                ('props_k_integer', agg.ok_kint),
+                ('ts_in_window', agg.ok_ts),
+                ('value_present', agg.ok_value)) AS r(rule, ok)
+        """,
         "regression_events": """
             -- per-user OLS of value vs epoch-days via the identical
             -- raw-moments closed form the Ray side folds (NOT

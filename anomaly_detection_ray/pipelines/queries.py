@@ -3432,6 +3432,263 @@ def q_clip_resample_stats(sf_dir: str):
     return out.select_columns(["clip_id", "n_samples_rs"])
 
 
+# ---------------------------------------------- round-4 validation audits
+
+def q_moments_events(sf_dir: str):
+    """Grouped higher-moment distribution profile — skewness + excess
+    kurtosis per event_type (the shape checks behind "has this column's
+    distribution gone heavy-tailed/asymmetric?", the third/fourth-moment
+    companions of grouped_stats_events). Two passes, both mergeable:
+    pass 1 folds (n, Σx) to the per-type mean (cardinality-bounded,
+    broadcast); pass 2 folds CENTRAL power sums Σd², Σd³, Σd⁴ about that
+    mean — raw third/fourth moments cancel catastrophically (E[x⁴] ≈
+    μ⁴ for tight distributions), central partials are exact-stable and
+    still associative because μ is fixed before the pass. Population
+    formulas: g1 = m3/m2^1.5, g2 = m4/m2² − 3; the oracle recomputes
+    the identical closed form about its own avg() (μ agrees to ulps;
+    differences vanish at 6 dp)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def p1(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=["value"])
+        t = pd.DataFrame({"event_type": d["event_type"],
+                          "s": d["value"].to_numpy(np.float64), "n": 1.0})
+        return t.groupby("event_type", as_index=False).sum()
+
+    m1 = _fold(ds.map_batches(p1, batch_format="pandas"),
+               ["event_type"], {"s": "sum", "n": "sum"})
+    mu = dict(zip(m1["event_type"].astype(str),
+                  m1["s"].to_numpy(np.float64) / m1["n"].to_numpy(np.float64)))
+    mu_ref = ray.put(mu)
+
+    def p2(df: pd.DataFrame) -> pd.DataFrame:
+        mm = ray.get(mu_ref)
+        d = df.dropna(subset=["value"])
+        dev = (d["value"].to_numpy(np.float64)
+               - d["event_type"].astype(str).map(mm).to_numpy(np.float64))
+        t = pd.DataFrame({"event_type": d["event_type"],
+                          "d2": dev * dev, "d3": dev ** 3, "d4": dev ** 4})
+        return t.groupby("event_type", as_index=False).sum()
+
+    m2 = _fold(ds.map_batches(p2, batch_format="pandas"),
+               ["event_type"], {"d2": "sum", "d3": "sum", "d4": "sum"})
+    m = m1.merge(m2, on="event_type")
+    n = m["n"].to_numpy(np.float64)
+    m2c = m["d2"].to_numpy(np.float64) / n
+    with np.errstate(invalid="ignore", divide="ignore"):
+        skew = np.where(m2c > 0, (m["d3"].to_numpy(np.float64) / n)
+                        / m2c ** 1.5, np.nan)
+        kurt = np.where(m2c > 0, (m["d4"].to_numpy(np.float64) / n)
+                        / (m2c * m2c) - 3.0, np.nan)
+    out = pd.DataFrame({"event_type": m["event_type"],
+                        "n": n.astype(np.int64),
+                        "skewness": rnd(skew, 6),
+                        "kurtosis": rnd(kurt, 6)})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_ntile_events(sf_dir: str):
+    """Per-user NTILE(4) quartile bucketing over value — the windowed
+    binning behind per-entity quota/quantile assignment. Order-dependent
+    per key, so it rides the series partitioning contract
+    (groupby(user).map_groups, one user per task): sort by
+    (value, event_id) — the deterministic tiebreak the oracle's window
+    ORDER BY mirrors — then assign SQL NTILE semantics exactly: with
+    n = q·k + r, the first r buckets get q+1 rows, the rest q."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    K = 4
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.dropna(subset=["value"])
+        g = g.sort_values(["value", "event_id"], kind="stable")
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({"event_id": [], "user_id": [], "tile": []})
+        q, r = divmod(n, K)
+        i = np.arange(n)
+        if q == 0:
+            tile = i + 1
+        else:
+            b = r * (q + 1)
+            tile = np.where(i < b, i // (q + 1), r + (i - b) // q) + 1
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(np.int64),
+                             "user_id": g["user_id"].to_numpy(np.int64),
+                             "tile": tile.astype(np.int64)})
+
+    out = (ds.groupby("user_id")
+             .map_groups(per_user, batch_format="pandas")).to_pandas()
+    for c in ["event_id", "user_id", "tile"]:
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def q_reconcile_orders_lineitem(sf_dir: str):
+    """Cross-table reconciliation — the classic warehouse integrity
+    check: does each order's header total equal the sum of its line
+    items (extendedprice·(1−discount)·(1+tax))? Lineitem folds to
+    per-order partial sums (orderkey-bounded via the cardinality-aware
+    fold), broadcast once, and the orders stream maps through a
+    vectorized lookup — no raw-row shuffle, the orders side never
+    materializes. Orders with no line items reconcile as False with
+    NULL totals. Money sums are decimal-exact at 6 dp (2 dp inputs), so
+    round-6 output and the 0.0100005 tolerance (never within 5e-7 of a
+    representable 6 dp diff) are float-association-proof by
+    construction."""
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_tax"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = (df["l_extendedprice"].to_numpy(np.float64)
+             * (1.0 - df["l_discount"].to_numpy(np.float64))
+             * (1.0 + df["l_tax"].to_numpy(np.float64)))
+        out = pd.DataFrame({"l_orderkey": df["l_orderkey"], "t": t})
+        return out.groupby("l_orderkey", as_index=False).sum()
+
+    m = _fold(li.map_batches(partial, batch_format="pandas"),
+              ["l_orderkey"], {"t": "sum"})
+    totals_ref = ray.put(dict(zip(m["l_orderkey"].to_numpy(np.int64),
+                                  m["t"].to_numpy(np.float64))))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(totals_ref)
+        lt = df["o_orderkey"].map(t).to_numpy(np.float64)  # NaN if no lines
+        diff = df["o_totalprice"].to_numpy(np.float64) - lt
+        ok = np.where(np.isnan(lt), False, np.abs(diff) <= 0.0100005)
+        return pd.DataFrame({"o_orderkey": df["o_orderkey"],
+                             "o_totalprice": df["o_totalprice"],
+                             "lineitem_total": rnd(lt, 6),
+                             "price_diff": rnd(diff, 6),
+                             "recon_ok": ok.astype(bool)})
+
+    return orders.map_batches(apply, batch_format="pandas")
+
+
+def _rule_audit(ds, rules, n_rows_col="n"):
+    """Shared shape for the rule-audit queries: ``rules`` maps rule name
+    → vectorized pandas predicate (True = PASSES). One map_batches emits
+    len(rules) count rows per batch; the fold is rule-cardinality
+    bounded. Nulls fail (a rule a row can't be checked against is a
+    violation, matching the SQL count(*) − count(*) FILTER (cond) form
+    where NULL cond doesn't count as pass)."""
+    names = list(rules)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for name in names:
+            ok = rules[name](df)
+            ok = np.asarray(ok.fillna(False) if hasattr(ok, "fillna") else ok,
+                            dtype=bool)
+            rows.append({"rule": name, "n_checked": float(len(df)),
+                         "n_violations": float(len(df) - int(ok.sum()))})
+        return pd.DataFrame(rows)
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["rule"], {"n_checked": "sum", "n_violations": "sum"})
+    m["n_checked"] = m["n_checked"].astype("int64")
+    m["n_violations"] = m["n_violations"].astype("int64")
+    m["violation_rate"] = rnd(m["n_violations"] / m["n_checked"], 6)
+    return m.sort_values("rule").reset_index(drop=True)
+
+
+def q_format_audit_customer(sf_dir: str):
+    """Format-conformance audit over the customer dimension — the
+    schema-validation layer's string/domain rules: name pattern
+    (compiled regex, vectorized str.fullmatch), market-segment domain
+    membership, and account-balance bounds. One shuffle-free pass of
+    per-batch per-rule counts; output is one row per rule with checked /
+    violation counts and the rate. The balance rules have real
+    violations in the test data (negative acctbals exist) so the audit
+    path is exercised, not vacuous."""
+    import re
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment",
+                                    "c_acctbal"])
+    name_re = re.compile(r"Customer#[0-9]{9}")
+    SEGMENTS = {"AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+                "MACHINERY"}
+    rules = {
+        "name_format": lambda df: df["c_name"].str.fullmatch(name_re),
+        "segment_known": lambda df: df["c_mktsegment"].isin(SEGMENTS),
+        "acctbal_nonneg": lambda df: df["c_acctbal"] >= 0,
+        "acctbal_in_range": lambda df: df["c_acctbal"].between(-1000.0,
+                                                               10000.0),
+        "custkey_positive": lambda df: df["c_custkey"] >= 0,
+    }
+    return _rule_audit(ds, rules)
+
+
+def q_cast_audit_events(sf_dir: str):
+    """Castability / parse audit over the events stream — the
+    semi-structured half of the schema-validation layer: is props valid
+    JSON, does props.k parse as an integer, is it in domain, is the
+    event_type known, is ts inside the load window? JSON parsing is a
+    genuinely per-item kernel (stdlib json.loads inside the batch — the
+    same per-item-parse exemption as the media decoders); every other
+    rule is vectorized. Same one-pass rule-count fold as the customer
+    audit. Mirrors DuckDB json_valid / json_extract_string + TRY_CAST
+    semantics: missing key, non-integer k, or invalid JSON all fail the
+    k rules; bools are not integers."""
+    import json
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value",
+                                  "props"])
+    TYPES = {"click", "error", "purchase", "signup", "view"}
+    TS_LO = np.datetime64("2024-01-01T00:00:00")
+    TS_HI = np.datetime64("2026-01-01T00:00:00")
+
+    def parse_k(props: pd.Series):
+        """(json_ok, k_int) per row; k_int None unless an integer key."""
+        ok = np.zeros(len(props), dtype=bool)
+        ks = np.full(len(props), np.nan)
+        for i, s in enumerate(props.to_numpy()):
+            if s is None:
+                continue
+            try:
+                v = json.loads(s)
+            except (ValueError, TypeError):
+                continue
+            ok[i] = True
+            if isinstance(v, dict):
+                k = v.get("k")
+                if isinstance(k, int) and not isinstance(k, bool):
+                    ks[i] = float(k)
+        return ok, ks
+
+    # one parse per batch, shared by the three k-rules (the strong df ref
+    # in the memo pins id(df) so it can't be recycled between batches)
+    _memo: dict = {}
+
+    def parsed(df):
+        if _memo.get("df") is not df:
+            _memo["df"] = df
+            _memo["val"] = parse_k(df["props"])
+        return _memo["val"]
+
+    def json_valid(df):
+        return parsed(df)[0]
+
+    def k_is_int(df):
+        return ~np.isnan(parsed(df)[1])
+
+    def k_in_domain(df):
+        ks = parsed(df)[1]
+        with np.errstate(invalid="ignore"):
+            return ~np.isnan(ks) & (ks >= 0) & (ks <= 89)
+
+    rules = {
+        "value_present": lambda df: df["value"].notna()
+        & ~np.isnan(df["value"].to_numpy(np.float64)),
+        "props_json_valid": json_valid,
+        "props_k_integer": k_is_int,
+        "props_k_in_domain": k_in_domain,
+        "event_type_known": lambda df: df["event_type"].isin(TYPES),
+        "ts_in_window": lambda df: (df["ts"].to_numpy("datetime64[us]")
+                                    >= TS_LO)
+        & (df["ts"].to_numpy("datetime64[us]") < TS_HI),
+    }
+    return _rule_audit(ds, rules)
+
+
 QUERIES = {
     "row_validate_events": q_row_validate_events,
     "border_check_events": q_border_check_events,
@@ -3574,6 +3831,11 @@ QUERIES = {
     "clip_declip_stats": q_clip_declip_stats,
     "regression_events": q_regression_events,
     "gini_events": q_gini_events,
+    "moments_events": q_moments_events,
+    "ntile_events": q_ntile_events,
+    "reconcile_orders_lineitem": q_reconcile_orders_lineitem,
+    "format_audit_customer": q_format_audit_customer,
+    "cast_audit_events": q_cast_audit_events,
     "autocorr_events": q_autocorr_events,
     "clip_denoise_stats": q_clip_denoise_stats,
     "clip_tempo_features": q_clip_tempo_features,

@@ -101,6 +101,8 @@ def oracle_names():
     "entropy_by_source", "corr_events", "snapshot_diff_events",
     "fd_check", "mutual_information_events", "expectations_freshness",
     "heartbeat_gaps_events", "chi2_drift_events",
+    "moments_events", "ntile_events", "reconcile_orders_lineitem",
+    "format_audit_customer", "cast_audit_events",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]

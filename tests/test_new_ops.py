@@ -585,3 +585,79 @@ def test_semi_mark_keys_string_and_null_keys(ray_session):
     want = left["k"].isin({"b", "dd"}).to_numpy()
     assert (got["hit"].to_numpy() == want).all()
     assert not got.loc[got["k"].isna(), "hit"].any()
+
+
+def test_ntile_matches_duckdb_on_edge_shapes(ray_session):
+    """SQL NTILE bucket-size semantics (first r buckets get q+1 rows) on
+    shapes that stress the formula: n < k, n == k, exact division,
+    remainder, and value ties broken by event_id."""
+    import duckdb
+
+    from anomaly_detection_ray.pipelines.queries import q_ntile_events
+
+    rows = []
+    eid = 0
+    # user 1: n=3 < k; user 2: n=4 == k; user 3: n=8 exact; user 4: n=10
+    # remainder 2; user 5: all-tied values (order = event_id)
+    for uid, n in [(1, 3), (2, 4), (3, 8), (4, 10)]:
+        for i in range(n):
+            rows.append({"event_id": eid, "user_id": uid,
+                         "value": float((i * 7) % n)})
+            eid += 1
+    for i in range(6):
+        rows.append({"event_id": eid, "user_id": 5, "value": 1.0})
+        eid += 1
+    df = pd.DataFrame(rows)
+
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "events.parquet"))
+        got = q_ntile_events(d).sort_values("event_id").reset_index(drop=True)
+    want = duckdb.sql("""
+        SELECT event_id, user_id,
+               ntile(4) OVER (PARTITION BY user_id
+                              ORDER BY value, event_id) AS tile
+        FROM df ORDER BY event_id""").df()
+    assert (got["tile"].to_numpy() == want["tile"].to_numpy()).all()
+
+
+def test_rule_audit_nulls_fail(ray_session):
+    """A row whose predicate can't be evaluated (NULL input) counts as a
+    violation, matching count(*) - count(*) FILTER (cond)."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.queries import _rule_audit
+
+    df = pd.DataFrame({"s": ["ok", None, "ok", "bad"]})
+    out = _rule_audit(rd.from_pandas(df),
+                      {"s_ok": lambda d: d["s"] == "ok"})
+    assert out.loc[0, "n_checked"] == 4
+    assert out.loc[0, "n_violations"] == 2  # None + "bad"
+
+
+def test_reconcile_no_lineitem_order(ray_session):
+    """Orders without line items reconcile False with NULL totals; a
+    matching order reconciles True; a off-by-one-cent order is flagged."""
+    import os
+    import tempfile
+
+    from anomaly_detection_ray.pipelines.queries import (
+        q_reconcile_orders_lineitem)
+
+    li = pd.DataFrame({
+        "l_orderkey": [1, 1, 2],
+        "l_extendedprice": [100.0, 50.0, 10.0],
+        "l_discount": [0.0, 0.0, 0.10],
+        "l_tax": [0.0, 0.0, 0.0]})
+    orders = pd.DataFrame({
+        "o_orderkey": [1, 2, 3],
+        "o_totalprice": [150.0, 9.02, 42.0]})
+    with tempfile.TemporaryDirectory() as d:
+        li.to_parquet(os.path.join(d, "lineitem.parquet"))
+        orders.to_parquet(os.path.join(d, "orders.parquet"))
+        got = (q_reconcile_orders_lineitem(d).to_pandas()
+               .sort_values("o_orderkey").reset_index(drop=True))
+    assert got["recon_ok"].tolist() == [True, False, False]
+    assert np.isnan(got.loc[2, "lineitem_total"])
+    assert abs(got.loc[1, "price_diff"] - 0.02) < 1e-9
