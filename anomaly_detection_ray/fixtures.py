@@ -59,6 +59,7 @@ FIXTURE_QUERIES = [
     "bpe_vocab_documents",
     "bpe_encode_documents",
     "kmeans_embeddings",
+    "lof_embeddings",
     "text_prep_documents",
     "clip_validation_verdicts",
     "clip_audio_features",

@@ -3689,6 +3689,19 @@ def q_cast_audit_events(sf_dir: str):
     return _rule_audit(ds, rules)
 
 
+def q_lof_embeddings(sf_dir: str):
+    """Local Outlier Factor (Breunig 2000, density-ratio outlierness)
+    over the embeddings table, k=10 Euclidean — see
+    stages/similarity.lof_scores for the three-pass shape and the
+    broadcast-reference scale contract. Deterministic (exact-k
+    neighbours, (distance, id) tie-break), so fixture-oracled like the
+    other seeded model scorers."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = sim.lof_scores(ds, k=10)
+    out["lof"] = rnd(out["lof"], 6)
+    return out
+
+
 QUERIES = {
     "row_validate_events": q_row_validate_events,
     "border_check_events": q_border_check_events,
@@ -3836,6 +3849,7 @@ QUERIES = {
     "reconcile_orders_lineitem": q_reconcile_orders_lineitem,
     "format_audit_customer": q_format_audit_customer,
     "cast_audit_events": q_cast_audit_events,
+    "lof_embeddings": q_lof_embeddings,
     "autocorr_events": q_autocorr_events,
     "clip_denoise_stats": q_clip_denoise_stats,
     "clip_tempo_features": q_clip_tempo_features,

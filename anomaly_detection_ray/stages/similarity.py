@@ -435,3 +435,108 @@ def semantic_dedup(ds, k: int = 16, tau: float = 0.95, iters: int = 5,
 
     return tagged.groupby("cluster").map_groups(leader_scan,
                                                 batch_format="pandas")
+
+
+# -------------------------------------------------------------- LOF
+
+def lof_scores(ds, k: int = 10, vec_col: str = "embedding",
+               id_col: str = "vec_id") -> pd.DataFrame:
+    """Local Outlier Factor (Breunig et al., SIGMOD 2000) over an
+    embedding column — the density-ratio outlier scorer the reference's
+    Clustering/IsolationForest family lacks: a point is anomalous when
+    its local reachability density is low relative to its neighbours'
+    (LOF ≈ 1 inlier, ≫ 1 outlier).
+
+    Three-pass exact formulation, Euclidean distance:
+      1. kNN: one matmul per batch against the broadcast reference
+         matrix (|x|² − 2x·r + |r|², the kmeans_assign identity);
+         neighbours are exactly k with (distance, id) tie-break — the
+         deterministic variant of the paper's ≥k tie set. Emits the
+         slim neighbour table (id, k neighbour ids, k distances,
+         k-distance) which is MATERIALIZED (n×k scalars, spillable
+         blocks) so passes 2-3 don't recompute the matmul.
+      2. lrd(p) = 1 / mean(reach-dist) with reach-dist(p,o) =
+         max(kdist(o), d(p,o)); needs only the broadcast kdist array.
+      3. LOF(p) = mean(lrd(o)) / lrd(p); needs only the broadcast lrd
+         array.
+
+    Scale contract (documented, same as brute_force_topk): exact LOF is
+    all-pairs — the reference matrix is the broadcast small side
+    (ray.put once, read per task) and must fit a worker; past that,
+    restrict candidate neighbours per IVF cell (train_ivf_codebook) and
+    run this per cell. The per-point state that crosses passes is O(n)
+    scalars (kdist, lrd), not vectors."""
+    import ray.data as rd  # noqa: F401  (Dataset passthrough)
+
+    ref = ds.select_columns([id_col, vec_col]).to_pandas()
+    ref = ref.sort_values(id_col).reset_index(drop=True)
+    R = _as_matrix(ref[vec_col].to_numpy())
+    r_ids = ref[id_col].to_numpy(np.int64)
+    r_norm2 = (R * R).sum(1)
+    ref_ref = ray.put((r_ids, R, r_norm2))
+
+    def knn(df: pd.DataFrame) -> pd.DataFrame:
+        rids, Rm, rn2 = ray.get(ref_ref)
+        X = _as_matrix(df[vec_col].to_numpy())
+        ids = df[id_col].to_numpy(np.int64)
+        d2 = np.maximum((X * X).sum(1)[:, None] - 2.0 * X @ Rm.T
+                        + rn2[None, :], 0.0)
+        out = {"p": ids}
+        kk = min(k, len(rids) - 1)  # tiny-corpus guard
+        n_ids, n_ds = [], []
+        for i in range(len(ids)):
+            row = d2[i].copy()
+            row[rids == ids[i]] = np.inf  # exclude self
+            # exact-k with (distance, id) tie-break: stable lexsort
+            part = (np.argpartition(row, kk)[:kk + 1]
+                    if kk < len(row) - 1 else np.arange(len(row)))
+            order = np.lexsort((rids[part], row[part]))[:kk]
+            sel = part[order]
+            n_ids.append(rids[sel].astype(np.int64))
+            n_ds.append(np.sqrt(row[sel]))
+        out["n_ids"] = n_ids
+        out["n_dist"] = n_ds
+        out["kdist"] = [d[-1] for d in n_ds]
+        return pd.DataFrame(out)
+
+    nn = ds.map_batches(knn, batch_format="pandas").materialize()
+
+    kd = nn.select_columns(["p", "kdist"]).to_pandas()
+    kd_ref = ray.put(dict(zip(kd["p"].to_numpy(np.int64),
+                              kd["kdist"].to_numpy(np.float64))))
+
+    def lrd_pass(df: pd.DataFrame) -> pd.DataFrame:
+        kdist = ray.get(kd_ref)
+        out_p, out_lrd = [], []
+        for p, nids, nds in zip(df["p"].to_numpy(np.int64),
+                                df["n_ids"], df["n_dist"]):
+            nids = np.asarray(nids, dtype=np.int64)
+            nds = np.asarray(nds, dtype=np.float64)
+            reach = np.maximum(np.array([kdist[int(o)] for o in nids]), nds)
+            m = reach.mean()
+            out_p.append(p)
+            out_lrd.append(np.inf if m == 0.0 else 1.0 / m)
+        return pd.DataFrame({"p": out_p, "lrd": out_lrd})
+
+    lrd = nn.map_batches(lrd_pass, batch_format="pandas").to_pandas()
+    lrd_ref = ray.put(dict(zip(lrd["p"].to_numpy(np.int64),
+                               lrd["lrd"].to_numpy(np.float64))))
+
+    def lof_pass(df: pd.DataFrame) -> pd.DataFrame:
+        lrd_map = ray.get(lrd_ref)
+        out_p, out_lof = [], []
+        for p, nids in zip(df["p"].to_numpy(np.int64), df["n_ids"]):
+            num = np.array([lrd_map[int(o)] for o in np.asarray(nids)])
+            own = lrd_map[int(p)]
+            # duplicate-point convention (paper §4): inf/inf = 1
+            if np.isinf(own):
+                v = 1.0 if np.isinf(num).all() else 0.0
+            else:
+                v = num.mean() / own
+            out_p.append(p)
+            out_lof.append(v)
+        return pd.DataFrame({id_col: out_p, "lof": out_lof})
+
+    out = nn.map_batches(lof_pass, batch_format="pandas").to_pandas()
+    out[id_col] = out[id_col].astype("int64")
+    return out.sort_values(id_col).reset_index(drop=True)

@@ -243,3 +243,62 @@ def test_semantic_dedup_drops_planted_near_dups(ray_session):
     # partitioning invariance
     out8 = run(8)
     pd.testing.assert_frame_equal(out, out8)
+
+
+def _lof_reference(X, k):
+    """Definitional O(n^2) LOF (Breunig 2000) with the same exact-k
+    (distance, id) tie-break as the distributed kernel — an independent
+    sequential code path."""
+    n = len(X)
+    D = np.sqrt(np.maximum(
+        ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1), 0.0))
+    neigh = []
+    kdist = np.zeros(n)
+    for i in range(n):
+        order = sorted((D[i, j], j) for j in range(n) if j != i)[:k]
+        neigh.append([j for _, j in order])
+        kdist[i] = order[-1][0]
+    lrd = np.zeros(n)
+    for i in range(n):
+        reach = [max(kdist[j], D[i, j]) for j in neigh[i]]
+        m = float(np.mean(reach))
+        lrd[i] = np.inf if m == 0 else 1.0 / m
+    lof = np.zeros(n)
+    for i in range(n):
+        if np.isinf(lrd[i]):
+            lof[i] = 1.0 if all(np.isinf(lrd[j]) for j in neigh[i]) else 0.0
+        else:
+            lof[i] = float(np.mean([lrd[j] for j in neigh[i]])) / lrd[i]
+    return lof
+
+
+def test_lof_matches_sequential_reference(ray_session):
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.similarity import lof_scores
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(80, 6))
+    df = pd.DataFrame({"vec_id": np.arange(80, dtype=np.int64),
+                       "embedding": list(X)})
+    got = lof_scores(rd.from_pandas(df).repartition(5), k=7)
+    want = _lof_reference(X, 7)
+    np.testing.assert_allclose(got["lof"].to_numpy(), want,
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_lof_flags_planted_outlier(ray_session):
+    """A dense unit-variance cluster plus one far point: the far point
+    must carry the max LOF, and cluster points must sit near 1."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.similarity import lof_scores
+
+    rng = np.random.default_rng(3)
+    X = np.vstack([rng.normal(size=(60, 4)), [[25.0, 25.0, 25.0, 25.0]]])
+    df = pd.DataFrame({"vec_id": np.arange(61, dtype=np.int64),
+                       "embedding": list(X)})
+    got = lof_scores(rd.from_pandas(df).repartition(4), k=10)
+    assert int(got.loc[got["lof"].idxmax(), "vec_id"]) == 60
+    inliers = got[got["vec_id"] < 60]["lof"]
+    assert inliers.max() < got["lof"].max() / 3
