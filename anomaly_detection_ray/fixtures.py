@@ -60,6 +60,7 @@ FIXTURE_QUERIES = [
     "bpe_encode_documents",
     "kmeans_embeddings",
     "lof_embeddings",
+    "clip_audio_audit",
     "text_prep_documents",
     "clip_validation_verdicts",
     "clip_audio_features",

@@ -1421,6 +1421,42 @@ def oracle_sql() -> dict[str, str]:
                 ('ts_in_window', agg.ok_ts),
                 ('value_present', agg.ok_value)) AS r(rule, ok)
         """,
+        "assoc_rules_events": """
+            -- market-basket support/confidence/lift over per-user
+            -- distinct event-type baskets (DISTINCT self-join)
+            WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+            tot AS (SELECT count(DISTINCT user_id) AS nu FROM events),
+            cnt AS (SELECT event_type, count(*) AS c FROM u GROUP BY 1),
+            pair AS (SELECT a.event_type AS ante, b.event_type AS cons,
+                            count(*) AS cab
+                     FROM u a JOIN u b ON a.user_id = b.user_id
+                          AND a.event_type <> b.event_type
+                     GROUP BY 1, 2)
+            SELECT p.ante, p.cons, CAST(p.cab AS BIGINT) AS n_both,
+                   round(p.cab * 1.0 / tot.nu, 6) AS support,
+                   round(p.cab * 1.0 / ca.c, 6) AS confidence,
+                   round((p.cab * 1.0 / ca.c) / (cb.c * 1.0 / tot.nu), 6)
+                       AS lift
+            FROM pair p, tot
+            JOIN cnt ca ON p.ante = ca.event_type
+            JOIN cnt cb ON p.cons = cb.event_type
+        """,
+        "transition_matrix_events": """
+            -- first-order transition counts + per-prev probabilities
+            -- over the (ts, event_id)-ordered per-user sequence
+            WITH s AS (
+              SELECT user_id, event_type AS next_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                         AS prev_type
+              FROM events),
+            c AS (SELECT prev_type, next_type, count(*) AS n FROM s
+                  WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+            SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+                   round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type),
+                         6) AS prob
+            FROM c
+        """,
         "regression_events": """
             -- per-user OLS of value vs epoch-days via the identical
             -- raw-moments closed form the Ray side folds (NOT

@@ -3689,6 +3689,101 @@ def q_cast_audit_events(sf_dir: str):
     return _rule_audit(ds, rules)
 
 
+def q_assoc_rules_events(sf_dir: str):
+    """Association rules over per-user event-type baskets (the
+    market-basket support/confidence/lift triple, Agrawal 1993) — which
+    behaviours co-occur in the same user beyond chance? Per-batch
+    partials dedupe (user, type) locally and fold with max (presence is
+    idempotent), so the exchange is bounded by users × distinct types,
+    never raw events; the pair expansion runs on the folded
+    presence table (types² × users bitcounts, vectorized). The oracle
+    recomputes the identical ratios from a DISTINCT self-join."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.drop_duplicates(["user_id", "event_type"])
+        out = pd.DataFrame({"user_id": u["user_id"]})
+        for t in TYPES:
+            out[t] = (u["event_type"] == t).astype(np.int64)
+        return out.groupby("user_id", as_index=False).max()
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["user_id"], {t: "max" for t in TYPES})
+    P = m[TYPES].to_numpy(np.float64)  # (users, types) presence
+    nu = float(len(m))
+    cnt = P.sum(axis=0)                # per-type user counts
+    both = P.T @ P                     # (types, types) co-occurrence
+    rows = []
+    for i, a in enumerate(TYPES):
+        for j, b in enumerate(TYPES):
+            if i == j or cnt[i] == 0 or cnt[j] == 0:
+                continue
+            cab = both[i, j]
+            rows.append({
+                "ante": a, "cons": b, "n_both": int(cab),
+                "support": float(cab / nu),
+                "confidence": float(cab / cnt[i]),
+                "lift": float((cab / cnt[i]) / (cnt[j] / nu))})
+    out = pd.DataFrame(rows)
+    for c in ["support", "confidence", "lift"]:
+        out[c] = rnd(out[c], 6)
+    return out.sort_values(["ante", "cons"]).reset_index(drop=True)
+
+
+def q_transition_matrix_events(sf_dir: str):
+    """First-order Markov transition profile of the event stream: counts
+    and row-normalized probabilities of (prev_type → next_type) over each
+    user's (ts, event_id)-ordered sequence — the behavioural-drift
+    baseline (a shifted transition matrix is a sequence-level anomaly the
+    per-record scorers can't see). Per-user pair counting rides the
+    series contract (groupby(user).map_groups); the type² count fold is
+    tiny. Probabilities are per-prev_type across all users; the oracle
+    mirrors with a lag() window over the same deterministic order."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        t = g["event_type"].to_numpy()
+        if len(t) < 2:
+            return pd.DataFrame({"prev_type": [], "next_type": [],
+                                 "n": []})
+        out = pd.DataFrame({"prev_type": t[:-1], "next_type": t[1:],
+                            "n": 1.0})
+        return out.groupby(["prev_type", "next_type"],
+                           as_index=False).sum()
+
+    m = _fold(ds.groupby("user_id").map_groups(per_user,
+                                               batch_format="pandas"),
+              ["prev_type", "next_type"], {"n": "sum"})
+    tot = m.groupby("prev_type")["n"].transform("sum")
+    out = pd.DataFrame({"prev_type": m["prev_type"],
+                        "next_type": m["next_type"],
+                        "n": m["n"].astype(np.int64),
+                        "prob": rnd(m["n"] / tot, 6)})
+    return out.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+
+
+def q_clip_audio_audit(sf_dir: str):
+    """Fused audio-integrity audit over the clip table — ONE decode per
+    clip feeds mains-hum probing, click/pop detection, VAD speech
+    fraction, and the cross-modal transcript↔speech verdict (the
+    violation class the synth table actually plants: clips with speech
+    but an empty/NULL transcript are caught HERE from the audio itself,
+    not from metadata like speaking_rate). Deterministic => fixture
+    oracle."""
+    from ..sources.clips import read_clips
+    from ..stages import audio_ops as ao
+    path = _clip_table_path(sf_dir)
+    ds = read_clips(path, columns=["clip_id", "bytes", "transcript"])
+    out = ao.audio_audit_table(ds, concurrency=8)
+    return out.select_columns(["clip_id", "speech_ratio", "rms_db",
+                               "n_chars", "hum_db_50", "hum_db_60",
+                               "n_clicks", "clicks_per_sec",
+                               "audit_code", "audit_status"])
+
+
 def q_lof_embeddings(sf_dir: str):
     """Local Outlier Factor (Breunig 2000, density-ratio outlierness)
     over the embeddings table, k=10 Euclidean — see
@@ -3850,6 +3945,9 @@ QUERIES = {
     "format_audit_customer": q_format_audit_customer,
     "cast_audit_events": q_cast_audit_events,
     "lof_embeddings": q_lof_embeddings,
+    "clip_audio_audit": q_clip_audio_audit,
+    "assoc_rules_events": q_assoc_rules_events,
+    "transition_matrix_events": q_transition_matrix_events,
     "autocorr_events": q_autocorr_events,
     "clip_denoise_stats": q_clip_denoise_stats,
     "clip_tempo_features": q_clip_tempo_features,

@@ -1929,3 +1929,175 @@ def codec_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
                                                  "emit_bytes": emit_bytes},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=pool_size(concurrency), num_cpus=1)
+
+
+# ------------------------------------------------------- audit kernels
+
+def hum_stats(sig: np.ndarray, sr: int,
+              harmonics: int = 3) -> dict[str, float]:
+    """Mains-hum detection: single-bin DFT (Goertzel identity, one
+    complex dot per frequency) at 50/60 Hz and their first ``harmonics``
+    multiples. Each bin's power is normalized so a full-scale pure tone
+    at the probe frequency reads 0 dB: ratio_f = (2/N²)·|X(f)|² /
+    mean(sig²); hum_db_* = 10·log10(Σ_harmonics ratio). Clean broadband
+    material sits near 10·log10(4/N) (two-sided bin share of white
+    noise), i.e. far below any flag threshold for real clip lengths."""
+    sig = np.asarray(sig, dtype=np.float64)
+    n = len(sig)
+    p_tot = float(np.mean(sig * sig))
+    if n < 8 or p_tot <= 0.0:
+        return {"hum_db_50": -120.0, "hum_db_60": -120.0}
+    t = np.arange(n)
+    out = {}
+    for base, key in ((50.0, "hum_db_50"), (60.0, "hum_db_60")):
+        # one exp per base; harmonic phasors by elementwise multiply
+        # (exp is ~10x the cost of the complex product at clip lengths)
+        w = np.exp(-2j * np.pi * base * t / sr)
+        e = np.ones(n, dtype=np.complex128)
+        ratio = 0.0
+        for h in range(1, harmonics + 1):
+            if base * h >= sr / 2.0:
+                break
+            e = e * w
+            X = np.dot(sig, e)
+            ratio += 2.0 * (abs(X) ** 2) / (n * n) / p_tot
+        out[key] = float(10.0 * np.log10(ratio + 1e-12))
+    return out
+
+
+def click_stats(sig: np.ndarray, sr: int, z: float = 10.0,
+                min_gap: int = 32) -> dict[str, float]:
+    """Impulsive click/pop detection on the second difference (a click
+    is a two-sided discontinuity; speech/music second differences are
+    locally smooth): robust MAD threshold at ``z`` sigma with an
+    absolute floor (silence would otherwise flag quantization noise),
+    greedy ``min_gap``-sample de-bounce so one physical click counts
+    once. Returns count, rate, and the worst normalized magnitude."""
+    sig = np.asarray(sig, dtype=np.float64)
+    if len(sig) < 8:
+        return {"n_clicks": 0.0, "clicks_per_sec": 0.0, "max_click_z": 0.0}
+    d = np.diff(sig, 2)
+    ad = np.abs(d)
+    mad = float(np.median(ad))
+    scale = max(1.4826 * mad, 1e-4)
+    zs = ad / scale
+    cand = np.flatnonzero(zs > z)
+    n_clicks = 0
+    last = -min_gap
+    for i in cand:
+        if i - last >= min_gap:
+            n_clicks += 1
+            last = i
+    return {"n_clicks": float(n_clicks),
+            "clicks_per_sec": float(n_clicks / (len(sig) / sr)),
+            "max_click_z": float(zs.max(initial=0.0))}
+
+
+class AudioAudit:
+    """Actor-pool stage: fused audio-integrity audit — ONE decode per
+    clip feeds mains-hum probing (hum_stats), click detection
+    (click_stats), VAD speech fraction, and the cross-modal
+    transcript↔speech consistency verdict the north-star validation
+    engine needs (speech with an empty transcript, or a transcript over
+    silence, is a row-level violation no single-column check can see).
+
+    Verdict (reference 4-valued idiom): Undefined = payload undecodable;
+    Error = speech_ratio > min_speech with empty/NULL transcript, or
+    transcript ≥ min_chars chars over a clip with speech_ratio <
+    silent_speech; Warning = mains hum above hum_warn_db or click rate
+    above clicks_warn_per_sec; else OK."""
+
+    def __init__(self, bytes_col: str = "bytes",
+                 transcript_col: str = "transcript",
+                 min_speech: float = 0.2, silent_speech: float = 0.02,
+                 min_chars: int = 8, hum_warn_db: float = -15.0,
+                 clicks_warn_per_sec: float = 2.0,
+                 silent_dbfs: float = -55.0):
+        self.bytes_col = bytes_col
+        self.transcript_col = transcript_col
+        self.min_speech = min_speech
+        self.silent_speech = silent_speech
+        self.min_chars = min_chars
+        self.hum_warn_db = hum_warn_db
+        self.clicks_warn_per_sec = clicks_warn_per_sec
+        self.silent_dbfs = silent_dbfs
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t[self.bytes_col].to_pylist()
+        texts = t[self.transcript_col].to_pylist()
+        n = len(payloads)
+        speech = np.full(n, np.nan)
+        rms_db = np.full(n, np.nan)
+        hum50 = np.full(n, np.nan)
+        hum60 = np.full(n, np.nan)
+        clicks = np.zeros(n, dtype=np.int32)
+        cps = np.full(n, np.nan)
+        n_chars = np.array([len(x.strip()) if isinstance(x, str) else 0
+                            for x in texts], dtype=np.int32)
+        code = np.full(n, UNDEFINED_CODE, dtype=np.int8)
+        status = np.full(n, "Undefined: audio payload not decodable",
+                         dtype=object)
+        for i, b in enumerate(payloads):
+            sig, sr = (audio.decode_wav_lenient(b) if b else (None, None))
+            if sig is None or not sr or len(sig) == 0:
+                continue
+            sig = np.asarray(sig, dtype=np.float64)
+            speech[i] = vad_stats(sig, sr)["speech_ratio"]
+            rms_db[i] = float(20.0 * np.log10(
+                np.sqrt(np.mean(sig * sig)) + 1e-12))
+            h = hum_stats(sig, sr)
+            hum50[i], hum60[i] = h["hum_db_50"], h["hum_db_60"]
+            c = click_stats(sig, sr)
+            clicks[i] = int(c["n_clicks"])
+            cps[i] = c["clicks_per_sec"]
+            # VAD is relative to the clip's own peak, so gate the
+            # cross-modal verdicts on absolute level: a clip below
+            # silent_dbfs has no speech no matter what VAD says
+            sp_eff = speech[i] if rms_db[i] >= self.silent_dbfs else 0.0
+            if sp_eff > self.min_speech and n_chars[i] == 0:
+                code[i] = ERROR_CODE
+                status[i] = "Error: speech without transcript"
+            elif (n_chars[i] >= self.min_chars
+                  and sp_eff < self.silent_speech):
+                code[i] = ERROR_CODE
+                status[i] = "Error: transcript without speech"
+            elif max(hum50[i], hum60[i]) > self.hum_warn_db:
+                code[i] = WARNING_CODE
+                status[i] = "Warning1: mains hum detected"
+            elif cps[i] > self.clicks_warn_per_sec:
+                code[i] = WARNING_CODE
+                status[i] = "Warning1: impulsive clicks detected"
+            else:
+                code[i] = OK_CODE
+                status[i] = "OK"
+        t = t.drop_columns([self.bytes_col])
+        return (t.append_column("speech_ratio",
+                                pa.array(np.round(speech, 6),
+                                         type=pa.float64()))
+                 .append_column("rms_db", pa.array(np.round(rms_db, 4),
+                                                   type=pa.float64()))
+                 .append_column("n_chars", pa.array(n_chars,
+                                                    type=pa.int32()))
+                 .append_column("hum_db_50",
+                                pa.array(np.round(hum50, 4),
+                                         type=pa.float64()))
+                 .append_column("hum_db_60",
+                                pa.array(np.round(hum60, 4),
+                                         type=pa.float64()))
+                 .append_column("n_clicks", pa.array(clicks,
+                                                     type=pa.int32()))
+                 .append_column("clicks_per_sec",
+                                pa.array(np.round(cps, 4),
+                                         type=pa.float64()))
+                 .append_column("audit_code", pa.array(code, type=pa.int8()))
+                 .append_column("audit_status",
+                                pa.array(status, type=pa.string())))
+
+
+def audio_audit_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
+                      concurrency: int = 8, **kwargs):
+    return ds.map_batches(AudioAudit,
+                          fn_constructor_kwargs={"bytes_col": bytes_col,
+                                                 **kwargs},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=pool_size(concurrency), num_cpus=1)

@@ -968,3 +968,75 @@ def test_tempo_stretch_codec_tables(clip_ds):
     assert len(fin) > 150
     # narrowband channel: energy never grows above the original
     assert (fin["energy_ratio"] < 1.5).all()
+
+
+# ------------------------------------------------------- audit kernels
+
+def test_hum_stats_detects_planted_mains_hum():
+    """50 Hz hum (plus harmonic) planted at -20 dB under broadband noise
+    must read near its true level in hum_db_50 and far above hum_db_60;
+    clean noise must sit well below any flag threshold."""
+    from anomaly_detection_ray.stages.audio_ops import hum_stats
+
+    sr = 16000
+    rng = np.random.default_rng(5)
+    t = np.arange(sr * 2) / sr
+    noise = rng.normal(scale=0.1, size=len(t))
+    hum = 0.1 * np.sin(2 * np.pi * 50 * t) + 0.03 * np.sin(2 * np.pi * 100 * t)
+    h = hum_stats(noise + hum, sr)
+    # planted 50 Hz power ≈ (0.1²+0.03²)/2 vs total ≈ noise 0.01 + hum
+    assert h["hum_db_50"] > -6.0
+    assert h["hum_db_50"] > h["hum_db_60"] + 10.0
+    clean = hum_stats(noise, sr)
+    assert clean["hum_db_50"] < -25.0 and clean["hum_db_60"] < -25.0
+
+
+def test_click_stats_counts_planted_impulses():
+    from anomaly_detection_ray.stages.audio_ops import click_stats
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    sig = 0.3 * np.sin(2 * np.pi * 220 * t)
+    for pos in (2000, 7000, 12000):
+        sig[pos] += 0.8
+    c = click_stats(sig, sr)
+    assert c["n_clicks"] == 3
+    assert abs(c["clicks_per_sec"] - 3.0) < 1e-9
+    smooth = click_stats(0.3 * np.sin(2 * np.pi * 220 * t), sr)
+    assert smooth["n_clicks"] == 0
+    silent = click_stats(np.zeros(sr), sr)
+    assert silent["n_clicks"] == 0
+
+
+def test_audio_audit_transcript_consistency(ray_session):
+    """Cross-modal verdicts: speech+empty transcript => Error; transcript
+    over silence => Error; speech+transcript => OK (clean synth tone)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomaly_detection_ray import audio
+    from anomaly_detection_ray.stages.audio_ops import audio_audit_table
+
+    sr = 16000
+    rng = np.random.default_rng(9)
+    t = np.arange(sr) / sr
+    # speech-like: modulated tone bursts (active frames >> silence)
+    speech = (0.4 * np.sin(2 * np.pi * 217 * t)
+              * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))
+              + rng.normal(scale=0.01, size=len(t)))
+    silence = rng.normal(scale=1e-5, size=len(t))
+    tbl = pa.table({
+        "clip_id": ["speech_no_text", "silence_with_text", "clean"],
+        "bytes": [audio.encode_wav(speech, sr),
+                  audio.encode_wav(silence, sr),
+                  audio.encode_wav(speech, sr)],
+        "transcript": [None, "a perfectly normal transcript", "hello world"],
+    })
+    out = (audio_audit_table(rd.from_arrow(tbl), concurrency=2,
+                             batch_size=2)
+           .to_pandas().set_index("clip_id"))
+    assert out.loc["speech_no_text", "audit_code"] == -1
+    assert "without transcript" in out.loc["speech_no_text", "audit_status"]
+    assert out.loc["silence_with_text", "audit_code"] == -1
+    assert "without speech" in out.loc["silence_with_text", "audit_status"]
+    assert out.loc["clean", "audit_code"] == 1

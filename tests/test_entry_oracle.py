@@ -102,7 +102,8 @@ def oracle_names():
     "fd_check", "mutual_information_events", "expectations_freshness",
     "heartbeat_gaps_events", "chi2_drift_events",
     "moments_events", "ntile_events", "reconcile_orders_lineitem",
-    "format_audit_customer", "cast_audit_events",
+    "format_audit_customer", "cast_audit_events", "assoc_rules_events",
+    "transition_matrix_events",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]
