@@ -61,6 +61,7 @@ FIXTURE_QUERIES = [
     "kmeans_embeddings",
     "lof_embeddings",
     "clip_audio_audit",
+    "mahalanobis_embeddings",
     "text_prep_documents",
     "clip_validation_verdicts",
     "clip_audio_features",

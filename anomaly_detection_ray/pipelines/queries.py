@@ -3765,6 +3765,46 @@ def q_transition_matrix_events(sf_dir: str):
     return out.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
 
 
+def q_mahalanobis_embeddings(sf_dir: str):
+    """Global-covariance outlier score per embedding: squared Mahalanobis
+    distance d² = (x−μ)ᵀ Σ⁻¹ (x−μ) — the parametric complement of LOF
+    (LOF sees local density, Mahalanobis sees departure from the global
+    correlated ellipsoid). ONE streaming pass of (XᵀX, colsum, n)
+    partials → dim²-float driver merge (the covariance_embeddings
+    shape), Σ ridge-regularized and inverted ONCE on the driver, (μ,
+    Σ⁻¹) broadcast for the vectorized scoring pass. Deterministic =>
+    fixture oracle; top-score recovery pinned in unit tests."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame({"xtx": [(X.T @ X).tobytes()],
+                             "s": [X.sum(axis=0).tobytes()],
+                             "n": [len(X)]})
+
+    p = emb.map_batches(partial, batch_format="pandas").to_pandas()
+    d = len(np.frombuffer(p["s"].iloc[0]))
+    xtx = np.sum([np.frombuffer(b).reshape(d, d) for b in p["xtx"]], axis=0)
+    s = np.sum([np.frombuffer(b) for b in p["s"]], axis=0)
+    n = int(p["n"].sum())
+    mu = s / n
+    cov = (xtx - np.outer(s, s) / n) / (n - 1)
+    cov += np.eye(d) * 1e-9 * np.trace(cov) / d  # ridge: invertibility
+    prec = np.linalg.inv(cov)
+    ref = ray.put((mu, prec))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        m, P = ray.get(ref)
+        X = np.stack(df["embedding"].to_numpy()).astype(np.float64) - m
+        d2 = np.einsum("ij,jk,ik->i", X, P, X)
+        return pd.DataFrame({"vec_id": df["vec_id"].astype(np.int64),
+                             "maha_sq": rnd(np.maximum(d2, 0.0), 6)})
+
+    out = emb.map_batches(score, batch_format="pandas").to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_clip_audio_audit(sf_dir: str):
     """Fused audio-integrity audit over the clip table — ONE decode per
     clip feeds mains-hum probing, click/pop detection, VAD speech
@@ -3946,6 +3986,7 @@ QUERIES = {
     "cast_audit_events": q_cast_audit_events,
     "lof_embeddings": q_lof_embeddings,
     "clip_audio_audit": q_clip_audio_audit,
+    "mahalanobis_embeddings": q_mahalanobis_embeddings,
     "assoc_rules_events": q_assoc_rules_events,
     "transition_matrix_events": q_transition_matrix_events,
     "autocorr_events": q_autocorr_events,

@@ -302,3 +302,32 @@ def test_lof_flags_planted_outlier(ray_session):
     assert int(got.loc[got["lof"].idxmax(), "vec_id"]) == 60
     inliers = got[got["vec_id"] < 60]["lof"]
     assert inliers.max() < got["lof"].max() / 3
+
+
+def test_mahalanobis_flags_correlated_outlier(ray_session):
+    """A point far along the LOW-variance direction of a correlated
+    Gaussian must out-score a same-Euclidean-distance point along the
+    high-variance direction — the property Euclidean scoring lacks."""
+    import os
+    import tempfile
+
+    from anomaly_detection_ray.pipelines.queries import (
+        q_mahalanobis_embeddings)
+
+    rng = np.random.default_rng(2)
+    # anisotropic cloud: std 5 along x, std 0.3 along y
+    X = rng.normal(size=(300, 2)) * np.array([5.0, 0.3])
+    X = np.vstack([X, [8.0, 0.0], [0.0, 8.0]])  # ids 300 (easy), 301 (hard)
+    df = pd.DataFrame({"vec_id": np.arange(302, dtype=np.int64),
+                       "embedding": list(X)})
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "embeddings.parquet"))
+        got = q_mahalanobis_embeddings(d)
+    s = got.set_index("vec_id")["maha_sq"]
+    assert s[301] > 20 * s[300]          # low-variance escape dominates
+    assert s[301] == s.max()
+    # parity with the closed form on the same data
+    mu = X.mean(0)
+    cov = np.cov(X.T)
+    want = np.einsum("ij,jk,ik->i", X - mu, np.linalg.inv(cov), X - mu)
+    np.testing.assert_allclose(s.to_numpy(), want, rtol=1e-4, atol=1e-6)
