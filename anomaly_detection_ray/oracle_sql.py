@@ -1421,6 +1421,40 @@ def oracle_sql() -> dict[str, str]:
                 ('ts_in_window', agg.ok_ts),
                 ('value_present', agg.ok_value)) AS r(rule, ok)
         """,
+        "auc_events": """
+            -- Mann-Whitney AUC with midrank ties, closed form over
+            -- per-distinct-value (pos, neg) counts — the identical
+            -- half-integer sum the engine folds
+            WITH v AS (SELECT value,
+                              CASE WHEN event_type = 'error' THEN 1
+                                   ELSE 0 END AS y
+                       FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)),
+            g AS (SELECT value, sum(y) AS p, count(*) - sum(y) AS q
+                  FROM v GROUP BY 1),
+            o AS (SELECT p, q,
+                         coalesce(sum(q) OVER (ORDER BY value
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS below
+                  FROM g)
+            SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+                   CAST(sum(q) AS BIGINT) AS n_neg,
+                   round(sum(p * (below + 0.5 * q))
+                         / (sum(p) * sum(q)), 6) AS auc
+            FROM o
+        """,
+        "bigram_topk_documents": """
+            -- corpus top-20 word bigrams; tokenization = single-space
+            -- string_split, (n DESC, w1, w2) tie-break
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS parts
+                       FROM documents WHERE text IS NOT NULL),
+            b AS (SELECT parts[i] AS w1, parts[i + 1] AS w2
+                  FROM d, LATERAL unnest(generate_series(
+                       1, len(parts) - 1)) AS g(i))
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+            FROM b GROUP BY 1, 2
+            ORDER BY n DESC, w1, w2 LIMIT 20
+        """,
         "assoc_rules_events": """
             -- market-basket support/confidence/lift over per-user
             -- distinct event-type baskets (DISTINCT self-join)

@@ -3765,6 +3765,73 @@ def q_transition_matrix_events(sf_dir: str):
     return out.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
 
 
+def q_auc_events(sf_dir: str):
+    """Exact ROC-AUC of `value` as a ranking score for error events —
+    the threshold-free evaluation companion of eval_f1 (Mann-Whitney U
+    with midrank tie handling). Per-batch partials fold per-VALUE
+    (n_pos, n_neg) counts — the exchange is bounded by score
+    cardinality, not rows (for truly continuous scores at corpus scale
+    the fold auto-spills to its Ray groupby regime; binning first is
+    the standard approximation if even distinct-score cardinality is
+    too high). Driver finishes with one sorted cumulative sweep:
+    AUC = Σ_v n_pos(v)·(n_neg(<v) + ½·n_neg(=v)) / (P·N). All terms
+    are half-integers — exact in float64, association-order-proof."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=["value"])
+        y = (d["event_type"] == "error").astype(np.int64)
+        t = pd.DataFrame({"value": d["value"].to_numpy(np.float64),
+                          "p": y, "q": 1 - y})
+        return t.groupby("value", as_index=False).sum()
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["value"], {"p": "sum", "q": "sum"})
+    m = m.sort_values("value", kind="mergesort").reset_index(drop=True)
+    p = m["p"].to_numpy(np.float64)
+    q = m["q"].to_numpy(np.float64)
+    below = np.concatenate([[0.0], np.cumsum(q)[:-1]])
+    P, N = p.sum(), q.sum()
+    auc = float((p * (below + 0.5 * q)).sum() / (P * N))
+    return pd.DataFrame({"n_pos": [np.int64(P)], "n_neg": [np.int64(N)],
+                         "auc": rnd([auc], 6)})
+
+
+def q_bigram_topk_documents(sf_dir: str):
+    """Exact corpus-wide top-20 word bigrams — the phrase-level
+    companion of vocab_documents (n-gram statistics drive both dedup
+    shingles and boilerplate detection). Per-batch vectorized bigram
+    counting folds (bigram → n) partials; cardinality is vocabulary²-
+    bounded and the fold auto-spills to its Ray groupby regime past the
+    driver threshold. Tokenization is exactly SQL string_split(text,
+    ' ') — single-space split, empties preserved — so the oracle's
+    lateral unnest reproduces the counts bit-for-bit. Deterministic
+    (n DESC, w1, w2) tie-break."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        c: Counter = Counter()
+        for s in df["text"].to_numpy():
+            if not isinstance(s, str):
+                continue
+            w = s.split(" ")
+            c.update(zip(w[:-1], w[1:]))
+        if not c:
+            return pd.DataFrame({"w1": [], "w2": [], "n": []})
+        ks = list(c.keys())
+        return pd.DataFrame({"w1": [k[0] for k in ks],
+                             "w2": [k[1] for k in ks],
+                             "n": [float(c[k]) for k in ks]})
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["w1", "w2"], {"n": "sum"})
+    m["n"] = m["n"].astype("int64")
+    m = m.sort_values(["n", "w1", "w2"], ascending=[False, True, True],
+                      kind="mergesort")
+    return m.head(20).reset_index(drop=True)
+
+
 def q_mahalanobis_embeddings(sf_dir: str):
     """Global-covariance outlier score per embedding: squared Mahalanobis
     distance d² = (x−μ)ᵀ Σ⁻¹ (x−μ) — the parametric complement of LOF
@@ -3987,6 +4054,8 @@ QUERIES = {
     "lof_embeddings": q_lof_embeddings,
     "clip_audio_audit": q_clip_audio_audit,
     "mahalanobis_embeddings": q_mahalanobis_embeddings,
+    "auc_events": q_auc_events,
+    "bigram_topk_documents": q_bigram_topk_documents,
     "assoc_rules_events": q_assoc_rules_events,
     "transition_matrix_events": q_transition_matrix_events,
     "autocorr_events": q_autocorr_events,

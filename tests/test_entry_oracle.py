@@ -103,7 +103,7 @@ def oracle_names():
     "heartbeat_gaps_events", "chi2_drift_events",
     "moments_events", "ntile_events", "reconcile_orders_lineitem",
     "format_audit_customer", "cast_audit_events", "assoc_rules_events",
-    "transition_matrix_events",
+    "transition_matrix_events", "auc_events", "bigram_topk_documents",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]
