@@ -1443,6 +1443,56 @@ def oracle_sql() -> dict[str, str]:
                          / (sum(p) * sum(q)), 6) AS auc
             FROM o
         """,
+        "weighted_sample_documents": """
+            -- Efraimidis-Spirakis A-Res: global k smallest -ln(u)/w;
+            -- u from the engine's exact integer hash (32-bit multiply
+            -- constants keep the mulmod-2^64 inside HUGEINT)
+            WITH x AS (SELECT doc_id, n_chars,
+                              CAST(CAST(doc_id AS BIGINT) AS UBIGINT) AS v
+                       FROM documents WHERE n_chars > 0),
+            s1 AS (SELECT doc_id, n_chars, xor(v, v >> 33) AS z FROM x),
+            s2 AS (SELECT doc_id, n_chars,
+                          CAST((CAST(z AS HUGEINT) * 4283543511)
+                               % 18446744073709551616 AS UBIGINT) AS z
+                   FROM s1),
+            s3 AS (SELECT doc_id, n_chars, xor(z, z >> 29) AS z FROM s2),
+            s4 AS (SELECT doc_id, n_chars,
+                          CAST((CAST(z AS HUGEINT) * 3301882366)
+                               % 18446744073709551616 AS UBIGINT) AS z
+                   FROM s3),
+            h AS (SELECT doc_id, n_chars, xor(z, z >> 32) AS hh FROM s4),
+            k AS (SELECT doc_id, n_chars AS w,
+                         -ln((CAST(hh AS DOUBLE) + 0.5)
+                             / 18446744073709551616.0)
+                         / n_chars AS key
+                  FROM h)
+            SELECT doc_id, CAST(w AS BIGINT) AS w,
+                   round(key, 9) AS es_key
+            FROM k ORDER BY key, doc_id LIMIT 50
+        """,
+        "tfidf_topk_documents": """
+            -- top-5 distinctive terms per source by tf * ln(ns/df);
+            -- single-space tokenization, (tfidf DESC, word) tie-break
+            WITH w AS (SELECT source, t.w AS word
+                       FROM (SELECT source,
+                                    string_split(text, ' ') AS parts
+                             FROM documents WHERE text IS NOT NULL) d,
+                            LATERAL unnest(d.parts) AS t(w)),
+            tf AS (SELECT source, word, count(*) AS n FROM w
+                   GROUP BY 1, 2),
+            ns AS (SELECT count(DISTINCT source) AS c FROM w),
+            df AS (SELECT word, count(DISTINCT source) AS d FROM w
+                   GROUP BY 1),
+            sc AS (SELECT tf.source, tf.word, tf.n,
+                          tf.n * ln(ns.c * 1.0 / df.d) AS tfidf,
+                          row_number() OVER (PARTITION BY tf.source
+                              ORDER BY tf.n * ln(ns.c * 1.0 / df.d) DESC,
+                                       tf.word) AS r
+                   FROM tf, ns JOIN df ON tf.word = df.word)
+            SELECT source, word, CAST(n AS BIGINT) AS tf,
+                   round(tfidf, 6) AS tfidf
+            FROM sc WHERE r <= 5
+        """,
         "bigram_topk_documents": """
             -- corpus top-20 word bigrams; tokenization = single-space
             -- string_split, (n DESC, w1, w2) tie-break

@@ -3832,6 +3832,86 @@ def q_bigram_topk_documents(sf_dir: str):
     return m.head(20).reset_index(drop=True)
 
 
+def q_weighted_sample_documents(sf_dir: str):
+    """Deterministic weighted sample WITHOUT replacement, k=50, weight =
+    n_chars (Efraimidis–Spirakis A-Res, IPL 2006): key = −ln(u)/w with u
+    a per-doc hash-uniform; the global k smallest keys are exactly a
+    w-proportional sample. No RNG: u comes from a 2-round
+    xorshift-multiply of doc_id whose 32-bit constants keep the SQL
+    twin inside HUGEINT (numpy uint64 wraps natively; bit-for-bit
+    parity pinned in tests). Each batch emits only its LOCAL k smallest
+    keys (the brute_force_topk candidate contract), so the driver merge
+    sees ≤ batches×k rows regardless of corpus size."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    K = 50
+
+    def h64(v: np.ndarray) -> np.ndarray:
+        z = v.astype(np.uint64)
+        z ^= z >> np.uint64(33)
+        z *= np.uint64(0xFF51AFD7)
+        z ^= z >> np.uint64(29)
+        z *= np.uint64(0xC4CEB9FE)
+        return z ^ (z >> np.uint64(32))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["n_chars"] > 0]
+        if d.empty:
+            return pd.DataFrame({"doc_id": [], "w": [], "es_key": []})
+        with np.errstate(over="ignore"):
+            h = h64(d["doc_id"].to_numpy(np.int64).view(np.uint64))
+        u = (h.astype(np.float64) + 0.5) / 18446744073709551616.0
+        w = d["n_chars"].to_numpy(np.float64)
+        key = -np.log(u) / w
+        k = min(K, len(d))
+        sel = np.argpartition(key, k - 1)[:k]
+        return pd.DataFrame({"doc_id": d["doc_id"].to_numpy(np.int64)[sel],
+                             "w": d["n_chars"].to_numpy(np.int64)[sel],
+                             "es_key": key[sel]})
+
+    cand = (ds.map_batches(local_topk, batch_format="pandas")).to_pandas()
+    cand = cand.sort_values(["es_key", "doc_id"], kind="mergesort").head(K)
+    cand["es_key"] = rnd(cand["es_key"], 9)
+    cand["doc_id"] = cand["doc_id"].astype("int64")
+    cand["w"] = cand["w"].astype("int64")
+    return cand.reset_index(drop=True)
+
+
+def q_tfidf_topk_documents(sf_dir: str):
+    """Corpus keyword extraction: top-5 terms per source by TF-IDF
+    (tf = term count within the source, idf = ln(#sources / #sources
+    containing the term)) — the classic distinctive-vocabulary profile.
+    One fold of (source, word, n) partials (vocabulary × source
+    bounded, auto-spilling); df/idf and the per-source rank run on the
+    folded table. SQL-identical single-space tokenization;
+    (tfidf DESC, word ASC) tie-break."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        out = []
+        for src, grp in df.groupby("source"):
+            c: Counter = Counter()
+            for s in grp["text"].to_numpy():
+                if isinstance(s, str):
+                    c.update(s.split(" "))
+            out.extend({"source": src, "word": w, "n": float(v)}
+                       for w, v in c.items())
+        return pd.DataFrame(out)
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["source", "word"], {"n": "sum"})
+    ns = m["source"].nunique()
+    df_w = m.groupby("word")["source"].nunique()
+    idf = np.log(ns / m["word"].map(df_w).to_numpy(np.float64))
+    m = m.assign(tfidf=m["n"].to_numpy(np.float64) * idf)
+    m = m.sort_values(["source", "tfidf", "word"],
+                      ascending=[True, False, True], kind="mergesort")
+    top = m.groupby("source", as_index=False).head(5)
+    return pd.DataFrame({"source": top["source"], "word": top["word"],
+                         "tf": top["n"].astype(np.int64),
+                         "tfidf": rnd(top["tfidf"], 6)}).reset_index(drop=True)
+
+
 def q_mahalanobis_embeddings(sf_dir: str):
     """Global-covariance outlier score per embedding: squared Mahalanobis
     distance d² = (x−μ)ᵀ Σ⁻¹ (x−μ) — the parametric complement of LOF
@@ -4055,6 +4135,8 @@ QUERIES = {
     "clip_audio_audit": q_clip_audio_audit,
     "mahalanobis_embeddings": q_mahalanobis_embeddings,
     "auc_events": q_auc_events,
+    "weighted_sample_documents": q_weighted_sample_documents,
+    "tfidf_topk_documents": q_tfidf_topk_documents,
     "bigram_topk_documents": q_bigram_topk_documents,
     "assoc_rules_events": q_assoc_rules_events,
     "transition_matrix_events": q_transition_matrix_events,

@@ -104,6 +104,7 @@ def oracle_names():
     "moments_events", "ntile_events", "reconcile_orders_lineitem",
     "format_audit_customer", "cast_audit_events", "assoc_rules_events",
     "transition_matrix_events", "auc_events", "bigram_topk_documents",
+    "weighted_sample_documents", "tfidf_topk_documents",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]

@@ -661,3 +661,29 @@ def test_reconcile_no_lineitem_order(ray_session):
     assert got["recon_ok"].tolist() == [True, False, False]
     assert np.isnan(got.loc[2, "lineitem_total"])
     assert abs(got.loc[1, "price_diff"] - 0.02) < 1e-9
+
+
+def test_weighted_sample_partition_invariant(ray_session):
+    """The E-S candidate contract must yield the identical global sample
+    regardless of block layout, and weight-0 docs never appear."""
+    import os
+    import tempfile
+
+    from anomaly_detection_ray.pipelines.queries import (
+        q_weighted_sample_documents)
+
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame({
+        "doc_id": np.arange(500, dtype=np.int64),
+        "n_chars": rng.integers(0, 300, size=500)})
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "documents.parquet"))
+        a = q_weighted_sample_documents(d)
+    with tempfile.TemporaryDirectory() as d:
+        # different block layout: small row groups force many batches
+        df.to_parquet(os.path.join(d, "documents.parquet"),
+                      row_group_size=37)
+        b = q_weighted_sample_documents(d)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["w"] > 0).all()
+    assert len(a) == 50
