@@ -1443,6 +1443,58 @@ def oracle_sql() -> dict[str, str]:
                          / (sum(p) * sum(q)), 6) AS auc
             FROM o
         """,
+        "cube_events": """
+            -- full grouping lattice; NULL margins surfaced as 'ALL'
+            -- to keep the hash contract null-free
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(CAST(user_id % 10 AS VARCHAR), 'ALL')
+                       AS user_bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY CUBE (event_type, user_id % 10)
+        """,
+        "lift_table_events": """
+            -- decile gain/lift, descending score; each DISTINCT value
+            -- lands in the decile of its last row: ceil(10*cum/total)
+            WITH v AS (SELECT value,
+                              CASE WHEN event_type = 'error' THEN 1
+                                   ELSE 0 END AS y
+                       FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)),
+            g AS (SELECT value, count(*) AS rows_, sum(y) AS pos
+                  FROM v GROUP BY 1),
+            o AS (SELECT rows_, pos,
+                         CAST(ceil(10.0 * sum(rows_) OVER (
+                             ORDER BY value DESC)
+                             / (SELECT count(*) FROM v)) AS BIGINT)
+                             AS decile
+                  FROM g),
+            d AS (SELECT decile, sum(rows_) AS n, sum(pos) AS n_pos
+                  FROM o GROUP BY 1),
+            c AS (SELECT decile, n, n_pos,
+                         sum(n_pos) OVER (ORDER BY decile) AS cp,
+                         sum(n) OVER (ORDER BY decile) AS cn
+                  FROM d)
+            SELECT decile, CAST(n AS BIGINT) AS n,
+                   CAST(n_pos AS BIGINT) AS n_pos,
+                   round(n_pos * 1.0 / n, 6) AS rate,
+                   round((cp * 1.0 / cn)
+                         / ((SELECT sum(y) FROM v) * 1.0
+                            / (SELECT count(*) FROM v)), 6) AS cum_lift
+            FROM c
+        """,
+        "hourly_profile_events": """
+            -- per-hour-of-day seasonal quantile bands (quantile_cont =
+            -- np.quantile linear interpolation)
+            SELECT CAST(hour(ts) AS BIGINT) AS hour,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(quantile_cont(value, 0.50), 6) AS p50,
+                   round(quantile_cont(value, 0.90), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY 1
+        """,
         "weighted_sample_documents": """
             -- Efraimidis-Spirakis A-Res: global k smallest -ln(u)/w;
             -- u from the engine's exact integer hash (32-bit multiply

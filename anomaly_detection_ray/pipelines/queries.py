@@ -3912,6 +3912,127 @@ def q_tfidf_topk_documents(sf_dir: str):
                          "tfidf": rnd(top["tfidf"], 6)}).reset_index(drop=True)
 
 
+def q_lift_table_events(sf_dir: str):
+    """Decile gain/lift table of `value` as a score for error events —
+    the business-facing companion of auc_events (how concentrated are
+    the errors in the top score deciles?). Reuses the AUC exchange
+    shape: per-distinct-value (rows, pos) count partials fold once
+    (score-cardinality bounded), then ONE driver sweep assigns each
+    distinct value the decile of its LAST row, descending score
+    (decile = ceil(10·cum/total) — the closed form the oracle mirrors;
+    no row-level global sort anywhere). Emits per-decile rows, errors,
+    rate, and cumulative lift."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=["value"])
+        y = (d["event_type"] == "error").astype(np.int64)
+        t = pd.DataFrame({"value": d["value"].to_numpy(np.float64),
+                          "rows": 1.0, "pos": y.astype(np.float64)})
+        return t.groupby("value", as_index=False).sum()
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["value"], {"rows": "sum", "pos": "sum"})
+    m = m.sort_values("value", ascending=False,
+                      kind="mergesort").reset_index(drop=True)
+    rows = m["rows"].to_numpy(np.float64)
+    pos = m["pos"].to_numpy(np.float64)
+    total = rows.sum()
+    base = pos.sum() / total
+    cum = np.cumsum(rows)
+    decile = np.ceil(10.0 * cum / total).astype(np.int64)
+    g = pd.DataFrame({"decile": decile, "rows": rows, "pos": pos}) \
+        .groupby("decile", as_index=False).sum().sort_values("decile")
+    cum_pos = np.cumsum(g["pos"].to_numpy())
+    cum_rows = np.cumsum(g["rows"].to_numpy())
+    return pd.DataFrame({
+        "decile": g["decile"].astype("int64"),
+        "n": g["rows"].astype("int64"),
+        "n_pos": g["pos"].astype("int64"),
+        "rate": rnd(g["pos"].to_numpy() / g["rows"].to_numpy(), 6),
+        "cum_lift": rnd((cum_pos / cum_rows) / base, 6),
+    }).reset_index(drop=True)
+
+
+def q_hourly_profile_events(sf_dir: str):
+    """Seasonal baseline profile: p50/p90/p99 of value per hour-of-day —
+    the per-slot band a seasonal anomaly monitor alarms against (the
+    batch twin of the forecast/seasonal band scorers). One slim
+    (hour, value) groupby with per-group vectorized np.quantile (linear
+    interpolation ≡ DuckDB quantile_cont, the winsorize_events
+    precedent); 24-row output."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=["value"])
+        return pd.DataFrame({
+            "hour": d["ts"].dt.hour.astype(np.int64),
+            "value": d["value"].to_numpy(np.float64)})
+
+    def grp(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "hour": [int(g["hour"].iloc[0])],
+            "n": [np.int64(len(v))],
+            "p50": [float(np.quantile(v, 0.50))],
+            "p90": [float(np.quantile(v, 0.90))],
+            "p99": [float(np.quantile(v, 0.99))]})
+
+    out = (ds.map_batches(prep, batch_format="pandas")
+             .groupby("hour").map_groups(grp, batch_format="pandas")
+             .to_pandas())
+    out["hour"] = out["hour"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    for c in ["p50", "p90", "p99"]:
+        out[c] = rnd(out[c], 6)
+    return out.sort_values("hour").reset_index(drop=True)
+
+
+def q_cube_events(sf_dir: str):
+    """Full CUBE lattice over (event_type, user bucket): counts + value
+    sums for all four grouping sets — the OLAP companion of
+    rollup_events (rollup walks one hierarchy; CUBE materializes every
+    margin). ONE fold at the finest grain; the coarser grouping sets are
+    exact re-aggregations of that bounded table on the driver (sums are
+    associative), so the raw stream is read once and nothing shuffles
+    per grouping set. NULL marks the rolled-up dimension (SQL CUBE
+    convention, emitted as the string 'ALL' to keep the hash contract
+    null-free)."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=["value"])
+        t = pd.DataFrame({
+            "event_type": d["event_type"],
+            "user_bucket": (d["user_id"].to_numpy(np.int64) % 10),
+            "s": d["value"].to_numpy(np.float64), "n": 1.0})
+        return t.groupby(["event_type", "user_bucket"],
+                         as_index=False).sum()
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["event_type", "user_bucket"], {"s": "sum", "n": "sum"})
+    m["user_bucket"] = m["user_bucket"].astype(str)
+    sets = []
+    sets.append(m[["event_type", "user_bucket", "s", "n"]])
+    a = m.groupby("event_type", as_index=False)[["s", "n"]].sum()
+    a["user_bucket"] = "ALL"
+    sets.append(a)
+    b = m.groupby("user_bucket", as_index=False)[["s", "n"]].sum()
+    b["event_type"] = "ALL"
+    sets.append(b)
+    t = pd.DataFrame({"event_type": ["ALL"], "user_bucket": ["ALL"],
+                      "s": [m["s"].sum()], "n": [m["n"].sum()]})
+    sets.append(t)
+    out = pd.concat(sets, ignore_index=True)
+    res = pd.DataFrame({
+        "event_type": out["event_type"],
+        "user_bucket": out["user_bucket"],
+        "n": out["n"].astype("int64"),
+        "sum_value": rnd(out["s"], 4)})
+    return res.sort_values(["event_type", "user_bucket"],
+                           kind="mergesort").reset_index(drop=True)
+
+
 def q_mahalanobis_embeddings(sf_dir: str):
     """Global-covariance outlier score per embedding: squared Mahalanobis
     distance d² = (x−μ)ᵀ Σ⁻¹ (x−μ) — the parametric complement of LOF
@@ -4137,6 +4258,9 @@ QUERIES = {
     "auc_events": q_auc_events,
     "weighted_sample_documents": q_weighted_sample_documents,
     "tfidf_topk_documents": q_tfidf_topk_documents,
+    "lift_table_events": q_lift_table_events,
+    "hourly_profile_events": q_hourly_profile_events,
+    "cube_events": q_cube_events,
     "bigram_topk_documents": q_bigram_topk_documents,
     "assoc_rules_events": q_assoc_rules_events,
     "transition_matrix_events": q_transition_matrix_events,

@@ -105,6 +105,7 @@ def oracle_names():
     "format_audit_customer", "cast_audit_events", "assoc_rules_events",
     "transition_matrix_events", "auc_events", "bigram_topk_documents",
     "weighted_sample_documents", "tfidf_topk_documents",
+    "lift_table_events", "hourly_profile_events", "cube_events",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]
