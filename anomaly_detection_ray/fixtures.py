@@ -62,6 +62,8 @@ FIXTURE_QUERIES = [
     "lof_embeddings",
     "clip_audio_audit",
     "mahalanobis_embeddings",
+    "lof_ivf_embeddings",
+    "clip_bandwidth_check",
     "text_prep_documents",
     "clip_validation_verdicts",
     "clip_audio_features",

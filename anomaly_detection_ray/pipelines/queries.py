@@ -4033,6 +4033,39 @@ def q_cube_events(sf_dir: str):
                            kind="mergesort").reset_index(drop=True)
 
 
+def q_lof_ivf_embeddings(sf_dir: str):
+    """IVF-bucketed LOF — the scale path promised by lof_embeddings'
+    contract: candidate neighbours restricted to the point's coarse
+    k-means cell, exact dense LOF per cell via ONE groupby shuffle
+    (stages/similarity.lof_scores_ivf). No broadcast reference matrix,
+    no O(n) driver state; boundary-straddling neighbourhoods are the
+    documented IVF approximation. Deterministic => fixture oracle."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = sim.lof_scores_ivf(ds, k=10, n_cells=8)
+    out["lof"] = rnd(out["lof"], 6)
+    return out
+
+
+def q_clip_bandwidth_check(sf_dir: str):
+    """Effective-bandwidth audit over the clip table — catches
+    upsampled-from-lower-rate / band-limited-codec clips whose claimed
+    sr_hz the metadata drift checks would happily pass (only the
+    spectrum knows). Actor-pool decode (stages/audio_ops.BandwidthCheck);
+    deterministic => fixture oracle. NOTE: the synth corpus is genuinely
+    band-limited tonal content (median top-half-band energy is exactly
+    0), so the audit truthfully warns on most of it; discrimination
+    between real broadband and band-limited-then-upsampled material is
+    pinned in tests/test_audio_ops.py::test_bandwidth_check_flags_
+    upsampled_clip."""
+    from ..sources.clips import read_clips
+    from ..stages import audio_ops as ao
+    path = _clip_table_path(sf_dir)
+    ds = read_clips(path, columns=["clip_id", "bytes"])
+    out = ao.bandwidth_table(ds, concurrency=8)
+    return out.select_columns(["clip_id", "eff_bw_hz", "bw_ratio",
+                               "hf_energy_ratio", "bw_code", "bw_status"])
+
+
 def q_mahalanobis_embeddings(sf_dir: str):
     """Global-covariance outlier score per embedding: squared Mahalanobis
     distance d² = (x−μ)ᵀ Σ⁻¹ (x−μ) — the parametric complement of LOF
@@ -4253,6 +4286,8 @@ QUERIES = {
     "format_audit_customer": q_format_audit_customer,
     "cast_audit_events": q_cast_audit_events,
     "lof_embeddings": q_lof_embeddings,
+    "lof_ivf_embeddings": q_lof_ivf_embeddings,
+    "clip_bandwidth_check": q_clip_bandwidth_check,
     "clip_audio_audit": q_clip_audio_audit,
     "mahalanobis_embeddings": q_mahalanobis_embeddings,
     "auc_events": q_auc_events,

@@ -2101,3 +2101,92 @@ def audio_audit_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
                                                  **kwargs},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=pool_size(concurrency), num_cpus=1)
+
+
+def bandwidth_stats(sig: np.ndarray, sr: int,
+                    energy_frac: float = 0.99) -> dict[str, float]:
+    """Effective-bandwidth measurement for fake-sample-rate detection: a
+    clip upsampled from a lower rate (or decoded from a band-limited
+    codec) claims sr but carries no energy near its Nyquist. Returns the
+    frequency below which ``energy_frac`` of the mean-spectrum energy
+    lives (eff_bw_hz), its fraction of Nyquist (bw_ratio), and the
+    energy fraction in the top half of the band (hf_energy_ratio)."""
+    sig = np.asarray(sig, dtype=np.float64)
+    if len(sig) < FRAME:
+        return {"eff_bw_hz": float("nan"), "bw_ratio": float("nan"),
+                "hf_energy_ratio": float("nan")}
+    P = (stft_mag(sig, FRAME, HOP) ** 2).mean(axis=0)
+    total = float(P.sum())
+    if total <= 0.0:
+        return {"eff_bw_hz": 0.0, "bw_ratio": 0.0, "hf_energy_ratio": 0.0}
+    freqs = np.fft.rfftfreq(FRAME, d=1.0 / sr)
+    cum = np.cumsum(P)
+    eff = float(freqs[np.searchsorted(cum, energy_frac * total)])
+    half = np.searchsorted(freqs, sr / 4.0)
+    return {"eff_bw_hz": eff,
+            "bw_ratio": float(eff / (sr / 2.0)),
+            "hf_energy_ratio": float(P[half:].sum() / total)}
+
+
+class BandwidthCheck:
+    """Actor-pool stage: effective-bandwidth audit against the claimed
+    sample rate — flags clips whose spectrum stops far below Nyquist
+    (upsampled-from-lower-rate or band-limited-codec material masquer-
+    ading as full-band; the sr_hz-column drift checks can't see this,
+    only the audio can). Warning when bw_ratio < warn_ratio on a
+    non-silent clip; Undefined when the payload doesn't decode."""
+
+    def __init__(self, bytes_col: str = "bytes",
+                 warn_ratio: float = 0.5):
+        self.bytes_col = bytes_col
+        self.warn_ratio = warn_ratio
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t[self.bytes_col].to_pylist()
+        n = len(payloads)
+        eff = np.full(n, np.nan)
+        ratio = np.full(n, np.nan)
+        hf = np.full(n, np.nan)
+        code = np.full(n, UNDEFINED_CODE, dtype=np.int8)
+        status = np.full(n, "Undefined: audio payload not decodable",
+                         dtype=object)
+        for i, b in enumerate(payloads):
+            sig, sr = (audio.decode_wav_lenient(b) if b else (None, None))
+            if sig is None or not sr or len(sig) == 0:
+                continue
+            s = bandwidth_stats(np.asarray(sig, dtype=np.float64), sr)
+            eff[i], ratio[i], hf[i] = (s["eff_bw_hz"], s["bw_ratio"],
+                                       s["hf_energy_ratio"])
+            if np.isnan(ratio[i]):
+                status[i] = "Undefined: clip shorter than one frame"
+            elif ratio[i] == 0.0:
+                code[i] = WARNING_CODE
+                status[i] = "Warning1: silent clip, bandwidth unmeasurable"
+            elif ratio[i] < self.warn_ratio:
+                code[i] = WARNING_CODE
+                status[i] = "Warning1: effective bandwidth far below Nyquist"
+            else:
+                code[i] = OK_CODE
+                status[i] = "OK"
+        t = t.drop_columns([self.bytes_col])
+        return (t.append_column("eff_bw_hz",
+                                pa.array(np.round(eff, 2),
+                                         type=pa.float64()))
+                 .append_column("bw_ratio",
+                                pa.array(np.round(ratio, 6),
+                                         type=pa.float64()))
+                 .append_column("hf_energy_ratio",
+                                pa.array(np.round(hf, 6),
+                                         type=pa.float64()))
+                 .append_column("bw_code", pa.array(code, type=pa.int8()))
+                 .append_column("bw_status",
+                                pa.array(status, type=pa.string())))
+
+
+def bandwidth_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
+                    concurrency: int = 8, warn_ratio: float = 0.5):
+    return ds.map_batches(BandwidthCheck,
+                          fn_constructor_kwargs={"bytes_col": bytes_col,
+                                                 "warn_ratio": warn_ratio},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=pool_size(concurrency), num_cpus=1)

@@ -1040,3 +1040,32 @@ def test_audio_audit_transcript_consistency(ray_session):
     assert out.loc["silence_with_text", "audit_code"] == -1
     assert "without speech" in out.loc["silence_with_text", "audit_status"]
     assert out.loc["clean", "audit_code"] == 1
+
+
+def test_bandwidth_check_flags_upsampled_clip(ray_session):
+    """A genuinely 16 kHz broadband clip passes; the SAME content
+    band-limited to 4 kHz then linearly upsampled back to 16 kHz claims
+    the rate but fails the effective-bandwidth audit."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomaly_detection_ray import audio
+    from anomaly_detection_ray.stages.audio_ops import (bandwidth_table,
+                                                        resample_sinc)
+
+    sr = 16000
+    rng = np.random.default_rng(21)
+    broadband = rng.normal(scale=0.2, size=sr * 2)
+    low = resample_sinc(broadband, sr, 4000)       # hard 2 kHz ceiling
+    upsampled = resample_sinc(low, 4000, sr)       # fake 16 kHz
+    tbl = pa.table({
+        "clip_id": ["real16k", "fake16k"],
+        "bytes": [audio.encode_wav(np.clip(broadband, -0.99, 0.99), sr),
+                  audio.encode_wav(np.clip(upsampled, -0.99, 0.99), sr)]})
+    out = (bandwidth_table(rd.from_arrow(tbl), concurrency=2, batch_size=2)
+           .to_pandas().set_index("clip_id"))
+    assert out.loc["real16k", "bw_code"] == 1
+    assert out.loc["real16k", "bw_ratio"] > 0.8
+    assert out.loc["fake16k", "bw_code"] == 0
+    assert out.loc["fake16k", "bw_ratio"] < 0.35
+    assert "below Nyquist" in out.loc["fake16k", "bw_status"]

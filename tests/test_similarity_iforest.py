@@ -331,3 +331,41 @@ def test_mahalanobis_flags_correlated_outlier(ray_session):
     cov = np.cov(X.T)
     want = np.einsum("ij,jk,ik->i", X - mu, np.linalg.inv(cov), X - mu)
     np.testing.assert_allclose(s.to_numpy(), want, rtol=1e-4, atol=1e-6)
+
+
+def test_lof_ivf_matches_exact_on_separated_clusters(ray_session):
+    """When clusters are far apart (cells == clusters), per-cell LOF is
+    exact: every true neighbourhood lives inside one cell."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.similarity import (lof_scores,
+                                                         lof_scores_ivf)
+
+    rng = np.random.default_rng(7)
+    blobs = [rng.normal(loc=c, scale=0.3, size=(60, 5))
+             for c in (0.0, 30.0, -30.0)]
+    X = np.vstack(blobs)
+    df = pd.DataFrame({"vec_id": np.arange(len(X), dtype=np.int64),
+                       "embedding": list(X)})
+    ds = rd.from_pandas(df).repartition(4)
+    exact = lof_scores(ds, k=8).set_index("vec_id")["lof"]
+    approx = (lof_scores_ivf(ds, k=8, n_cells=3, iters=8)
+              .set_index("vec_id")["lof"])
+    np.testing.assert_allclose(approx.to_numpy(), exact.to_numpy(),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_lof_ivf_flags_planted_outlier(ray_session):
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.similarity import lof_scores_ivf
+
+    rng = np.random.default_rng(13)
+    X = np.vstack([rng.normal(size=(80, 4)),
+                   rng.normal(loc=20.0, size=(80, 4)),
+                   [[10.0, 10.0, 10.0, 10.0]]])  # id 160: between clusters
+    df = pd.DataFrame({"vec_id": np.arange(161, dtype=np.int64),
+                       "embedding": list(X)})
+    got = lof_scores_ivf(rd.from_pandas(df).repartition(3), k=10,
+                         n_cells=2)
+    assert int(got.loc[got["lof"].idxmax(), "vec_id"]) == 160
