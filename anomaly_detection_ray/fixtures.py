@@ -64,6 +64,7 @@ FIXTURE_QUERIES = [
     "mahalanobis_embeddings",
     "lof_ivf_embeddings",
     "clip_bandwidth_check",
+    "lang_confusion_documents",
     "text_prep_documents",
     "clip_validation_verdicts",
     "clip_audio_features",

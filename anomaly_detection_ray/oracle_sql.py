@@ -1443,6 +1443,31 @@ def oracle_sql() -> dict[str, str]:
                          / (sum(p) * sum(q)), 6) AS auc
             FROM o
         """,
+        "rfm_customers": """
+            -- RFM quintile scores; NTILE over the per-customer
+            -- aggregate with (metric, custkey) tie-break, 5 = best
+            WITH a AS (
+              SELECT o_custkey,
+                     max(CAST(floor(epoch(o_orderdate) / 86400)
+                              AS BIGINT)) AS last_day,
+                     count(*) AS frequency,
+                     sum(o_totalprice) AS spend
+              FROM orders GROUP BY 1),
+            b AS (SELECT o_custkey,
+                         (SELECT max(last_day) FROM a) - last_day
+                             AS recency_days,
+                         frequency, round(spend, 2) AS monetary
+                  FROM a)
+            SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+                   CAST(frequency AS BIGINT) AS frequency, monetary,
+                   6 - ntile(5) OVER (ORDER BY recency_days, o_custkey)
+                       AS r_score,
+                   6 - ntile(5) OVER (ORDER BY frequency DESC, o_custkey)
+                       AS f_score,
+                   6 - ntile(5) OVER (ORDER BY monetary DESC, o_custkey)
+                       AS m_score
+            FROM b
+        """,
         "cube_events": """
             -- full grouping lattice; NULL margins surfaced as 'ALL'
             -- to keep the hash contract null-free

@@ -2019,6 +2019,29 @@ def q_lang_detect_documents(sf_dir: str):
     return ds.map_batches(f, batch_format="pandas")
 
 
+def q_lang_confusion_documents(sf_dir: str):
+    """Language-ID confusion matrix — declared `lang` column vs the
+    n-gram detector (the label-quality audit that tells you whether
+    the metadata or the detector drifts): per-batch (lang, lang_pred)
+    count partials fold once; output is the full confusion table with
+    per-cell recall share. Deterministic detector => fixture oracle."""
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({"lang": df["lang"],
+                          "lang_pred": tx.detect_language(df["text"]),
+                          "n": 1.0})
+        return t.groupby(["lang", "lang_pred"], as_index=False).sum()
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["lang", "lang_pred"], {"n": "sum"})
+    tot = m.groupby("lang")["n"].transform("sum")
+    out = pd.DataFrame({"lang": m["lang"], "lang_pred": m["lang_pred"],
+                        "n": m["n"].astype("int64"),
+                        "share": rnd(m["n"] / tot, 6)})
+    return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+
+
 def q_minhash_dedup_documents(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return dd.minhash_dedup(ds, threshold=0.8)
@@ -4066,6 +4089,65 @@ def q_clip_bandwidth_check(sf_dir: str):
                                "hf_energy_ratio", "bw_code", "bw_status"])
 
 
+def q_rfm_customers(sf_dir: str):
+    """RFM segmentation over the orders fact — recency (days since last
+    order vs the corpus max date), frequency (order count), monetary
+    (total spend) per customer, each quintile-scored 1-5 (5 = best) —
+    the classic customer-value operator. Per-batch per-customer partials
+    fold once (customer-cardinality bounded); quintiles are SQL NTILE
+    semantics over the folded aggregate table with deterministic
+    (metric, custkey) tie-break, which the oracle's window mirrors
+    exactly. Recency uses integer epoch-day diffs — no float order
+    risk."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ep = ((df["o_orderdate"] - pd.Timestamp(0))
+              // pd.Timedelta("1D")).astype("int64")
+        t = pd.DataFrame({"o_custkey": df["o_custkey"],
+                          "last_day": ep, "n": 1.0,
+                          "spend": df["o_totalprice"].to_numpy(np.float64)})
+        return t.groupby("o_custkey", as_index=False).agg(
+            last_day=("last_day", "max"), n=("n", "sum"),
+            spend=("spend", "sum"))
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["o_custkey"], {"last_day": "max", "n": "sum",
+                              "spend": "sum"})
+    max_day = int(m["last_day"].max())
+    m = m.assign(recency_days=(max_day - m["last_day"]).astype(np.int64),
+                 frequency=m["n"].astype(np.int64),
+                 monetary=rnd(m["spend"], 2))
+
+    def ntile5(keys: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        """SQL NTILE(5) over ascending (key, custkey) order, returned as
+        a 1-5 score with 5 = smallest key (negate keys for largest-is-
+        best metrics)."""
+        order = np.lexsort((ids, keys))
+        n = len(ids)
+        q, r = divmod(n, 5)
+        i = np.arange(n)
+        if q == 0:
+            tile = i + 1
+        else:
+            b = r * (q + 1)
+            tile = np.where(i < b, i // (q + 1), r + (i - b) // q) + 1
+        out = np.empty(n, dtype=np.int64)
+        out[order] = 6 - tile  # tile 1 = best key -> score 5
+        return out
+
+    ids = m["o_custkey"].to_numpy(np.int64)
+    r_s = ntile5(m["recency_days"].to_numpy(np.int64), ids)
+    f_s = ntile5(-m["frequency"].to_numpy(np.int64), ids)
+    mo_s = ntile5(-m["monetary"].to_numpy(np.float64), ids)
+    out = pd.DataFrame({
+        "o_custkey": ids, "recency_days": m["recency_days"],
+        "frequency": m["frequency"], "monetary": m["monetary"],
+        "r_score": r_s, "f_score": f_s, "m_score": mo_s})
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
 def q_mahalanobis_embeddings(sf_dir: str):
     """Global-covariance outlier score per embedding: squared Mahalanobis
     distance d² = (x−μ)ᵀ Σ⁻¹ (x−μ) — the parametric complement of LOF
@@ -4296,6 +4378,8 @@ QUERIES = {
     "lift_table_events": q_lift_table_events,
     "hourly_profile_events": q_hourly_profile_events,
     "cube_events": q_cube_events,
+    "rfm_customers": q_rfm_customers,
+    "lang_confusion_documents": q_lang_confusion_documents,
     "bigram_topk_documents": q_bigram_topk_documents,
     "assoc_rules_events": q_assoc_rules_events,
     "transition_matrix_events": q_transition_matrix_events,

@@ -1933,33 +1933,49 @@ def codec_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
 
 # ------------------------------------------------------- audit kernels
 
-def hum_stats(sig: np.ndarray, sr: int,
-              harmonics: int = 3) -> dict[str, float]:
+@functools.lru_cache(maxsize=64)
+def _hum_phasors(n: int, sr: int, base: float,
+                 harmonics: int) -> tuple[np.ndarray, ...]:
+    """Read-only conjugate phasor rows for the hum probe, cached per
+    (window length, sr, base): the exp() evaluation was ~80% of
+    hum_stats wall when rebuilt per clip (lengths collapse to one value
+    once the probe is windowed)."""
+    t = np.arange(n)
+    rows = []
+    w = np.exp(-2j * np.pi * base * t / sr)
+    e = np.ones(n, dtype=np.complex128)
+    for h in range(1, harmonics + 1):
+        if base * h >= sr / 2.0:
+            break
+        e = e * w
+        e.setflags(write=False)
+        rows.append(e)
+        e = e.copy()
+    return tuple(rows)
+
+
+def hum_stats(sig: np.ndarray, sr: int, harmonics: int = 3,
+              max_window_s: float = 1.0) -> dict[str, float]:
     """Mains-hum detection: single-bin DFT (Goertzel identity, one
     complex dot per frequency) at 50/60 Hz and their first ``harmonics``
-    multiples. Each bin's power is normalized so a full-scale pure tone
-    at the probe frequency reads 0 dB: ratio_f = (2/N²)·|X(f)|² /
-    mean(sig²); hum_db_* = 10·log10(Σ_harmonics ratio). Clean broadband
-    material sits near 10·log10(4/N) (two-sided bin share of white
-    noise), i.e. far below any flag threshold for real clip lengths."""
+    multiples, over the clip's FIRST ``max_window_s`` seconds (hum is
+    stationary; 1 s gives 1 Hz resolution and lets the phasor tables
+    cache across clips). Each bin's power is normalized so a full-scale
+    pure tone at the probe frequency reads 0 dB: ratio_f =
+    (2/N²)·|X(f)|² / mean(win²); hum_db_* = 10·log10(Σ_harmonics
+    ratio). Clean broadband material sits near 10·log10(4/N) (two-sided
+    bin share of white noise), far below any flag threshold."""
     sig = np.asarray(sig, dtype=np.float64)
-    n = len(sig)
-    p_tot = float(np.mean(sig * sig))
+    win = sig[:max(8, int(sr * max_window_s))]
+    n = len(win)
+    p_tot = float(np.mean(win * win))
     if n < 8 or p_tot <= 0.0:
         return {"hum_db_50": -120.0, "hum_db_60": -120.0}
-    t = np.arange(n)
     out = {}
     for base, key in ((50.0, "hum_db_50"), (60.0, "hum_db_60")):
-        # one exp per base; harmonic phasors by elementwise multiply
-        # (exp is ~10x the cost of the complex product at clip lengths)
-        w = np.exp(-2j * np.pi * base * t / sr)
-        e = np.ones(n, dtype=np.complex128)
         ratio = 0.0
-        for h in range(1, harmonics + 1):
-            if base * h >= sr / 2.0:
-                break
-            e = e * w
-            X = np.dot(sig, e)
+        for e in _hum_phasors(n, int(sr), base, harmonics):
+            X = np.dot(win, e)
             ratio += 2.0 * (abs(X) ** 2) / (n * n) / p_tot
         out[key] = float(10.0 * np.log10(ratio + 1e-12))
     return out

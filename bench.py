@@ -164,6 +164,10 @@ def run_headline() -> dict:
             ao.MelFeatures, fn_constructor_kwargs={},
             batch_format="pyarrow", batch_size=64,
             concurrency=pool, num_cpus=1))
+        timed("clip_audio_audit", lambda: ao.audio_audit_table(
+            read_clips(clip_path,
+                       columns=["clip_id", "bytes", "transcript"]),
+            concurrency=pool))
 
         def _dvector():
             # learned speaker-embedding pipeline: hash-slice sample ->
