@@ -1443,6 +1443,54 @@ def oracle_sql() -> dict[str, str]:
                          / (sum(p) * sum(q)), 6) AS auc
             FROM o
         """,
+        "expectations_conditional": """
+            -- conditional (row_condition) expectations: scope rows are
+            -- the denominator and the only violation candidates;
+            -- labels carry the when clause (engine _col_label)
+            WITH s AS (
+              SELECT 'in_range' AS check_name,
+                     'value when event_type == ''purchase'''
+                         AS column_name,
+                     count(*) FILTER (WHERE event_type = 'purchase')
+                         AS n_rows,
+                     count(*) FILTER (WHERE event_type = 'purchase'
+                         AND (value < 0.0 OR value > 200.0))
+                         AS violations,
+                     0.9 AS mostly
+              FROM events
+              UNION ALL
+              SELECT 'regex',
+                     'props when event_type in [''error'', ''signup'']',
+                     count(*) FILTER (WHERE event_type
+                                      IN ('error', 'signup')),
+                     count(*) FILTER (WHERE event_type
+                         IN ('error', 'signup')
+                         AND NOT regexp_full_match(props, '\\{.*\\}')),
+                     1.0
+              FROM events
+              UNION ALL
+              SELECT 'not_null', 'value when user_id < 50',
+                     count(*) FILTER (WHERE user_id < 50),
+                     count(*) FILTER (WHERE user_id < 50
+                                      AND value IS NULL),
+                     1.0
+              FROM events
+              UNION ALL
+              SELECT 'in_range', 'value',
+                     count(*),
+                     count(*) FILTER (WHERE value < 0.0
+                                      OR value > 500.0),
+                     1.0
+              FROM events
+            )
+            SELECT check_name, column_name,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(violations AS BIGINT) AS violations,
+                   CASE WHEN n_rows = 0 THEN TRUE
+                        ELSE 1.0 - violations * 1.0 / n_rows >= mostly
+                   END AS passed
+            FROM s ORDER BY check_name, column_name
+        """,
         "rfm_customers": """
             -- RFM quintile scores; NTILE over the per-customer
             -- aggregate with (metric, custkey) tie-break, 5 = best

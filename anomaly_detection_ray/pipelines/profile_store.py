@@ -413,10 +413,11 @@ def _validate_files(input_dir, part_dir, todo, row_specs, uniq_approx,
     file-sized and goes straight from the task to the store). The store
     directory must be visible to workers (same contract as every
     parquet sink here)."""
-    from ..stages.expectations import _compile_mask
+    from ..stages.expectations import _compile_mask, _compile_when
 
     keys = [_sig_key(s) for s in row_specs]
     compiled = [_compile_mask(s) for s in row_specs]
+    whens = [_compile_when(s) for s in row_specs]
     uniq_cfg = [(_sig_key(s), s["column"], int(s.get("hll_p", 14)))
                 for s in uniq_approx]
     fresh_cfg = [(_sig_key(s), s["column"], s.get("by"))
@@ -428,6 +429,7 @@ def _validate_files(input_dir, part_dir, todo, row_specs, uniq_approx,
         {s["column"] for s in [*row_specs, *uniq_approx, *uniq_exact,
                                *fresh_specs, *nd_specs]}
         | {s["other"] for s in row_specs if s["check"] == "col_compare"}
+        | {s["when"]["column"] for s in row_specs if s.get("when")}
         | {s["by"] for s in [*fresh_specs, *nd_specs]
            if s.get("by") is not None}
         | {_single_order_by(s) for s in nd_specs})
@@ -439,10 +441,19 @@ def _validate_files(input_dir, part_dir, todo, row_specs, uniq_approx,
             base = _partial_name(rel)[:-len(".parquet")]
 
             main = {"key": [], "n": [], "v": [], "reg": []}
-            for k, mask in zip(keys, compiled):
+            for k, mask, when in zip(keys, compiled, whens):
+                bad = mask(t)
+                if when is not None:
+                    # conditional check: scope rows are the denominator
+                    # AND the only violation candidates (run_expectations
+                    # semantics — per-sig n makes the merge exact)
+                    scope = when(t)
+                    n_k, bad = int(scope.sum()), bad & scope
+                else:
+                    n_k = len(t)
                 main["key"].append(k)
-                main["n"].append(len(t))
-                main["v"].append(int(mask(t).sum()))
+                main["n"].append(n_k)
+                main["v"].append(int(bad.sum()))
                 main["reg"].append(None)
             for k, col, hp in uniq_cfg:
                 # mirror run_expectations' approx path: NULLs are

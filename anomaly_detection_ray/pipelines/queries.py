@@ -4148,6 +4148,30 @@ def q_rfm_customers(sf_dir: str):
     return out.sort_values("o_custkey").reset_index(drop=True)
 
 
+def q_expectations_conditional(sf_dir: str):
+    """Conditional (row-condition) expectations — the Great-Expectations
+    ``row_condition`` idiom: each check's denominator and violation
+    candidates are only the rows matching its ``when`` clause (purchase
+    values must be in range, error events must carry valid-JSON props,
+    click values non-null). One streaming pass, per-spec scope counts
+    folded alongside the violation counts."""
+    from ..stages.expectations import run_expectations
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value",
+                                  "props", "user_id"])
+    suite = [
+        {"check": "in_range", "column": "value", "min": 0.0, "max": 200.0,
+         "when": {"column": "event_type", "op": "==", "value": "purchase"},
+         "mostly": 0.9},
+        {"check": "regex", "column": "props", "pattern": r"^\{.*\}$",
+         "when": {"column": "event_type", "op": "in",
+                  "values": ["error", "signup"]}},
+        {"check": "not_null", "column": "value",
+         "when": {"column": "user_id", "op": "<", "value": 50}},
+        {"check": "in_range", "column": "value", "min": 0.0, "max": 500.0},
+    ]
+    return run_expectations(ds, suite)
+
+
 def q_mahalanobis_embeddings(sf_dir: str):
     """Global-covariance outlier score per embedding: squared Mahalanobis
     distance d² = (x−μ)ᵀ Σ⁻¹ (x−μ) — the parametric complement of LOF
@@ -4380,6 +4404,7 @@ QUERIES = {
     "cube_events": q_cube_events,
     "rfm_customers": q_rfm_customers,
     "lang_confusion_documents": q_lang_confusion_documents,
+    "expectations_conditional": q_expectations_conditional,
     "bigram_topk_documents": q_bigram_topk_documents,
     "assoc_rules_events": q_assoc_rules_events,
     "transition_matrix_events": q_transition_matrix_events,

@@ -145,12 +145,49 @@ _CMP_OPS = {"<": pc.less, "<=": pc.less_equal, "==": pc.equal,
 
 def _col_label(spec: dict) -> str:
     """Summary column_name — for col_compare the whole comparison, so two
-    checks on the same left column stay distinct (deterministic sort)."""
+    checks on the same left column stay distinct (deterministic sort);
+    conditional checks carry their ``when`` clause for the same reason."""
     if spec["check"] == "col_compare":
         scale = spec.get("scale", 1)
         rhs = (f"{scale}*{spec['other']}" if scale != 1 else spec["other"])
-        return f"{spec['column']} {spec['op']} {rhs}"
-    return spec["column"]
+        base = f"{spec['column']} {spec['op']} {rhs}"
+    else:
+        base = spec["column"]
+    w = spec.get("when")
+    if w:
+        val = w.get("values", w.get("value"))
+        base += f" when {w['column']} {w.get('op', 'in')} {val!r}"
+    return base
+
+
+def _compile_when(spec: dict) -> Callable[[pa.Table], np.ndarray] | None:
+    """Optional row condition (Great-Expectations ``row_condition``
+    idiom): ``{"when": {"column": c, "op": <cmp>|"in"|"not_null",
+    "value"/"values": ...}}`` restricts a row-local check to matching
+    rows — those rows are the denominator AND the only candidates for
+    violation (NULL condition = out of scope)."""
+    w = spec.get("when")
+    if not w:
+        return None
+    col, op = w["column"], w.get("op", "==")
+
+    def _np(arr) -> np.ndarray:
+        return pc.fill_null(arr, False).to_numpy(zero_copy_only=False)
+
+    if op == "in":
+        vals = list(w["values"])
+        return lambda t: _np(pc.is_in(t[col],
+                                      value_set=pa.array(vals)))
+    if op == "not_null":
+        return lambda t: pc.is_valid(t[col]).to_numpy(
+            zero_copy_only=False)
+    cmp = _CMP_OPS.get(op)
+    if cmp is None:
+        raise ValueError(f"when.op must be one of "
+                         f"{sorted(_CMP_OPS) + ['in', 'not_null']}, "
+                         f"got {op!r}")
+    val = w["value"]
+    return lambda t: _np(cmp(t[col], val))
 
 
 def _check_key(spec: dict) -> str:
@@ -273,6 +310,13 @@ def _validate_suite(suite: list[dict], names) -> None:
                                      "(determinism/oracle contract)")
             if spec.get("by") is not None:
                 cols.append(spec["by"])
+        w = spec.get("when")
+        if w is not None:
+            if spec["check"] not in _ROW_LOCAL:
+                raise ValueError(
+                    f"'when' is only supported on row-local checks "
+                    f"({sorted(_ROW_LOCAL)}), not {spec['check']!r}")
+            cols.append(w["column"])
         for c in cols:
             if c not in names:
                 raise ValueError(
@@ -392,23 +436,37 @@ def run_expectations(ds, suite: list[dict]) -> pd.DataFrame:
     if row_checks:
         keys = [_check_key(s) for s in row_checks]
         compiled = [_compile_mask(s) for s in row_checks]
+        whens = [_compile_when(s) for s in row_checks]
         needed = sorted({s["column"] for s in row_checks}
                         | {s["other"] for s in row_checks
-                           if s["check"] == "col_compare"})
+                           if s["check"] == "col_compare"}
+                        | {s["when"]["column"] for s in row_checks
+                           if s.get("when")})
+        # conditional checks count scope rows per spec; unconditional
+        # ones share the table row count
+        scope_cols = [f"{k}__n" for k, w in zip(keys, whens)
+                      if w is not None]
 
         def partial(t: pa.Table) -> pd.DataFrame:
             out: dict[str, list] = {"_g": [0], "n_rows": [len(t)]}
-            for k, mask in zip(keys, compiled):
-                out[k] = [int(mask(t).sum())]
+            for k, mask, when in zip(keys, compiled, whens):
+                bad = mask(t)
+                if when is not None:
+                    scope = when(t)
+                    out[f"{k}__n"] = [int(scope.sum())]
+                    bad = bad & scope
+                out[k] = [int(bad.sum())]
             return pd.DataFrame(out)
 
         folded = fold_partials(
             ds.select_columns(needed).map_batches(
                 partial, batch_format="pyarrow"),
-            "_g", {c: "sum" for c in ["n_rows", *keys]})
-        n_rows = int(folded["n_rows"].iloc[0]) if len(folded) else 0
-        for spec, k in zip(row_checks, keys):
+            "_g", {c: "sum" for c in ["n_rows", *keys, *scope_cols]})
+        table_rows = int(folded["n_rows"].iloc[0]) if len(folded) else 0
+        for spec, k, when in zip(row_checks, keys, whens):
             v = int(folded[k].iloc[0]) if len(folded) else 0
+            n_rows = (int(folded[f"{k}__n"].iloc[0])
+                      if when is not None and len(folded) else table_rows)
             frac_ok = 1.0 if n_rows == 0 else 1.0 - v / n_rows
             records.append({"check_name": spec["check"],
                             "column_name": _col_label(spec),
@@ -480,6 +538,9 @@ def run_expectations_by(ds, suite: list[dict], by: str) -> pd.DataFrame:
         raise ValueError("non_decreasing is not supported per group — "
                          "use run_expectations (its 'by' key already "
                          "defines the series)")
+    if any(s.get("when") for s in suite):
+        raise ValueError("'when' conditions are not supported per group "
+                         "yet — use run_expectations")
     row_checks = [s for s in suite if s["check"] in _ROW_LOCAL]
     uniq_checks = [s for s in suite if s["check"] == "unique"]
 

@@ -448,3 +448,83 @@ def test_freshness_kind(ray_session):
     with pytest.raises(ValueError, match="wall-clock"):
         ex.run_expectations(ds, [
             {"check": "freshness", "column": "ts", "max_lag_s": 60.0}])
+
+
+def test_conditional_when_semantics(ray_session):
+    """`when` scopes both the denominator and the violation candidates;
+    rows failing the check OUTSIDE the scope are ignored; NULL condition
+    values are out of scope."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.expectations import run_expectations
+
+    df = pd.DataFrame({
+        "kind": ["a", "a", "b", "b", None, "a"],
+        "v": [5.0, 50.0, -1.0, 200.0, 50.0, None],
+    })
+    suite = [{"check": "in_range", "column": "v", "min": 0.0, "max": 10.0,
+              "when": {"column": "kind", "op": "==", "value": "a"}}]
+    out = run_expectations(rd.from_pandas(df).repartition(2), suite)
+    assert len(out) == 1
+    r = out.iloc[0]
+    # scope = 3 'a' rows (None kind excluded); violations = the 50.0 row
+    # only (the None v row is not a violation for in_range; b rows with
+    # wild values are out of scope)
+    assert r["n_rows"] == 3
+    assert r["violations"] == 1
+    assert "when kind == 'a'" in r["column_name"]
+    assert not r["passed"]
+
+
+def test_conditional_when_rejected_off_row_local(ray_session):
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.expectations import (
+        run_expectations, run_expectations_by)
+
+    df = pd.DataFrame({"k": [1], "v": [1.0]})
+    with pytest.raises(ValueError, match="row-local"):
+        run_expectations(rd.from_pandas(df), [
+            {"check": "unique", "column": "v",
+             "when": {"column": "k", "op": "==", "value": 1}}])
+    with pytest.raises(ValueError, match="per group"):
+        run_expectations_by(rd.from_pandas(df), [
+            {"check": "not_null", "column": "v",
+             "when": {"column": "k", "op": "==", "value": 1}}], by="k")
+
+
+def test_conditional_store_matches_rescan(ray_session, tmp_path):
+    """Incremental store with a `when` suite: merged verdicts equal a
+    full run_expectations rescan over the union of files."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines import profile_store as ps
+    from anomaly_detection_ray.stages.expectations import run_expectations
+
+    d = tmp_path / "data"
+    d.mkdir()
+    rng = np.random.default_rng(4)
+    for i in range(3):
+        n = 80
+        t = pa.table({
+            "kind": pa.array([["a", "b", "c"][j % 3] for j in range(n)]),
+            "v": pa.array(rng.normal(10, 30, n)),
+        })
+        pq.write_table(t, os.path.join(str(d), f"part-{i}.parquet"))
+    suite = [
+        {"check": "in_range", "column": "v", "min": 0.0, "max": 40.0,
+         "when": {"column": "kind", "op": "in", "values": ["a", "b"]},
+         "mostly": 0.5},
+        {"check": "not_null", "column": "v"},
+    ]
+    store = str(tmp_path / "store")
+    ps.update_expectation_store(str(d), store, suite)
+    got = ps.merged_expectations(store)
+    want = run_expectations(
+        rd.read_parquet(str(d)), suite)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True))
