@@ -1443,6 +1443,31 @@ def oracle_sql() -> dict[str, str]:
                          / (sum(p) * sum(q)), 6) AS auc
             FROM o
         """,
+        "theilsen_events": """
+            -- per-user Theil-Sen: median of pairwise slopes over the
+            -- centered-epoch-day x (same precision recipe as the OLS
+            -- oracle); pairs via self-join on (user, rn < rn)
+            WITH v AS (
+              SELECT user_id, value,
+                     CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0
+                         - 20000.0 AS x,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)),
+            p AS (
+              SELECT a.user_id,
+                     (b.value - a.value) / (b.x - a.x) AS slope
+              FROM v a JOIN v b
+                ON a.user_id = b.user_id AND a.rn < b.rn
+              WHERE b.x <> a.x),
+            c AS (SELECT user_id, count(*) AS n FROM v GROUP BY 1)
+            SELECT p.user_id, CAST(c.n AS BIGINT) AS n,
+                   round(quantile_cont(p.slope, 0.5), 6)
+                       AS ts_slope_per_day
+            FROM p JOIN c ON p.user_id = c.user_id
+            GROUP BY p.user_id, c.n
+        """,
         "expectations_conditional": """
             -- conditional (row_condition) expectations: scope rows are
             -- the denominator and the only violation candidates;

@@ -4172,6 +4172,46 @@ def q_expectations_conditional(sf_dir: str):
     return run_expectations(ds, suite)
 
 
+def q_theilsen_events(sf_dir: str):
+    """Per-user Theil–Sen robust trend: the MEDIAN of all pairwise
+    slopes (y_j−y_i)/(x_j−x_i) — the 29%-breakdown companion of
+    regression_events' OLS (one wild outlier drags an OLS slope; the
+    pairwise-slope median shrugs it off). Per-user pairwise expansion is
+    vectorized inside groupby(user).map_groups (series contract: one
+    user's rows per task; pairs are n_u² locally and never shuffle);
+    x is centered epoch-days, the regression_events precision recipe.
+    The oracle recomputes the identical slope set via a per-user
+    self-join + quantile_cont(0.5)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.dropna(subset=["value"])
+        if len(g) < 2:
+            return pd.DataFrame({"user_id": [], "n": [],
+                                 "ts_slope_per_day": []})
+        x = (g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+             / 86400e6 - 20000.0)
+        y = g["value"].to_numpy(np.float64)
+        i, j = np.triu_indices(len(g), k=1)
+        dx = x[j] - x[i]
+        ok = dx != 0.0
+        if not ok.any():
+            return pd.DataFrame({"user_id": [], "n": [],
+                                 "ts_slope_per_day": []})
+        slopes = (y[j] - y[i])[ok] / dx[ok]
+        return pd.DataFrame({
+            "user_id": [np.int64(g["user_id"].iloc[0])],
+            "n": [np.int64(len(g))],
+            "ts_slope_per_day": [float(np.quantile(slopes, 0.5))]})
+
+    out = (ds.groupby("user_id")
+             .map_groups(per_user, batch_format="pandas")).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["ts_slope_per_day"] = rnd(out["ts_slope_per_day"], 6)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_mahalanobis_embeddings(sf_dir: str):
     """Global-covariance outlier score per embedding: squared Mahalanobis
     distance d² = (x−μ)ᵀ Σ⁻¹ (x−μ) — the parametric complement of LOF
@@ -4405,6 +4445,7 @@ QUERIES = {
     "rfm_customers": q_rfm_customers,
     "lang_confusion_documents": q_lang_confusion_documents,
     "expectations_conditional": q_expectations_conditional,
+    "theilsen_events": q_theilsen_events,
     "bigram_topk_documents": q_bigram_topk_documents,
     "assoc_rules_events": q_assoc_rules_events,
     "transition_matrix_events": q_transition_matrix_events,

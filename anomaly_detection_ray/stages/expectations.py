@@ -70,6 +70,14 @@ built-in chain through these same specs, and accepts them in
 Every check accepts ``"mostly": f`` (Great-Expectations-style tolerance):
 it passes when the non-violating fraction ≥ f (default 1.0).
 
+Row-local checks also accept ``"when"`` (the Great-Expectations
+``row_condition`` idiom): ``{"when": {"column": c, "op": "=="|"!="|"<"|
+"<="|">"|">="|"in"|"not_null", "value"/"values": ...}}`` restricts the
+check to matching rows — they become the denominator AND the only
+violation candidates; NULL condition values are out of scope. Supported
+by run_expectations, run_expectations_by, and the incremental
+expectation store (per-sig scope counts keep the merge exact).
+
 Outputs: ``run_expectations`` returns a summary DataFrame
 (check_name, column_name, n_rows, violations, passed) in deterministic
 order — directly SQL-oracle-able; ``flag_violations`` appends one boolean
@@ -538,9 +546,6 @@ def run_expectations_by(ds, suite: list[dict], by: str) -> pd.DataFrame:
         raise ValueError("non_decreasing is not supported per group — "
                          "use run_expectations (its 'by' key already "
                          "defines the series)")
-    if any(s.get("when") for s in suite):
-        raise ValueError("'when' conditions are not supported per group "
-                         "yet — use run_expectations")
     row_checks = [s for s in suite if s["check"] in _ROW_LOCAL]
     uniq_checks = [s for s in suite if s["check"] == "unique"]
 
@@ -549,28 +554,39 @@ def run_expectations_by(ds, suite: list[dict], by: str) -> pd.DataFrame:
     if row_checks:
         keys = [_check_key(s) for s in row_checks]
         compiled = [_compile_mask(s) for s in row_checks]
+        whens = [_compile_when(s) for s in row_checks]
         needed = sorted({s["column"] for s in row_checks}
                         | {s["other"] for s in row_checks
-                           if s["check"] == "col_compare"} | {by})
+                           if s["check"] == "col_compare"}
+                        | {s["when"]["column"] for s in row_checks
+                           if s.get("when")} | {by})
+        scope_cols = [f"{k}__n" for k, w in zip(keys, whens)
+                      if w is not None]
 
         def partial(t: pa.Table) -> pd.DataFrame:
             df = pd.DataFrame({by: t[by].to_pandas()})
-            for k, mask in zip(keys, compiled):
-                df[k] = mask(t)
+            for k, mask, when in zip(keys, compiled, whens):
+                bad = mask(t)
+                if when is not None:
+                    scope = when(t)
+                    df[f"{k}__n"] = scope
+                    bad = bad & scope
+                df[k] = bad
             # dropna=True HERE so null group keys are excluded in BOTH
             # fold regimes (the Ray groupby fallback keeps null keys; the
             # pandas fold drops them — decide once, deterministically)
             g = df.groupby(by, as_index=False, dropna=True)
             out = g.agg(n_rows=(by, "size"),
-                        **{k: (k, "sum") for k in keys})
+                        **{k: (k, "sum") for k in [*keys, *scope_cols]})
             return out
 
         folded = fold_partials(
             ds.select_columns(needed).map_batches(
                 partial, batch_format="pyarrow"),
-            by, {c: "sum" for c in ["n_rows", *keys]})
-        for spec, k in zip(row_checks, keys):
-            n = folded["n_rows"].astype("int64")
+            by, {c: "sum" for c in ["n_rows", *keys, *scope_cols]})
+        for spec, k, when in zip(row_checks, keys, whens):
+            n = (folded[f"{k}__n"] if when is not None
+                 else folded["n_rows"]).astype("int64")
             v = folded[k].astype("int64")
             frac_ok = np.where(n == 0, 1.0, 1.0 - v / n.clip(lower=1))
             frames.append(pd.DataFrame({

@@ -106,7 +106,7 @@ def oracle_names():
     "transition_matrix_events", "auc_events", "bigram_topk_documents",
     "weighted_sample_documents", "tfidf_topk_documents",
     "lift_table_events", "hourly_profile_events", "cube_events",
-    "rfm_customers", "expectations_conditional",
+    "rfm_customers", "expectations_conditional", "theilsen_events",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]

@@ -487,10 +487,16 @@ def test_conditional_when_rejected_off_row_local(ray_session):
         run_expectations(rd.from_pandas(df), [
             {"check": "unique", "column": "v",
              "when": {"column": "k", "op": "==", "value": 1}}])
-    with pytest.raises(ValueError, match="per group"):
-        run_expectations_by(rd.from_pandas(df), [
-            {"check": "not_null", "column": "v",
-             "when": {"column": "k", "op": "==", "value": 1}}], by="k")
+    # per-group path supports when: scope counted per group
+    df2 = pd.DataFrame({"k": ["a", "a", "b", "b"],
+                        "cond": [1, 0, 1, 1],
+                        "v": [None, None, 2.0, None]})
+    out = run_expectations_by(rd.from_pandas(df2), [
+        {"check": "not_null", "column": "v",
+         "when": {"column": "cond", "op": "==", "value": 1}}], by="k")
+    out = out.set_index("k")
+    assert out.loc["a", "n_rows"] == 1 and out.loc["a", "violations"] == 1
+    assert out.loc["b", "n_rows"] == 2 and out.loc["b", "violations"] == 1
 
 
 def test_conditional_store_matches_rescan(ray_session, tmp_path):
