@@ -1443,6 +1443,66 @@ def oracle_sql() -> dict[str, str]:
                          / (sum(p) * sum(q)), 6) AS auc
             FROM o
         """,
+        "spearman_events": """
+            -- per-type Spearman: Pearson over midranks (row_number
+            -- averaged per tied value) — the engine's identical ranks
+            WITH v AS (SELECT event_type, value,
+                              CAST(hour(ts) AS DOUBLE) AS h
+                       FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)),
+            rv AS (SELECT event_type, value, h,
+                          avg(rn) OVER (PARTITION BY event_type, value)
+                              AS r_v
+                   FROM (SELECT *, CAST(row_number() OVER (
+                             PARTITION BY event_type ORDER BY value)
+                             AS DOUBLE) AS rn FROM v)),
+            rh AS (SELECT event_type, value, h, r_v,
+                          avg(rn2) OVER (PARTITION BY event_type, h)
+                              AS r_h
+                   FROM (SELECT *, CAST(row_number() OVER (
+                             PARTITION BY event_type ORDER BY h)
+                             AS DOUBLE) AS rn2 FROM rv)),
+            m AS (SELECT event_type, count(*) AS n, sum(r_v) AS sa,
+                         sum(r_h) AS sb, sum(r_v * r_v) AS saa,
+                         sum(r_h * r_h) AS sbb, sum(r_v * r_h) AS sab
+                  FROM rh GROUP BY 1)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   round((sab - sa * sb / n)
+                         / sqrt((saa - sa * sa / n)
+                                * (sbb - sb * sb / n)), 6) AS spearman
+            FROM m
+            WHERE n >= 2 AND (saa - sa * sa / n) > 0
+                  AND (sbb - sb * sb / n) > 0
+        """,
+        "wow_change_events": """
+            -- hourly counts + lag percent change; alert past +/-50%
+            WITH h AS (SELECT date_trunc('hour', ts) AS hour_ts,
+                              count(*) AS n
+                       FROM events GROUP BY 1),
+            l AS (SELECT hour_ts, n,
+                         lag(n) OVER (ORDER BY hour_ts) AS prev
+                  FROM h)
+            SELECT hour_ts, CAST(n AS BIGINT) AS n,
+                   round((n - prev) * 1.0 / prev, 6) AS pct_change,
+                   coalesce(abs((n - prev) * 1.0 / prev) > 0.5, FALSE)
+                       AS alert
+            FROM l
+        """,
+        "cohort_retention_events": """
+            -- first-seen-day cohorts x activity-day offsets, distinct
+            -- users per cell (integer epoch days — exact)
+            WITH d AS (SELECT user_id,
+                              CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                                  AS day
+                       FROM events),
+            f AS (SELECT user_id, min(day) AS first_day FROM d
+                  GROUP BY 1)
+            SELECT f.first_day AS cohort_day,
+                   d.day - f.first_day AS offset_days,
+                   CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+            FROM d JOIN f ON d.user_id = f.user_id
+            GROUP BY 1, 2
+        """,
         "theilsen_events": """
             -- per-user Theil-Sen: median of pairwise slopes over the
             -- centered-epoch-day x (same precision recipe as the OLS

@@ -4212,6 +4212,129 @@ def q_theilsen_events(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_spearman_events(sf_dir: str):
+    """Per-type Spearman rank correlation between value and hour-of-day —
+    the monotone-association companion of corr_events' Pearson (rank
+    correlation survives nonlinear but monotone relationships and
+    outliers). Midranks (average over ties) computed vectorized inside
+    groupby(type).map_groups — one type's rows per task, the series
+    contract — then Pearson on the ranks; the oracle builds the same
+    midranks from row_number windows averaged per tied value."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def midrank(v: np.ndarray) -> np.ndarray:
+        order = np.argsort(v, kind="mergesort")
+        ranks = np.empty(len(v), dtype=np.float64)
+        sv = v[order]
+        # average rank over tie runs (1-based)
+        i = 0
+        pos = np.arange(1, len(v) + 1, dtype=np.float64)
+        while i < len(sv):
+            j = i
+            while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+                j += 1
+            ranks[order[i:j + 1]] = pos[i:j + 1].mean()
+            i = j + 1
+        return ranks
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.dropna(subset=["value"])
+        v = g["value"].to_numpy(np.float64)
+        h = g["ts"].dt.hour.to_numpy(np.float64)
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"event_type": [], "n": [],
+                                 "spearman": []})
+        rv, rh = midrank(v), midrank(h)
+        cov = (rv * rh).sum() - rv.sum() * rh.sum() / n
+        va = (rv * rv).sum() - rv.sum() ** 2 / n
+        vb = (rh * rh).sum() - rh.sum() ** 2 / n
+        if va <= 0 or vb <= 0:
+            return pd.DataFrame({"event_type": [], "n": [],
+                                 "spearman": []})
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n": [np.int64(n)],
+            "spearman": rnd([cov / np.sqrt(va * vb)], 6)})
+
+    out = (ds.groupby("event_type")
+             .map_groups(per_type, batch_format="pandas")).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_wow_change_events(sf_dir: str):
+    """Window-over-window change alerting: hourly event counts with the
+    percent change vs the previous hour and an alert flag past ±50% —
+    the ops-monitor companion of events_hourly (absolute levels don't
+    page anyone; rate-of-change does). One bounded hourly fold; the lag
+    sweep runs on the folded 720-row frame."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["ts"].dt.floor("h")
+        return pd.DataFrame({"hour_ts": h, "n": 1.0}).groupby(
+            "hour_ts", as_index=False).sum()
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["hour_ts"], {"n": "sum"})
+    m = m.sort_values("hour_ts", kind="mergesort").reset_index(drop=True)
+    n = m["n"].to_numpy(np.float64)
+    prev = np.concatenate([[np.nan], n[:-1]])
+    with np.errstate(invalid="ignore", divide="ignore"):
+        pct = (n - prev) / prev
+    alert = np.where(np.isnan(pct), False, np.abs(pct) > 0.5)
+    return pd.DataFrame({
+        "hour_ts": m["hour_ts"],
+        "n": n.astype(np.int64),
+        "pct_change": rnd(pct, 6),
+        "alert": alert.astype(bool)})
+
+
+def q_cohort_retention_events(sf_dir: str):
+    """Cohort retention triangle: users grouped by first-seen day, counted
+    by distinct activity-day offset — the standard product-retention
+    operator. Two bounded folds: per-user first day (min fold), then
+    (cohort_day, offset) distinct-user counts with the first-day table
+    broadcast; no raw-row shuffle anywhere. Integer epoch-day arithmetic
+    — exact."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def p1(df: pd.DataFrame) -> pd.DataFrame:
+        day = ((df["ts"] - pd.Timestamp(0))
+               // pd.Timedelta("1D")).astype("int64")
+        return pd.DataFrame({"user_id": df["user_id"],
+                             "first_day": day}).groupby(
+            "user_id", as_index=False).min()
+
+    first = _fold(ds.map_batches(p1, batch_format="pandas"),
+                  ["user_id"], {"first_day": "min"})
+    f_ref = ray.put(dict(zip(first["user_id"].to_numpy(np.int64),
+                             first["first_day"].to_numpy(np.int64))))
+
+    def p2(df: pd.DataFrame) -> pd.DataFrame:
+        f = ray.get(f_ref)
+        day = ((df["ts"] - pd.Timestamp(0))
+               // pd.Timedelta("1D")).astype("int64")
+        fd = df["user_id"].map(f).astype("int64")
+        t = pd.DataFrame({"cohort_day": fd, "offset_days": day - fd,
+                          "user_id": df["user_id"], "one": 1.0})
+        return t.drop_duplicates(["cohort_day", "offset_days", "user_id"])
+
+    # per-batch nunique partials are NOT mergeable for users spanning
+    # batches, so fold PRESENCE at (cohort, offset, user) grain (max is
+    # idempotent), then count rows per (cohort, offset)
+    m = _fold(ds.map_batches(p2, batch_format="pandas"),
+              ["cohort_day", "offset_days", "user_id"], {"one": "max"})
+    m = (m.groupby(["cohort_day", "offset_days"], as_index=False)
+          .agg(n_users=("user_id", "size")))
+    return pd.DataFrame({
+        "cohort_day": m["cohort_day"].astype("int64"),
+        "offset_days": m["offset_days"].astype("int64"),
+        "n_users": m["n_users"].astype("int64"),
+    }).sort_values(["cohort_day", "offset_days"]).reset_index(drop=True)
+
+
 def q_mahalanobis_embeddings(sf_dir: str):
     """Global-covariance outlier score per embedding: squared Mahalanobis
     distance d² = (x−μ)ᵀ Σ⁻¹ (x−μ) — the parametric complement of LOF
@@ -4446,6 +4569,9 @@ QUERIES = {
     "lang_confusion_documents": q_lang_confusion_documents,
     "expectations_conditional": q_expectations_conditional,
     "theilsen_events": q_theilsen_events,
+    "spearman_events": q_spearman_events,
+    "wow_change_events": q_wow_change_events,
+    "cohort_retention_events": q_cohort_retention_events,
     "bigram_topk_documents": q_bigram_topk_documents,
     "assoc_rules_events": q_assoc_rules_events,
     "transition_matrix_events": q_transition_matrix_events,

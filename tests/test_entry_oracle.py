@@ -107,6 +107,7 @@ def oracle_names():
     "weighted_sample_documents", "tfidf_topk_documents",
     "lift_table_events", "hourly_profile_events", "cube_events",
     "rfm_customers", "expectations_conditional", "theilsen_events",
+    "spearman_events", "wow_change_events", "cohort_retention_events",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]
