@@ -2648,6 +2648,121 @@ def oracle_sql() -> dict[str, str]:
             FROM l ASOF JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
+        "welch_ttest_events": """
+            -- per-type Welch t between first/second half of the time
+            -- range (integer epoch-us midpoint split); raw-moment
+            -- variances pin float parity with the engine fold
+            WITH r AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+                           AS mid FROM events),
+            v AS (SELECT event_type,
+                         CASE WHEN epoch_us(ts) < (SELECT mid FROM r)
+                              THEN 'a' ELSE 'b' END AS period, value
+                  FROM events
+                  WHERE value IS NOT NULL AND NOT isnan(value)),
+            m AS (SELECT event_type, period, count(*) AS n,
+                         sum(value) AS s, sum(value * value) AS ss
+                  FROM v GROUP BY 1, 2),
+            w AS (SELECT a.event_type,
+                         a.n AS na, b.n AS nb,
+                         a.s / a.n AS ma, b.s / b.n AS mb,
+                         (a.ss - a.s * a.s / a.n) / (a.n - 1) AS va,
+                         (b.ss - b.s * b.s / b.n) / (b.n - 1) AS vb
+                  FROM m a JOIN m b ON a.event_type = b.event_type
+                  WHERE a.period = 'a' AND b.period = 'b'
+                        AND a.n >= 2 AND b.n >= 2)
+            SELECT event_type,
+                   CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                   round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+                   round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+                   round((va / na + vb / nb) * (va / na + vb / nb)
+                         / ((va / na) * (va / na) / (na - 1)
+                            + (vb / nb) * (vb / nb) / (nb - 1)), 6) AS dof
+            FROM w
+            WHERE va / na + vb / nb > 0
+            ORDER BY event_type
+        """,
+        "cramers_v_events": """
+            -- Cramér's V over the FULL type x hour grid (empty cells
+            -- contribute their expected count to chi2)
+            WITH c AS (SELECT event_type, hour(ts) AS h,
+                              CAST(count(*) AS DOUBLE) AS o
+                       FROM events GROUP BY 1, 2),
+            rt AS (SELECT event_type, sum(o) AS rt FROM c GROUP BY 1),
+            ct AS (SELECT h, sum(o) AS ct FROM c GROUP BY 1),
+            n AS (SELECT sum(o) AS n FROM c),
+            grid AS (SELECT rt.event_type, ct.h, rt.rt, ct.ct,
+                            coalesce(c.o, 0.0) AS o
+                     FROM rt CROSS JOIN ct
+                     LEFT JOIN c ON c.event_type = rt.event_type
+                                AND c.h = ct.h),
+            chi AS (SELECT sum((o - rt * ct / n.n) * (o - rt * ct / n.n)
+                               / (rt * ct / n.n)) AS chi2,
+                           count(DISTINCT event_type) AS nr,
+                           count(DISTINCT h) AS nc
+                    FROM grid, n)
+            SELECT CAST(n.n AS BIGINT) AS n,
+                   CAST(chi.nr AS BIGINT) AS n_rows_ct,
+                   CAST(chi.nc AS BIGINT) AS n_cols_ct,
+                   round(chi.chi2, 6) AS chi2,
+                   round(sqrt(chi.chi2 / (n.n
+                       * (least(chi.nr, chi.nc) - 1))), 6) AS cramers_v
+            FROM chi, n
+        """,
+        "hbos_events": """
+            -- HBOS: -log density over 10 equal-width value bins + 24
+            -- hour bins; identical bin expression as the engine
+            WITH r AS (SELECT min(value) AS lo, max(value) AS hi
+                       FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)),
+            b AS (SELECT event_id, hour(ts) AS hb,
+                         CASE WHEN value IS NULL OR isnan(value) THEN NULL
+                              ELSE CAST(least(greatest(floor(
+                                  (value - r.lo) * 10.0 / (r.hi - r.lo)),
+                                  0), 9) AS BIGINT) END AS vb
+                  FROM events, r),
+            vc AS (SELECT vb, CAST(count(*) AS DOUBLE) AS cnt FROM b
+                   WHERE vb IS NOT NULL GROUP BY 1),
+            hc AS (SELECT hb, CAST(count(*) AS DOUBLE) AS cnt FROM b
+                   GROUP BY 1),
+            nv AS (SELECT sum(cnt) AS n FROM vc),
+            na AS (SELECT sum(cnt) AS n FROM hc)
+            SELECT b.event_id,
+                   round(-(ln(vc.cnt) - ln(nv.n))
+                         - (ln(hc.cnt) - ln(na.n)), 6) AS hbos
+            FROM b
+            LEFT JOIN vc ON b.vb = vc.vb
+            JOIN hc ON b.hb = hc.hb, nv, na
+            ORDER BY b.event_id
+        """,
+        "attribution_events": """
+            -- first-/last-touch attribution of 'purchase' conversions to
+            -- the nearest / earliest strictly-prior non-purchase type
+            WITH o AS (SELECT user_id, ts, event_id, event_type,
+                              CASE WHEN event_type <> 'purchase'
+                                   THEN event_type END AS tp
+                       FROM events),
+            w AS (SELECT *,
+                         first_value(tp IGNORE NULLS) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS ft,
+                         last_value(tp IGNORE NULLS) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS lt
+                  FROM o)
+            SELECT model, event_type,
+                   CAST(count(*) AS BIGINT) AS n_conversions
+            FROM (SELECT 'first_touch' AS model, ft AS event_type
+                  FROM w WHERE w.event_type = 'purchase'
+                             AND ft IS NOT NULL
+                  UNION ALL
+                  SELECT 'last_touch', lt
+                  FROM w WHERE w.event_type = 'purchase'
+                             AND lt IS NOT NULL)
+            GROUP BY 1, 2
+            ORDER BY model, event_type
+        """,
         "eval_f1_events": _sql_eval_f1(),
         "stream_validation_events": _sql_stream_validation(),
         "trend_classification_events": _sql_trend_classification(),

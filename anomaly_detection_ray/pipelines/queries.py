@@ -4407,6 +4407,198 @@ def q_lof_embeddings(sf_dir: str):
     return out
 
 
+def q_welch_ttest_events(sf_dir: str):
+    """Per-type Welch's two-sample t drift test between the first and
+    second half of the table's time range (A/B periods split at the
+    integer epoch-microsecond midpoint — exact, no float boundary).
+    The classical companion of drift_events_psi: PSI sees distribution
+    shape, Welch sees mean shift with unequal variances. Two bounded
+    folds: global (min,max) epoch-us, then (type, period) raw moments
+    (n, Σx, Σx²) — both mergeable, no raw-row shuffle. Variances use
+    the raw-moment form to pin float parity with the SQL oracle."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def p_range(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({"k": [0], "lo": [us.min()], "hi": [us.max()]})
+
+    r = _fold(ds.map_batches(p_range, batch_format="pandas"),
+              ["k"], {"lo": "min", "hi": "max"})
+    mid = (int(r["lo"].iloc[0]) + int(r["hi"].iloc[0])) // 2
+
+    def p_mom(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["value"].notna()]
+        v = df["value"].to_numpy(np.float64)
+        keep = ~np.isnan(v)
+        df, v = df[keep], v[keep]
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        per = np.where(us < mid, "a", "b")
+        t = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "period": per, "n": 1.0, "s": v, "ss": v * v})
+        return t.groupby(["event_type", "period"], as_index=False).sum()
+
+    m = _fold(ds.map_batches(p_mom, batch_format="pandas"),
+              ["event_type", "period"], {"n": "sum", "s": "sum", "ss": "sum"})
+    w = m.pivot(index="event_type", columns="period",
+                values=["n", "s", "ss"])
+    out = []
+    for et in sorted(w.index):
+        na, nb = w.loc[et, ("n", "a")], w.loc[et, ("n", "b")]
+        if not (na >= 2 and nb >= 2):
+            continue
+        sa, sb = w.loc[et, ("s", "a")], w.loc[et, ("s", "b")]
+        ssa, ssb = w.loc[et, ("ss", "a")], w.loc[et, ("ss", "b")]
+        ma, mb = sa / na, sb / nb
+        va = (ssa - sa * sa / na) / (na - 1)
+        vb = (ssb - sb * sb / nb) / (nb - 1)
+        se2 = va / na + vb / nb
+        if se2 <= 0:
+            continue
+        t_stat = (ma - mb) / np.sqrt(se2)
+        dof = se2 * se2 / ((va / na) ** 2 / (na - 1)
+                           + (vb / nb) ** 2 / (nb - 1))
+        out.append((et, np.int64(na), np.int64(nb),
+                    rnd(ma, 6), rnd(mb, 6), rnd(t_stat, 6), rnd(dof, 6)))
+    return pd.DataFrame(out, columns=[
+        "event_type", "n_a", "n_b", "mean_a", "mean_b", "t_stat", "dof"])
+
+
+def q_cramers_v_events(sf_dir: str):
+    """Cramér's V association between event_type and hour-of-day — the
+    normalized-χ² companion of mutual_information_events (V is bounded
+    [0,1] and comparable across tables; MI is not). ONE bounded fold at
+    (type, hour) grain → ≤ 5×24 contingency on the driver; χ² includes
+    the empty cells (o=0 contributes e), expected counts from the full
+    row×col grid."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({"event_type": df["event_type"],
+                          "h": df["ts"].dt.hour.astype("int64"), "o": 1.0})
+        return t.groupby(["event_type", "h"], as_index=False).sum()
+
+    c = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["event_type", "h"], {"o": "sum"})
+    grid = c.pivot(index="event_type", columns="h", values="o").fillna(0.0)
+    o = grid.to_numpy(np.float64)
+    n = o.sum()
+    rt = o.sum(axis=1, keepdims=True)
+    ct = o.sum(axis=0, keepdims=True)
+    e = rt * ct / n
+    chi2 = ((o - e) ** 2 / e).sum()
+    k = min(o.shape[0], o.shape[1]) - 1
+    v = np.sqrt(chi2 / (n * k)) if k > 0 else np.nan
+    return pd.DataFrame({
+        "n": [np.int64(n)], "n_rows_ct": [np.int64(o.shape[0])],
+        "n_cols_ct": [np.int64(o.shape[1])],
+        "chi2": rnd([chi2], 6), "cramers_v": rnd([v], 6)})
+
+
+def q_hbos_events(sf_dir: str):
+    """HBOS outlier score per event (Goldstein & Dengel 2012): sum of
+    negative log densities over independent per-feature histograms —
+    value in 10 equal-width global bins, hour-of-day in 24 bins. The
+    histogram-lookup complement of zscore (HBOS sees multimodal shape;
+    z sees one Gaussian). One (min,max) fold + one bounded bin-count
+    fold, then a vectorized map-side lookup against the broadcast bin
+    tables — shuffle-free scoring. Bin index uses the identical float
+    expression ``floor((v - lo) * 10 / (hi - lo))`` engine- and
+    oracle-side so the integer bins are bit-agreed."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def p_range(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].dropna()
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return pd.DataFrame({"k": [], "lo": [], "hi": []})
+        return pd.DataFrame({"k": [0], "lo": [v.min()], "hi": [v.max()]})
+
+    r = _fold(ds.map_batches(p_range, batch_format="pandas"),
+              ["k"], {"lo": "min", "hi": "max"})
+    lo, hi = float(r["lo"].iloc[0]), float(r["hi"].iloc[0])
+    span = hi - lo
+
+    def bins(df: pd.DataFrame):
+        v = df["value"].to_numpy(np.float64)
+        ok = ~np.isnan(v)
+        vb = np.floor((v - lo) * 10.0 / span)
+        vb = np.clip(vb, 0, 9).astype(np.int64)
+        hb = df["ts"].dt.hour.to_numpy(np.int64)
+        return v, ok, vb, hb
+
+    def p_cnt(df: pd.DataFrame) -> pd.DataFrame:
+        _, ok, vb, hb = bins(df)
+        a = pd.DataFrame({"feat": "v", "b": vb[ok], "cnt": 1.0})
+        b = pd.DataFrame({"feat": "h", "b": hb, "cnt": 1.0})
+        return (pd.concat([a, b])
+                .groupby(["feat", "b"], as_index=False).sum())
+
+    m = _fold(ds.map_batches(p_cnt, batch_format="pandas"),
+              ["feat", "b"], {"cnt": "sum"})
+    vc = dict(zip(m[m["feat"] == "v"]["b"], m[m["feat"] == "v"]["cnt"]))
+    hc = dict(zip(m[m["feat"] == "h"]["b"], m[m["feat"] == "h"]["cnt"]))
+    n_val = float(sum(vc.values()))
+    n_all = float(sum(hc.values()))
+    v_tab = np.array([vc.get(i, 0.0) for i in range(10)])
+    h_tab = np.array([hc.get(i, 0.0) for i in range(24)])
+    refs = ray.put((v_tab, h_tab, n_val, n_all))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        vt, ht, nv, na = ray.get(refs)
+        v, ok, vb, hb = bins(df)
+        s_h = -(np.log(ht[hb]) - np.log(na))
+        s_v = np.where(ok, -(np.log(vt[np.clip(vb, 0, 9)]) - np.log(nv)),
+                       np.nan)
+        return pd.DataFrame({"event_id": df["event_id"],
+                             "hbos": rnd(s_v + s_h, 6)})
+
+    out = (ds.map_batches(score, batch_format="pandas")).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_attribution_events(sf_dir: str):
+    """First-/last-touch conversion attribution: each 'purchase' event is
+    credited to the user's first (resp. most recent) non-purchase event
+    type strictly earlier in (ts, event_id) order — the marketing-
+    attribution companion of funnel_events. Per-user sweep inside
+    groupby(user).map_groups (one user's bounded series per task, the
+    series contract), emitting per-model per-type partial counts that
+    fold to the final frame; purchases with no prior touch are dropped
+    by both sides."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        et = g["event_type"].to_numpy()
+        np_mask = et != "purchase"
+        idx = np.arange(len(g))
+        last_np = np.maximum.accumulate(np.where(np_mask, idx, -1))
+        prev_last = np.concatenate([[-1], last_np[:-1]])
+        p = idx[~np_mask]
+        credited = p[prev_last[p] >= 0]
+        if not len(credited):
+            return pd.DataFrame({"model": [], "event_type": [],
+                                 "n_conversions": []})
+        lt_types, lt_counts = np.unique(et[prev_last[credited]],
+                                        return_counts=True)
+        ft_type = et[idx[np_mask][0]]
+        t = pd.DataFrame({
+            "model": ["last_touch"] * len(lt_types) + ["first_touch"],
+            "event_type": list(lt_types) + [ft_type],
+            "n_conversions": list(lt_counts.astype(np.float64))
+                             + [float(len(credited))]})
+        return t.groupby(["model", "event_type"], as_index=False).sum()
+
+    m = _fold(ds.groupby("user_id").map_groups(
+        per_user, batch_format="pandas"),
+        ["model", "event_type"], {"n_conversions": "sum"})
+    m["n_conversions"] = m["n_conversions"].astype("int64")
+    return (m.sort_values(["model", "event_type"])
+             .reset_index(drop=True))
+
+
 QUERIES = {
     "row_validate_events": q_row_validate_events,
     "border_check_events": q_border_check_events,
@@ -4587,4 +4779,8 @@ QUERIES = {
     "audio_prep_segments": q_audio_prep_segments,
     "clip_stream_replay": q_clip_stream_replay,
     "clip_resample_stats": q_clip_resample_stats,
+    "welch_ttest_events": q_welch_ttest_events,
+    "cramers_v_events": q_cramers_v_events,
+    "hbos_events": q_hbos_events,
+    "attribution_events": q_attribution_events,
 }

@@ -108,6 +108,8 @@ def oracle_names():
     "lift_table_events", "hourly_profile_events", "cube_events",
     "rfm_customers", "expectations_conditional", "theilsen_events",
     "spearman_events", "wow_change_events", "cohort_retention_events",
+    "welch_ttest_events", "cramers_v_events", "hbos_events",
+    "attribution_events",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]
