@@ -2763,6 +2763,103 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY model, event_type
         """,
+        "order_priority_check": """
+            -- Q4-shaped: orders in 1996Q1 with any line shipped > 60
+            -- days after the order date, counted per priority
+            WITH ms AS (SELECT l_orderkey, max(l_shipdate) AS max_ship
+                        FROM lineitem GROUP BY 1)
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CASE WHEN max_ship >
+                                      o_orderdate + INTERVAL 60 DAY
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+            FROM orders JOIN ms ON o_orderkey = l_orderkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "promo_revenue_lineitem": """
+            -- Q14-shaped: PROMO-part share of one quarter's discounted
+            -- revenue
+            SELECT CAST(count(*) AS BIGINT) AS n_items,
+                   round(sum(CASE WHEN p_type = 'PROMO'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0 END), 2) AS promo_rev,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_rev,
+                   round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6)
+                       AS promo_share_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate < TIMESTAMP '1996-06-01'
+        """,
+        "top_supplier_by_nation": """
+            -- Q15-shaped argmax join-back: top supplier(s) per nation by
+            -- lifetime discounted revenue, ties kept; max compares the
+            -- 2-dp-rounded revenue (grid-exact doubles both sides)
+            WITH r AS (SELECT l_suppkey,
+                              round(sum(l_extendedprice * (1 - l_discount)),
+                                    2) AS revenue
+                       FROM lineitem GROUP BY 1),
+            j AS (SELECT n_name, s_suppkey, s_name, revenue,
+                         max(revenue) OVER (PARTITION BY s_nationkey) AS mx
+                  FROM r JOIN supplier ON l_suppkey = s_suppkey
+                         JOIN nation ON s_nationkey = n_nationkey)
+            SELECT n_name, s_suppkey, s_name, revenue
+            FROM j WHERE revenue = mx
+            ORDER BY n_name, s_suppkey
+        """,
+        "burstiness_events": """
+            -- per-user inter-arrival mean/cv/burstiness over consecutive
+            -- (ts, event_id)-ordered gaps; population sigma, raw-moment
+            -- form, gaps = int microsecond diffs / 1e6 as in the engine
+            WITH g AS (SELECT user_id,
+                              date_diff('microsecond',
+                                        lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id),
+                                        ts) / 1000000.0 AS gap
+                       FROM events),
+            a AS (SELECT user_id, count(gap) AS n, sum(gap) AS s,
+                         sum(gap * gap) AS ss
+                  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+            SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+                   round(s / n, 6) AS mean_gap_s,
+                   round(sqrt((ss - s * s / n) / n) / (s / n), 6) AS cv,
+                   round((sqrt((ss - s * s / n) / n) - s / n)
+                         / (sqrt((ss - s * s / n) / n) + s / n), 6)
+                       AS burstiness
+            FROM a WHERE n >= 2 ORDER BY user_id
+        """,
+        "anova_hour_events": """
+            -- per-type one-way ANOVA across hour-of-day groups: F and
+            -- eta^2 from grouped raw moments (identical expressions as
+            -- the engine's driver fold)
+            WITH c AS (SELECT event_type, hour(ts) AS h,
+                              CAST(count(*) AS DOUBLE) AS n,
+                              sum(value) AS s, sum(value * value) AS ss
+                       FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)
+                       GROUP BY 1, 2),
+            t AS (SELECT event_type, sum(n) AS n, sum(s) AS s,
+                         CAST(count(*) AS DOUBLE) AS k
+                  FROM c GROUP BY 1),
+            x AS (SELECT c.event_type,
+                         sum(c.n * (c.s / c.n - t.s / t.n)
+                             * (c.s / c.n - t.s / t.n)) AS ssb,
+                         sum(c.ss - c.s * c.s / c.n) AS ssw
+                  FROM c JOIN t USING (event_type) GROUP BY 1)
+            SELECT t.event_type, CAST(t.n AS BIGINT) AS n,
+                   CAST(t.k AS BIGINT) AS n_hours,
+                   round((x.ssb / (t.k - 1)) / (x.ssw / (t.n - t.k)), 6)
+                       AS f_stat,
+                   round(x.ssb / (x.ssb + x.ssw), 6) AS eta_sq
+            FROM t JOIN x USING (event_type)
+            WHERE t.k >= 2 AND t.n > t.k
+            ORDER BY t.event_type
+        """,
         "eval_f1_events": _sql_eval_f1(),
         "stream_validation_events": _sql_stream_validation(),
         "trend_classification_events": _sql_trend_classification(),

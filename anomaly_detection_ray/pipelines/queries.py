@@ -4599,6 +4599,194 @@ def q_attribution_events(sf_dir: str):
              .reset_index(drop=True))
 
 
+def q_order_priority_check(sf_dir: str):
+    """TPC-H Q4-shaped EXISTS semi-join: of the orders placed in a fixed
+    quarter, how many (per priority) had any line item shipped more than
+    60 days after the order date. Ray shape: lineitem collapses to a slim
+    per-orderkey max-shipdate (per-batch partial max -> native groupby
+    Max over int64 epoch-us — ONE exchange of 16-byte rows), the orders
+    side is window-pruned at the scan, and the two slim keyed sets meet
+    in a co-partitioned hash join; the late predicate and the priority
+    count fold never touch raw line items."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({
+            "l_orderkey": df["l_orderkey"],
+            "ship_us": df["l_shipdate"].to_numpy("datetime64[us]")
+                        .astype(np.int64)})
+        return t.groupby("l_orderkey", as_index=False).max()
+
+    from ray.data.aggregate import Max
+    ship = (li.map_batches(pre, batch_format="pandas")
+            .groupby("l_orderkey")
+            .aggregate(Max(on="ship_us", alias_name="max_ship_us")))
+
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1996-04-01")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    win = orders.map_batches(
+        lambda df: df[(df["o_orderdate"].to_numpy() >= lo)
+                      & (df["o_orderdate"].to_numpy() < hi)],
+        batch_format="pandas")
+    j = win.join(ship, join_type="inner", num_partitions=8,
+                 on=("o_orderkey",), right_on=("l_orderkey",))
+    late_us = np.int64(60 * 86400) * np.int64(1_000_000)
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        od_us = df["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64)
+        late = df["max_ship_us"].to_numpy(np.int64) > od_us + late_us
+        return pd.DataFrame({"o_orderpriority": df["o_orderpriority"],
+                             "n_orders": 1.0,
+                             "n_late": late.astype(np.float64)}).groupby(
+            "o_orderpriority", as_index=False).sum()
+
+    m = _fold(j.map_batches(post, batch_format="pandas"),
+              ["o_orderpriority"], {"n_orders": "sum", "n_late": "sum"})
+    m["n_orders"] = m["n_orders"].astype("int64")
+    m["n_late"] = m["n_late"].astype("int64")
+    return m.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_promo_revenue_lineitem(sf_dir: str):
+    """TPC-H Q14-shaped conditional-aggregate join: the share of a
+    quarter's discounted revenue coming from PROMO-type parts. The part
+    dimension collapses to the promo keyset broadcast ONCE via ray.put
+    (bounded-dimension contract — parts are SF x 200k keys, the keyset
+    is a few MB of int64 at warehouse scale), so the lineitem fact scan
+    is join-free and shuffle-free: one scalar (promo_rev, total_rev, n)
+    fold. Revenue sums round at 2 dp and the share at 6 dp — float-fold
+    noise is ~1e-9 of the half-ulp at these magnitudes."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    promo_ref = ray.put(
+        set(part.loc[part["p_type"] == "PROMO", "p_partkey"].tolist()))
+    lo, hi = np.datetime64("1996-03-01"), np.datetime64("1996-06-01")
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["l_shipdate"].to_numpy() >= lo)
+                & (df["l_shipdate"].to_numpy() < hi)]
+        rev = (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy()
+        isp = df["l_partkey"].isin(ray.get(promo_ref)).to_numpy()
+        return pd.DataFrame({"k": [0], "promo_rev": [rev[isp].sum()],
+                             "total_rev": [rev.sum()],
+                             "n_items": [float(len(df))]})
+
+    m = _fold(li.map_batches(partial, batch_format="pandas"),
+              ["k"], {"promo_rev": "sum", "total_rev": "sum",
+                      "n_items": "sum"})
+    pr, tr = float(m["promo_rev"].iloc[0]), float(m["total_rev"].iloc[0])
+    return pd.DataFrame({
+        "n_items": [np.int64(m["n_items"].iloc[0])],
+        "promo_rev": rnd([pr], 2), "total_rev": rnd([tr], 2),
+        "promo_share_pct": rnd([100.0 * pr / tr], 6)})
+
+
+def q_top_supplier_by_nation(sf_dir: str):
+    """TPC-H Q15-shaped argmax join-back: each nation's top supplier(s)
+    by lifetime discounted revenue, ties kept. The fact scan folds to
+    per-suppkey revenue partials (bounded by the supplier dimension —
+    SF x 10k rows — so the fold output is driver-safe by the
+    bounded-dimension contract); the supplier and nation dimensions join
+    on the driver and the per-nation max compares revenue AFTER the 2 dp
+    round so the tie predicate operates on grid-exact doubles in both
+    engines."""
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_suppkey": df["l_suppkey"],
+            "revenue": (df["l_extendedprice"]
+                        * (1 - df["l_discount"])).to_numpy(),
+        }).groupby("l_suppkey", as_index=False).sum()
+
+    tot = _fold(li.map_batches(pre, batch_format="pandas"),
+                ["l_suppkey"], {"revenue": "sum"})
+    sup = _read(sf_dir, "supplier",
+                ["s_suppkey", "s_name", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    t = tot.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    t = t.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    t["revenue"] = rnd(t["revenue"], 2)
+    mx = t.groupby("s_nationkey")["revenue"].transform("max")
+    out = t.loc[t["revenue"] == mx,
+                ["n_name", "s_suppkey", "s_name", "revenue"]]
+    return out.sort_values(["n_name", "s_suppkey"]).reset_index(drop=True)
+
+
+def q_burstiness_events(sf_dir: str):
+    """Per-user inter-arrival statistics: mean gap, coefficient of
+    variation, and the Goh-Barabási burstiness B = (σ−μ)/(σ+μ) over
+    consecutive event gaps in (ts, event_id) order (B→−1 periodic,
+    0 Poisson, →1 bursty). The behavioural-cadence companion of
+    heartbeat_gaps (which thresholds single gaps). Per-user vectorized
+    sweep inside groupby(user).map_groups — one bounded series per task,
+    the series contract; gaps are exact int64 microsecond diffs divided
+    by the same 1e6 constant as the SQL oracle, and σ uses the
+    population raw-moment form both sides."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        gaps = np.diff(us) / 1e6
+        n = len(gaps)
+        if n < 2:
+            return pd.DataFrame({"user_id": [], "n_gaps": [],
+                                 "mean_gap_s": [], "cv": [],
+                                 "burstiness": []})
+        s, ss = gaps.sum(), (gaps * gaps).sum()
+        mu = s / n
+        sd = np.sqrt((ss - s * s / n) / n)
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]], "n_gaps": [np.int64(n)],
+            "mean_gap_s": rnd([mu], 6), "cv": rnd([sd / mu], 6),
+            "burstiness": rnd([(sd - mu) / (sd + mu)], 6)})
+
+    out = ds.groupby("user_id").map_groups(
+        per_user, batch_format="pandas").to_pandas()
+    out["n_gaps"] = out["n_gaps"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_anova_hour_events(sf_dir: str):
+    """Per-type one-way ANOVA across hour-of-day groups: F statistic and
+    effect size η² = SSB/(SSB+SSW) — the numeric seasonality-strength
+    companion of cramers_v (which sees only categorical association).
+    ONE bounded fold at (type, hour) grain of (n, Σx, Σx²); between/
+    within sums of squares form on the ≤ types×24 driver frame with the
+    identical grouped-raw-moment expressions as the SQL oracle."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        ok = ~np.isnan(v)
+        t = pd.DataFrame({"event_type": df["event_type"].to_numpy()[ok],
+                          "h": df["ts"].dt.hour.to_numpy(np.int64)[ok],
+                          "n": 1.0, "s": v[ok], "ss": v[ok] * v[ok]})
+        return t.groupby(["event_type", "h"], as_index=False).sum()
+
+    c = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["event_type", "h"], {"n": "sum", "s": "sum", "ss": "sum"})
+    out = []
+    for et, g in c.groupby("event_type"):
+        n, k = g["n"].sum(), len(g)
+        if k < 2 or n <= k:
+            continue
+        gm = g["s"].sum() / n
+        mh = g["s"] / g["n"]
+        ssb = (g["n"] * (mh - gm) * (mh - gm)).sum()
+        ssw = (g["ss"] - g["s"] * g["s"] / g["n"]).sum()
+        f = (ssb / (k - 1)) / (ssw / (n - k))
+        out.append((et, np.int64(n), np.int64(k),
+                    rnd(f, 6), rnd(ssb / (ssb + ssw), 6)))
+    return pd.DataFrame(out, columns=[
+        "event_type", "n", "n_hours", "f_stat", "eta_sq"]).sort_values(
+        "event_type").reset_index(drop=True)
+
+
 QUERIES = {
     "row_validate_events": q_row_validate_events,
     "border_check_events": q_border_check_events,
@@ -4783,4 +4971,9 @@ QUERIES = {
     "cramers_v_events": q_cramers_v_events,
     "hbos_events": q_hbos_events,
     "attribution_events": q_attribution_events,
+    "order_priority_check": q_order_priority_check,
+    "promo_revenue_lineitem": q_promo_revenue_lineitem,
+    "top_supplier_by_nation": q_top_supplier_by_nation,
+    "burstiness_events": q_burstiness_events,
+    "anova_hour_events": q_anova_hour_events,
 }

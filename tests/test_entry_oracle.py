@@ -109,7 +109,9 @@ def oracle_names():
     "rfm_customers", "expectations_conditional", "theilsen_events",
     "spearman_events", "wow_change_events", "cohort_retention_events",
     "welch_ttest_events", "cramers_v_events", "hbos_events",
-    "attribution_events",
+    "attribution_events", "order_priority_check",
+    "promo_revenue_lineitem", "top_supplier_by_nation",
+    "burstiness_events", "anova_hour_events",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]
