@@ -89,6 +89,7 @@ FIXTURE_QUERIES = [
     "audio_fingerprint_dedup",
     "clip_segment_stats",
     "clip_resample_stats",
+    "clip_reverb_stats",
     "audio_prep_segments",
     "clip_stream_replay",
 ]

@@ -2860,6 +2860,94 @@ def oracle_sql() -> dict[str, str]:
             WHERE t.k >= 2 AND t.n > t.k
             ORDER BY t.event_type
         """,
+        "audience_overlap_events": """
+            -- Jaccard overlap of user audiences between event-type pairs
+            WITH p AS (SELECT DISTINCT user_id, event_type FROM events),
+            c AS (SELECT event_type, count(*) AS n FROM p GROUP BY 1),
+            j AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                         count(*) AS inter
+                  FROM p a JOIN p b ON a.user_id = b.user_id
+                        AND a.event_type < b.event_type
+                  GROUP BY 1, 2)
+            SELECT ta AS type_a, tb AS type_b,
+                   CAST(ca.n AS BIGINT) AS n_a,
+                   CAST(cb.n AS BIGINT) AS n_b,
+                   CAST(inter AS BIGINT) AS n_both,
+                   round(inter * 1.0 / (ca.n + cb.n - inter), 6) AS jaccard
+            FROM j JOIN c ca ON ta = ca.event_type
+                   JOIN c cb ON tb = cb.event_type
+            ORDER BY type_a, type_b
+        """,
+        "class_separability_embeddings": """
+            -- per-label centroid geometry + overall Fisher ratio from
+            -- unnested per-dim grouped moments (identical raw-moment
+            -- expressions as the engine's fold)
+            WITH u AS (SELECT label,
+                              generate_subscripts(embedding, 1) AS i,
+                              unnest(embedding) AS x
+                       FROM embeddings),
+            pl AS (SELECT label, i, sum(CAST(x AS DOUBLE)) AS s
+                   FROM u GROUP BY 1, 2),
+            sq AS (SELECT label, CAST(count(*) AS DOUBLE) AS nx,
+                          sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS ss
+                   FROM u GROUP BY 1),
+            dims AS (SELECT CAST(max(i) AS DOUBLE) AS dim FROM u),
+            lab AS (SELECT label, nx / dim AS n, ss FROM sq, dims),
+            tot AS (SELECT sum(n) AS nn FROM lab),
+            g AS (SELECT i, sum(s) / (SELECT nn FROM tot) AS gi
+                  FROM pl GROUP BY 1),
+            geo AS (SELECT pl.label,
+                           sum((pl.s / lab.n) * (pl.s / lab.n)) AS mu2,
+                           sum((pl.s / lab.n - g.gi)
+                               * (pl.s / lab.n - g.gi)) AS d2,
+                           sum(pl.s * pl.s) / any_value(lab.n) AS s2n
+                    FROM pl JOIN lab USING (label) JOIN g USING (i)
+                    GROUP BY 1),
+            w AS (SELECT geo.label, lab.n,
+                         sqrt(geo.mu2) AS centroid_norm,
+                         (lab.ss - geo.s2n) / (lab.n * dims.dim)
+                             AS within_ms,
+                         sqrt(geo.d2) AS dist_to_grand,
+                         lab.n * geo.d2 AS bc,
+                         lab.n * ((lab.ss - geo.s2n) / (lab.n * dims.dim))
+                             AS wc
+                  FROM geo JOIN lab USING (label), dims),
+            f AS (SELECT sum(bc) / ((SELECT nn FROM tot)
+                                    * (SELECT dim FROM dims))
+                         / (sum(wc) / (SELECT nn FROM tot)) AS fisher
+                  FROM w)
+            SELECT CAST(w.label AS BIGINT) AS label,
+                   CAST(w.n AS BIGINT) AS n,
+                   round(w.centroid_norm, 6) AS centroid_norm,
+                   round(w.within_ms, 6) AS within_ms,
+                   round(w.dist_to_grand, 6) AS dist_to_grand,
+                   round(f.fisher, 6) AS fisher_overall
+            FROM w, f ORDER BY label
+        """,
+        "seasonal_decompose_events": """
+            -- two-way additive decomposition on (isodow-1, hour): cell
+            -- mean vs grand + dow effect + hour effect
+            WITH c AS (SELECT isodow(ts) - 1 AS dow, hour(ts) AS h,
+                              CAST(count(*) AS DOUBLE) AS n,
+                              sum(value) AS s
+                       FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)
+                       GROUP BY 1, 2),
+            t AS (SELECT sum(s) / sum(n) AS grand FROM c),
+            d AS (SELECT dow, sum(s) / sum(n) - t.grand AS de
+                  FROM c, t GROUP BY 1, t.grand),
+            hh AS (SELECT h, sum(s) / sum(n) - t.grand AS he
+                   FROM c, t GROUP BY 1, t.grand)
+            SELECT CAST(c.dow AS BIGINT) AS dow,
+                   CAST(c.h AS BIGINT) AS hour,
+                   CAST(c.n AS BIGINT) AS n,
+                   round(c.s / c.n, 6) AS cell_mean,
+                   round(t.grand + d.de + hh.he, 6) AS additive_fit,
+                   round(c.s / c.n - (t.grand + d.de + hh.he), 6)
+                       AS residual
+            FROM c JOIN d USING (dow) JOIN hh USING (h), t
+            ORDER BY dow, hour
+        """,
         "eval_f1_events": _sql_eval_f1(),
         "stream_validation_events": _sql_stream_validation(),
         "trend_classification_events": _sql_trend_classification(),

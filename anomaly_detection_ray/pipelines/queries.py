@@ -4599,6 +4599,22 @@ def q_attribution_events(sf_dir: str):
              .reset_index(drop=True))
 
 
+def q_clip_reverb_stats(sf_dir: str):
+    """Reverb augmentation + blind RT60 audit in one decode
+    (stages/audio_ops.ReverbClips): each clip is convolved with a
+    deterministic synthetic room impulse response (planted RT60 cycles
+    0.2-0.8 s by clip-id hash, decaying-noise RIR per Schroeder), then
+    the ISO-3382-style -5..-35 dB decay fit reads the RT60 back from the
+    wet signal — the augmentation and the audit validate each other end
+    to end on the distributed path (recovery + partition-invariance
+    pinned in test_audio_ops). Deterministic => fixture oracle."""
+    from ..sources.clips import read_clips
+    from ..stages import audio_ops as ao
+    path = _clip_table_path(sf_dir)
+    ds = read_clips(path, columns=["clip_id", "bytes"])
+    return ao.reverb_table(ds, concurrency=8)
+
+
 def q_order_priority_check(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: of the orders placed in a fixed
     quarter, how many (per priority) had any line item shipped more than
@@ -4785,6 +4801,131 @@ def q_anova_hour_events(sf_dir: str):
     return pd.DataFrame(out, columns=[
         "event_type", "n", "n_hours", "f_stat", "eta_sq"]).sort_values(
         "event_type").reset_index(drop=True)
+
+
+def q_audience_overlap_events(sf_dir: str):
+    """Audience-overlap Jaccard between every event-type pair: of the
+    users who do A and the users who do B, what fraction do both. ONE
+    slim (user_id, event_type) shuffle: per-batch distinct pairs →
+    groupby(user).map_groups dedupes within the user and expands to at
+    most C(T,2) pair rows + T presence rows per user (T = #types, tiny)
+    → one bounded count fold. Never materializes a per-type user set on
+    the driver — the per-user expansion bounds memory by types², not
+    users."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = sorted(set(g["event_type"]))
+        rows = [("__n", t, 1.0) for t in ts]
+        rows += [(a, b, 1.0) for i, a in enumerate(ts) for b in ts[i + 1:]]
+        return pd.DataFrame(rows, columns=["a", "b", "cnt"])
+
+    m = _fold(ds.map_batches(pre, batch_format="pandas")
+              .groupby("user_id").map_groups(per_user,
+                                             batch_format="pandas"),
+              ["a", "b"], {"cnt": "sum"})
+    n_of = dict(zip(m.loc[m["a"] == "__n", "b"],
+                    m.loc[m["a"] == "__n", "cnt"]))
+    p = m[m["a"] != "__n"].copy()
+    p["n_a"] = p["a"].map(n_of).astype("int64")
+    p["n_b"] = p["b"].map(n_of).astype("int64")
+    p["n_both"] = p["cnt"].astype("int64")
+    p["jaccard"] = rnd(p["n_both"] / (p["n_a"] + p["n_b"] - p["n_both"]), 6)
+    return (p.rename(columns={"a": "type_a", "b": "type_b"})
+            [["type_a", "type_b", "n_a", "n_b", "n_both", "jaccard"]]
+            .sort_values(["type_a", "type_b"]).reset_index(drop=True))
+
+
+def q_class_separability_embeddings(sf_dir: str):
+    """Embedding-space class-separability audit (Fisher-style): per-label
+    centroid norm, within-class mean-square scatter, distance to the
+    grand centroid, and the overall between/within Fisher ratio — the
+    label-quality check a training pipeline runs before trusting an
+    embedding column. ONE pass: per-batch partials of (n, Σx per dim,
+    Σ‖x‖²) per label fold to a labels×(dim+2) driver frame (bounded by
+    the label vocabulary, not corpus size); all geometry happens on the
+    folded moments."""
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"label": pd.Series([], dtype="int64"),
+                                 "n": [], "ss": []})
+        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        lab = df["label"].to_numpy()
+        out = []
+        for lv in np.unique(lab):
+            sub = X[lab == lv]
+            row = {"label": int(lv), "n": float(len(sub)),
+                   "ss": float((sub * sub).sum())}
+            s = sub.sum(axis=0)
+            row.update({f"s{j}": s[j] for j in range(X.shape[1])})
+            out.append(row)
+        return pd.DataFrame(out)
+
+    p0 = ds.map_batches(partial, batch_format="pandas")
+    dim_cols = [c for c in p0.schema().names if c.startswith("s")
+                and c != "ss"]
+    m = _fold(p0, ["label"], {c: "sum" for c in ["n", "ss"] + dim_cols})
+    dim = len(dim_cols)
+    S = m[dim_cols].to_numpy(np.float64)
+    n = m["n"].to_numpy(np.float64)
+    N = n.sum()
+    mu = S / n[:, None]
+    grand = S.sum(axis=0) / N
+    within = (m["ss"].to_numpy(np.float64)
+              - (S * S).sum(axis=1) / n) / (n * dim)
+    d2 = ((mu - grand) ** 2).sum(axis=1)
+    between_ms = float((n * d2).sum() / (N * dim))
+    pooled_within = float((n * within).sum() / N)
+    out = pd.DataFrame({
+        "label": m["label"].astype("int64"),
+        "n": n.astype("int64"),
+        "centroid_norm": rnd(np.sqrt((mu * mu).sum(axis=1)), 6),
+        "within_ms": rnd(within, 6),
+        "dist_to_grand": rnd(np.sqrt(d2), 6),
+        "fisher_overall": rnd(np.full(len(n), between_ms / pooled_within),
+                              6)})
+    return out.sort_values("label").reset_index(drop=True)
+
+
+def q_seasonal_decompose_events(sf_dir: str):
+    """Two-way additive seasonal decomposition of value on (day-of-week,
+    hour-of-day): grand mean + dow effect + hour effect vs the observed
+    cell mean, residual reported per cell — the model-fit companion of
+    anova_hour (one factor) and cube (raw lattice). ONE bounded fold at
+    (dow, hour) grain of (n, Σx); all effects derive from the ≤ 7×24
+    driver frame with the identical marginal-mean expressions as the
+    SQL oracle."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        ok = ~np.isnan(v)
+        t = pd.DataFrame({"dow": df["ts"].dt.dayofweek.to_numpy(np.int64)[ok],
+                          "h": df["ts"].dt.hour.to_numpy(np.int64)[ok],
+                          "n": 1.0, "s": v[ok]})
+        return t.groupby(["dow", "h"], as_index=False).sum()
+
+    c = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["dow", "h"], {"n": "sum", "s": "sum"})
+    N, S = c["n"].sum(), c["s"].sum()
+    grand = S / N
+    dm = c.groupby("dow").agg(n=("n", "sum"), s=("s", "sum"))
+    hm = c.groupby("h").agg(n=("n", "sum"), s=("s", "sum"))
+    dow_eff = (dm["s"] / dm["n"] - grand).to_dict()
+    hour_eff = (hm["s"] / hm["n"] - grand).to_dict()
+    cell = c["s"] / c["n"]
+    fit = grand + c["dow"].map(dow_eff) + c["h"].map(hour_eff)
+    out = pd.DataFrame({
+        "dow": c["dow"].astype("int64"), "hour": c["h"].astype("int64"),
+        "n": c["n"].astype("int64"),
+        "cell_mean": rnd(cell, 6), "additive_fit": rnd(fit, 6),
+        "residual": rnd(cell - fit, 6)})
+    return out.sort_values(["dow", "hour"]).reset_index(drop=True)
 
 
 QUERIES = {
@@ -4976,4 +5117,8 @@ QUERIES = {
     "top_supplier_by_nation": q_top_supplier_by_nation,
     "burstiness_events": q_burstiness_events,
     "anova_hour_events": q_anova_hour_events,
+    "clip_reverb_stats": q_clip_reverb_stats,
+    "audience_overlap_events": q_audience_overlap_events,
+    "class_separability_embeddings": q_class_separability_embeddings,
+    "seasonal_decompose_events": q_seasonal_decompose_events,
 }

@@ -2206,3 +2206,172 @@ def bandwidth_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
                                                  "warn_ratio": warn_ratio},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=pool_size(concurrency), num_cpus=1)
+
+
+# ----------------------------------------------------------------- reverb
+
+def synth_rir(rt60_s: float, sr: int, seed: int,
+              direct_ratio: float = 0.5) -> np.ndarray:
+    """Deterministic synthetic room impulse response: a unit direct path
+    followed by exponentially decaying white noise (the standard
+    image-method surrogate used for ASR reverb augmentation; decay rate
+    set so the Schroeder curve falls 60 dB in ``rt60_s``). Amplitude
+    envelope e^{-t/tau} with tau = rt60 / (3 ln 10) makes the ENERGY
+    decay 60 dB at t = rt60 exactly. Seeded with numpy PCG64 so every
+    run / partitioning produces byte-identical audio."""
+    tau = rt60_s / (3.0 * np.log(10.0))
+    n = max(8, int(round(1.2 * rt60_s * sr)))
+    rng = np.random.default_rng(seed)
+    h = rng.standard_normal(n) * np.exp(-np.arange(n) / (tau * sr))
+    # normalize the tail so the direct path dominates by direct_ratio
+    tail_rms = float(np.sqrt(np.mean(h * h)))
+    if tail_rms > 0:
+        h = h * (direct_ratio / (tail_rms * np.sqrt(n)))
+    h[0] = 1.0
+    return h
+
+
+def apply_rir(sig: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """FFT convolution of a clip with an impulse response (full tail kept
+    — the decay after the dry signal ends is the reverb audit's free-
+    decay region). Peak-normalized to the dry peak so re-encode never
+    clips."""
+    n_out = len(sig) + len(h) - 1
+    nfft = 1 << int(np.ceil(np.log2(max(2, n_out))))
+    out = np.fft.irfft(np.fft.rfft(sig, nfft) * np.fft.rfft(h, nfft),
+                       nfft)[:n_out]
+    peak_in = float(np.max(np.abs(sig))) if len(sig) else 0.0
+    peak_out = float(np.max(np.abs(out)))
+    if peak_out > 0 and peak_in > 0:
+        out *= peak_in / peak_out
+    return out
+
+
+def rt60_estimate(sig: np.ndarray, sr: int, frame_ms: float = 10.0,
+                  fit_lo_db: float = -5.0, fit_hi_db: float = -35.0,
+                  min_fit_frames: int = 4) -> dict[str, float]:
+    """Blind RT60 from a reverberant signal: frame-energy envelope in dB,
+    locate the LAST frame within 3 dB of the global peak (end of
+    sustain), least-squares fit the decay from ``fit_lo_db`` to
+    ``fit_hi_db`` below peak (the classic T30 window extrapolated x2,
+    ISO 3382 style), RT60 = -60 / slope. Returns NaN when no free-decay
+    region exists (sustained content to the end) — honest for dry clips;
+    emits the observed decay span and fit r² as confidence."""
+    nan = {"rt60_s": float("nan"), "decay_db": float("nan"),
+           "fit_r2": float("nan")}
+    frame = max(16, int(round(sr * frame_ms / 1000.0)))
+    n_fr = len(sig) // frame
+    if n_fr < min_fit_frames + 2:
+        return nan
+    x = np.asarray(sig[:n_fr * frame], dtype=np.float64)
+    e = (x.reshape(n_fr, frame) ** 2).mean(axis=1)
+    peak = float(e.max())
+    if peak <= 0.0:
+        return nan
+    # smooth the frame envelope (~5 frames) before locating the end of
+    # sustain: the envelope of narrowband content through a noise IR is
+    # Rayleigh-fluctuating, and an unsmoothed 3 dB test can mistake a
+    # mid-sustain dip for the decay start (seen at low sample rates)
+    k = min(5, n_fr)
+    e_s = np.convolve(e, np.ones(k) / k, mode="same")
+    peak_s = float(e_s.max())
+    env_db = 10.0 * np.log10(np.maximum(e_s, peak_s * 1e-12) / peak_s)
+    # end of sustain: the LAST smoothed frame within 5 dB of the peak;
+    # everything after it is the free-decay region
+    last_hi = int(np.flatnonzero(env_db >= -5.0)[-1])
+    tail = x[(last_hi + 1) * frame:]
+    if len(tail) < min_fit_frames * frame:
+        return nan
+    # Schroeder backward-integrated energy decay curve (ISO 3382): the
+    # EDC is monotone, so narrowband envelope beating integrates out —
+    # fit the -5..-35 dB window on it, excluding the last 10% of samples
+    # (finite-interval truncation steepens the curve artificially)
+    edc = np.cumsum((tail * tail)[::-1])[::-1]
+    if edc[0] <= 0.0:
+        return nan
+    db = 10.0 * np.log10(np.maximum(edc, edc[0] * 1e-15) / edc[0])
+    below_lo = np.flatnonzero(db <= fit_lo_db)
+    if not len(below_lo):
+        return nan
+    start = int(below_lo[0])
+    below_hi = np.flatnonzero(db <= fit_hi_db)
+    trunc = int(0.9 * len(db))
+    end = min(int(below_hi[0]) if len(below_hi) else len(db) - 1,
+              max(trunc, start + 1))
+    if end - start + 1 < min_fit_frames * frame:
+        return nan
+    y = db[start:end + 1]
+    t = np.arange(start, end + 1, dtype=np.float64) / sr
+    tm, ym = t.mean(), y.mean()
+    stt = float(((t - tm) ** 2).sum())
+    if stt <= 0.0:
+        return nan
+    slope = float(((t - tm) * (y - ym)).sum()) / stt
+    if slope >= 0.0:
+        return nan
+    resid = y - (ym + slope * (t - tm))
+    syy = float(((y - ym) ** 2).sum())
+    r2 = 1.0 - float((resid ** 2).sum()) / syy if syy > 0 else float("nan")
+    return {"rt60_s": -60.0 / slope, "decay_db": float(y[0] - y[-1]),
+            "fit_r2": r2}
+
+
+class ReverbClips:
+    """Actor-pool stage: reverb augmentation + blind RT60 audit in ONE
+    decode. Each clip is convolved with a deterministic synthetic room
+    impulse response (planted RT60 cycles 0.2-0.8 s by clip hash; RIR
+    noise seeded from clip_id so output is run/partition invariant),
+    then the blind estimator reads the RT60 back from the wet signal —
+    the audit is thereby physics-pinned END TO END on the distributed
+    path, not just in unit tests. Emits (clip_id, rt60_true_s, rt60_s,
+    decay_db, fit_r2, wet_ms, bytes?); payload only when emit_bytes."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "clip_id",
+                 emit_bytes: bool = False):
+        self.bytes_col, self.id_col = bytes_col, id_col
+        self.emit_bytes = emit_bytes
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows: dict[str, list] = {k: [] for k in
+                                 ("id", "true", "est", "decay", "r2",
+                                  "wet_ms", "payload")}
+        for cid, b in zip(t[self.id_col].to_pylist(),
+                          t[self.bytes_col].to_pylist()):
+            sig, sr = (audio.decode_wav_lenient(b) if b else (None, None))
+            if sig is None or not sr or len(sig) < 16:
+                continue
+            seed = int(
+                np.frombuffer(hashlib.md5(str(cid).encode()).digest()[:8],
+                              dtype=np.uint64)[0] & np.uint64(0x7FFFFFFF))
+            rt60_true = 0.2 + (seed % 7) * 0.1
+            wet = apply_rir(sig, synth_rir(rt60_true, sr, seed))
+            est = rt60_estimate(wet, sr)
+            rows["id"].append(cid)
+            rows["true"].append(rt60_true)
+            rows["est"].append(round(est["rt60_s"], 4))
+            rows["decay"].append(round(est["decay_db"], 4))
+            rows["r2"].append(round(est["fit_r2"], 6))
+            rows["wet_ms"].append(int(round(len(wet) * 1000.0 / sr)))
+            rows["payload"].append(
+                audio.encode_wav(np.clip(wet, -0.999, 0.999), sr)
+                if self.emit_bytes else b"")
+        out = {
+            self.id_col: pa.array(rows["id"], type=pa.string()),
+            "rt60_true_s": pa.array(rows["true"], type=pa.float64()),
+            "rt60_s": pa.array(rows["est"], type=pa.float64()),
+            "decay_db": pa.array(rows["decay"], type=pa.float64()),
+            "fit_r2": pa.array(rows["r2"], type=pa.float64()),
+            "wet_ms": pa.array(rows["wet_ms"], type=pa.int32()),
+        }
+        if self.emit_bytes:
+            out["wet_bytes"] = pa.array(rows["payload"], type=pa.binary())
+        return pa.table(out)
+
+
+def reverb_table(ds, bytes_col: str = "bytes", batch_size: int = 32,
+                 concurrency: int = 8, emit_bytes: bool = False):
+    return ds.map_batches(ReverbClips,
+                          fn_constructor_kwargs={"bytes_col": bytes_col,
+                                                 "emit_bytes": emit_bytes},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=pool_size(concurrency), num_cpus=1)

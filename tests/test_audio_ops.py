@@ -2,6 +2,7 @@
 and the Ray actor-pool stages over the deterministic synth clip table."""
 
 import numpy as np
+import pandas as pd
 import pytest
 import ray.data as rd
 
@@ -1069,3 +1070,67 @@ def test_bandwidth_check_flags_upsampled_clip(ray_session):
     assert out.loc["fake16k", "bw_code"] == 0
     assert out.loc["fake16k", "bw_ratio"] < 0.35
     assert "below Nyquist" in out.loc["fake16k", "bw_status"]
+
+
+# ----------------------------------------------------------------- reverb
+
+
+def test_rt60_estimate_physics():
+    """Blind RT60 on synthesized exponentially decaying noise recovers
+    the planted decay time within 15% across the audit's design range —
+    pure physics, no reference to the estimator itself. Energy envelope
+    e^{-2t/tau} falls 60 dB at t = tau * 3 ln 10."""
+    rng = np.random.default_rng(11)
+    for rt60 in [0.25, 0.4, 0.7]:
+        tau = rt60 / (3.0 * np.log(10.0))
+        n = int(2.0 * SR)
+        t = np.arange(n) / SR
+        sig = np.concatenate([
+            rng.uniform(-0.5, 0.5, SR // 4),              # sustain head
+            rng.standard_normal(n) * 0.5 * np.exp(-t / tau)])
+        est = ao.rt60_estimate(sig, SR)
+        assert abs(est["rt60_s"] - rt60) / rt60 < 0.15, (rt60, est)
+        assert est["fit_r2"] > 0.9
+        assert est["decay_db"] >= 25.0
+
+
+def test_rt60_nan_on_sustained_tone():
+    """A tone sustained to the last sample has no free-decay region —
+    the estimator must say NaN, not invent a number."""
+    est = ao.rt60_estimate(tone(300.0, dur_s=1.0), SR)
+    assert np.isnan(est["rt60_s"])
+
+
+def test_synth_rir_schroeder_decay():
+    """The synthetic RIR's Schroeder curve (backward-integrated energy)
+    must fall 60 dB at t = rt60 within 10% — the augmentation plants
+    what it claims to plant."""
+    for rt60 in [0.3, 0.6]:
+        h = ao.synth_rir(rt60, SR, seed=5)
+        tail = h[1:]                       # exclude the unit direct path
+        sch = np.cumsum((tail ** 2)[::-1])[::-1]
+        db = 10.0 * np.log10(sch / sch[0])
+        k = np.flatnonzero(db <= -60.0)
+        t60 = (1 + (k[0] if len(k) else len(tail))) / SR
+        assert abs(t60 - rt60) / rt60 < 0.10, (rt60, t60)
+
+
+def test_reverb_table_recovers_planted_rt60(clip_ds):
+    """End-to-end on the distributed path: augment each synth clip with
+    its seeded RIR, blind-estimate from the wet signal, and require the
+    estimate to track the planted RT60 on most decodable clips that are
+    long enough to expose the full decay."""
+    out = ao.reverb_table(clip_ds, concurrency=2).to_pandas()
+    assert out["clip_id"].notna().all()
+    got = out.dropna(subset=["rt60_s"])
+    # clips shorter than the RIR tail can't show the full decay window
+    got = got[got["wet_ms"] >= 1200]
+    assert len(got) >= 50
+    rel = np.abs(got["rt60_s"] - got["rt60_true_s"]) / got["rt60_true_s"]
+    assert (rel < 0.3).mean() > 0.8, rel.describe()
+    # determinism across partitioning (seeded RIR, pure kernels)
+    out2 = ao.reverb_table(clip_ds.repartition(7),
+                           concurrency=2).to_pandas()
+    a = out.sort_values("clip_id").reset_index(drop=True)
+    b = out2.sort_values("clip_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -112,6 +112,8 @@ def oracle_names():
     "attribution_events", "order_priority_check",
     "promo_revenue_lineitem", "top_supplier_by_nation",
     "burstiness_events", "anova_hour_events",
+    "audience_overlap_events", "class_separability_embeddings",
+    "seasonal_decompose_events",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]
