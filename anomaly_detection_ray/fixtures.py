@@ -90,6 +90,7 @@ FIXTURE_QUERIES = [
     "clip_segment_stats",
     "clip_resample_stats",
     "clip_reverb_stats",
+    "clip_hygiene_check",
     "audio_prep_segments",
     "clip_stream_replay",
 ]

@@ -4615,6 +4615,20 @@ def q_clip_reverb_stats(sf_dir: str):
     return ao.reverb_table(ds, concurrency=8)
 
 
+def q_clip_hygiene_check(sf_dir: str):
+    """Signal-hygiene audit per clip (stages/audio_ops.HygieneCheck):
+    DC offset, subsonic (<20 Hz) rumble share, crest factor, flat-top
+    ratio, and a 4-valued verdict in the reference's grading idiom —
+    the capture-chain checks the spectral/loudness stages don't cover.
+    Planted-defect physics (DC bias, 8 Hz rumble, hard limiting) pinned
+    in test_audio_ops. Deterministic => fixture oracle."""
+    from ..sources.clips import read_clips
+    from ..stages import audio_ops as ao
+    path = _clip_table_path(sf_dir)
+    ds = read_clips(path, columns=["clip_id", "bytes"])
+    return ao.hygiene_table(ds, concurrency=8)
+
+
 def q_order_priority_check(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: of the orders placed in a fixed
     quarter, how many (per priority) had any line item shipped more than
@@ -5118,6 +5132,7 @@ QUERIES = {
     "burstiness_events": q_burstiness_events,
     "anova_hour_events": q_anova_hour_events,
     "clip_reverb_stats": q_clip_reverb_stats,
+    "clip_hygiene_check": q_clip_hygiene_check,
     "audience_overlap_events": q_audience_overlap_events,
     "class_separability_embeddings": q_class_separability_embeddings,
     "seasonal_decompose_events": q_seasonal_decompose_events,

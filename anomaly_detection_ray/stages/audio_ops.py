@@ -2375,3 +2375,101 @@ def reverb_table(ds, bytes_col: str = "bytes", batch_size: int = 32,
                                                  "emit_bytes": emit_bytes},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=pool_size(concurrency), num_cpus=1)
+
+
+# ---------------------------------------------------------------- hygiene
+
+def hygiene_stats(sig: np.ndarray, sr: int) -> dict[str, float]:
+    """Signal-hygiene measurements a capture-chain audit needs and the
+    spectral/loudness stages don't cover: DC offset (electrical bias in
+    the ADC path), subsonic rumble share (energy below 20 Hz — handling
+    noise, wind, HVAC), crest factor (peak/RMS in dB — low values flag
+    over-compression or limiting), and flat-top ratio (fraction of
+    samples within 1 dB of the peak — limiting/clipping pressure even
+    when no sample touches full scale)."""
+    if len(sig) < 8:
+        return {"dc_offset": float("nan"), "sub20_ratio": float("nan"),
+                "crest_db": float("nan"), "flat_top_ratio": float("nan")}
+    x = np.asarray(sig, dtype=np.float64)
+    dc = float(x.mean())
+    rms = float(np.sqrt((x * x).mean()))
+    peak = float(np.abs(x).max())
+    # subsonic share from one rFFT power spectrum (DC bin excluded —
+    # reported separately as the offset)
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    freqs = np.fft.rfftfreq(len(x), 1.0 / sr)
+    tot = float(spec[1:].sum())
+    sub = float(spec[1:][freqs[1:] < 20.0].sum()) if tot > 0 else 0.0
+    crest = (20.0 * np.log10(peak / rms)
+             if rms > 0 and peak > 0 else float("nan"))
+    flat = float((np.abs(x) >= peak * 10.0 ** (-1.0 / 20.0)).mean()
+                 ) if peak > 0 else float("nan")
+    return {"dc_offset": dc,
+            "sub20_ratio": sub / tot if tot > 0 else float("nan"),
+            "crest_db": crest, "flat_top_ratio": flat}
+
+
+class HygieneCheck:
+    """Actor-pool stage: WAV bytes -> signal-hygiene stats + a 4-valued
+    verdict in the reference's grading idiom (anomaly_detection.py:41-50
+    status-code scheme): Error2 undecodable, Warning1 on DC bias or
+    rumble above thresholds, OK otherwise (dynamics are reported, not
+    graded — tonal corpora legitimately run low-crest)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "clip_id",
+                 max_dc: float = 0.02, max_sub20: float = 0.05):
+        self.bytes_col, self.id_col = bytes_col, id_col
+        self.max_dc, self.max_sub20 = max_dc, max_sub20
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        dc = np.full(n, np.nan)
+        sub = np.full(n, np.nan)
+        crest = np.full(n, np.nan)
+        flat = np.full(n, np.nan)
+        code = np.full(n, UNDEFINED_CODE, dtype=np.int8)
+        status = np.empty(n, dtype=object)
+        for i, b in enumerate(t[self.bytes_col].to_pylist()):
+            sig, sr = (audio.decode_wav_lenient(b) if b else (None, None))
+            if sig is None or not sr or len(sig) < 8:
+                code[i] = ERROR_CODE
+                status[i] = "Error2: undecodable or empty clip"
+                continue
+            h = hygiene_stats(sig, sr)
+            dc[i], sub[i] = h["dc_offset"], h["sub20_ratio"]
+            crest[i], flat[i] = h["crest_db"], h["flat_top_ratio"]
+            if abs(h["dc_offset"]) > self.max_dc:
+                code[i] = WARNING_CODE
+                status[i] = "Warning1: DC offset above threshold"
+            elif h["sub20_ratio"] == h["sub20_ratio"] \
+                    and h["sub20_ratio"] > self.max_sub20:
+                code[i] = WARNING_CODE
+                status[i] = "Warning1: subsonic rumble above threshold"
+            else:
+                code[i] = OK_CODE
+                status[i] = "OK"
+        t = t.drop_columns([self.bytes_col])
+        return (t.append_column("dc_offset",
+                                pa.array(np.round(dc, 6),
+                                         type=pa.float64()))
+                 .append_column("sub20_ratio",
+                                pa.array(np.round(sub, 6),
+                                         type=pa.float64()))
+                 .append_column("crest_db",
+                                pa.array(np.round(crest, 4),
+                                         type=pa.float64()))
+                 .append_column("flat_top_ratio",
+                                pa.array(np.round(flat, 6),
+                                         type=pa.float64()))
+                 .append_column("hy_code", pa.array(code, type=pa.int8()))
+                 .append_column("hy_status",
+                                pa.array(status, type=pa.string())))
+
+
+def hygiene_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
+                  concurrency: int = 8, **kw):
+    return ds.map_batches(HygieneCheck,
+                          fn_constructor_kwargs={"bytes_col": bytes_col,
+                                                 **kw},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=pool_size(concurrency), num_cpus=1)

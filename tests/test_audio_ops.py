@@ -1134,3 +1134,48 @@ def test_reverb_table_recovers_planted_rt60(clip_ds):
     a = out.sort_values("clip_id").reset_index(drop=True)
     b = out2.sort_values("clip_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------- hygiene
+
+
+def test_hygiene_planted_defects():
+    """Planted capture defects measured back: DC bias reads as itself,
+    subsonic rumble dominates the sub-20 Hz share, limiting raises the
+    flat-top ratio and drops the crest factor, and a clean tone passes
+    with near-zero offset/rumble."""
+    clean = tone(300.0, dur_s=2.0)
+    h = ao.hygiene_stats(clean, SR)
+    assert abs(h["dc_offset"]) < 1e-6
+    assert h["sub20_ratio"] < 1e-6
+    assert abs(h["crest_db"] - 3.01) < 0.1          # sine crest = 3.01 dB
+    # DC bias
+    h = ao.hygiene_stats(clean + 0.05, SR)
+    assert abs(h["dc_offset"] - 0.05) < 1e-3
+    # 8 Hz rumble at matched amplitude -> roughly half the AC energy
+    t = np.arange(len(clean)) / SR
+    h = ao.hygiene_stats(clean + 0.5 * np.sin(2 * np.pi * 8.0 * t), SR)
+    assert h["sub20_ratio"] > 0.4
+    # hard limiting: clamp at 60% of peak
+    lim = np.clip(clean, -0.3, 0.3)
+    hl = ao.hygiene_stats(lim, SR)
+    hc = ao.hygiene_stats(clean, SR)
+    assert hl["crest_db"] < hc["crest_db"] - 1.0
+    assert hl["flat_top_ratio"] > hc["flat_top_ratio"] + 0.1
+
+
+def test_hygiene_table_grades(clip_ds):
+    """Over the synth table: decodable clips grade OK (the generator
+    plants no DC/rumble), undecodable payloads grade Error2, and a
+    doctored DC-biased clip grades Warning1."""
+    out = ao.hygiene_table(clip_ds, concurrency=2).to_pandas()
+    assert len(out) == 200
+    ok = out[out["hy_code"] == 1]
+    assert len(ok) > 150
+    assert (ok["dc_offset"].abs() < 0.02).all()
+    # doctored: DC-biased payload through the same stage
+    sig = tone(250.0) + 0.1
+    t = rd.from_arrow(__import__("pyarrow").table({
+        "clip_id": ["biased"], "bytes": [audio.encode_wav(sig, SR)]}))
+    row = ao.hygiene_table(t, concurrency=1).to_pandas().iloc[0]
+    assert row["hy_code"] == 0 and "DC offset" in row["hy_status"]
