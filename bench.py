@@ -168,6 +168,9 @@ def run_headline() -> dict:
             read_clips(clip_path,
                        columns=["clip_id", "bytes", "transcript"]),
             concurrency=pool))
+        timed("clip_reverb_audit", lambda: ao.reverb_table(
+            read_clips(clip_path, columns=["clip_id", "bytes"]),
+            concurrency=pool))
 
         def _dvector():
             # learned speaker-embedding pipeline: hash-slice sample ->
