@@ -2860,6 +2860,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE t.k >= 2 AND t.n > t.k
             ORDER BY t.event_type
         """,
+        "columnar_roundtrip_events": """
+            -- the ORC and IPC roundtrips must reproduce the parquet
+            -- truth: per-type count + sum over non-NaN values, once per
+            -- format label
+            WITH a AS (SELECT event_type,
+                              CAST(count(*) AS BIGINT) AS n,
+                              round(sum(value), 6) AS sum_value
+                       FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)
+                       GROUP BY 1)
+            SELECT 'orc' AS fmt, * FROM a
+            UNION ALL
+            SELECT 'ipc', * FROM a
+            ORDER BY fmt, event_type
+        """,
         "audience_overlap_events": """
             -- Jaccard overlap of user audiences between event-type pairs
             WITH p AS (SELECT DISTINCT user_id, event_type FROM events),

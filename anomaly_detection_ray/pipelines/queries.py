@@ -4942,6 +4942,48 @@ def q_seasonal_decompose_events(sf_dir: str):
     return out.sort_values(["dow", "hour"]).reset_index(drop=True)
 
 
+def q_columnar_roundtrip_events(sf_dir: str):
+    """ORC + Arrow-IPC source/sink conformance (sources/columnar): the
+    events table is written to both formats (one file per block, flat
+    resumable layout + manifest), read back with column pruning to just
+    (event_type, value), and aggregated per type — the per-format rows
+    must agree with the parquet truth, which is exactly what the oracle
+    recomputes. Exercises the full write→read→prune→fold path of both
+    formats on every gate run."""
+    import shutil
+    from ..sources import columnar as cs
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/tmp/adr_columnar/{sf}"
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = []
+    for fmt in ("orc", "ipc"):
+        d = os.path.join(base, fmt)
+        shutil.rmtree(d, ignore_errors=True)
+        man = cs.write_columnar(ds, d, fmt=fmt)
+        back = (cs.read_orc(d, columns=["event_type", "value"])
+                if fmt == "orc"
+                else cs.read_ipc(d, columns=["event_type", "value"]))
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            v = df["value"].to_numpy(np.float64)
+            ok = ~np.isnan(v)
+            return pd.DataFrame({
+                "event_type": df["event_type"].to_numpy()[ok],
+                "n": 1.0, "s": v[ok]}).groupby(
+                "event_type", as_index=False).sum()
+
+        m = _fold(back.map_batches(partial, batch_format="pandas"),
+                  ["event_type"], {"n": "sum", "s": "sum"})
+        m.insert(0, "fmt", fmt)
+        del man  # manifest↔row-count equality is pinned in test_columnar
+        out.append(m)
+    r = pd.concat(out, ignore_index=True)
+    r["n"] = r["n"].astype("int64")
+    r["sum_value"] = rnd(r.pop("s"), 6)
+    return (r[["fmt", "event_type", "n", "sum_value"]]
+            .sort_values(["fmt", "event_type"]).reset_index(drop=True))
+
+
 QUERIES = {
     "row_validate_events": q_row_validate_events,
     "border_check_events": q_border_check_events,
@@ -5133,6 +5175,7 @@ QUERIES = {
     "anova_hour_events": q_anova_hour_events,
     "clip_reverb_stats": q_clip_reverb_stats,
     "clip_hygiene_check": q_clip_hygiene_check,
+    "columnar_roundtrip_events": q_columnar_roundtrip_events,
     "audience_overlap_events": q_audience_overlap_events,
     "class_separability_embeddings": q_class_separability_embeddings,
     "seasonal_decompose_events": q_seasonal_decompose_events,

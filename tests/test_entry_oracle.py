@@ -113,7 +113,7 @@ def oracle_names():
     "promo_revenue_lineitem", "top_supplier_by_nation",
     "burstiness_events", "anova_hour_events",
     "audience_overlap_events", "class_separability_embeddings",
-    "seasonal_decompose_events",
+    "seasonal_decompose_events", "columnar_roundtrip_events",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]
