@@ -2860,6 +2860,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE t.k >= 2 AND t.n > t.k
             ORDER BY t.event_type
         """,
+        "cdc_compact_events": """
+            -- keep-latest compaction per (user, event_type) entity by
+            -- (ts, event_id); survivor rows pass through bit-exact
+            SELECT user_id, event_type, event_id, ts, value
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id, event_type
+                      ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+            ORDER BY user_id, event_type
+        """,
         "columnar_roundtrip_events": """
             -- the ORC and IPC roundtrips must reproduce the parquet
             -- truth: per-type count + sum over non-NaN values, once per

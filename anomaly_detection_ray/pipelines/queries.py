@@ -4984,6 +4984,33 @@ def q_columnar_roundtrip_events(sf_dir: str):
             .sort_values(["fmt", "event_type"]).reset_index(drop=True))
 
 
+def q_cdc_compact_events(sf_dir: str):
+    """CDC changelog compaction (dedup-keep-latest): the events stream
+    read as a change log of (user, event_type) entity state — keep each
+    entity's most recent row by (ts, event_id). The upsert-materialize
+    step every warehouse ingest runs. Two-phase argmax: per-batch
+    keep-last collapses the shuffle to ≤ one row per (entity, batch),
+    then one keyed map_groups picks the global latest — no global sort,
+    and the survivor row passes through bit-exact (no recomputed
+    values)."""
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        return df.groupby(["user_id", "event_type"], as_index=False).tail(1)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["ts", "event_id"],
+                              kind="mergesort").tail(1)
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby(["user_id", "event_type"])
+           .map_groups(merge, batch_format="pandas")).to_pandas()
+    return (out[["user_id", "event_type", "event_id", "ts", "value"]]
+            .sort_values(["user_id", "event_type"]).reset_index(drop=True))
+
+
 QUERIES = {
     "row_validate_events": q_row_validate_events,
     "border_check_events": q_border_check_events,
@@ -5176,6 +5203,7 @@ QUERIES = {
     "clip_reverb_stats": q_clip_reverb_stats,
     "clip_hygiene_check": q_clip_hygiene_check,
     "columnar_roundtrip_events": q_columnar_roundtrip_events,
+    "cdc_compact_events": q_cdc_compact_events,
     "audience_overlap_events": q_audience_overlap_events,
     "class_separability_embeddings": q_class_separability_embeddings,
     "seasonal_decompose_events": q_seasonal_decompose_events,
