@@ -2860,6 +2860,61 @@ def oracle_sql() -> dict[str, str]:
             WHERE t.k >= 2 AND t.n > t.k
             ORDER BY t.event_type
         """,
+        "float_anomaly_audit": """
+            -- IEEE hygiene of events.value: null/NaN/inf/subnormal/
+            -- integer-valued counts; predicates identical to the engine
+            WITH c AS (SELECT
+                count(*) AS n,
+                sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null,
+                sum(CASE WHEN value IS NOT NULL AND isnan(value)
+                         THEN 1 ELSE 0 END) AS n_nan,
+                sum(CASE WHEN value IS NOT NULL AND isinf(value)
+                         THEN 1 ELSE 0 END) AS n_inf,
+                sum(CASE WHEN value IS NOT NULL AND isfinite(value)
+                          AND abs(value) < pow(2.0, -1022)
+                          AND value <> 0 THEN 1 ELSE 0 END)
+                    AS n_subnormal,
+                sum(CASE WHEN value IS NOT NULL AND isfinite(value)
+                          AND floor(value) = value THEN 1 ELSE 0 END)
+                    AS n_integer,
+                sum(CASE WHEN value IS NOT NULL AND isfinite(value)
+                         THEN 1 ELSE 0 END) AS n_finite
+                FROM events)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(n_null AS BIGINT) AS n_null,
+                   CAST(n_nan AS BIGINT) AS n_nan,
+                   CAST(n_inf AS BIGINT) AS n_inf,
+                   CAST(n_subnormal AS BIGINT) AS n_subnormal,
+                   CAST(n_integer AS BIGINT) AS n_integer,
+                   CAST(n_finite AS BIGINT) AS n_finite,
+                   round(n_integer * 1.0 / n_finite, 6) AS frac_integer
+            FROM c
+        """,
+        "pmi_collocations_documents": """
+            -- top-20 PMI collocations, min pair support 5; tokenization
+            -- and the PMI double expression identical to the engine
+            WITH d AS (SELECT string_split(text, ' ') AS parts
+                       FROM documents WHERE text IS NOT NULL),
+            uw AS (SELECT unnest(parts) AS w FROM d),
+            uni AS (SELECT w, CAST(count(*) AS DOUBLE) AS c
+                    FROM uw GROUP BY 1),
+            nu AS (SELECT sum(c) AS nu FROM uni),
+            b AS (SELECT parts[i] AS w1, parts[i + 1] AS w2
+                  FROM d, LATERAL unnest(generate_series(
+                       1, len(parts) - 1)) AS g(i)),
+            bi AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS cab
+                   FROM b GROUP BY 1, 2),
+            nb AS (SELECT sum(cab) AS nb FROM bi),
+            p AS (SELECT w1, w2, cab,
+                         ln((cab / nb.nb) / ((ua.c / nu.nu)
+                            * (ub.c / nu.nu))) AS pmi
+                  FROM bi JOIN uni ua ON bi.w1 = ua.w
+                        JOIN uni ub ON bi.w2 = ub.w, nu, nb
+                  WHERE cab >= 5)
+            SELECT w1, w2, CAST(cab AS BIGINT) AS n_pair,
+                   round(pmi, 6) AS pmi
+            FROM p ORDER BY pmi DESC, w1, w2 LIMIT 20
+        """,
         "cdc_compact_events": """
             -- keep-latest compaction per (user, event_type) entity by
             -- (ts, event_id); survivor rows pass through bit-exact

@@ -5011,6 +5011,89 @@ def q_cdc_compact_events(sf_dir: str):
             .sort_values(["user_id", "event_type"]).reset_index(drop=True))
 
 
+def q_float_anomaly_audit(sf_dir: str):
+    """IEEE-float hygiene audit of the events value column: NaN / ±inf /
+    subnormal / integer-valued counts and shares — the numeric-payload
+    conformance check a validation engine runs before trusting
+    aggregates (a subnormal or inf burst is a classic upstream-sensor
+    failure signature). ONE shuffle-free scalar fold; the subnormal
+    predicate (0 < |x| < 2^-1022) and integer-valued predicate
+    (floor(x) = x on finite values) are expressed identically in the
+    SQL oracle."""
+    ds = _read(sf_dir, "events", ["value"])
+    tiny = 2.0 ** -1022
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        present = ~pd.isna(df["value"]).to_numpy()
+        nan = present & np.isnan(v)
+        inf = np.isinf(v)
+        fin = present & ~nan & ~inf
+        sub = fin & (np.abs(v) < tiny) & (v != 0.0)
+        with np.errstate(invalid="ignore"):
+            iv = fin & (np.floor(v) == v)
+        return pd.DataFrame({
+            "k": [0], "n": [float(len(v))],
+            "n_null": [float((~present).sum())],
+            "n_nan": [float(nan.sum())], "n_inf": [float(inf.sum())],
+            "n_subnormal": [float(sub.sum())],
+            "n_integer": [float(iv.sum())], "n_finite": [float(fin.sum())]})
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"), ["k"],
+              {c: "sum" for c in ["n", "n_null", "n_nan", "n_inf",
+                                  "n_subnormal", "n_integer", "n_finite"]})
+    r = m.iloc[0]
+    out = pd.DataFrame({c: [np.int64(r[c])] for c in
+                        ["n", "n_null", "n_nan", "n_inf", "n_subnormal",
+                         "n_integer", "n_finite"]})
+    out["frac_integer"] = rnd([r["n_integer"] / r["n_finite"]]
+                              if r["n_finite"] else [np.nan], 6)
+    return out
+
+
+def q_pmi_collocations_documents(sf_dir: str):
+    """Top-20 collocations by pointwise mutual information with minimum
+    support 5 — the association-strength companion of bigram_topk (raw
+    counts rank glue words; PMI ranks genuinely bound pairs).
+    Tokenization is exactly SQL string_split(text, ' '); unigram and
+    bigram count partials fold in ONE pass each (vocabulary-bounded);
+    the PMI expression ln((cab/Nb) / ((ca/Nu) * (cb/Nu))) is written
+    identically engine- and oracle-side so the doubles — and therefore
+    the (pmi DESC, w1, w2) order — agree bit-for-bit."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for s in df["text"].to_numpy():
+            if not isinstance(s, str):
+                continue
+            w = s.split(" ")
+            uni.update(w)
+            bi.update(zip(w[:-1], w[1:]))
+        rows = [("u", k, "", float(v)) for k, v in uni.items()]
+        rows += [("b", k[0], k[1], float(v)) for k, v in bi.items()]
+        return pd.DataFrame(rows, columns=["kind", "w1", "w2", "n"])
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["kind", "w1", "w2"], {"n": "sum"})
+    u = m[m["kind"] == "u"].set_index("w1")["n"]
+    b = m[m["kind"] == "b"].copy()
+    nu, nb = float(u.sum()), float(b["n"].sum())
+    b = b[b["n"] >= 5.0]
+    ca = b["w1"].map(u).to_numpy(np.float64)
+    cb = b["w2"].map(u).to_numpy(np.float64)
+    cab = b["n"].to_numpy(np.float64)
+    b["pmi"] = np.log((cab / nb) / ((ca / nu) * (cb / nu)))
+    b = b.sort_values(["pmi", "w1", "w2"], ascending=[False, True, True],
+                      kind="mergesort").head(20)
+    return pd.DataFrame({
+        "w1": b["w1"].to_numpy(), "w2": b["w2"].to_numpy(),
+        "n_pair": b["n"].astype("int64").to_numpy(),
+        "pmi": rnd(b["pmi"].to_numpy(), 6)}).reset_index(drop=True)
+
+
 QUERIES = {
     "row_validate_events": q_row_validate_events,
     "border_check_events": q_border_check_events,
@@ -5204,6 +5287,8 @@ QUERIES = {
     "clip_hygiene_check": q_clip_hygiene_check,
     "columnar_roundtrip_events": q_columnar_roundtrip_events,
     "cdc_compact_events": q_cdc_compact_events,
+    "float_anomaly_audit": q_float_anomaly_audit,
+    "pmi_collocations_documents": q_pmi_collocations_documents,
     "audience_overlap_events": q_audience_overlap_events,
     "class_separability_embeddings": q_class_separability_embeddings,
     "seasonal_decompose_events": q_seasonal_decompose_events,

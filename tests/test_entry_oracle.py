@@ -114,7 +114,8 @@ def oracle_names():
     "burstiness_events", "anova_hour_events",
     "audience_overlap_events", "class_separability_embeddings",
     "seasonal_decompose_events", "columnar_roundtrip_events",
-    "cdc_compact_events",
+    "cdc_compact_events", "float_anomaly_audit",
+    "pmi_collocations_documents",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]
