@@ -5094,6 +5094,46 @@ def q_pmi_collocations_documents(sf_dir: str):
         "pmi": rnd(b["pmi"].to_numpy(), 6)}).reset_index(drop=True)
 
 
+def q_pca_variance_embeddings(sf_dir: str):
+    """PCA spectrum audit of the embedding column: eigenvalues of the
+    full 64×64 sample covariance (same ONE-pass (XᵀX, Σx, n) fold as
+    covariance_embeddings, corpus-size-independent driver merge),
+    reported as explained-variance ratio, cumulative ratio, and the
+    participation ratio (effective dimensionality (Σλ)²/Σλ² — a
+    collapsed embedding space shows eff_dim ≪ dim). Deterministic
+    (numpy eigh on the folded matrix) => fixture oracle; spectrum
+    properties (ratios sum to 1, isotropy of the synth generator) are
+    pinned in test_similarity_iforest."""
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"xtx": [], "s": [], "n": []})
+        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame({"xtx": [(X.T @ X).tobytes()],
+                             "s": [X.sum(axis=0).tobytes()],
+                             "n": [len(X)]})
+
+    p = emb.map_batches(partial, batch_format="pandas").to_pandas()
+    d = len(np.frombuffer(p["s"].iloc[0]))
+    xtx = np.sum([np.frombuffer(b).reshape(d, d) for b in p["xtx"]],
+                 axis=0)
+    s = np.sum([np.frombuffer(b) for b in p["s"]], axis=0)
+    n = int(p["n"].sum())
+    cov = (xtx - np.outer(s, s) / n) / (n - 1)
+    lam = np.linalg.eigvalsh(cov)[::-1]
+    lam = np.maximum(lam, 0.0)
+    tot = lam.sum()
+    ratio = lam / tot
+    eff = float(tot * tot / (lam * lam).sum())
+    return pd.DataFrame({
+        "rank": np.arange(1, d + 1, dtype=np.int64),
+        "eigenvalue": rnd(lam, 6),
+        "var_ratio": rnd(ratio, 6),
+        "cum_ratio": rnd(np.cumsum(ratio), 6),
+        "eff_dim": rnd(np.full(d, eff), 4)})
+
+
 QUERIES = {
     "row_validate_events": q_row_validate_events,
     "border_check_events": q_border_check_events,
@@ -5289,6 +5329,7 @@ QUERIES = {
     "cdc_compact_events": q_cdc_compact_events,
     "float_anomaly_audit": q_float_anomaly_audit,
     "pmi_collocations_documents": q_pmi_collocations_documents,
+    "pca_variance_embeddings": q_pca_variance_embeddings,
     "audience_overlap_events": q_audience_overlap_events,
     "class_separability_embeddings": q_class_separability_embeddings,
     "seasonal_decompose_events": q_seasonal_decompose_events,

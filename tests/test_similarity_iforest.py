@@ -369,3 +369,23 @@ def test_lof_ivf_flags_planted_outlier(ray_session):
     got = lof_scores_ivf(rd.from_pandas(df).repartition(3), k=10,
                          n_cells=2)
     assert int(got.loc[got["lof"].idxmax(), "vec_id"]) == 160
+
+
+def test_pca_variance_spectrum(ray_session):
+    """PCA spectrum audit: ratios sum to 1, cumulative is monotone to 1,
+    the synth generator's near-isotropic cloud shows high effective
+    dimensionality, and a deliberately collapsed (rank-deficient) cloud
+    shows a tiny one."""
+    import __ray_entry__ as e
+    out = e.queries()["pca_variance_embeddings"]("/root/testdata/sf0.001")
+    assert len(out) == 64
+    assert abs(out["var_ratio"].sum() - 1.0) < 1e-3
+    assert (np.diff(out["cum_ratio"]) >= -1e-9).all()
+    assert abs(out["cum_ratio"].iloc[-1] - 1.0) < 1e-3
+    assert out["eff_dim"].iloc[0] > 30.0       # near-isotropic synth
+    # collapsed cloud: rank-2 data -> eff_dim ~ 2, top-2 carry ~all var
+    rng = np.random.default_rng(0)
+    Z = rng.standard_normal((500, 2)) @ rng.standard_normal((2, 64))
+    lam = np.maximum(np.linalg.eigvalsh(np.cov(Z.T))[::-1], 0.0)
+    eff = lam.sum() ** 2 / (lam ** 2).sum()
+    assert eff < 2.5
