@@ -1,9 +1,10 @@
 """Fixture oracles for queries with no SQL-expressible oracle.
 
-The 12 queries here are deterministic (seeded models, fixed hash keys,
-deterministic synth input) but not computable in ANSI SQL — isolation
-forests, RRCF sketches, MinHash/SimHash (pandas siphash keys), t-digest
-merges, and the flagship clip pipeline. For each, ``tools/make_fixtures.py``
+The queries here (see FIXTURE_QUERIES below) are deterministic (seeded
+models, fixed hash keys, deterministic synth input) but not computable
+in ANSI SQL — isolation forests, RRCF sketches, MinHash/SimHash (pandas
+siphash keys), codec decodes, audio kernels, eigendecompositions, and
+the flagship clip pipeline. For each, ``tools/make_fixtures.py``
 runs the query once per scale factor and freezes the expected result as
 parquet under ``fixtures/`` (committed). The oracle SQL is then a plain
 DuckDB ``read_parquet`` of the frozen table, discriminated by scale factor

@@ -349,3 +349,41 @@ def test_nd_fold_partition_invariance(data):
             got_n += n_
             got_v += v_
     assert (got_n, got_v) == (want_n, want_v)
+
+
+@settings(max_examples=40, deadline=None)
+@given(arrays(np.float64, st.integers(16, 4000),
+              elements=st.floats(-1.0, 1.0, allow_nan=False)),
+       st.sampled_from([8000, 16000, 44100]))
+def test_hygiene_stats_invariants(sig, sr):
+    """For EVERY signal: dc_offset is exactly the mean, the subsonic
+    share is a valid fraction, crest is non-negative (peak >= rms), and
+    flat_top is a valid fraction including the peak sample itself."""
+    from anomaly_detection_ray.stages import audio_ops as ao
+    h = ao.hygiene_stats(sig, sr)
+    assert h["dc_offset"] == float(np.asarray(sig, dtype=np.float64).mean())
+    if h["sub20_ratio"] == h["sub20_ratio"]:
+        assert -1e-12 <= h["sub20_ratio"] <= 1.0 + 1e-12
+    if h["crest_db"] == h["crest_db"]:
+        assert h["crest_db"] >= -1e-9
+    if h["flat_top_ratio"] == h["flat_top_ratio"]:
+        assert 0.0 < h["flat_top_ratio"] <= 1.0
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.floats(0.15, 1.0), st.integers(0, 2**31 - 1))
+def test_synth_rir_energy_budget(rt60, seed):
+    """For EVERY (rt60, seed): the synthetic RIR has a unit direct path,
+    finite tail energy, and its Schroeder-60 dB time tracks the planted
+    rt60 within 20% (single noise realization)."""
+    from anomaly_detection_ray.stages import audio_ops as ao
+    sr = 16000
+    h = ao.synth_rir(rt60, sr, seed)
+    assert h[0] == 1.0
+    assert np.isfinite(h).all()
+    tail = h[1:]
+    sch = np.cumsum((tail ** 2)[::-1])[::-1]
+    db = 10.0 * np.log10(sch / sch[0])
+    k = np.flatnonzero(db <= -60.0)
+    t60 = (1 + (k[0] if len(k) else len(tail))) / sr
+    assert abs(t60 - rt60) / rt60 < 0.2, (rt60, t60)
