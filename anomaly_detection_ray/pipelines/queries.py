@@ -4552,8 +4552,8 @@ def q_hbos_events(sf_dir: str):
         return pd.DataFrame({"event_id": df["event_id"],
                              "hbos": rnd(s_v + s_h, 6)})
 
-    out = (ds.map_batches(score, batch_format="pandas")).to_pandas()
-    return out.sort_values("event_id").reset_index(drop=True)
+    # per-event output stays a Dataset — never driver-materialized
+    return ds.map_batches(score, batch_format="pandas")
 
 
 def q_attribution_events(sf_dir: str):
@@ -4775,10 +4775,14 @@ def q_burstiness_events(sf_dir: str):
             "mean_gap_s": rnd([mu], 6), "cv": rnd([sd / mu], 6),
             "burstiness": rnd([(sd - mu) / (sd + mu)], 6)})
 
-    out = ds.groupby("user_id").map_groups(
-        per_user, batch_format="pandas").to_pandas()
-    out["n_gaps"] = out["n_gaps"].astype("int64")
-    return out.sort_values("user_id").reset_index(drop=True)
+    def fix_types(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_gaps"] = df["n_gaps"].astype("int64")
+        return df
+
+    # per-user output stays a Dataset — entity count is corpus-scaled
+    return (ds.groupby("user_id").map_groups(per_user,
+                                             batch_format="pandas")
+            .map_batches(fix_types, batch_format="pandas"))
 
 
 def q_anova_hour_events(sf_dir: str):
@@ -5001,14 +5005,13 @@ def q_cdc_compact_events(sf_dir: str):
         return df.groupby(["user_id", "event_type"], as_index=False).tail(1)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["ts", "event_id"],
-                              kind="mergesort").tail(1)
+        return df.sort_values(["ts", "event_id"], kind="mergesort").tail(
+            1)[["user_id", "event_type", "event_id", "ts", "value"]]
 
-    out = (ds.map_batches(partial, batch_format="pandas")
-           .groupby(["user_id", "event_type"])
-           .map_groups(merge, batch_format="pandas")).to_pandas()
-    return (out[["user_id", "event_type", "event_id", "ts", "value"]]
-            .sort_values(["user_id", "event_type"]).reset_index(drop=True))
+    # compacted output stays a Dataset — entity count is corpus-scaled
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["user_id", "event_type"])
+            .map_groups(merge, batch_format="pandas"))
 
 
 def q_float_anomaly_audit(sf_dir: str):
