@@ -2409,6 +2409,19 @@ def hygiene_stats(sig: np.ndarray, sr: int) -> dict[str, float]:
             "crest_db": crest, "flat_top_ratio": flat}
 
 
+def true_peak_dbtp(sig: np.ndarray, sr: int) -> float:
+    """Inter-sample true peak (BS.1770-4 Annex 2 idea): 4x oversample
+    with the Kaiser-sinc kernel and take the absolute peak in dBTP —
+    a sample-peak of -0.1 dBFS can clip a DAC's reconstruction filter;
+    dBTP sees it. Uses the same resample_sinc path as the augmentation
+    stages (LUT-cached per ratio, one vectorized gather per clip)."""
+    if len(sig) < 8 or sr <= 0:
+        return float("nan")
+    up = resample_sinc(np.asarray(sig, dtype=np.float64), sr, 4 * sr)
+    p = float(np.max(np.abs(up)))
+    return 20.0 * np.log10(p) if p > 0 else float("-inf")
+
+
 class HygieneCheck:
     """Actor-pool stage: WAV bytes -> signal-hygiene stats + a 4-valued
     verdict in the reference's grading idiom (anomaly_detection.py:41-50
@@ -2427,6 +2440,7 @@ class HygieneCheck:
         sub = np.full(n, np.nan)
         crest = np.full(n, np.nan)
         flat = np.full(n, np.nan)
+        tp = np.full(n, np.nan)
         code = np.full(n, UNDEFINED_CODE, dtype=np.int8)
         status = np.empty(n, dtype=object)
         for i, b in enumerate(t[self.bytes_col].to_pylist()):
@@ -2438,6 +2452,7 @@ class HygieneCheck:
             h = hygiene_stats(sig, sr)
             dc[i], sub[i] = h["dc_offset"], h["sub20_ratio"]
             crest[i], flat[i] = h["crest_db"], h["flat_top_ratio"]
+            tp[i] = true_peak_dbtp(sig, sr)
             if abs(h["dc_offset"]) > self.max_dc:
                 code[i] = WARNING_CODE
                 status[i] = "Warning1: DC offset above threshold"
@@ -2460,6 +2475,9 @@ class HygieneCheck:
                                          type=pa.float64()))
                  .append_column("flat_top_ratio",
                                 pa.array(np.round(flat, 6),
+                                         type=pa.float64()))
+                 .append_column("true_peak_dbtp",
+                                pa.array(np.round(tp, 4),
                                          type=pa.float64()))
                  .append_column("hy_code", pa.array(code, type=pa.int8()))
                  .append_column("hy_status",

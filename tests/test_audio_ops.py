@@ -1179,3 +1179,20 @@ def test_hygiene_table_grades(clip_ds):
         "clip_id": ["biased"], "bytes": [audio.encode_wav(sig, SR)]}))
     row = ao.hygiene_table(t, concurrency=1).to_pandas().iloc[0]
     assert row["hy_code"] == 0 and "DC offset" in row["hy_status"]
+
+
+def test_true_peak_intersample():
+    """A sine whose samples straddle the crest has a sample peak well
+    below its true peak: at f = sr/4 with phase pi/4, samples hit
+    +-0.7071 while the waveform reaches 1.0 — dBTP must see ~0 dB where
+    the sample peak reads -3 dB. A DC-safe low-frequency tone's true
+    peak matches its sample peak within the interpolator's ripple."""
+    n = np.arange(4 * SR)
+    hot = np.sin(2 * np.pi * (SR / 4) * n / SR + np.pi / 4)
+    samp_db = 20 * np.log10(np.abs(hot).max())
+    tp = ao.true_peak_dbtp(hot, SR)
+    assert samp_db < -2.9
+    assert abs(tp - 0.0) < 0.2, tp
+    low = tone(100.0, dur_s=1.0)                  # crest well-sampled
+    assert abs(ao.true_peak_dbtp(low, SR)
+               - 20 * np.log10(np.abs(low).max())) < 0.05
