@@ -2860,6 +2860,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE t.k >= 2 AND t.n > t.k
             ORDER BY t.event_type
         """,
+        "encoding_audit_documents": """
+            -- text-encoding conformance counts; predicates mirror the
+            -- engine's compiled regexes and NFC check
+            WITH t AS (SELECT text FROM documents WHERE text IS NOT NULL),
+            c AS (SELECT
+                (SELECT count(*) FROM documents) AS n_docs,
+                count(*) AS n_text,
+                sum(CASE WHEN regexp_matches(text,
+                    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')
+                    THEN 1 ELSE 0 END) AS n_control,
+                sum(CASE WHEN contains(text, chr(65533))
+                    THEN 1 ELSE 0 END) AS n_replacement,
+                sum(CASE WHEN regexp_matches(text,
+                    '[' || chr(8203) || chr(8204) || chr(8205)
+                        || chr(65279) || ']')
+                    THEN 1 ELSE 0 END) AS n_zero_width,
+                sum(CASE WHEN regexp_matches(text, '[^\\x00-\\x7f]')
+                    THEN 1 ELSE 0 END) AS n_non_ascii,
+                sum(CASE WHEN nfc_normalize(text) <> text
+                    THEN 1 ELSE 0 END) AS n_nfc_unstable
+                FROM t)
+            SELECT CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_text AS BIGINT) AS n_text,
+                   CAST(n_control AS BIGINT) AS n_control,
+                   CAST(n_replacement AS BIGINT) AS n_replacement,
+                   CAST(n_zero_width AS BIGINT) AS n_zero_width,
+                   CAST(n_non_ascii AS BIGINT) AS n_non_ascii,
+                   CAST(n_nfc_unstable AS BIGINT) AS n_nfc_unstable,
+                   round(n_non_ascii * 1.0 / n_text, 6) AS frac_non_ascii
+            FROM c
+        """,
         "float_anomaly_audit": """
             -- IEEE hygiene of events.value: null/NaN/inf/subnormal/
             -- integer-valued counts; predicates identical to the engine

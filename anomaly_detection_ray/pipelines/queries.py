@@ -5137,6 +5137,46 @@ def q_pca_variance_embeddings(sf_dir: str):
         "eff_dim": rnd(np.full(d, eff), 4)})
 
 
+def q_encoding_audit_documents(sf_dir: str):
+    """Text-encoding conformance audit: documents containing C0 control
+    characters (excluding tab/newline/CR), U+FFFD replacement chars
+    (mojibake fingerprint), zero-width characters, any non-ASCII, and
+    NFC-instability (text != unicodedata NFC) — the ingest checks a text
+    corpus needs before tokenization. ONE shuffle-free scalar fold of
+    per-batch vectorized regex counts (patterns compiled once per task);
+    predicates mirror the oracle's regexp_matches / nfc_normalize
+    exactly."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        import unicodedata
+        s = df["text"].dropna().astype(str)
+        ctrl = s.str.contains("[\x00-\x08\x0b\x0c\x0e-\x1f]", regex=True)
+        repl = s.str.contains("�", regex=False)
+        zw = s.str.contains("[​‌‍﻿]", regex=True)
+        nonascii = s.str.contains("[^\x00-\x7f]", regex=True)
+        nfc = np.fromiter((unicodedata.normalize("NFC", x) != x
+                           for x in s), dtype=bool, count=len(s))
+        return pd.DataFrame({
+            "k": [0], "n_docs": [float(len(df))],
+            "n_text": [float(len(s))],
+            "n_control": [float(ctrl.sum())],
+            "n_replacement": [float(repl.sum())],
+            "n_zero_width": [float(zw.sum())],
+            "n_non_ascii": [float(nonascii.sum())],
+            "n_nfc_unstable": [float(nfc.sum())]})
+
+    cols = ["n_docs", "n_text", "n_control", "n_replacement",
+            "n_zero_width", "n_non_ascii", "n_nfc_unstable"]
+    m = _fold(ds.map_batches(partial, batch_format="pandas"), ["k"],
+              {c: "sum" for c in cols})
+    r = m.iloc[0]
+    out = pd.DataFrame({c: [np.int64(r[c])] for c in cols})
+    out["frac_non_ascii"] = rnd([r["n_non_ascii"] / r["n_text"]]
+                                if r["n_text"] else [np.nan], 6)
+    return out
+
+
 QUERIES = {
     "row_validate_events": q_row_validate_events,
     "border_check_events": q_border_check_events,
@@ -5333,6 +5373,7 @@ QUERIES = {
     "float_anomaly_audit": q_float_anomaly_audit,
     "pmi_collocations_documents": q_pmi_collocations_documents,
     "pca_variance_embeddings": q_pca_variance_embeddings,
+    "encoding_audit_documents": q_encoding_audit_documents,
     "audience_overlap_events": q_audience_overlap_events,
     "class_separability_embeddings": q_class_separability_embeddings,
     "seasonal_decompose_events": q_seasonal_decompose_events,

@@ -115,7 +115,7 @@ def oracle_names():
     "audience_overlap_events", "class_separability_embeddings",
     "seasonal_decompose_events", "columnar_roundtrip_events",
     "cdc_compact_events", "float_anomaly_audit",
-    "pmi_collocations_documents",
+    "pmi_collocations_documents", "encoding_audit_documents",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]

@@ -387,3 +387,33 @@ def test_synth_rir_energy_budget(rt60, seed):
     k = np.flatnonzero(db <= -60.0)
     t60 = (1 + (k[0] if len(k) else len(tail))) / sr
     assert abs(t60 - rt60) / rt60 < 0.2, (rt60, t60)
+
+
+def test_encoding_audit_predicate_parity():
+    """The encoding-audit predicates (engine pandas regex + unicodedata
+    vs DuckDB regexp_matches + nfc_normalize) agree on planted defects:
+    C0 control, U+FFFD, zero-width, non-ASCII, NFC-unstable."""
+    import duckdb
+    import unicodedata
+    rows = ["clean ascii", "ctl\x07here", "repl�char",
+            "zero​width", "café", "nfc é unstable",
+            "tab\tand\nnewline ok"]
+    s = pd.Series(rows)
+    eng = (int(s.str.contains("[\x00-\x08\x0b\x0c\x0e-\x1f]").sum()),
+           int(s.str.contains("�", regex=False).sum()),
+           int(s.str.contains("[​‌‍﻿]").sum()),
+           int(s.str.contains("[^\x00-\x7f]").sum()),
+           int(sum(unicodedata.normalize("NFC", x) != x for x in s)))
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame({"text": rows}))
+    want = con.sql(r"""SELECT
+      sum(CASE WHEN regexp_matches(text,'[\x00-\x08\x0b\x0c\x0e-\x1f]')
+          THEN 1 ELSE 0 END),
+      sum(CASE WHEN contains(text, chr(65533)) THEN 1 ELSE 0 END),
+      sum(CASE WHEN regexp_matches(text, '[' || chr(8203) || chr(8204)
+          || chr(8205) || chr(65279) || ']') THEN 1 ELSE 0 END),
+      sum(CASE WHEN regexp_matches(text,'[^\x00-\x7f]')
+          THEN 1 ELSE 0 END),
+      sum(CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END)
+      FROM d""").fetchone()
+    assert eng == tuple(int(x) for x in want)
