@@ -1128,11 +1128,14 @@ def test_reverb_table_recovers_planted_rt60(clip_ds):
     assert len(got) >= 50
     rel = np.abs(got["rt60_s"] - got["rt60_true_s"]) / got["rt60_true_s"]
     assert (rel < 0.3).mean() > 0.8, rel.describe()
-    # determinism across partitioning (seeded RIR, pure kernels)
+    # determinism across partitioning (seeded RIR, pure kernels); sort
+    # by ALL columns — planted 'dup' rows share a clip_id with different
+    # metadata/payload, so a single-key sort has undefined tie order
     out2 = ao.reverb_table(clip_ds.repartition(7),
                            concurrency=2).to_pandas()
-    a = out.sort_values("clip_id").reset_index(drop=True)
-    b = out2.sort_values("clip_id").reset_index(drop=True)
+    cols = list(out.columns)
+    a = out.sort_values(cols).reset_index(drop=True)
+    b = out2.sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
 
 
