@@ -77,6 +77,10 @@ class ValidateConfig:
     # fidelity decode (no extra pass over payloads); None = off (default
     # flagship output unchanged). Config-hashed => resume-invalidating.
     loudness_bounds: tuple | None = None
+    # optional (max_dc, max_sub20) signal-hygiene gate, also graded
+    # inside the SAME fidelity decode; None = off. Config-hashed =>
+    # resume-invalidating.
+    hygiene_limits: tuple | None = None
     # 0 = auto: sizing.decode_pool_size() (cpus - max(3, cpus/4))
     fidelity_concurrency: int = 0
     fidelity_batch_size: int = 128
@@ -480,7 +484,8 @@ def build_pass_b(full_ds, cfg: ValidateConfig, pass_a: dict,
         ck.FidelityCheck,
         fn_constructor_kwargs={"seed": cfg.seed,
                                "snr_threshold": cfg.snr_threshold,
-                               "loudness_bounds": cfg.loudness_bounds},
+                               "loudness_bounds": cfg.loudness_bounds,
+                               "hygiene_limits": cfg.hygiene_limits},
         batch_format="pyarrow",
         batch_size=cfg.fidelity_batch_size,
         concurrency=(decode_pool_size() if cfg.fidelity_concurrency == 0
@@ -490,6 +495,8 @@ def build_pass_b(full_ds, cfg: ValidateConfig, pass_a: dict,
     code_cols = list(CODE_COLS)
     if cfg.loudness_bounds:
         code_cols.append("ld_code")
+    if cfg.hygiene_limits:
+        code_cols.append("hy_code")
     extra_status_cols: list[str] = []
     if cfg.extra_suite:
         # declarative checks compiled ONCE, graded like any other check;
@@ -536,10 +543,10 @@ def build_pass_b(full_ds, cfg: ValidateConfig, pass_a: dict,
     # all-to-all only ever moves verdict-sized rows
     slim_cols = [c for c in ["clip_id", "partition_id", "sr_hz", "dur_ms",
                              "codec", "status_code", "anomaly_score", "snr_db",
-                             "loudness_db",
+                             "loudness_db", "dc_offset", "sub20_ratio",
                              "rv_reason", "bc_status", "cc_status", "tc_status",
                              "wf_status", "fid_status", "uq_status",
-                             "ld_status",
+                             "ld_status", "hy_status",
                              "ex_status"] + extra_status_cols + code_cols]
     ds = ds.map_batches(
         lambda t: t.select([c for c in slim_cols if c in t.column_names]),

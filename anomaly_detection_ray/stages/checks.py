@@ -157,7 +157,8 @@ class FidelityCheck:
 
     def __init__(self, seed: int, snr_threshold: float = 30.0,
                  max_samples: int = synth.MAX_SAMPLES,
-                 loudness_bounds: tuple | None = None):
+                 loudness_bounds: tuple | None = None,
+                 hygiene_limits: tuple | None = None):
         self.seed = seed
         self.snr_threshold = snr_threshold
         self.max_samples = max_samples
@@ -165,6 +166,10 @@ class FidelityCheck:
         # pass): clips outside [lo_db, hi_db] dBFS are flagged — too
         # quiet/hot for training. None (default) appends nothing.
         self.loudness_bounds = loudness_bounds
+        # optional signal-hygiene gate from the SAME decode: (max_dc,
+        # max_sub20) — DC bias / subsonic rumble beyond either limit is
+        # an Error. None (default) appends nothing.
+        self.hygiene_limits = hygiene_limits
 
     def __call__(self, t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -180,6 +185,12 @@ class FidelityCheck:
             ld_code = np.full(n, UNDEFINED_CODE, dtype=np.int8)
             ld_status = np.full(n, "Undefined", dtype=object)
             loud = np.full(n, np.nan)
+        hl = self.hygiene_limits
+        if hl:
+            hy_code = np.full(n, UNDEFINED_CODE, dtype=np.int8)
+            hy_status = np.full(n, "Undefined", dtype=object)
+            dc = np.full(n, np.nan)
+            sub = np.full(n, np.nan)
         for r in range(n):
             if payloads[r] is None or np.isnan(sr[r]) or np.isnan(dur[r]):
                 code[r] = UNDEFINED_CODE
@@ -203,6 +214,23 @@ class FidelityCheck:
                 else:
                     ld_code[r] = OK_CODE
                     ld_status[r] = "OK"
+            # grade hygiene only with >= 50 ms of audio: the mean of a
+            # handful of sine samples is legitimately nonzero (a planted
+            # 1 ms clip reads 0.11 "DC"), so shorter clips stay Undefined
+            if hl and dec_sr and len(dec) >= max(256, dec_sr // 20):
+                from .audio_ops import hygiene_stats
+                h = hygiene_stats(dec, dec_sr)
+                dc[r], sub[r] = h["dc_offset"], h["sub20_ratio"]
+                if abs(h["dc_offset"]) > hl[0]:
+                    hy_code[r] = ERROR_CODE
+                    hy_status[r] = "Error: DC offset above limit"
+                elif h["sub20_ratio"] == h["sub20_ratio"] \
+                        and h["sub20_ratio"] > hl[1]:
+                    hy_code[r] = ERROR_CODE
+                    hy_status[r] = "Error: subsonic rumble above limit"
+                else:
+                    hy_code[r] = OK_CODE
+                    hy_status[r] = "OK"
             n_samp = min(int(round(sr[r] * dur[r] / 1000.0)), self.max_samples)
             ref = audio.clip_signal(self.seed, int(idx[r]),
                                     min(int(sr[r]), 48000), int(dur[r]),
@@ -218,6 +246,12 @@ class FidelityCheck:
             t = _append(t, "ld", ld_code, ld_status)
             t = t.append_column("loudness_db",
                                 pa.array(loud, type=pa.float64()))
+        if hl:
+            t = _append(t, "hy", hy_code, hy_status)
+            t = t.append_column("dc_offset",
+                                pa.array(dc, type=pa.float64()))
+            t = t.append_column("sub20_ratio",
+                                pa.array(sub, type=pa.float64()))
         return t
 
 

@@ -382,3 +382,32 @@ def test_flag_duplicates_partitioned_stage_unit(tmp_path):
     write(0, [h[1]])
     out2 = ck.flag_duplicates_partitioned_stage(t, dup_dir)
     assert out2["uq_code"].to_pylist() == [1, -1, -1, 1, 1]
+
+
+def test_hygiene_gate_optional(clip_path, tmp_path, ray_session):
+    """hygiene_limits grades inside the fidelity decode: default off
+    (schema unchanged); with absurd limits every decodable clip is
+    flagged; with sane limits none are (the generator plants no DC or
+    rumble)."""
+    import ray.data as rd
+    cfg = vp.ValidateConfig(seed=SEED, P=P,
+                            hygiene_limits=(1e-9, 1e-12))
+    res = vp.run_validation(clip_path, str(tmp_path / "a"), cfg,
+                            resume=False)
+    v = rd.read_parquet(res["violations_path"]).to_pandas()
+    assert "hy_code" in v.columns and "dc_offset" in v.columns
+    flagged = v[v["hy_code"] == -1]
+    assert len(flagged) > 0.8 * len(v)
+
+    cfg2 = vp.ValidateConfig(seed=SEED, P=P,
+                             hygiene_limits=(0.02, 0.05))
+    res2 = vp.run_validation(clip_path, str(tmp_path / "b"), cfg2,
+                             resume=False)
+    v2 = rd.read_parquet(res2["violations_path"]).to_pandas()
+    assert (v2["hy_code"] != -1).all()
+    # default path unchanged: no hy columns at all
+    res3 = vp.run_validation(clip_path, str(tmp_path / "c"),
+                             vp.ValidateConfig(seed=SEED, P=P),
+                             resume=False)
+    v3 = rd.read_parquet(res3["violations_path"]).to_pandas()
+    assert "hy_code" not in v3.columns
