@@ -2860,6 +2860,63 @@ def oracle_sql() -> dict[str, str]:
             WHERE t.k >= 2 AND t.n > t.k
             ORDER BY t.event_type
         """,
+        "tukey_outliers_events": """
+            -- Tukey 1.5*IQR fences per type + outside counts; fences
+            -- computed and compared unrounded (quantile_cont ==
+            -- np.quantile linear, the winsorize precedent)
+            WITH f AS (SELECT event_type,
+                              quantile_cont(value, 0.25) AS q1,
+                              quantile_cont(value, 0.75) AS q3
+                       FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)
+                       GROUP BY 1),
+            c AS (SELECT e.event_type, count(*) AS n,
+                         sum(CASE WHEN value < q1 - 1.5 * (q3 - q1)
+                             THEN 1 ELSE 0 END) AS n_low,
+                         sum(CASE WHEN value > q3 + 1.5 * (q3 - q1)
+                             THEN 1 ELSE 0 END) AS n_high
+                  FROM events e JOIN f USING (event_type)
+                  WHERE value IS NOT NULL AND NOT isnan(value)
+                  GROUP BY 1)
+            SELECT f.event_type, CAST(n AS BIGINT) AS n,
+                   round(q1, 6) AS q1, round(q3, 6) AS q3,
+                   round(q1 - 1.5 * (q3 - q1), 6) AS lo,
+                   round(q3 + 1.5 * (q3 - q1), 6) AS hi,
+                   CAST(n_low AS BIGINT) AS n_low,
+                   CAST(n_high AS BIGINT) AS n_high
+            FROM f JOIN c USING (event_type) ORDER BY event_type
+        """,
+        "runs_test_events": """
+            -- Wald-Wolfowitz runs test per user on sign(value - median)
+            -- in (ts, event_id) order; exact E[R]/Var[R] closed forms,
+            -- users with n1 < 5 or n2 < 5 dropped both sides
+            WITH v AS (SELECT user_id, ts, event_id, value FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)),
+            med AS (SELECT user_id, quantile_cont(value, 0.5) AS m
+                    FROM v GROUP BY 1),
+            s AS (SELECT v.user_id,
+                         CASE WHEN value > m THEN 1 ELSE 0 END AS sg,
+                         ts, event_id
+                  FROM v JOIN med USING (user_id) WHERE value <> m),
+            r AS (SELECT user_id, sg,
+                         lag(sg) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS pg
+                  FROM s),
+            a AS (SELECT user_id,
+                         1 + sum(CASE WHEN pg IS NOT NULL AND sg <> pg
+                                 THEN 1 ELSE 0 END) AS runs,
+                         sum(sg) AS n1, sum(1 - sg) AS n2
+                  FROM r GROUP BY 1)
+            SELECT user_id, CAST(runs AS BIGINT) AS n_runs,
+                   CAST(n1 AS BIGINT) AS n_above,
+                   CAST(n2 AS BIGINT) AS n_below,
+                   round((runs - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                         / sqrt(2.0 * n1 * n2
+                                * (2.0 * n1 * n2 - (n1 + n2))
+                                / ((n1 + n2) * (n1 + n2)
+                                   * (n1 + n2 - 1.0))), 6) AS z
+            FROM a WHERE n1 >= 5 AND n2 >= 5 ORDER BY user_id
+        """,
         "encoding_audit_documents": """
             -- text-encoding conformance counts; predicates mirror the
             -- engine's compiled regexes and NFC check

@@ -5177,6 +5177,101 @@ def q_encoding_audit_documents(sf_dir: str):
     return out
 
 
+def q_tukey_outliers_events(sf_dir: str):
+    """Tukey-fence outlier audit per event type: Q1/Q3, the 1.5·IQR
+    fences, and how many values fall outside each — the nonparametric
+    complement of zscore (fences don't assume normality). Two passes:
+    exact per-type quartiles via a slim (type, value) groupby
+    (np.quantile linear ≡ DuckDB quantile_cont, the winsorize
+    precedent), then a shuffle-free map-side count against the
+    broadcast fence table."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=["value"])
+        return pd.DataFrame({"event_type": d["event_type"].to_numpy(),
+                             "value": d["value"].to_numpy(np.float64)})
+
+    def grp(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(np.float64)
+        q1, q3 = float(np.quantile(v, 0.25)), float(np.quantile(v, 0.75))
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "q1": [q1], "q3": [q3]})
+
+    fences = (ds.map_batches(prep, batch_format="pandas")
+              .groupby("event_type").map_groups(grp,
+                                                batch_format="pandas")
+              .to_pandas())
+    fences["lo"] = fences["q1"] - 1.5 * (fences["q3"] - fences["q1"])
+    fences["hi"] = fences["q3"] + 1.5 * (fences["q3"] - fences["q1"])
+    ref = ray.put(fences.set_index("event_type")[["lo", "hi"]])
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        f = ray.get(ref)
+        d = df.dropna(subset=["value"])
+        v = d["value"].to_numpy(np.float64)
+        lo = d["event_type"].map(f["lo"]).to_numpy(np.float64)
+        hi = d["event_type"].map(f["hi"]).to_numpy(np.float64)
+        return pd.DataFrame({
+            "event_type": d["event_type"].to_numpy(), "n": 1.0,
+            "n_low": (v < lo).astype(np.float64),
+            "n_high": (v > hi).astype(np.float64)}).groupby(
+            "event_type", as_index=False).sum()
+
+    m = _fold(ds.map_batches(count, batch_format="pandas"),
+              ["event_type"], {"n": "sum", "n_low": "sum",
+                               "n_high": "sum"})
+    out = fences.merge(m, on="event_type")
+    for c in ["n", "n_low", "n_high"]:
+        out[c] = out[c].astype("int64")
+    for c in ["q1", "q3", "lo", "hi"]:
+        out[c] = rnd(out[c], 6)
+    return (out[["event_type", "n", "q1", "q3", "lo", "hi",
+                 "n_low", "n_high"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+def q_runs_test_events(sf_dir: str):
+    """Wald–Wolfowitz runs test per user: is the sign sequence of
+    (value − user median) random in (ts, event_id) order, or does it
+    streak (stuck sensor) / alternate (oscillation)? The randomness
+    audit the mean/variance monitors can't see. Per-user vectorized
+    sweep in groupby(user).map_groups (bounded series contract); exact
+    closed forms for E[R] and Var[R]; users with n1 < 5 or n2 < 5 are
+    dropped by both sides (normal approximation invalid)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.dropna(subset=["value"]).sort_values(
+            ["ts", "event_id"], kind="mergesort")
+        v = g["value"].to_numpy(np.float64)
+        med = float(np.quantile(v, 0.5)) if len(v) else np.nan
+        s = v[v != med] > med
+        n1, n2 = int(s.sum()), int((~s).sum())
+        if n1 < 5 or n2 < 5:
+            return pd.DataFrame({"user_id": [], "n_runs": [],
+                                 "n_above": [], "n_below": [], "z": []})
+        r = 1 + int((s[1:] != s[:-1]).sum())
+        n = n1 + n2
+        er = 1.0 + 2.0 * n1 * n2 / n
+        vr = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+              / (n * n * (n - 1.0)))
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_runs": [np.int64(r)], "n_above": [np.int64(n1)],
+            "n_below": [np.int64(n2)],
+            "z": rnd([(r - er) / np.sqrt(vr)], 6)})
+
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ["n_runs", "n_above", "n_below"]:
+            df[c] = df[c].astype("int64")
+        return df
+
+    return (ds.groupby("user_id").map_groups(per_user,
+                                             batch_format="pandas")
+            .map_batches(fix, batch_format="pandas"))
+
+
 QUERIES = {
     "row_validate_events": q_row_validate_events,
     "border_check_events": q_border_check_events,
@@ -5374,6 +5469,8 @@ QUERIES = {
     "pmi_collocations_documents": q_pmi_collocations_documents,
     "pca_variance_embeddings": q_pca_variance_embeddings,
     "encoding_audit_documents": q_encoding_audit_documents,
+    "tukey_outliers_events": q_tukey_outliers_events,
+    "runs_test_events": q_runs_test_events,
     "audience_overlap_events": q_audience_overlap_events,
     "class_separability_embeddings": q_class_separability_embeddings,
     "seasonal_decompose_events": q_seasonal_decompose_events,

@@ -116,6 +116,7 @@ def oracle_names():
     "seasonal_decompose_events", "columnar_roundtrip_events",
     "cdc_compact_events", "float_anomaly_audit",
     "pmi_collocations_documents", "encoding_audit_documents",
+    "tukey_outliers_events", "runs_test_events",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]
