@@ -2860,6 +2860,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE t.k >= 2 AND t.n > t.k
             ORDER BY t.event_type
         """,
+        "cardinality_profile_orders": """
+            -- distribution of line counts per order + zero-line orders
+            WITH c AS (SELECT l_orderkey, count(*) AS n_lines
+                       FROM lineitem GROUP BY 1),
+            d AS (SELECT n_lines, count(*) AS n_orders FROM c GROUP BY 1),
+            z AS (SELECT 0 AS n_lines, count(*) AS n_orders FROM orders
+                  WHERE o_orderkey NOT IN (SELECT l_orderkey FROM c))
+            SELECT CAST(n_lines AS BIGINT) AS n_lines,
+                   CAST(n_orders AS BIGINT) AS n_orders
+            FROM (SELECT * FROM z WHERE n_orders > 0
+                  UNION ALL SELECT * FROM d)
+            ORDER BY n_lines
+        """,
+        "monthly_revenue_lineitem": """
+            -- monthly discounted revenue + MoM percent change; revenue
+            -- summed exactly as BIGINT 1e-4-dollar units (cents x
+            -- percent), association-order-proof by construction
+            WITH m AS (SELECT CAST(year(l_shipdate) * 100
+                              + month(l_shipdate) AS BIGINT) AS ym,
+                              CAST(count(*) AS BIGINT) AS n_items,
+                              round(sum(CAST(round(l_extendedprice * 100)
+                                             AS BIGINT)
+                                        * CAST(round((1 - l_discount) * 100)
+                                               AS BIGINT)) / 10000.0, 2)
+                                  AS revenue
+                       FROM lineitem GROUP BY 1)
+            SELECT ym, n_items, revenue,
+                   round(100.0 * (revenue - lag(revenue)
+                                  OVER (ORDER BY ym))
+                         / lag(revenue) OVER (ORDER BY ym), 6) AS mom_pct
+            FROM m ORDER BY ym
+        """,
         "tukey_outliers_events": """
             -- Tukey 1.5*IQR fences per type + outside counts; fences
             -- computed and compared unrounded (quantile_cont ==

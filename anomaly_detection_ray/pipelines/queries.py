@@ -5272,6 +5272,80 @@ def q_runs_test_events(sf_dir: str):
             .map_batches(fix, batch_format="pandas"))
 
 
+def q_cardinality_profile_orders(sf_dir: str):
+    """Referential-cardinality profile: the distribution of line-item
+    counts per order, plus orders with NO lines — the fan-out audit that
+    referential existence checks can't see (a 1:N relation whose N
+    drifts is an upstream bug even when every key resolves). Lineitem
+    folds to per-order counts (slim native groupby), the count-of-counts
+    is a second tiny fold, and zero-line orders come from an anti-join
+    of the orders keyset against the per-order count table (two-regime
+    via the fold helper, no driver keyset at scale — gate sizes use the
+    broadcast regime)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        t = df.groupby("l_orderkey", as_index=False).size()
+        return t.rename(columns={"size": "n_lines"}).astype(
+            {"n_lines": "float64"})
+
+    per_order = _fold(li.map_batches(pre, batch_format="pandas"),
+                      ["l_orderkey"], {"n_lines": "sum"})
+    dist = (per_order.groupby("n_lines").size()
+            .rename("n_orders").reset_index())
+    with_lines = ray.put(frozenset(per_order["l_orderkey"].tolist()))
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def zero(df: pd.DataFrame) -> pd.DataFrame:
+        k = ray.get(with_lines)
+        return pd.DataFrame({
+            "k": [0],
+            "n": [float((~df["o_orderkey"].isin(k)).sum())]})
+
+    z = _fold(orders.map_batches(zero, batch_format="pandas"),
+              ["k"], {"n": "sum"})
+    rows = [(np.int64(0), np.int64(z["n"].iloc[0]))] + [
+        (np.int64(r["n_lines"]), np.int64(r["n_orders"]))
+        for _, r in dist.iterrows()]
+    out = pd.DataFrame(rows, columns=["n_lines", "n_orders"])
+    out = out[out["n_orders"] > 0]
+    return out.sort_values("n_lines").reset_index(drop=True)
+
+
+def q_monthly_revenue_lineitem(sf_dir: str):
+    """Monthly discounted-revenue trend with month-over-month percent
+    change — the business-calendar companion of wow_change (hourly) over
+    the warehouse fact table. ONE bounded fold at month grain (≤ ~84
+    cells for the 7-year range); the MoM change derives on the driver
+    with the identical lag expression as the window oracle. Revenue is
+    summed EXACTLY in integer 10⁻⁴-dollar units (cents(price) ×
+    percent(1−discount), both 2-dp inputs) — a float fold of thousands
+    of ~1e7 terms lands on .xx5 rounding boundaries often enough to
+    flip a month (observed at sf0.001), integer sums never do."""
+    li = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["l_extendedprice"].to_numpy(np.float64)
+                         * 100.0).astype(np.int64)
+        pct = np.round((1.0 - df["l_discount"].to_numpy(np.float64))
+                       * 100.0).astype(np.int64)
+        ym = (df["l_shipdate"].dt.year * 100
+              + df["l_shipdate"].dt.month).to_numpy(np.int64)
+        return pd.DataFrame({"ym": ym, "rev_1e4": cents * pct,
+                             "n_items": 1.0}).groupby(
+            "ym", as_index=False).sum()
+
+    m = _fold(li.map_batches(partial, batch_format="pandas"),
+              ["ym"], {"rev_1e4": "sum", "n_items": "sum"})
+    m = m.sort_values("ym").reset_index(drop=True)
+    m["revenue"] = rnd(m.pop("rev_1e4") / 10000.0, 2)
+    prev = m["revenue"].shift(1)
+    m["mom_pct"] = rnd(100.0 * (m["revenue"] - prev) / prev, 6)
+    m["n_items"] = m["n_items"].astype("int64")
+    return m[["ym", "n_items", "revenue", "mom_pct"]]
+
+
 QUERIES = {
     "row_validate_events": q_row_validate_events,
     "border_check_events": q_border_check_events,
@@ -5471,6 +5545,8 @@ QUERIES = {
     "encoding_audit_documents": q_encoding_audit_documents,
     "tukey_outliers_events": q_tukey_outliers_events,
     "runs_test_events": q_runs_test_events,
+    "cardinality_profile_orders": q_cardinality_profile_orders,
+    "monthly_revenue_lineitem": q_monthly_revenue_lineitem,
     "audience_overlap_events": q_audience_overlap_events,
     "class_separability_embeddings": q_class_separability_embeddings,
     "seasonal_decompose_events": q_seasonal_decompose_events,

@@ -117,6 +117,7 @@ def oracle_names():
     "cdc_compact_events", "float_anomaly_audit",
     "pmi_collocations_documents", "encoding_audit_documents",
     "tukey_outliers_events", "runs_test_events",
+    "cardinality_profile_orders", "monthly_revenue_lineitem",
 ])
 def test_query_vs_oracle(name, entrymod, con):
     q = entrymod.queries()[name]
