@@ -51,6 +51,11 @@ class AudioPrepConfig:
     max_flatness: float = 1.0       # spectral flatness above => drop (1.0 = off)
     min_speech: float = 0.0         # speech_ratio below => drop (0.0 = off)
     min_snr_db: float | None = None  # blind SNR below => drop (None = off)
+    max_dc: float | None = None  # |DC offset| above => drop (None = off);
+                                 # clips under ~50 ms stay ungated (a few
+                                 # sine samples have a legit nonzero mean)
+    remove_dc: bool = False      # subtract the mean before gating/resample
+                                 # (repair-then-grade, the declip idiom)
     denoise_below_snr: float | None = None  # Wiener-denoise clips under
                                     # this blind SNR; clean clips untouched
     batch_size: int = 32
@@ -95,6 +100,13 @@ class AudioPrep:
             if cfg.declip:
                 sig, _ = ao.declip(sig)   # repair, THEN grade: salvages
                                           # clips the gate would drop
+            if cfg.remove_dc and len(sig) >= 256:
+                sig = sig - float(np.mean(sig))
+            if (cfg.max_dc is not None
+                    and len(sig) >= max(256, int(sr) // 20)
+                    and abs(float(np.mean(sig))) > cfg.max_dc):
+                st["drop_quality"] += 1
+                continue
             clip_r = ao.clipping_stats(sig)["clipping_ratio"]
             if clip_r > cfg.err_clip:
                 st["drop_quality"] += 1

@@ -221,3 +221,25 @@ def test_sinc_resampler_and_loudness_normalization(clip_path,
     # full-clip leveling, per-second segments: segment RMS scatters around
     # the clip target — the MEDIAN must sit near -20 dBFS
     assert abs(float(np.median(rms_db)) - (-20.0)) < 3.0
+
+
+def test_dc_gate_and_removal(clip_path, tmp_path):
+    """max_dc drops clips whose mean exceeds the limit; remove_dc
+    (repair-then-grade, the declip idiom) subtracts the bias first so
+    the same gate then keeps them and emitted segments are zero-mean."""
+    base = ap.run_audio_prep(
+        clip_path, str(tmp_path / "base"),
+        ap.AudioPrepConfig(P=P, concurrency=2), resume=False)
+    kept_base = int(base["metrics"]["kept"].sum())
+    # an absurdly tight gate: every gradeable clip has SOME partial-cycle
+    # mean, so most of the corpus drops
+    cfg = ap.AudioPrepConfig(P=P, max_dc=1e-12, concurrency=2)
+    res = ap.run_audio_prep(clip_path, str(tmp_path / "dc"), cfg,
+                            resume=False)
+    assert int(res["metrics"]["kept"].sum()) < 0.5 * kept_base
+    # with removal the gate passes again (repair precedes grade)
+    cfg2 = ap.AudioPrepConfig(P=P, max_dc=1e-12, remove_dc=True,
+                              concurrency=2)
+    res2 = ap.run_audio_prep(clip_path, str(tmp_path / "dcr"), cfg2,
+                             resume=False)
+    assert int(res2["metrics"]["kept"].sum()) >= 0.9 * kept_base
