@@ -2681,6 +2681,143 @@ def oracle_sql() -> dict[str, str]:
             WHERE va / na + vb / nb > 0
             ORDER BY event_type
         """,
+        "volume_shipping_nations": """
+            -- Q7 shape: bi-directional NATION_3<->NATION_8 trade flow,
+            -- 1996-1997 ship years
+            WITH p AS (SELECT n_nationkey, n_name FROM nation
+                       WHERE n_name IN ('NATION_3', 'NATION_8'))
+            SELECT ns.n_name AS supp_nation,
+                   nc.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS year,
+                   round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                             * CAST(round((1 - l.l_discount) * 100)
+                                    AS BIGINT)) / 10000.0, 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN p ns ON s.s_nationkey = ns.n_nationkey
+            JOIN p nc ON c.c_nationkey = nc.n_nationkey
+            WHERE ns.n_name <> nc.n_name
+              AND l.l_shipdate >= DATE '1996-01-01'
+              AND l.l_shipdate < DATE '1998-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "returned_item_report": """
+            -- Q10 shape: top-20 customers by returned-item revenue loss
+            -- for 1996Q1 orders; post-round ordering + custkey tie-break
+            -- mirrors the engine's deterministic prefix
+            WITH rev AS (
+                SELECT o.o_custkey,
+                       round(sum(l.l_extendedprice * (1 - l.l_discount)),
+                             2) AS revenue
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE l.l_returnflag = 'R'
+                  AND o.o_orderdate >= DATE '1996-01-01'
+                  AND o.o_orderdate < DATE '1996-04-01'
+                GROUP BY 1)
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   round(c.c_acctbal, 2) AS c_acctbal, rev.revenue
+            FROM rev
+            JOIN customer c ON rev.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            ORDER BY rev.revenue DESC, c.c_custkey
+            LIMIT 20
+        """,
+        "bracket_revenue_part": """
+            -- Q19 shape: OR-bracket (brand, size, quantity) conditional
+            -- revenue, one row per bracket
+            WITH b AS (
+                SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l.l_discount) * 100) AS BIGINT)
+                           AS rev,
+                       CASE WHEN p.p_brand = 'Brand#1' AND p.p_size
+                                 BETWEEN 1 AND 5
+                                 AND l.l_quantity BETWEEN 1 AND 11
+                            THEN 'Brand#1'
+                            WHEN p.p_brand = 'Brand#2' AND p.p_size
+                                 BETWEEN 1 AND 10
+                                 AND l.l_quantity BETWEEN 10 AND 20
+                            THEN 'Brand#2'
+                            WHEN p.p_brand = 'Brand#3' AND p.p_size
+                                 BETWEEN 1 AND 15
+                                 AND l.l_quantity BETWEEN 20 AND 30
+                            THEN 'Brand#3'
+                       END AS p_brand
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey)
+            SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+                   round(sum(rev) / 10000.0, 2) AS revenue
+            FROM b WHERE p_brand IS NOT NULL
+            GROUP BY 1 ORDER BY 1
+        """,
+        "sales_opportunity_customers": """
+            -- Q22 shape: above-average-balance customers with no RECENT
+            -- (2000+) orders, per market segment
+            WITH t AS (SELECT avg(c_acctbal) AS thresh FROM customer
+                       WHERE c_acctbal > 0.0)
+            SELECT c.c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_cust,
+                   round(sum(c.c_acctbal), 2) AS total_acctbal
+            FROM customer c, t
+            WHERE c.c_acctbal > t.thresh
+              AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
+                                      WHERE o_orderdate >= DATE '2000-01-01')
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        "wasserstein_drift_events": """
+            -- grid-W1 per type between time halves: 20 equal-width
+            -- global bins, sum |cdf_a - cdf_b| * cell width over the
+            -- first 19 cells (cell 20's term is exactly 0); identical
+            -- bin expression as the engine
+            WITH r AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+                           AS mid FROM events),
+            v AS (SELECT event_type,
+                         CASE WHEN epoch_us(ts) < (SELECT mid FROM r)
+                              THEN 'a' ELSE 'b' END AS period, value
+                  FROM events
+                  WHERE value IS NOT NULL AND NOT isnan(value)),
+            rng AS (SELECT min(value) AS lo, max(value) AS hi FROM v),
+            b AS (SELECT event_type, period,
+                         CAST(least(greatest(floor(
+                             (value - rng.lo) * 20.0 / (rng.hi - rng.lo)),
+                             0), 19) AS INT) AS bin
+                  FROM v, rng),
+            c AS (SELECT event_type, period, bin, count(*) AS n
+                  FROM b GROUP BY 1, 2, 3),
+            grid AS (SELECT t.event_type, p.period, g.bin,
+                            coalesce(c.n, 0) AS n
+                     FROM (SELECT DISTINCT event_type FROM v) t
+                     CROSS JOIN (VALUES ('a'), ('b')) p(period)
+                     CROSS JOIN (SELECT range AS bin FROM range(20)) g
+                     LEFT JOIN c ON c.event_type = t.event_type
+                                AND c.period = p.period
+                                AND c.bin = g.bin),
+            cum AS (SELECT event_type, period, bin,
+                           sum(n) OVER (PARTITION BY event_type, period
+                                        ORDER BY bin) AS cum,
+                           sum(n) OVER (PARTITION BY event_type, period)
+                               AS tot
+                    FROM grid),
+            w AS (SELECT a.event_type,
+                         max(a.tot) AS na, max(b2.tot) AS nb,
+                         sum(abs(CAST(a.cum AS DOUBLE) / a.tot
+                                 - CAST(b2.cum AS DOUBLE) / b2.tot)) AS s
+                  FROM cum a JOIN cum b2
+                    ON a.event_type = b2.event_type AND a.bin = b2.bin
+                  WHERE a.period = 'a' AND b2.period = 'b' AND a.bin < 19
+                  GROUP BY 1)
+            SELECT w.event_type,
+                   CAST(w.na AS BIGINT) AS n_a,
+                   CAST(w.nb AS BIGINT) AS n_b,
+                   round(w.s * (rng.hi - rng.lo) / 20.0, 6) AS w1
+            FROM w, rng
+            WHERE w.na > 0 AND w.nb > 0
+            ORDER BY w.event_type
+        """,
         "cramers_v_events": """
             -- Cramér's V over the FULL type x hour grid (empty cells
             -- contribute their expected count to chi2)

@@ -5346,6 +5346,320 @@ def q_monthly_revenue_lineitem(sf_dir: str):
     return m[["ym", "n_items", "revenue", "mom_pct"]]
 
 
+def q_wasserstein_drift_events(sf_dir: str):
+    """Grid-Wasserstein (W1) drift per event type between the first and
+    second half of the table's time range — the magnitude-aware companion
+    of drift_events_psi: PSI is scale-free and saturates on disjoint
+    supports, W1 reports the actual mass-transport distance in value
+    units, so "mean shifted by 0.3" and "mean shifted by 30" grade
+    differently. Distributions are quantized on a 20-cell equal-width
+    global grid — the scale path: exact W1 needs per-type sorted values
+    (an all-to-all sort per scalar at 10^12 rows), while the grid version
+    is two bounded mergeable folds (epoch+value range, then
+    (type, period, bin) counts) and a ≤ types×2×20 driver table. W1 =
+    Σ|cdf_a − cdf_b| × cell width over the first B−1 cells (the last
+    cell's term is exactly 0: integer cumulative counts equal n). Bin
+    expression identical engine- and oracle-side."""
+    B = 20
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def p_range(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        keep = ~np.isnan(v)
+        if not keep.any():
+            return pd.DataFrame({"k": [], "lo_us": [], "hi_us": [],
+                                 "lo": [], "hi": []})
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({"k": [0], "lo_us": [us.min()],
+                             "hi_us": [us.max()],
+                             "lo": [v[keep].min()], "hi": [v[keep].max()]})
+
+    r = _fold(ds.map_batches(p_range, batch_format="pandas"),
+              ["k"], {"lo_us": "min", "hi_us": "max",
+                      "lo": "min", "hi": "max"})
+    mid = (int(r["lo_us"].iloc[0]) + int(r["hi_us"].iloc[0])) // 2
+    lo, hi = float(r["lo"].iloc[0]), float(r["hi"].iloc[0])
+    span = hi - lo
+
+    def p_bins(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        keep = ~np.isnan(v)
+        df, v = df[keep], v[keep]
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        per = np.where(us < mid, "a", "b")
+        if span > 0:
+            b = np.clip(np.floor((v - lo) * float(B) / span), 0, B - 1)
+        else:
+            b = np.zeros(len(v))
+        t = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "period": per, "bin": b.astype(np.int64),
+                          "n": 1.0})
+        return t.groupby(["event_type", "period", "bin"],
+                         as_index=False).sum()
+
+    c = _fold(ds.map_batches(p_bins, batch_format="pandas"),
+              ["event_type", "period", "bin"], {"n": "sum"})
+    out = []
+    for et in sorted(c["event_type"].unique()):
+        g = c[c["event_type"] == et]
+        cnt = {}
+        for per in ("a", "b"):
+            h = np.zeros(B, dtype=np.int64)
+            gp = g[g["period"] == per]
+            h[gp["bin"].to_numpy(np.int64)] = gp["n"].to_numpy(np.int64)
+            cnt[per] = h
+        na, nb = int(cnt["a"].sum()), int(cnt["b"].sum())
+        if na == 0 or nb == 0:
+            continue
+        ca = np.cumsum(cnt["a"]).astype(np.float64) / na
+        cb = np.cumsum(cnt["b"]).astype(np.float64) / nb
+        s = float(np.abs(ca[:B - 1] - cb[:B - 1]).sum())
+        out.append((et, np.int64(na), np.int64(nb),
+                    rnd(s * span / B, 6)))
+    return pd.DataFrame(out, columns=["event_type", "n_a", "n_b", "w1"])
+
+
+def q_volume_shipping_nations(sf_dir: str):
+    """TPC-H Q7-shaped bi-directional nation-pair trade flow: discounted
+    revenue by (supplier nation, customer nation, ship year) for the
+    NATION_3<->NATION_8 pair, 1996-1997 (nations chosen to hold suppliers at every test scale). Ray shape: supplier and customer
+    nation keys become dense-array broadcast lookups (ray.put once);
+    lineitem pre-filters to the two supplier nations AT THE SCAN (the
+    pair predicate halves again post-join) and pre-reduces to
+    (orderkey, s_nat, year, revenue) before the single co-partitioned
+    join with orders; the pair filter + year grouping fold driver-side
+    (<= 2x2x#years tiny rows)."""
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    cusd = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    pair = nat.set_index("n_name").loc[["NATION_3", "NATION_8"],
+                                       "n_nationkey"].to_numpy(np.int64)
+    n1, n2 = int(pair[0]), int(pair[1])
+    nat_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+    sup_nat = np.full(int(sup["s_suppkey"].max()) + 1, -1, dtype=np.int64)
+    sup_nat[sup["s_suppkey"].to_numpy()] = sup["s_nationkey"].to_numpy()
+    cus_nat = np.full(int(cusd["c_custkey"].max()) + 1, -1, dtype=np.int64)
+    cus_nat[cusd["c_custkey"].to_numpy()] = cusd["c_nationkey"].to_numpy()
+    sup_ref, cus_ref = ray.put(sup_nat), ray.put(cus_nat)
+
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1998-01-01")
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        sn = ray.get(sup_ref)
+        s_nat = sn[df["l_suppkey"].to_numpy()]
+        m = ((df["l_shipdate"].to_numpy() >= lo)
+             & (df["l_shipdate"].to_numpy() < hi)
+             & ((s_nat == n1) | (s_nat == n2)))
+        df = df[m]
+        # revenue folds EXACTLY in integer 1e-4-dollar units (cents x
+        # percent) — year-pair grain sums thousands of ~1e7 terms, the
+        # shape that flipped a .xx5 round boundary at month grain
+        cents = np.round(df["l_extendedprice"].to_numpy(np.float64)
+                         * 100.0).astype(np.int64)
+        pct = np.round((1.0 - df["l_discount"].to_numpy(np.float64))
+                       * 100.0).astype(np.int64)
+        return (pd.DataFrame({
+            "l_orderkey": df["l_orderkey"],
+            "s_nat": s_nat[m],
+            "year": df["l_shipdate"].dt.year.to_numpy(np.int64),
+            "rev_1e4": cents * pct,
+        }).groupby(["l_orderkey", "s_nat", "year"], as_index=False).sum())
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    # 8 partitions at test scale: a hash partition left empty by a tiny
+    # pre-filtered side yields a schema-less block Arrow's join rejects;
+    # at warehouse scale this dial rises with the slim side's row count
+    j = li.map_batches(pre, batch_format="pandas").join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        cn = ray.get(cus_ref)
+        c_nat = cn[df["o_custkey"].to_numpy()]
+        s_nat = df["s_nat"].to_numpy()
+        m = ((s_nat == n1) & (c_nat == n2)) | ((s_nat == n2) & (c_nat == n1))
+        return (pd.DataFrame({"s_nat": s_nat[m], "c_nat": c_nat[m],
+                              "year": df["year"].to_numpy()[m],
+                              "rev_1e4": df["rev_1e4"].to_numpy()[m]})
+                .groupby(["s_nat", "c_nat", "year"], as_index=False).sum())
+
+    m = _fold(j.map_batches(post, batch_format="pandas"),
+              ["s_nat", "c_nat", "year"], {"rev_1e4": "sum"})
+    m["supp_nation"] = m.pop("s_nat").map(nat_name)
+    m["cust_nation"] = m.pop("c_nat").map(nat_name)
+    m["revenue"] = rnd(m.pop("rev_1e4") / 10000.0, 2)
+    return (m[["supp_nation", "cust_nation", "year", "revenue"]]
+            .sort_values(["supp_nation", "cust_nation", "year"])
+            .reset_index(drop=True))
+
+
+def q_returned_item_report(sf_dir: str):
+    """TPC-H Q10-shaped returned-item loss report: the 20 customers who
+    lost the most revenue to returned ('R') line items against orders
+    placed in 1996Q1. Ray shape: orders window-prunes at the scan,
+    lineitem filters returnflag='R' and pre-reduces per orderkey, the
+    two slim sides meet in ONE co-partitioned join, and the per-custkey
+    revenue fold is bounded by the customer dimension (the
+    bounded-dimension contract, as Q15's supplier fold); customer +
+    nation names attach on the driver to the folded table. Top-20
+    ordering compares revenue AFTER the 2 dp round with a custkey
+    tie-break, so both engines cut the same deterministic prefix."""
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1996-04-01")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    win = orders.map_batches(
+        lambda df: df.loc[(df["o_orderdate"].to_numpy() >= lo)
+                          & (df["o_orderdate"].to_numpy() < hi),
+                          ["o_orderkey", "o_custkey"]],
+        batch_format="pandas")
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_returnflag"].to_numpy() == "R"]
+        return (pd.DataFrame({
+            "l_orderkey": df["l_orderkey"],
+            "revenue": (df["l_extendedprice"]
+                        * (1 - df["l_discount"])).to_numpy()})
+                .groupby("l_orderkey", as_index=False).sum())
+
+    j = li.map_batches(pre, batch_format="pandas").join(
+        win, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False)["revenue"].sum()
+
+    per_cust = _fold(j.map_batches(post, batch_format="pandas"),
+                     ["o_custkey"], {"revenue": "sum"})
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey",
+                  "c_acctbal"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    t = per_cust.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    t = t.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    t["revenue"] = rnd(t["revenue"], 2)
+    t["c_acctbal"] = rnd(t["c_acctbal"], 2)
+    t = t.sort_values(["revenue", "c_custkey"],
+                      ascending=[False, True]).head(20)
+    return t[["c_custkey", "c_name", "n_name", "c_acctbal",
+              "revenue"]].reset_index(drop=True)
+
+
+def q_bracket_revenue_part(sf_dir: str):
+    """TPC-H Q19-shaped OR-bracket conditional revenue: discounted
+    revenue per (brand, size-range, quantity-range) bracket over three
+    disjunctive branches. Ray shape: part's (brand id, size) attributes
+    become two dense broadcast arrays (ray.put once — the
+    bounded-dimension contract), so the lineitem fact scan evaluates all
+    three bracket predicates vectorized with NO join and NO shuffle;
+    one <= 3-row scalar fold. The reference pattern this generalizes is
+    the multi-branch CASE filter; revenue rounds at 2 dp."""
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    npart = int(part["p_partkey"].max()) + 1
+    brand_of = np.full(npart, -1, dtype=np.int64)
+    brands = ["Brand#1", "Brand#2", "Brand#3"]
+    bmap = {b: i for i, b in enumerate(brands)}
+    brand_of[part["p_partkey"].to_numpy()] = (
+        part["p_brand"].map(bmap).fillna(-1).to_numpy(np.int64))
+    size_of = np.zeros(npart, dtype=np.int64)
+    size_of[part["p_partkey"].to_numpy()] = part["p_size"].to_numpy()
+    brand_ref, size_ref = ray.put(brand_of), ray.put(size_of)
+    # (brand idx, size_max, qty_lo, qty_hi) per bracket
+    brackets = [(0, 5, 1.0, 11.0), (1, 10, 10.0, 20.0), (2, 15, 20.0, 30.0)]
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(brand_ref)[df["l_partkey"].to_numpy()]
+        s = ray.get(size_ref)[df["l_partkey"].to_numpy()]
+        q = df["l_quantity"].to_numpy(np.float64)
+        # exact integer 1e-4-dollar units: bracket grain sums thousands
+        # of ~1e7 terms (the .xx5-boundary shape; see monthly_revenue)
+        cents = np.round(df["l_extendedprice"].to_numpy(np.float64)
+                         * 100.0).astype(np.int64)
+        pct = np.round((1.0 - df["l_discount"].to_numpy(np.float64))
+                       * 100.0).astype(np.int64)
+        rev = cents * pct
+        rows = []
+        for bi, smax, qlo, qhi in brackets:
+            m = (b == bi) & (s >= 1) & (s <= smax) & (q >= qlo) & (q <= qhi)
+            rows.append((bi, int(rev[m].sum()), float(m.sum())))
+        return pd.DataFrame(rows, columns=["bracket", "rev_1e4", "n_items"])
+
+    m = _fold(li.map_batches(partial, batch_format="pandas"),
+              ["bracket"], {"rev_1e4": "sum", "n_items": "sum"})
+    m = m.sort_values("bracket").reset_index(drop=True)
+    m["p_brand"] = [brands[int(i)] for i in m["bracket"]]
+    m["n_items"] = m["n_items"].astype("int64")
+    m["revenue"] = rnd(m.pop("rev_1e4") / 10000.0, 2)
+    return m[["p_brand", "n_items", "revenue"]]
+
+
+def q_sales_opportunity_customers(sf_dir: str):
+    """TPC-H Q22-shaped sales-opportunity anti-join: per market segment,
+    the count and total balance of customers whose account balance
+    exceeds the global mean POSITIVE balance and who placed no order in
+    the recent window (2000-01-01 on — the synth data gives every
+    customer SOME order, so the classical never-ordered predicate is
+    vacuous; the recency-lapse variant keeps the identical shape
+    non-empty). Ray shape: one scalar (sum, n) fold pins the global
+    mean; window-pruned orders collapse to their distinct custkey set
+    (slim per-batch unique partials folded under the bounded-dimension
+    contract) broadcast via ray.put; the customer scan then applies
+    both predicates map-side and folds per segment — no raw-row shuffle
+    anywhere. The balance threshold compares raw doubles with the
+    identical expression in SQL; per-segment balance totals round at
+    2 dp."""
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    def p_avg(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["c_acctbal"].to_numpy(np.float64)
+        v = v[v > 0.0]
+        return pd.DataFrame({"k": [0], "s": [v.sum()],
+                             "n": [float(len(v))]})
+
+    r = _fold(cust.map_batches(p_avg, batch_format="pandas"),
+              ["k"], {"s": "sum", "n": "sum"})
+    thresh = float(r["s"].iloc[0]) / float(r["n"].iloc[0])
+
+    recent = np.datetime64("2000-01-01")
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def p_keys(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["o_orderdate"].to_numpy() >= recent]
+        return pd.DataFrame({"o_custkey": df["o_custkey"].unique(),
+                             "one": 1.0})
+
+    with_orders = _fold(orders.map_batches(p_keys, batch_format="pandas"),
+                        ["o_custkey"], {"one": "max"})
+    keys_ref = ray.put(frozenset(with_orders["o_custkey"].tolist()))
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        k = ray.get(keys_ref)
+        m = (df["c_acctbal"].to_numpy(np.float64) > thresh) \
+            & ~df["c_custkey"].isin(k).to_numpy()
+        df = df[m]
+        return pd.DataFrame({"c_mktsegment": df["c_mktsegment"],
+                             "n_cust": 1.0,
+                             "total_acctbal": df["c_acctbal"].to_numpy()}
+                            ).groupby("c_mktsegment", as_index=False).sum()
+
+    m = _fold(cust.map_batches(post, batch_format="pandas"),
+              ["c_mktsegment"], {"n_cust": "sum", "total_acctbal": "sum"})
+    m["n_cust"] = m["n_cust"].astype("int64")
+    m["total_acctbal"] = rnd(m["total_acctbal"], 2)
+    return (m[["c_mktsegment", "n_cust", "total_acctbal"]]
+            .sort_values("c_mktsegment").reset_index(drop=True))
+
+
 QUERIES = {
     "row_validate_events": q_row_validate_events,
     "border_check_events": q_border_check_events,
@@ -5527,6 +5841,11 @@ QUERIES = {
     "clip_stream_replay": q_clip_stream_replay,
     "clip_resample_stats": q_clip_resample_stats,
     "welch_ttest_events": q_welch_ttest_events,
+    "wasserstein_drift_events": q_wasserstein_drift_events,
+    "volume_shipping_nations": q_volume_shipping_nations,
+    "returned_item_report": q_returned_item_report,
+    "bracket_revenue_part": q_bracket_revenue_part,
+    "sales_opportunity_customers": q_sales_opportunity_customers,
     "cramers_v_events": q_cramers_v_events,
     "hbos_events": q_hbos_events,
     "attribution_events": q_attribution_events,
