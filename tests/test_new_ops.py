@@ -687,3 +687,30 @@ def test_weighted_sample_partition_invariant(ray_session):
     pd.testing.assert_frame_equal(a, b)
     assert (a["w"] > 0).all()
     assert len(a) == 50
+
+
+def test_jaro_winkler_matches_duckdb():
+    """JW kernel bit-parity with DuckDB's jaro_winkler_similarity on
+    textbook pairs, random fuzz, and the empty-string edges (DuckDB gives
+    0.0 for ''-vs-'' where the textbook says 1.0)."""
+    import random
+    import string
+
+    import duckdb
+
+    from anomaly_detection_ray.functions.text import jaro_winkler
+
+    random.seed(7)
+    pairs = [("MARTHA", "MARHTA"), ("DWAYNE", "DUANE"),
+             ("DIXON", "DICKSONX"), ("", ""), ("a", ""), ("", "b"),
+             ("cold widget", "bold widget"), ("same", "same")]
+    for _ in range(200):
+        a = "".join(random.choices(string.ascii_lowercase + " ",
+                                   k=random.randint(0, 12)))
+        b = "".join(random.choices(string.ascii_lowercase + " ",
+                                   k=random.randint(0, 12)))
+        pairs.append((a, b))
+    for a, b in pairs:
+        want = duckdb.sql("SELECT jaro_winkler_similarity(?, ?)",
+                          params=[a, b]).fetchone()[0]
+        assert abs(jaro_winkler(a, b) - want) < 1e-12, (a, b)
