@@ -92,6 +92,7 @@ FIXTURE_QUERIES = [
     "clip_resample_stats",
     "clip_reverb_stats",
     "clip_hygiene_check",
+    "clip_wow_flutter",
     "pca_variance_embeddings",
     "audio_prep_segments",
     "clip_stream_replay",

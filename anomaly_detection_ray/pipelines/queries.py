@@ -4629,6 +4629,21 @@ def q_clip_hygiene_check(sf_dir: str):
     return ao.hygiene_table(ds, concurrency=8)
 
 
+def q_clip_wow_flutter(sf_dir: str):
+    """Wow & flutter audit per clip (stages/audio_ops.WowFlutterCheck):
+    slow periodic pitch modulation from warped media / tape transports /
+    bad resamplers — framewise ACF f0 track, cents deviation, modulation
+    spectrum with the analysis window's sinc rolloff divided out. The
+    pitch-STABILITY companion of clip_pitch_features (which reports one
+    static f0). Planted-vibrato physics pinned in test_audio_ops.
+    Deterministic => fixture oracle."""
+    from ..sources.clips import read_clips
+    from ..stages import audio_ops as ao
+    path = _clip_table_path(sf_dir)
+    ds = read_clips(path, columns=["clip_id", "bytes"])
+    return ao.wow_flutter_table(ds, concurrency=8)
+
+
 def q_order_priority_check(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: of the orders placed in a fixed
     quarter, how many (per priority) had any line item shipped more than
@@ -5882,6 +5897,7 @@ QUERIES = {
     "bracket_revenue_part": q_bracket_revenue_part,
     "sales_opportunity_customers": q_sales_opportunity_customers,
     "fuzzy_match_parts": q_fuzzy_match_parts,
+    "clip_wow_flutter": q_clip_wow_flutter,
     "cramers_v_events": q_cramers_v_events,
     "hbos_events": q_hbos_events,
     "attribution_events": q_attribution_events,

@@ -2513,3 +2513,175 @@ def hygiene_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
                                                  **kw},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=pool_size(concurrency), num_cpus=1)
+
+
+# ------------------------------------------------------- wow & flutter
+
+def f0_track(sig: np.ndarray, sr: int, frame_s: float = 0.04,
+             hop_s: float = 0.01, fmin: float = 60.0,
+             fmax: float = 1000.0) -> tuple[np.ndarray, np.ndarray, float]:
+    """Framewise pitch track: the per-frame twin of pitch_f0, fully
+    vectorized ACROSS frames (one strided frame matrix, one batched FFT
+    autocorrelation, one vectorized peak pick with the same
+    smallest-lag-within-5% octave guard and parabolic refinement).
+    Returns (f0_hz per frame, voiced confidence per frame, frame rate)."""
+    frame = int(round(frame_s * sr))
+    hop = max(1, int(round(hop_s * sr)))
+    x = np.asarray(sig, dtype=np.float64)
+    n_frames = 1 + (len(x) - frame) // hop if len(x) >= frame else 0
+    if n_frames < 4 or sr <= 0:
+        return np.empty(0), np.empty(0), 0.0
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    F = x[idx]
+    F = F - F.mean(axis=1, keepdims=True)
+    nfft = 1 << int(np.ceil(np.log2(2 * frame)))
+    X = np.fft.rfft(F, nfft, axis=1)
+    r = np.fft.irfft(X * X.conj(), nfft, axis=1)[:, :frame]
+    lag_min = max(2, int(np.floor(sr / fmax)))
+    lag_max = min(frame - 2, int(np.ceil(sr / fmin)))
+    if lag_max <= lag_min:
+        return np.empty(0), np.empty(0), 0.0
+    seg = r[:, lag_min:lag_max + 1]
+    top = seg.max(axis=1, keepdims=True)
+    is_peak = np.zeros(seg.shape, dtype=bool)
+    is_peak[:, 1:-1] = ((seg[:, 1:-1] >= seg[:, :-2])
+                        & (seg[:, 1:-1] >= seg[:, 2:]))
+    cand = is_peak & (seg >= 0.95 * top)
+    has = cand.any(axis=1)
+    first = np.where(has, cand.argmax(axis=1), seg.argmax(axis=1))
+    k = lag_min + first
+    rows = np.arange(len(k))
+    y0, y1, y2 = r[rows, k - 1], r[rows, k], r[rows, k + 1]
+    denom = y0 - 2.0 * y1 + y2
+    safe = np.where(denom == 0.0, 1.0, denom)
+    delta = np.where(denom != 0.0, 0.5 * (y0 - y2) / safe, 0.0)
+    lag = k + np.clip(delta, -0.5, 0.5)
+    f0 = sr / lag
+    r0 = r[:, 0]
+    conf = np.clip(np.where(r0 > 0.0, y1 / np.where(r0 <= 0.0, np.inf, r0),
+                            0.0), 0.0, 1.0)
+    return f0, conf, sr / hop
+
+
+_WF_FRAME_S = 0.04
+
+
+def wow_flutter(sig: np.ndarray, sr: int, conf_min: float = 0.5,
+                min_voiced: float = 0.5) -> dict[str, float]:
+    """Wow & flutter audit: slow periodic pitch modulation — the
+    tape-transport / warped-media / bad-resampler defect the static
+    pitch and bandwidth checks can't see. Pipeline: framewise f0 track
+    (40 ms / 10 ms), deviation from the median f0 in CENTS, then the
+    modulation spectrum of that deviation at the 100 Hz frame rate; the
+    strongest component in 0.5-6 Hz is wow, in 6-30 Hz flutter.
+    Reported depth divides out the analysis window's sinc rolloff
+    (a 40 ms ACF window attenuates 12 Hz FM to sinc(0.48) = 0.66 of its
+    true depth — the correction recovers planted depths to a few %;
+    physics pinned in test_audio_ops). Unvoiced/unpitched content
+    (voiced fraction < min_voiced) reports NaN, not an invented number
+    (the rt60_estimate convention)."""
+    nanrow = {"f0_med_hz": float("nan"), "voiced_frac": float("nan"),
+              "dev_rms_cents": float("nan"), "wow_hz": float("nan"),
+              "wow_cents": float("nan"), "flutter_hz": float("nan"),
+              "flutter_cents": float("nan")}
+    f0, conf, fps = f0_track(sig, sr, frame_s=_WF_FRAME_S)
+    if len(f0) < 32:
+        return nanrow
+    v = (conf >= conf_min) & np.isfinite(f0)
+    vf = float(v.mean())
+    if vf < min_voiced:
+        out = dict(nanrow)
+        out["voiced_frac"] = vf
+        return out
+    med = float(np.median(f0[v]))
+    t = np.arange(len(f0))
+    f = f0.copy()
+    f[~v] = np.interp(t[~v], t[v], f0[v])
+    cents = 1200.0 * np.log2(f / med)
+    cents = cents - cents.mean()
+    n = len(cents)
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)
+    X = np.fft.rfft(cents * w)
+    freqs = np.fft.rfftfreq(n, 1.0 / fps)
+    # Hann coherent gain is 0.5: single-tone amplitude = 2|X|/(n*0.5);
+    # then divide out the ACF window's sinc attenuation of the FM
+    # itself. The correction is capped at 4x (sinc >= 0.25, rates up to
+    # ~18.6 Hz at the 40 ms window): near the window null at 25 Hz the
+    # true gain -> 0 and an uncapped inverse would amplify tracker
+    # noise by orders of magnitude — rates past the cap read
+    # under-corrected rather than invented.
+    amp = 4.0 * np.abs(X) / n
+    amp = amp / np.maximum(np.sinc(freqs * _WF_FRAME_S), 0.25)
+
+    def band(lo: float, hi: float) -> tuple[float, float]:
+        m = (freqs >= lo) & (freqs < hi)
+        if not m.any():
+            return float("nan"), float("nan")
+        i = np.flatnonzero(m)[int(np.argmax(amp[m]))]
+        return float(freqs[i]), float(amp[i])
+
+    wow_hz, wow_c = band(0.5, 6.0)
+    fl_hz, fl_c = band(6.0, 30.0)
+    return {"f0_med_hz": med, "voiced_frac": vf,
+            "dev_rms_cents": float(cents.std()),
+            "wow_hz": wow_hz, "wow_cents": wow_c,
+            "flutter_hz": fl_hz, "flutter_cents": fl_c}
+
+
+class WowFlutterCheck:
+    """Actor-pool stage: WAV bytes -> wow/flutter stats + verdict in the
+    reference's grading idiom: Error2 undecodable, Warning1 when the
+    corrected wow or flutter depth exceeds ``max_cents`` on pitched
+    content, OK otherwise (unpitched clips grade Undefined — no pitch,
+    no pitch-stability verdict)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "clip_id",
+                 max_cents: float = 20.0):
+        self.bytes_col, self.id_col = bytes_col, id_col
+        self.max_cents = max_cents
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {k: np.full(n, np.nan) for k in
+                ("f0_med_hz", "voiced_frac", "dev_rms_cents", "wow_hz",
+                 "wow_cents", "flutter_hz", "flutter_cents")}
+        code = np.full(n, UNDEFINED_CODE, dtype=np.int8)
+        status = np.empty(n, dtype=object)
+        for i, b in enumerate(t[self.bytes_col].to_pylist()):
+            sig, sr = (audio.decode_wav_lenient(b) if b else (None, None))
+            if sig is None or not sr or len(sig) < 8:
+                code[i] = ERROR_CODE
+                status[i] = "Error2: undecodable or empty clip"
+                continue
+            r = wow_flutter(sig, sr)
+            for k in cols:
+                cols[k][i] = r[k]
+            if r["f0_med_hz"] != r["f0_med_hz"]:
+                status[i] = "Undefined: unpitched content"
+                continue
+            depth = np.nanmax([r["wow_cents"], r["flutter_cents"]])
+            if depth == depth and depth > self.max_cents:
+                code[i] = WARNING_CODE
+                status[i] = "Warning1: pitch modulation above threshold"
+            else:
+                code[i] = OK_CODE
+                status[i] = "OK"
+        t = t.drop_columns([self.bytes_col])
+        for k, dp in (("f0_med_hz", 4), ("voiced_frac", 6),
+                      ("dev_rms_cents", 4), ("wow_hz", 4),
+                      ("wow_cents", 4), ("flutter_hz", 4),
+                      ("flutter_cents", 4)):
+            t = t.append_column(k, pa.array(np.round(cols[k], dp),
+                                            type=pa.float64()))
+        return (t.append_column("wf_code", pa.array(code, type=pa.int8()))
+                 .append_column("wf_status",
+                                pa.array(status, type=pa.string())))
+
+
+def wow_flutter_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
+                      concurrency: int = 8, **kw):
+    return ds.map_batches(WowFlutterCheck,
+                          fn_constructor_kwargs={"bytes_col": bytes_col,
+                                                 **kw},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=pool_size(concurrency), num_cpus=1)

@@ -1199,3 +1199,61 @@ def test_true_peak_intersample():
     low = tone(100.0, dur_s=1.0)                  # crest well-sampled
     assert abs(ao.true_peak_dbtp(low, SR)
                - 20 * np.log10(np.abs(low).max())) < 0.05
+
+
+def test_wow_flutter_planted_modulation():
+    """Planted FM read back through the modulation spectrum: a 3 Hz /
+    40-cent vibrato reports in the wow band at its rate and (after the
+    sinc-rolloff correction) its depth; a 12 Hz / 25-cent flutter the
+    same in the flutter band; a clean tone reports near-zero depth in
+    both; noise reports NaN (unpitched), not an invented number."""
+    dur = 3.0
+    t = np.arange(int(dur * SR)) / SR
+
+    def fm_tone(f0, fm, depth_cents):
+        inst = f0 * 2.0 ** (depth_cents / 1200.0
+                            * np.sin(2 * np.pi * fm * t))
+        return 0.5 * np.sin(2 * np.pi * np.cumsum(inst) / SR)
+
+    r = ao.wow_flutter(fm_tone(220.0, 3.0, 40.0), SR)
+    assert abs(r["wow_hz"] - 3.0) < 0.4
+    assert abs(r["wow_cents"] - 40.0) < 6.0
+    assert r["flutter_cents"] < 5.0
+
+    r = ao.wow_flutter(fm_tone(220.0, 12.0, 25.0), SR)
+    assert abs(r["flutter_hz"] - 12.0) < 0.7
+    assert abs(r["flutter_cents"] - 25.0) < 5.0
+    assert r["wow_cents"] < 5.0
+
+    r = ao.wow_flutter(0.5 * np.sin(2 * np.pi * 220.0 * t), SR)
+    assert r["wow_cents"] < 3.0 and r["flutter_cents"] < 3.0
+    assert abs(r["f0_med_hz"] - 220.0) < 2.0
+
+    rng = np.random.default_rng(0)
+    r = ao.wow_flutter(rng.normal(0, 0.1, int(dur * SR)), SR)
+    assert r["f0_med_hz"] != r["f0_med_hz"]          # NaN
+
+
+def test_wow_flutter_table_grades(clip_ds):
+    """Over the synth table (stable tones): pitched clips grade OK with
+    low modulation depth; a doctored wobbling clip grades Warning1; an
+    undecodable payload grades Error2."""
+    out = ao.wow_flutter_table(clip_ds, concurrency=2).to_pandas()
+    assert len(out) == 200
+    ok = out[out["wf_code"] == 1]
+    assert len(ok) > 100
+    assert (ok["wow_cents"].dropna() < 20.0).all()
+
+    t = np.arange(3 * SR) / SR
+    inst = 300.0 * 2.0 ** (60.0 / 1200.0 * np.sin(2 * np.pi * 2.0 * t))
+    wob = 0.5 * np.sin(2 * np.pi * np.cumsum(inst) / SR)
+    import pyarrow as _pa
+    ds = rd.from_arrow(_pa.table({
+        "clip_id": ["wobble", "broken"],
+        "bytes": [audio.encode_wav(wob, SR), b"not a wav"]}))
+    rows = (ao.wow_flutter_table(ds, concurrency=1).to_pandas()
+            .set_index("clip_id"))
+    assert rows.loc["wobble", "wf_code"] == 0
+    assert "modulation" in rows.loc["wobble", "wf_status"]
+    assert rows.loc["broken", "wf_code"] == -1
+    assert rows.loc["broken", "wf_status"].startswith("Error2")
