@@ -5,6 +5,7 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 import pytest
@@ -217,3 +218,45 @@ def test_poison_shard_quarantined(tmp_path, ray_session, split_point):
     man = _json.load(open(os.path.join(out, "_stream_manifest.json")))
     assert "bad.parquet" in man["quarantined"]
     assert v.poll_once() is None  # neither file is pending anymore
+
+
+def test_hygiene_gate_rides_stream_polls(tmp_path, ray_session):
+    """The flagship's optional hygiene gate (ValidateConfig.
+    hygiene_limits) is part of pass B, so it rides clip_stream polls
+    unchanged: a DC-biased clip arriving mid-stream lands in that
+    poll's violations with the hygiene error status, while the bias is
+    small enough (+0.008 on an ~0.35-RMS signal, SNR ~33 dB) that the
+    fidelity SNR check alone would NOT have caught it."""
+    from anomaly_detection_ray import audio
+
+    watch = str(tmp_path / "watch")
+    out = str(tmp_path / "out")
+    os.makedirs(watch)
+    cfg = vp.ValidateConfig(seed=SEED, P=P, fidelity_concurrency=2,
+                            fidelity_batch_size=128,
+                            hygiene_limits=(0.002, 0.05))
+    v = ClipStreamValidator(watch, out, cfg, drift_min_rows=10**9)
+
+    n = 300
+    gt = synth.ground_truth(SEED, n, P)
+    planted = {int(i) for c in gt.values() for i in np.atleast_1d(c)}
+    clean = [i for i in range(n) if i not in planted]
+    doctor = clean[0]
+    t = synth.generate_batch(SEED, np.arange(n), P)
+    df = t.to_pandas()
+    sig, sr = audio.decode_wav_lenient(df.loc[doctor, "bytes"])
+    assert sig is not None
+    df.loc[doctor, "bytes"] = audio.encode_wav(sig + 0.008, sr)
+    doctored_id = df.loc[doctor, "clip_id"]
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(watch, "wave1.parquet"),
+                   compression="none")
+    r = v.poll_once()
+    assert r["violations"] > 0
+    viol = _viols(out, r["poll_id"])
+    row = viol[viol["clip_id"] == doctored_id]
+    assert len(row) == 1
+    assert row["hy_code"].iloc[0] == vp.ERROR_CODE
+    assert "DC offset" in row["hy_status"].iloc[0]
+    # and the SNR check alone did NOT flag it (the gate added signal)
+    assert row["fid_code"].iloc[0] != vp.ERROR_CODE
