@@ -2768,6 +2768,42 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY 1
         """,
+        "temporal_integrity_orders_lineitem": """
+            -- temporal referential audit: ship-before-order and >90-day
+            -- lags per priority; lags as exact integer day counts from
+            -- epoch-us differences (identical expression as the engine)
+            SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(count(*) FILTER (WHERE
+                       (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                       // 86400000000 < 0) AS BIGINT) AS n_early,
+                   CAST(count(*) FILTER (WHERE
+                       (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                       // 86400000000 > 90) AS BIGINT) AS n_late,
+                   CAST(max((epoch_us(l.l_shipdate)
+                             - epoch_us(o.o_orderdate)) // 86400000000)
+                        AS BIGINT) AS max_lag_days
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "order_constraint_events": """
+            -- per-user funnel-order violations: purchases before the
+            -- first signup (strict <; same-microsecond counts ordered),
+            -- or by users with no signup at all
+            WITH s AS (SELECT user_id, min(ts) AS first_signup
+                       FROM events WHERE event_type = 'signup'
+                       GROUP BY 1)
+            SELECT e.user_id,
+                   CAST(count(*) AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (WHERE s.first_signup IS NULL
+                                         OR e.ts < s.first_signup)
+                        AS BIGINT) AS n_unordered
+            FROM events e
+            LEFT JOIN s ON e.user_id = s.user_id
+            WHERE e.event_type = 'purchase'
+            GROUP BY 1 ORDER BY 1
+        """,
         "fuzzy_match_parts": """
             -- JW fuzzy self-match over distinct part names; engine JW is
             -- fuzz-pinned bit-exact to jaro_winkler_similarity so the

@@ -5710,6 +5710,85 @@ def q_fuzzy_match_parts(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q_temporal_integrity_orders_lineitem(sf_dir: str):
+    """Cross-table TEMPORAL referential audit: line items that shipped
+    before their order was placed (impossible) or more than 90 days
+    after (stale fulfilment), per order priority — the time-axis twin
+    of referential_orders_customer (key presence) and
+    reconcile_orders_lineitem (money). One co-partitioned join of the
+    two fact tables; lags are EXACT integer day counts from epoch-us
+    differences (dates are midnight-aligned), so counts and the max lag
+    are association-order-proof."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    j = li.join(orders, join_type="inner", num_partitions=16,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    day_us = np.int64(86_400) * np.int64(1_000_000)
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        ship = df["l_shipdate"].to_numpy("datetime64[us]").astype(np.int64)
+        od = df["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64)
+        lag = (ship - od) // day_us
+        return pd.DataFrame({
+            "o_orderpriority": df["o_orderpriority"],
+            "n_items": 1.0,
+            "n_early": (lag < 0).astype(np.float64),
+            "n_late": (lag > 90).astype(np.float64),
+            "max_lag_days": lag,
+        }).groupby("o_orderpriority", as_index=False).agg(
+            {"n_items": "sum", "n_early": "sum", "n_late": "sum",
+             "max_lag_days": "max"})
+
+    m = _fold(j.map_batches(post, batch_format="pandas"),
+              ["o_orderpriority"],
+              {"n_items": "sum", "n_early": "sum", "n_late": "sum",
+               "max_lag_days": "max"})
+    for c in ("n_items", "n_early", "n_late", "max_lag_days"):
+        m[c] = m[c].astype("int64")
+    return m.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_order_constraint_events(sf_dir: str):
+    """Event-ORDER constraint validation per user: purchases that
+    precede the user's first signup (or belong to a user who never
+    signed up) violate the funnel's ordering invariant — the sequence
+    twin of referential checks (the key exists, but not YET). Per-user
+    sweep inside groupby(user).map_groups (the series contract);
+    violation predicate compares raw event timestamps against the
+    user's min signup timestamp, so it is sort-stability-proof (ties at
+    the same microsecond count as ordered, matching the SQL EXISTS with
+    <=). Per-user output stays a Dataset — entity count is
+    corpus-scaled."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].to_numpy()
+        p = et == "purchase"
+        n_p = int(p.sum())
+        if n_p == 0:
+            return pd.DataFrame({"user_id": [], "n_purchase": [],
+                                 "n_unordered": []})
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        s = us[et == "signup"]
+        if len(s):
+            n_un = int((us[p] < s.min()).sum())
+        else:
+            n_un = n_p
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_purchase": [np.int64(n_p)],
+                             "n_unordered": [np.int64(n_un)]})
+
+    def fix_types(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_purchase"] = df["n_purchase"].astype("int64")
+        df["n_unordered"] = df["n_unordered"].astype("int64")
+        return df
+
+    return (ds.groupby("user_id").map_groups(per_user,
+                                             batch_format="pandas")
+            .map_batches(fix_types, batch_format="pandas"))
+
+
 QUERIES = {
     "row_validate_events": q_row_validate_events,
     "border_check_events": q_border_check_events,
@@ -5898,6 +5977,8 @@ QUERIES = {
     "sales_opportunity_customers": q_sales_opportunity_customers,
     "fuzzy_match_parts": q_fuzzy_match_parts,
     "clip_wow_flutter": q_clip_wow_flutter,
+    "temporal_integrity_orders_lineitem": q_temporal_integrity_orders_lineitem,
+    "order_constraint_events": q_order_constraint_events,
     "cramers_v_events": q_cramers_v_events,
     "hbos_events": q_hbos_events,
     "attribution_events": q_attribution_events,
