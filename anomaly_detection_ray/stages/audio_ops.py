@@ -2534,13 +2534,19 @@ def f0_track(sig: np.ndarray, sr: int, frame_s: float = 0.04,
     idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
     F = x[idx]
     F = F - F.mean(axis=1, keepdims=True)
-    nfft = 1 << int(np.ceil(np.log2(2 * frame)))
-    X = np.fft.rfft(F, nfft, axis=1)
-    r = np.fft.irfft(X * X.conj(), nfft, axis=1)[:, :frame]
     lag_min = max(2, int(np.floor(sr / fmax)))
     lag_max = min(frame - 2, int(np.ceil(sr / fmin)))
     if lag_max <= lag_min:
         return np.empty(0), np.empty(0), 0.0
+    # circular ACF wraparound at lag k pulls in linear lag (nfft - k),
+    # which is zero whenever nfft >= frame + lag_max — so the FFT only
+    # needs to cover frame + lag_max, not the full 2*frame (half the
+    # transform work at 16 kHz); power spectrum as re^2+im^2 skips the
+    # complex-conjugate multiply and its allocation
+    nfft = 1 << int(np.ceil(np.log2(frame + lag_max + 1)))
+    X = np.fft.rfft(F, nfft, axis=1)
+    r = np.fft.irfft(X.real * X.real + X.imag * X.imag, nfft,
+                     axis=1)[:, :lag_max + 2]
     seg = r[:, lag_min:lag_max + 1]
     top = seg.max(axis=1, keepdims=True)
     is_peak = np.zeros(seg.shape, dtype=bool)
