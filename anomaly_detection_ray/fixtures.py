@@ -93,6 +93,7 @@ FIXTURE_QUERIES = [
     "clip_reverb_stats",
     "clip_hygiene_check",
     "clip_wow_flutter",
+    "clip_qc_scorecard",
     "pca_variance_embeddings",
     "audio_prep_segments",
     "clip_stream_replay",

@@ -171,6 +171,9 @@ def run_headline() -> dict:
         timed("clip_reverb_audit", lambda: ao.reverb_table(
             read_clips(clip_path, columns=["clip_id", "bytes"]),
             concurrency=pool))
+        timed("clip_wow_flutter", lambda: ao.wow_flutter_table(
+            read_clips(clip_path, columns=["clip_id", "bytes"]),
+            concurrency=pool))
 
         def _dvector():
             # learned speaker-embedding pipeline: hash-slice sample ->

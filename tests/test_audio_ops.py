@@ -1257,3 +1257,43 @@ def test_wow_flutter_table_grades(clip_ds):
     assert "modulation" in rows.loc["wobble", "wf_status"]
     assert rows.loc["broken", "wf_code"] == -1
     assert rows.loc["broken", "wf_status"].startswith("Error2")
+
+
+def test_full_audit_agrees_with_individual_stages(clip_ds):
+    """The fused one-decode battery must reproduce each individual audit
+    stage's flags exactly — same kernels, same thresholds, one decode."""
+    fused = (ao.full_audit_table(clip_ds, concurrency=2).to_pandas()
+             .set_index("clip_id").sort_index())
+    assert len(fused) == 200
+
+    aa = (ao.audio_audit_table(
+        clip_ds, concurrency=2).to_pandas()
+        .set_index("clip_id").sort_index())
+    # cross-modal: fused xm_flag=1 <=> AudioAudit graded Error
+    assert ((fused["xm_flag"] == 1) == (aa["audit_code"] == -1)).all()
+
+    hy = (ao.hygiene_table(clip_ds.drop_columns(["transcript"]),
+                           concurrency=2).to_pandas()
+          .set_index("clip_id").sort_index())
+    graded = fused["hy_flag"] >= 0
+    assert ((fused.loc[graded, "hy_flag"] == 1)
+            == (hy.loc[graded, "hy_code"] == 0)).all()
+
+    bw = (ao.bandwidth_table(clip_ds.drop_columns(["transcript"]),
+                             concurrency=2).to_pandas()
+          .set_index("clip_id").sort_index())
+    both = (fused["bw_flag"] >= 0) & (bw["bw_code"] != 2)
+    assert ((fused.loc[both, "bw_flag"] == 1)
+            == (bw.loc[both, "bw_code"] == 0)).all()
+
+    wf = (ao.wow_flutter_table(clip_ds.drop_columns(["transcript"]),
+                               concurrency=2).to_pandas()
+          .set_index("clip_id").sort_index())
+    both = fused["wf_flag"] >= 0
+    assert ((fused.loc[both, "wf_flag"] == 1)
+            == (wf.loc[both, "wf_code"] == 0)).all()
+
+    # undecodable payloads stay Undefined everywhere
+    assert (fused.loc[fused["qa_code"] == 2,
+                      ["xm_flag", "hy_flag", "bw_flag", "wf_flag"]]
+            .eq(-1).all().all())
