@@ -2866,6 +2866,52 @@ def oracle_sql() -> dict[str, str]:
             WHERE w.na > 0 AND w.nb > 0
             ORDER BY w.event_type
         """,
+        "jsd_drift_events": """
+            -- Jensen-Shannon divergence per type between time halves on
+            -- the same 20-bin grid as wasserstein_drift_events; the
+            -- p*ln(2p/(p+q)) terms drop p=0 cells exactly as the engine
+            WITH r AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+                           AS mid FROM events),
+            v AS (SELECT event_type,
+                         CASE WHEN epoch_us(ts) < (SELECT mid FROM r)
+                              THEN 'a' ELSE 'b' END AS period, value
+                  FROM events
+                  WHERE value IS NOT NULL AND NOT isnan(value)),
+            rng AS (SELECT min(value) AS lo, max(value) AS hi FROM v),
+            bb AS (SELECT event_type, period,
+                          CAST(least(greatest(floor(
+                              (value - rng.lo) * 20.0 / (rng.hi - rng.lo)),
+                              0), 19) AS INT) AS bin
+                   FROM v, rng),
+            c AS (SELECT event_type, period, bin, count(*) AS n
+                  FROM bb GROUP BY 1, 2, 3),
+            g AS (SELECT t.event_type, gb.bin,
+                         coalesce(ca.n, 0) AS a, coalesce(cb.n, 0) AS b
+                  FROM (SELECT DISTINCT event_type FROM v) t
+                  CROSS JOIN (SELECT range AS bin FROM range(20)) gb
+                  LEFT JOIN c ca ON ca.event_type = t.event_type
+                               AND ca.bin = gb.bin AND ca.period = 'a'
+                  LEFT JOIN c cb ON cb.event_type = t.event_type
+                               AND cb.bin = gb.bin AND cb.period = 'b'),
+            tot AS (SELECT event_type, sum(a) AS na, sum(b) AS nb
+                    FROM g GROUP BY 1),
+            terms AS (SELECT g.event_type, tot.na, tot.nb,
+                             CAST(g.a AS DOUBLE) / tot.na AS p,
+                             CAST(g.b AS DOUBLE) / tot.nb AS q
+                      FROM g JOIN tot ON g.event_type = tot.event_type
+                      WHERE tot.na > 0 AND tot.nb > 0)
+            SELECT event_type,
+                   CAST(max(na) AS BIGINT) AS n_a,
+                   CAST(max(nb) AS BIGINT) AS n_b,
+                   round(0.5 * sum(CASE WHEN p > 0
+                                        THEN p * ln(2.0 * p / (p + q))
+                                        ELSE 0 END)
+                         + 0.5 * sum(CASE WHEN q > 0
+                                          THEN q * ln(2.0 * q / (p + q))
+                                          ELSE 0 END), 6) AS jsd
+            FROM terms
+            GROUP BY 1 ORDER BY 1
+        """,
         "cramers_v_events": """
             -- Cramér's V over the FULL type x hour grid (empty cells
             -- contribute their expected count to chi2)

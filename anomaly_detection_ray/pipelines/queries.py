@@ -5434,6 +5434,77 @@ def q_wasserstein_drift_events(sf_dir: str):
     return pd.DataFrame(out, columns=["event_type", "n_a", "n_b", "w1"])
 
 
+def q_jsd_drift_events(sf_dir: str):
+    """Jensen-Shannon divergence per event type between the first and
+    second half of the time range, on the same 20-cell equal-width grid
+    as wasserstein_drift_events — the bounded symmetric companion (JSD
+    ∈ [0, ln 2] never saturates to ∞ on disjoint supports the way PSI's
+    log-ratio does with its epsilon floor). Same two bounded mergeable
+    folds; the per-bin p·ln(2p/(p+q)) expression is written identically
+    engine- and oracle-side (0·ln 0 terms are dropped by the p>0 filter
+    both sides)."""
+    B = 20
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def p_range(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        keep = ~np.isnan(v)
+        if not keep.any():
+            return pd.DataFrame({"k": [], "lo_us": [], "hi_us": [],
+                                 "lo": [], "hi": []})
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({"k": [0], "lo_us": [us.min()],
+                             "hi_us": [us.max()],
+                             "lo": [v[keep].min()], "hi": [v[keep].max()]})
+
+    r = _fold(ds.map_batches(p_range, batch_format="pandas"),
+              ["k"], {"lo_us": "min", "hi_us": "max",
+                      "lo": "min", "hi": "max"})
+    mid = (int(r["lo_us"].iloc[0]) + int(r["hi_us"].iloc[0])) // 2
+    lo, hi = float(r["lo"].iloc[0]), float(r["hi"].iloc[0])
+    span = hi - lo
+
+    def p_bins(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        keep = ~np.isnan(v)
+        df, v = df[keep], v[keep]
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        per = np.where(us < mid, "a", "b")
+        if span > 0:
+            b = np.clip(np.floor((v - lo) * float(B) / span), 0, B - 1)
+        else:
+            b = np.zeros(len(v))
+        t = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "period": per, "bin": b.astype(np.int64),
+                          "n": 1.0})
+        return t.groupby(["event_type", "period", "bin"],
+                         as_index=False).sum()
+
+    c = _fold(ds.map_batches(p_bins, batch_format="pandas"),
+              ["event_type", "period", "bin"], {"n": "sum"})
+    out = []
+    for et in sorted(c["event_type"].unique()):
+        g = c[c["event_type"] == et]
+        cnt = {}
+        for per in ("a", "b"):
+            h = np.zeros(B, dtype=np.int64)
+            gp = g[g["period"] == per]
+            h[gp["bin"].to_numpy(np.int64)] = gp["n"].to_numpy(np.int64)
+            cnt[per] = h
+        na, nb = int(cnt["a"].sum()), int(cnt["b"].sum())
+        if na == 0 or nb == 0:
+            continue
+        p = cnt["a"].astype(np.float64) / na
+        q = cnt["b"].astype(np.float64) / nb
+        m = p + q
+        pm = p > 0
+        qm = q > 0
+        jsd = 0.5 * float(np.sum(p[pm] * np.log(2.0 * p[pm] / m[pm]))) \
+            + 0.5 * float(np.sum(q[qm] * np.log(2.0 * q[qm] / m[qm])))
+        out.append((et, np.int64(na), np.int64(nb), rnd(jsd, 6)))
+    return pd.DataFrame(out, columns=["event_type", "n_a", "n_b", "jsd"])
+
+
 def q_volume_shipping_nations(sf_dir: str):
     """TPC-H Q7-shaped bi-directional nation-pair trade flow: discounted
     revenue by (supplier nation, customer nation, ship year) for the
@@ -6012,6 +6083,7 @@ QUERIES = {
     "clip_resample_stats": q_clip_resample_stats,
     "welch_ttest_events": q_welch_ttest_events,
     "wasserstein_drift_events": q_wasserstein_drift_events,
+    "jsd_drift_events": q_jsd_drift_events,
     "volume_shipping_nations": q_volume_shipping_nations,
     "returned_item_report": q_returned_item_report,
     "bracket_revenue_part": q_bracket_revenue_part,
