@@ -2627,6 +2627,19 @@ def wow_flutter(sig: np.ndarray, sr: int, conf_min: float = 0.5,
               "dev_rms_cents": float("nan"), "wow_hz": float("nan"),
               "wow_cents": float("nan"), "flutter_hz": float("nan"),
               "flutter_cents": float("nan")}
+    # the tracker only needs content up to fmax (1 kHz) — decimate by
+    # the integer factor floor(sr/8000) first via box-filter + stride
+    # (one reshape-mean, ~1 ms; the box's first null sits at the new
+    # sample rate and its response at 1 kHz is ~0.97, so the f0 band is
+    # untouched while the per-frame ACF FFT drops 4096 -> 512 points at
+    # a 48 kHz source: 74 -> ~4 ms/clip measured; a full Kaiser-sinc
+    # decimation spent 17 ms/clip to do the same job for this purpose)
+    k = int(sr) // 8000
+    if k > 1:
+        x = np.asarray(sig, dtype=np.float64)
+        n_k = (len(x) // k) * k
+        sig = x[:n_k].reshape(-1, k).mean(axis=1)
+        sr = sr / k          # exact rational rate (44100/5 = 8820.0)
     f0, conf, fps = f0_track(sig, sr, frame_s=_WF_FRAME_S)
     if len(f0) < 32:
         return nanrow
