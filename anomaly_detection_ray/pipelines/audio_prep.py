@@ -58,6 +58,10 @@ class AudioPrepConfig:
                                  # (repair-then-grade, the declip idiom)
     denoise_below_snr: float | None = None  # Wiener-denoise clips under
                                     # this blind SNR; clean clips untouched
+    max_wow_cents: float | None = None  # wow/flutter modulation depth
+                                    # above => drop (None = off); unpitched
+                                    # clips stay ungated (no pitch, no
+                                    # pitch-stability verdict)
     batch_size: int = 32
     concurrency: int = 0            # 0 = auto (decode_pool_size)
     resampler: str = "linear"       # "linear" (cheap) | "sinc" (anti-aliased)
@@ -121,6 +125,13 @@ class AudioPrep:
                     if not np.isnan(flat) and flat > cfg.max_flatness:
                         st["drop_quality"] += 1
                         continue
+            if cfg.max_wow_cents is not None:
+                wf = ao.wow_flutter(sig, sr)
+                depth = np.nanmax([wf["wow_cents"], wf["flutter_cents"]])
+                if (wf["f0_med_hz"] == wf["f0_med_hz"]
+                        and depth == depth and depth > cfg.max_wow_cents):
+                    st["drop_quality"] += 1
+                    continue
             if cfg.min_snr_db is not None or cfg.denoise_below_snr is not None:
                 snr = ao.snr_estimate(sig, sr)["snr_db"]
                 if (cfg.min_snr_db is not None and not np.isnan(snr)

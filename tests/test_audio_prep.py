@@ -243,3 +243,42 @@ def test_dc_gate_and_removal(clip_path, tmp_path):
     res2 = ap.run_audio_prep(clip_path, str(tmp_path / "dcr"), cfg2,
                              resume=False)
     assert int(res2["metrics"]["kept"].sum()) >= 0.9 * kept_base
+
+
+def test_wow_gate_drops_wobbling_clips(tmp_path, ray_session):
+    """max_wow_cents drops a planted frequency-wobbling clip while the
+    stable-tone corpus passes; unpitched clips stay ungated (no pitch,
+    no pitch-stability verdict) and the gate is part of the config
+    identity (resume-invalidating)."""
+    from dataclasses import asdict
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from anomaly_detection_ray.pipelines import checkpoint as ckpt
+
+    d = tmp_path / "wow_clips"
+    d.mkdir()
+    sr = 16000
+    t = np.arange(3 * sr) / sr
+    inst = 300.0 * 2.0 ** (80.0 / 1200.0 * np.sin(2 * np.pi * 2.0 * t))
+    wob = 0.5 * np.sin(2 * np.pi * np.cumsum(inst) / sr)
+    clean = 0.5 * np.sin(2 * np.pi * 300.0 * t)
+    rng = np.random.default_rng(0)
+    noise = rng.normal(0, 0.2, 3 * sr)          # unpitched
+    pq.write_table(pa.table({
+        "clip_id": ["wobble", "clean", "noise"],
+        "partition_id": pa.array([0, 0, 0], type=pa.int32()),
+        "bytes": [audio.encode_wav(x, sr) for x in (wob, clean, noise)],
+    }), str(d / "clips-00000.parquet"))
+
+    cfg = ap.AudioPrepConfig(P=1, max_wow_cents=30.0, concurrency=1)
+    assert (ckpt.config_hash(asdict(cfg))
+            != ckpt.config_hash(asdict(ap.AudioPrepConfig(P=1))))
+    res = ap.run_audio_prep(str(d), str(tmp_path / "out"), cfg,
+                            resume=False)
+    df = _segments_df(res)
+    kept_ids = set(df["clip_id"])
+    assert "clean" in kept_ids and "noise" in kept_ids
+    assert "wobble" not in kept_ids
+    assert int(res["metrics"]["drop_quality"].sum()) == 1
