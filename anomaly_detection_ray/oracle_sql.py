@@ -2768,6 +2768,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY 1
         """,
+        "new_users_daily_events": """
+            -- running COUNT DISTINCT reduced to first-seen grain; day
+            -- from the same integer epoch-day floor as the engine
+            WITH f AS (SELECT user_id,
+                              min(epoch_us(ts) // 86400000000) AS day
+                       FROM events GROUP BY 1),
+            c AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+            SELECT CAST(to_timestamp(day * 86400) AS TIMESTAMP) AS day,
+                   CAST(new_users AS BIGINT) AS new_users,
+                   CAST(sum(new_users) OVER (ORDER BY day)
+                        AS BIGINT) AS cum_users
+            FROM c ORDER BY day
+        """,
         "temporal_integrity_orders_lineitem": """
             -- temporal referential audit: ship-before-order and >90-day
             -- lags per priority; lags as exact integer day counts from

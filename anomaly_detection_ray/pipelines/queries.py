@@ -5781,6 +5781,33 @@ def q_fuzzy_match_parts(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q_new_users_daily_events(sf_dir: str):
+    """Daily new-user counts with a running cumulative total — the
+    classic "running distinct" that a naive engine computes with a
+    per-day distinct scan. Ray shape: running COUNT DISTINCT over time
+    reduces exactly to first-seen grain — one mergeable (user → min
+    epoch-day) fold bounded by the user dimension, then a tiny per-day
+    count + driver cumsum over the bounded day range. No per-day
+    rescans, no distinct-set shuffle."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def p_first(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+               // (np.int64(86_400) * np.int64(1_000_000)))
+        return (pd.DataFrame({"user_id": df["user_id"], "day": day})
+                .groupby("user_id", as_index=False).min())
+
+    first = _fold(ds.map_batches(p_first, batch_format="pandas"),
+                  ["user_id"], {"day": "min"})
+    c = (first.groupby("day").size().rename("new_users").reset_index()
+         .sort_values("day").reset_index(drop=True))
+    out = pd.DataFrame({
+        "day": pd.to_datetime(c["day"].to_numpy(np.int64), unit="D"),
+        "new_users": c["new_users"].astype("int64"),
+        "cum_users": c["new_users"].cumsum().astype("int64")})
+    return out
+
+
 def q_clip_qc_scorecard(sf_dir: str):
     """Per-partition QC scorecard from the FUSED audit battery
     (stages/audio_ops.FullAudit): cross-modal transcript consistency,
@@ -6092,6 +6119,7 @@ QUERIES = {
     "clip_wow_flutter": q_clip_wow_flutter,
     "temporal_integrity_orders_lineitem": q_temporal_integrity_orders_lineitem,
     "clip_qc_scorecard": q_clip_qc_scorecard,
+    "new_users_daily_events": q_new_users_daily_events,
     "order_constraint_events": q_order_constraint_events,
     "cramers_v_events": q_cramers_v_events,
     "hbos_events": q_hbos_events,
