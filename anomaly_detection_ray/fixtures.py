@@ -95,6 +95,7 @@ FIXTURE_QUERIES = [
     "clip_wow_flutter",
     "clip_qc_scorecard",
     "pca_variance_embeddings",
+    "pca_project_embeddings",
     "audio_prep_segments",
     "clip_stream_replay",
 ]

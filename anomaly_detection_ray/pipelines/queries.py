@@ -5152,6 +5152,55 @@ def q_pca_variance_embeddings(sf_dir: str):
         "eff_dim": rnd(np.full(d, eff), 4)})
 
 
+def q_pca_project_embeddings(sf_dir: str):
+    """PCA dimensionality-reduction TRANSFORM: project every embedding
+    onto the top-8 principal components — the write-path companion of
+    pca_variance_embeddings (which only reports the spectrum). Same
+    one-pass (XᵀX, Σx, n) fold; the eigenbasis and mean broadcast once
+    via ray.put and the projection is one matmul per batch — the
+    fit-small/transform-everything pattern every embedding compactor
+    at 100 TB needs. Eigenvector sign is pinned (largest-|component|
+    coordinate made positive) so the fixture is orientation-stable;
+    streaming Dataset output (corpus-scaled rows)."""
+    K = 8
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"xtx": [], "s": [], "n": []})
+        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame({"xtx": [(X.T @ X).tobytes()],
+                             "s": [X.sum(axis=0).tobytes()],
+                             "n": [len(X)]})
+
+    p = emb.map_batches(partial, batch_format="pandas").to_pandas()
+    d = len(np.frombuffer(p["s"].iloc[0]))
+    xtx = np.sum([np.frombuffer(b).reshape(d, d) for b in p["xtx"]],
+                 axis=0)
+    s = np.sum([np.frombuffer(b) for b in p["s"]], axis=0)
+    n = int(p["n"].sum())
+    mean = s / n
+    cov = (xtx - np.outer(s, s) / n) / (n - 1)
+    lam, vec = np.linalg.eigh(cov)
+    order = np.argsort(lam)[::-1][:K]
+    W = vec[:, order]
+    # orientation pin: flip each PC so its largest-|x| coordinate is +
+    flip = np.sign(W[np.argmax(np.abs(W), axis=0),
+                     np.arange(W.shape[1])])
+    W = W * np.where(flip == 0.0, 1.0, flip)[None, :]
+    mean_ref, w_ref = ray.put(mean), ray.put(W)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        Z = rnd((X - ray.get(mean_ref)[None, :]) @ ray.get(w_ref), 6)
+        out = {"vec_id": df["vec_id"].to_numpy(np.int64)}
+        for j in range(Z.shape[1]):      # wide pc0..pc7: the gate's
+            out[f"pc{j}"] = Z[:, j]      # canon can't sort list cells
+        return pd.DataFrame(out)
+
+    return emb.map_batches(project, batch_format="pandas")
+
+
 def q_encoding_audit_documents(sf_dir: str):
     """Text-encoding conformance audit: documents containing C0 control
     characters (excluding tab/newline/CR), U+FFFD replacement chars
@@ -6120,6 +6169,7 @@ QUERIES = {
     "temporal_integrity_orders_lineitem": q_temporal_integrity_orders_lineitem,
     "clip_qc_scorecard": q_clip_qc_scorecard,
     "new_users_daily_events": q_new_users_daily_events,
+    "pca_project_embeddings": q_pca_project_embeddings,
     "order_constraint_events": q_order_constraint_events,
     "cramers_v_events": q_cramers_v_events,
     "hbos_events": q_hbos_events,

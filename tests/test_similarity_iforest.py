@@ -389,3 +389,21 @@ def test_pca_variance_spectrum(ray_session):
     lam = np.maximum(np.linalg.eigvalsh(np.cov(Z.T))[::-1], 0.0)
     eff = lam.sum() ** 2 / (lam ** 2).sum()
     assert eff < 2.5
+
+
+def test_pca_projection_matches_spectrum(ray_session):
+    """The distributed projection's per-component variance must equal the
+    spectrum audit's top eigenvalues (same folded covariance, W is an
+    orthonormal eigenbasis), and the components must be uncorrelated."""
+    import __ray_entry__ as e
+    sf = "/root/testdata/sf0.001"
+    proj = e.queries()["pca_project_embeddings"](sf).to_pandas()
+    spec = e.queries()["pca_variance_embeddings"](sf)
+    assert len(proj) == 500
+    Z = proj[[f"pc{j}" for j in range(8)]].to_numpy()
+    var = Z.var(axis=0, ddof=1)
+    lam = spec["eigenvalue"].to_numpy()[:8]
+    assert np.allclose(var, lam, rtol=5e-3)
+    c = np.corrcoef(Z.T)
+    off = c[~np.eye(8, dtype=bool)]
+    assert np.abs(off).max() < 0.05
