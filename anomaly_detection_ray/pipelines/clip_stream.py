@@ -109,13 +109,19 @@ class ClipStreamValidator:
     def __init__(self, watch_dir: str, out_dir: str,
                  cfg: ValidateConfig | None = None,
                  drift_min_rows: int = 512, drift_psi_error: float = 0.25,
-                 ledger_buckets: int = 64):
+                 ledger_buckets: int = 64, qc_audit: bool = False):
         self.watch_dir = watch_dir
         self.out_dir = out_dir
         self.cfg = cfg or ValidateConfig()
         self.drift_min_rows = drift_min_rows
         self.drift_psi_error = drift_psi_error
         self.ledger_buckets = ledger_buckets
+        # optional per-poll audio QC: the fused one-decode audit battery
+        # (audio_ops.FullAudit — cross-modal, hum, clicks, hygiene,
+        # bandwidth, wow/flutter) over the arriving shards, folded to
+        # poll-level counts in the manifest entry — the QC-trend twin of
+        # the per-poll metadata drift grading
+        self.qc_audit = qc_audit
         os.makedirs(out_dir, exist_ok=True)
         self.manifest = self._load_manifest()
         self.state = self._load_state()
@@ -345,6 +351,31 @@ class ClipStreamValidator:
         self.state["rows"] += rows_new
         self._write_state_generation(poll_id)
 
+        # ---- optional per-poll audio QC scorecard (advisory: warnings
+        # trend in the manifest; the pass/fail verdict stays owned by the
+        # violation and drift gates above)
+        qc_counts = None
+        if self.qc_audit:
+            from ..stages import audio_ops as ao
+            flag_cols = ["xm_flag", "hum_flag", "click_flag", "hy_flag",
+                         "bw_flag", "wf_flag"]
+
+            def qc_partial(df: pd.DataFrame) -> pd.DataFrame:
+                qcode = df["qa_code"].to_numpy()
+                row = {"n": float(len(df)),
+                       "n_error": float((qcode == -1).sum()),
+                       "n_warning": float((qcode == 0).sum()),
+                       "n_undecodable": float((qcode == 2).sum())}
+                for col in flag_cols:
+                    row["n_" + col[:-5]] = float(
+                        (df[col].to_numpy() == 1).sum())
+                return pd.DataFrame([row])
+
+            qp = (ao.full_audit_table(rd.read_parquet(files))
+                  .map_batches(qc_partial, batch_format="pandas")
+                  .to_pandas())
+            qc_counts = {k: int(qp[k].sum()) for k in qp.columns}
+
         entry = {
             "files": [os.path.basename(f) for f in files],
             "rows": int(rows_new),
@@ -356,6 +387,8 @@ class ClipStreamValidator:
             "ledger_buckets_touched": len(touched),
             "wall_sec": round(time.time() - t0, 3),
         }
+        if qc_counts is not None:
+            entry["qc"] = qc_counts
         prev_state = self.manifest.get("state")
         self.manifest["polls"][poll_id] = entry
         self.manifest["files"].extend(files)

@@ -260,3 +260,44 @@ def test_hygiene_gate_rides_stream_polls(tmp_path, ray_session):
     assert "DC offset" in row["hy_status"].iloc[0]
     # and the SNR check alone did NOT flag it (the gate added signal)
     assert row["fid_code"].iloc[0] != vp.ERROR_CODE
+
+
+def test_qc_audit_rides_polls(tmp_path, ray_session):
+    """qc_audit=True appends the fused audio-QC scorecard to each poll's
+    manifest entry: a planted mains-hum clip and a planted wobbling clip
+    arriving mid-stream surface as warning counts in THAT poll's qc
+    block (advisory — the poll verdict stays with the violation/drift
+    gates)."""
+    from anomaly_detection_ray import audio
+
+    watch = str(tmp_path / "watch")
+    out = str(tmp_path / "out")
+    os.makedirs(watch)
+    cfg = vp.ValidateConfig(seed=SEED, P=P, fidelity_concurrency=2,
+                            fidelity_batch_size=64)
+    v = ClipStreamValidator(watch, out, cfg, drift_min_rows=10**9,
+                            qc_audit=True)
+    n = 120
+    t_ = synth.generate_batch(SEED, np.arange(n), P)
+    df = t_.to_pandas()
+    sr = 16000
+    ts = np.arange(3 * sr) / sr
+    hum = 0.4 * np.sin(2 * np.pi * 250.0 * ts) \
+        + 0.3 * np.sin(2 * np.pi * 50.0 * ts)
+    inst = 300.0 * 2.0 ** (80.0 / 1200.0 * np.sin(2 * np.pi * 2.0 * ts))
+    wob = 0.5 * np.sin(2 * np.pi * np.cumsum(inst) / sr)
+    i_hum, i_wob = df.index[5], df.index[7]
+    df.loc[i_hum, "bytes"] = audio.encode_wav(hum, sr)
+    df.loc[i_wob, "bytes"] = audio.encode_wav(wob, sr)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(watch, "wave1.parquet"),
+                   compression="none")
+    r = v.poll_once()
+    qc = r["qc"]
+    assert qc["n"] == n
+    assert qc["n_hum"] >= 1
+    assert qc["n_wf"] >= 1
+    assert qc["n_warning"] >= 2
+    # the qc block persists in the committed manifest entry
+    m = v.manifest["polls"][r["poll_id"]]
+    assert m["qc"]["n_hum"] >= 1
