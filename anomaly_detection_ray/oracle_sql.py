@@ -2768,6 +2768,31 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY 1
         """,
+        "calibration_events": """
+            -- reliability diagram + Brier of min-max-normalized value
+            -- vs the error label; identical bin/score expressions
+            WITH r AS (SELECT min(value) AS lo, max(value) AS hi
+                       FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)),
+            s AS (SELECT (value - r.lo) / (r.hi - r.lo) AS sc,
+                         CASE WHEN event_type = 'error' THEN 1.0
+                              ELSE 0.0 END AS y
+                  FROM events, r
+                  WHERE value IS NOT NULL AND NOT isnan(value)),
+            b AS (SELECT CAST(least(greatest(floor(sc * 10.0), 0), 9)
+                              AS INT) AS bin, sc, y FROM s),
+            g AS (SELECT bin, count(*) AS n, sum(sc) AS ss, sum(y) AS sy
+                  FROM b GROUP BY 1),
+            tot AS (SELECT sum((sc - y) * (sc - y)) / count(*) AS brier,
+                           sum(y) / count(*) AS base FROM b)
+            SELECT CAST(g.bin AS BIGINT) AS bin,
+                   CAST(g.n AS BIGINT) AS n,
+                   round(g.ss / g.n, 6) AS avg_score,
+                   round(g.sy / g.n, 6) AS frac_pos,
+                   round(tot.brier, 6) AS brier,
+                   round(tot.base, 6) AS base_rate
+            FROM g, tot ORDER BY g.bin
+        """,
         "new_users_daily_events": """
             -- running COUNT DISTINCT reduced to first-seen grain; day
             -- from the same integer epoch-day floor as the engine

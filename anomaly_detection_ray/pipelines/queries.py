@@ -5830,6 +5830,57 @@ def q_fuzzy_match_parts(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q_calibration_events(sf_dir: str):
+    """Calibration / reliability-diagram audit of `value` as an error
+    score: min-max-normalized score vs the (event_type=='error') label
+    in 10 equal-width bins — per-bin count, mean score (confidence) and
+    positive fraction (accuracy), plus the overall Brier score and base
+    rate (repeated per row, the pca_variance pattern). The calibration
+    companion of auc_events: AUC grades RANKING, the reliability curve
+    grades whether the score's magnitude means what it says. Two
+    bounded mergeable folds (global score range, then <=10 bin rows per
+    batch); every expression written identically in SQL."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def p_range(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return pd.DataFrame({"k": [], "lo": [], "hi": []})
+        return pd.DataFrame({"k": [0], "lo": [v.min()], "hi": [v.max()]})
+
+    r = _fold(ds.map_batches(p_range, batch_format="pandas"),
+              ["k"], {"lo": "min", "hi": "max"})
+    lo, hi = float(r["lo"].iloc[0]), float(r["hi"].iloc[0])
+
+    def p_bins(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        keep = ~np.isnan(v)
+        df, v = df[keep], v[keep]
+        sc = (v - lo) / (hi - lo)
+        y = (df["event_type"].to_numpy() == "error").astype(np.float64)
+        b = np.clip(np.floor(sc * 10.0), 0, 9).astype(np.int64)
+        e = sc - y
+        return (pd.DataFrame({"bin": b, "n": 1.0, "ss": sc, "sy": y,
+                              "se2": e * e})
+                .groupby("bin", as_index=False).sum())
+
+    g = _fold(ds.map_batches(p_bins, batch_format="pandas"),
+              ["bin"], {"n": "sum", "ss": "sum", "sy": "sum",
+                        "se2": "sum"})
+    g = g.sort_values("bin").reset_index(drop=True)
+    n_tot = float(g["n"].sum())
+    brier = float(g["se2"].sum()) / n_tot
+    base = float(g["sy"].sum()) / n_tot
+    return pd.DataFrame({
+        "bin": g["bin"].astype("int64"),
+        "n": g["n"].astype("int64"),
+        "avg_score": rnd(g["ss"] / g["n"], 6),
+        "frac_pos": rnd(g["sy"] / g["n"], 6),
+        "brier": rnd(np.full(len(g), brier), 6),
+        "base_rate": rnd(np.full(len(g), base), 6)})
+
+
 def q_new_users_daily_events(sf_dir: str):
     """Daily new-user counts with a running cumulative total — the
     classic "running distinct" that a naive engine computes with a
@@ -6170,6 +6221,7 @@ QUERIES = {
     "clip_qc_scorecard": q_clip_qc_scorecard,
     "new_users_daily_events": q_new_users_daily_events,
     "pca_project_embeddings": q_pca_project_embeddings,
+    "calibration_events": q_calibration_events,
     "order_constraint_events": q_order_constraint_events,
     "cramers_v_events": q_cramers_v_events,
     "hbos_events": q_hbos_events,
