@@ -62,10 +62,27 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--key-col", default=None,
                    help="series key column for data-parallel ordered scoring "
                         "(default: one global stream, reference semantics)")
+    p.add_argument("--validate-clips", default=None, metavar="TABLE",
+                   help="flagship clip-table validation over this "
+                        "Parquet/Lance dir (the `ray job submit` "
+                        "entrypoint shape: `ray job submit -- python -m "
+                        "anomaly_detection_ray --validate-clips <table> "
+                        "--out <dir>`); --out is the checkpointed output "
+                        "dir. Exit 1 if any partition failed")
+    p.add_argument("--resume", action="store_true",
+                   help="with --validate-clips: skip partitions already "
+                        "completed under the same config hash")
+    p.add_argument("--partitions", type=int, default=16,
+                   help="with --validate-clips: partition count (P)")
+    p.add_argument("--seed", type=int, default=42,
+                   help="with --validate-clips: reference-signal seed")
     p.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
-    if (args.config is None) == (args.expect_suite is None):
-        p.error("exactly one of -c/--config or --expect-suite is required")
+    n_modes = sum(x is not None for x in
+                  (args.config, args.expect_suite, args.validate_clips))
+    if n_modes != 1:
+        p.error("exactly one of -c/--config, --expect-suite or "
+                "--validate-clips is required")
 
     import ray
     if not ray.is_initialized():
@@ -74,6 +91,8 @@ def main(argv: list[str] | None = None) -> int:
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
+    if args.validate_clips:
+        return _validate_clips_mode(args)
     if args.expect_suite:
         return _expect_mode(args)
 
@@ -111,6 +130,28 @@ def main(argv: list[str] | None = None) -> int:
     if args.out:
         print(f"verdicts written to {args.out}")
     return 0
+
+
+def _validate_clips_mode(args) -> int:
+    """Flagship clip-table validation as a job entrypoint: per-partition
+    verdict summary to stdout, violations + manifest under --out, exit 1
+    on any failed partition. On a real cluster this is the command a
+    `ray job submit` wraps; the pipeline itself is cluster-agnostic
+    (partition pushdown, checkpointed resume, streaming execution)."""
+    if not args.out:
+        sys.stderr.write("--validate-clips needs --out <dir>\n")
+        return 2
+    from anomaly_detection_ray.pipelines.validate import (ValidateConfig,
+                                                          run_validation)
+    cfg = ValidateConfig(seed=args.seed, P=args.partitions)
+    res = run_validation(args.validate_clips, args.out, cfg,
+                         resume=args.resume)
+    v = res["verdicts"]
+    print(v.to_string(index=False))
+    n_failed = int((~v["pass"]).sum()) if len(v) else 0
+    print(f"{len(v)} partitions, {n_failed} failed; "
+          f"violations + manifest under {args.out}")
+    return 1 if n_failed else 0
 
 
 def _expect_mode(args) -> int:

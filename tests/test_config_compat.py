@@ -446,3 +446,29 @@ def test_model_config_trains_from_train_data_file(ray_session, tmp_path):
                    "treshold": 0.4}]}
     out_nt = run_reference_config(conf_nt, ds=stream).to_pandas()
     assert (out_nt["a0_clustering_code"] == OK_CODE).all()
+
+
+def test_cli_validate_clips_mode(tmp_path, ray_session):
+    """--validate-clips runs the flagship over a clip table: exit 1 on
+    failed partitions (the synth table plants violations in every
+    partition), violations + manifest land under --out, and a resume
+    invocation exits 0 with all partitions skipped."""
+    import os
+
+    from anomaly_detection_ray import synth
+    from anomaly_detection_ray.__main__ import main
+
+    clips = tmp_path / "clips"
+    synth.write_clip_table(str(clips), seed=7, n=600, P=4,
+                           rows_per_file=256)
+    out = tmp_path / "out"
+    rc = main(["--validate-clips", str(clips), "--out", str(out),
+               "--partitions", "4", "--seed", "7"])
+    assert rc == 1                       # planted violations => fail
+    assert os.path.exists(out / "_manifest.json")
+    assert os.path.isdir(out / "violations")
+    # resume re-reports the table's (still failing) verdicts without
+    # revalidating: exit stays 1, all partitions skipped
+    rc2 = main(["--validate-clips", str(clips), "--out", str(out),
+                "--partitions", "4", "--seed", "7", "--resume"])
+    assert rc2 == 1
