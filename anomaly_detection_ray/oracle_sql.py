@@ -2768,6 +2768,35 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY 1
         """,
+        "survival_users_events": """
+            -- Kaplan-Meier time-to-first-purchase, administratively
+            -- censored at 24 h from the user's first event; running
+            -- product via exp(sum(ln)) (rows with d=0 add ln 1)
+            WITH u AS (SELECT user_id, min(epoch_us(ts)) AS f,
+                              min(CASE WHEN event_type = 'purchase'
+                                       THEN epoch_us(ts) END) AS fp
+                       FROM events GROUP BY 1),
+            d AS (SELECT CASE WHEN fp IS NOT NULL
+                                   AND fp - f < 86400000000
+                              THEN fp - f ELSE 86400000000 END AS life_us,
+                         CASE WHEN fp IS NOT NULL
+                                   AND fp - f < 86400000000
+                              THEN 1 ELSE 0 END AS churn
+                  FROM u),
+            t AS (SELECT life_us, sum(churn) AS d_i, count(*) AS a_i
+                  FROM d GROUP BY 1),
+            km AS (SELECT life_us, d_i,
+                          sum(a_i) OVER (ORDER BY life_us DESC) AS n_risk
+                   FROM t)
+            SELECT round(life_us / 3600000000.0, 6) AS t_hours,
+                   CAST(n_risk AS BIGINT) AS n_risk,
+                   CAST(d_i AS BIGINT) AS n_events,
+                   round(exp(sum(ln(1.0 - CAST(d_i AS DOUBLE) / n_risk))
+                             OVER (ORDER BY life_us)), 6) AS survival
+            FROM km
+            QUALIFY d_i > 0
+            ORDER BY life_us
+        """,
         "calibration_events": """
             -- reliability diagram + Brier of min-max-normalized value
             -- vs the error label; identical bin/score expressions

@@ -5830,6 +5830,51 @@ def q_fuzzy_match_parts(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q_survival_users_events(sf_dir: str):
+    """Kaplan-Meier time-to-first-purchase per user, administratively
+    right-censored at a 24 h budget from the user's first event — the
+    survival-analysis member of the retention family (cohort_retention
+    counts presence; KM handles censoring correctly: censored users
+    leave the risk set without counting as events). ONE mergeable
+    per-user (first event, first purchase) min-fold bounded by the user
+    dimension (no-purchase sentinel = int64 max, min-mergeable by
+    construction); the KM product runs on the driver over distinct
+    offsets. Offsets are exact integer µs; the engine's running product
+    and the oracle's exp(Σ ln) agree well inside the 6 dp round."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    SENT = np.int64(2**62)
+
+    def p_range(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        is_p = df["event_type"].to_numpy() == "purchase"
+        return (pd.DataFrame({"user_id": df["user_id"], "f": us,
+                              "fp": np.where(is_p, us, SENT)})
+                .groupby("user_id", as_index=False)
+                .agg({"f": "min", "fp": "min"}))
+
+    u = _fold(ds.map_batches(p_range, batch_format="pandas"),
+              ["user_id"], {"f": "min", "fp": "min"})
+    day_us = np.int64(86_400) * np.int64(1_000_000)
+    off = u["fp"].to_numpy(np.int64) - u["f"].to_numpy(np.int64)
+    event = (u["fp"].to_numpy(np.int64) != SENT) & (off < day_us)
+    life = np.where(event, off, day_us)
+    t = (pd.DataFrame({"life_us": life, "d": event.astype(np.int64),
+                       "a": 1})
+         .groupby("life_us", as_index=False).sum()
+         .sort_values("life_us").reset_index(drop=True))
+    total = int(t["a"].sum())
+    before = np.concatenate([[0], np.cumsum(t["a"].to_numpy())[:-1]])
+    n_risk = total - before
+    surv = np.cumprod(1.0 - t["d"].to_numpy(np.float64) / n_risk)
+    keep = t["d"].to_numpy() > 0
+    return pd.DataFrame({
+        "t_hours": rnd(t["life_us"].to_numpy(np.float64)[keep]
+                       / 3_600_000_000.0, 6),
+        "n_risk": n_risk[keep].astype(np.int64),
+        "n_events": t["d"].to_numpy(np.int64)[keep],
+        "survival": rnd(surv[keep], 6)})
+
+
 def q_calibration_events(sf_dir: str):
     """Calibration / reliability-diagram audit of `value` as an error
     score: min-max-normalized score vs the (event_type=='error') label
@@ -6222,6 +6267,7 @@ QUERIES = {
     "new_users_daily_events": q_new_users_daily_events,
     "pca_project_embeddings": q_pca_project_embeddings,
     "calibration_events": q_calibration_events,
+    "survival_users_events": q_survival_users_events,
     "order_constraint_events": q_order_constraint_events,
     "cramers_v_events": q_cramers_v_events,
     "hbos_events": q_hbos_events,
