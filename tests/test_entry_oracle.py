@@ -157,3 +157,15 @@ def test_entry_runs(entrymod):
     df = to_df(entrymod.entry())
     assert len(df) == 1000  # sf0.001 events
     assert {"event_id", "status_code", "anomaly_score"} <= set(df.columns)
+
+
+def test_every_query_oracle_backed_except_documented(entrymod):
+    """The coverage contract: every queries() entry carries a hard oracle
+    (SQL or frozen fixture) except the ONE documented rows-only case —
+    the t-digest, whose estimates are legitimately run-varying under
+    preserve_order=False (fixtures.py module doc). A new query landing
+    without an oracle fails here loudly instead of silently degrading
+    the driver gate to rows-only."""
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert q - o == {"tdigest_quantiles_events"}, sorted(q - o)
