@@ -2707,10 +2707,16 @@ def oracle_sql() -> dict[str, str]:
         "returned_item_report": """
             -- Q10 shape: top-20 customers by returned-item revenue loss
             -- for 1996Q1 orders; post-round ordering + custkey tie-break
-            -- mirrors the engine's deterministic prefix
+            -- mirrors the engine's deterministic prefix. Revenue in
+            -- exact integer 1e-4-dollar units (cents x percent) as
+            -- volume_shipping_nations, so the 2 dp round and top-20 cut
+            -- are association-order-proof on both sides.
             WITH rev AS (
                 SELECT o.o_custkey,
-                       round(sum(l.l_extendedprice * (1 - l.l_discount)),
+                       round(sum(CAST(round(l.l_extendedprice * 100)
+                                      AS BIGINT)
+                                 * CAST(round((1 - l.l_discount) * 100)
+                                        AS BIGINT)) / 10000.0,
                              2) AS revenue
                 FROM lineitem l
                 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -2824,12 +2830,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "new_users_daily_events": """
             -- running COUNT DISTINCT reduced to first-seen grain; day
-            -- from the same integer epoch-day floor as the engine
+            -- from the same integer epoch-day floor as the engine.
+            -- make_timestamp(epoch_us) is session-TimeZone-independent
+            -- (to_timestamp converts through the host TZ and breaks the
+            -- gate on non-UTC hosts).
             WITH f AS (SELECT user_id,
                               min(epoch_us(ts) // 86400000000) AS day
                        FROM events GROUP BY 1),
             c AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
-            SELECT CAST(to_timestamp(day * 86400) AS TIMESTAMP) AS day,
+            SELECT make_timestamp(day * 86400000000) AS day,
                    CAST(new_users AS BIGINT) AS new_users,
                    CAST(sum(new_users) OVER (ORDER BY day)
                         AS BIGINT) AS cum_users

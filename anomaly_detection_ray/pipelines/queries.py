@@ -5428,15 +5428,21 @@ def q_wasserstein_drift_events(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
     def p_range(df: pd.DataFrame) -> pd.DataFrame:
-        v = df["value"].to_numpy(np.float64)
-        keep = ~np.isnan(v)
-        if not keep.any():
+        # ts range is emitted UNCONDITIONALLY (the oracle's time-range
+        # CTE is unfiltered, so an all-NaN-value batch must still widen
+        # lo_us/hi_us); only the value lo/hi needs the NaN guard —
+        # fold_partials' pandas min/max skips the NaN placeholders.
+        if not len(df):
             return pd.DataFrame({"k": [], "lo_us": [], "hi_us": [],
                                  "lo": [], "hi": []})
+        v = df["value"].to_numpy(np.float64)
+        keep = ~np.isnan(v)
         us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        vlo = v[keep].min() if keep.any() else np.nan
+        vhi = v[keep].max() if keep.any() else np.nan
         return pd.DataFrame({"k": [0], "lo_us": [us.min()],
                              "hi_us": [us.max()],
-                             "lo": [v[keep].min()], "hi": [v[keep].max()]})
+                             "lo": [vlo], "hi": [vhi]})
 
     r = _fold(ds.map_batches(p_range, batch_format="pandas"),
               ["k"], {"lo_us": "min", "hi_us": "max",
@@ -5496,15 +5502,21 @@ def q_jsd_drift_events(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
     def p_range(df: pd.DataFrame) -> pd.DataFrame:
-        v = df["value"].to_numpy(np.float64)
-        keep = ~np.isnan(v)
-        if not keep.any():
+        # ts range is emitted UNCONDITIONALLY (the oracle's time-range
+        # CTE is unfiltered, so an all-NaN-value batch must still widen
+        # lo_us/hi_us); only the value lo/hi needs the NaN guard —
+        # fold_partials' pandas min/max skips the NaN placeholders.
+        if not len(df):
             return pd.DataFrame({"k": [], "lo_us": [], "hi_us": [],
                                  "lo": [], "hi": []})
+        v = df["value"].to_numpy(np.float64)
+        keep = ~np.isnan(v)
         us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        vlo = v[keep].min() if keep.any() else np.nan
+        vhi = v[keep].max() if keep.any() else np.nan
         return pd.DataFrame({"k": [0], "lo_us": [us.min()],
                              "hi_us": [us.max()],
-                             "lo": [v[keep].min()], "hi": [v[keep].max()]})
+                             "lo": [vlo], "hi": [vhi]})
 
     r = _fold(ds.map_batches(p_range, batch_format="pandas"),
               ["k"], {"lo_us": "min", "hi_us": "max",
@@ -5657,10 +5669,17 @@ def q_returned_item_report(sf_dir: str):
 
     def pre(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["l_returnflag"].to_numpy() == "R"]
+        # exact integer 1e-4-dollar units (cents x percent), as
+        # volume_shipping_nations: the per-customer sum is exact, so the
+        # 2 dp round and the top-20 cut cannot flip on a .xx5 boundary
+        # from float association order
+        cents = np.round(df["l_extendedprice"].to_numpy(np.float64)
+                         * 100.0).astype(np.int64)
+        pct = np.round((1.0 - df["l_discount"].to_numpy(np.float64))
+                       * 100.0).astype(np.int64)
         return (pd.DataFrame({
             "l_orderkey": df["l_orderkey"],
-            "revenue": (df["l_extendedprice"]
-                        * (1 - df["l_discount"])).to_numpy()})
+            "rev_1e4": cents * pct})
                 .groupby("l_orderkey", as_index=False).sum())
 
     j = li.map_batches(pre, batch_format="pandas").join(
@@ -5668,10 +5687,11 @@ def q_returned_item_report(sf_dir: str):
         on=("l_orderkey",), right_on=("o_orderkey",))
 
     def post(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("o_custkey", as_index=False)["revenue"].sum()
+        return df.groupby("o_custkey", as_index=False)["rev_1e4"].sum()
 
     per_cust = _fold(j.map_batches(post, batch_format="pandas"),
-                     ["o_custkey"], {"revenue": "sum"})
+                     ["o_custkey"], {"rev_1e4": "sum"})
+    per_cust["revenue"] = per_cust.pop("rev_1e4") / 10000.0
     cust = _read(sf_dir, "customer",
                  ["c_custkey", "c_name", "c_nationkey",
                   "c_acctbal"]).to_pandas()
