@@ -23,20 +23,33 @@ import pandas as pd
 _RAY_AGGS = {"sum", "max", "min"}
 
 
-def fold_ray(partials_ds, group_cols, agg: dict) -> pd.DataFrame:
-    """All-to-all path: Ray groupby-aggregate over the same partials."""
+def fold_ray(partials_ds, group_cols, agg: dict, as_dataset: bool = False):
+    """All-to-all path: Ray groupby-aggregate over the same partials.
+
+    ``as_dataset=True`` returns the aggregated Dataset WITHOUT collecting —
+    the required shape when the fold key is a corpus item (e.g. clip_id):
+    the merged table is itself corpus-scaled and must never land on the
+    driver."""
     from ray.data.aggregate import Max, Min, Sum
 
     mk = {"sum": Sum, "max": Max, "min": Min}
     assert all(how in _RAY_AGGS for how in agg.values())
     fns = [mk[how](on=c, alias_name=c) for c, how in agg.items()]
     keys = group_cols if isinstance(group_cols, list) else [group_cols]
-    return partials_ds.groupby(keys).aggregate(*fns).to_pandas()
+    res = partials_ds.groupby(keys).aggregate(*fns)
+    return res if as_dataset else res.to_pandas()
 
 
 def fold_partials(partials_ds, group_cols, agg: dict,
-                  key_threshold: int = 200_000) -> pd.DataFrame:
-    """Merge per-batch partials; see module docstring for the two regimes."""
+                  key_threshold: int = 200_000, as_dataset: bool = False):
+    """Merge per-batch partials; see module docstring for the two regimes.
+
+    ``as_dataset=True``: return a ``ray.data.Dataset`` in BOTH regimes —
+    below the threshold the (bounded, <= key_threshold-row) driver fold is
+    wrapped via ``from_pandas`` (no extra shuffle at small scale); above
+    it the Ray groupby-aggregate streams through untouched. Use for folds
+    keyed by a corpus item (clip_id, doc_id): the caller gets a stream
+    whose driver footprint is bounded by the threshold at any input size."""
     merged: pd.DataFrame | None = None
     chunks: list[pd.DataFrame] = []
 
@@ -56,5 +69,10 @@ def fold_partials(partials_ds, group_cols, agg: dict,
         if len(chunks) >= 32:
             merged, chunks = combine(), []
             if len(merged) > key_threshold:
-                return fold_ray(partials_ds, group_cols, agg)
-    return combine()
+                return fold_ray(partials_ds, group_cols, agg,
+                                as_dataset=as_dataset)
+    out = combine()
+    if as_dataset:
+        import ray.data as rd
+        return rd.from_pandas(out)
+    return out

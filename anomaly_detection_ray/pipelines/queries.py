@@ -821,7 +821,7 @@ def q_bpe_encode_documents(sf_dir: str):
                           fn_constructor_kwargs={
                               "rules": rules.to_dict("list")},
                           batch_format="pandas", batch_size=256,
-                          concurrency=pool_size(8), num_cpus=1)
+                          concurrency=pool_size(0), num_cpus=1)
 
 
 def q_equidepth_histogram_events(sf_dir: str):
@@ -1851,10 +1851,9 @@ def q_events_hourly(sf_dir: str):
 
 def q_exact_dedup_documents(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = dd.exact_dedup_groups(ds).to_pandas()
-    out["keep_doc_id"] = out["keep_doc_id"].astype("int64")
-    out["n_dups"] = out["n_dups"].astype("int64")
-    return out.sort_values("text_hash").reset_index(drop=True)
+    # one row per distinct content — corpus-scaled, so the grouped result
+    # stays a Dataset (comparer-side canonical ordering)
+    return dd.exact_dedup_groups(ds)
 
 
 def q_token_count_documents(sf_dir: str):
@@ -2711,7 +2710,7 @@ def q_image_decode_features(sf_dir: str):
     out = ds.map_batches(ImageDecode,
                          fn_constructor_kwargs={"bytes_col": "image"},
                          batch_format="pyarrow", batch_size=64,
-                         concurrency=pool_size(4), num_cpus=1)
+                         concurrency=pool_size(0), num_cpus=1)
 
     def fin(t: pa.Table) -> pa.Table:
         return t.set_column(t.schema.get_field_index("mean_luma"),
@@ -2898,7 +2897,7 @@ def q_jpeg_decode_features(sf_dir: str):
     out = ds.map_batches(ImageDecode,
                          fn_constructor_kwargs={"bytes_col": "image"},
                          batch_format="pyarrow", batch_size=64,
-                         concurrency=pool_size(4), num_cpus=1)
+                         concurrency=pool_size(0), num_cpus=1)
 
     def fin(t: pa.Table) -> pa.Table:
         return t.set_column(t.schema.get_field_index("mean_luma"),
@@ -2956,7 +2955,7 @@ def q_webp_decode_features(sf_dir: str):
     out = ds.map_batches(ImageDecode,
                          fn_constructor_kwargs={"bytes_col": "image"},
                          batch_format="pyarrow", batch_size=64,
-                         concurrency=pool_size(16), num_cpus=1)
+                         concurrency=pool_size(0), num_cpus=1)
 
     def fin(t: pa.Table) -> pa.Table:
         return t.set_column(t.schema.get_field_index("mean_luma"),
@@ -3017,7 +3016,7 @@ def q_video_frame_features(sf_dir: str):
                                                 "id_col": "vid_id",
                                                 "n_frames": 3},
                          batch_format="pyarrow", batch_size=16,
-                         concurrency=pool_size(16), num_cpus=1)
+                         concurrency=pool_size(0), num_cpus=1)
 
     def fin(t: pa.Table) -> pa.Table:
         return t.set_column(t.schema.get_field_index("mean_luma"),
@@ -3057,7 +3056,7 @@ def q_clip_spectral_features(sf_dir: str):
     from ..stages import audio_ops as ao
     path = _clip_table_path(sf_dir)
     ds = read_clips(path, columns=["clip_id", "bytes"])
-    out = ao.spectral_feature_table(ds, concurrency=8)
+    out = ao.spectral_feature_table(ds)
     return out.select_columns(
         ["clip_id", "zcr", "centroid_hz", "bandwidth_hz", "rolloff_hz",
          "flatness", "speech_ratio", "clipping_ratio", "snr_db",
@@ -3077,7 +3076,7 @@ def q_clip_mel_features(sf_dir: str):
     return ds.map_batches(ao.MelFeatures,
                           fn_constructor_kwargs={},
                           batch_format="pyarrow", batch_size=64,
-                          concurrency=pool_size(8), num_cpus=1)
+                          concurrency=pool_size(0), num_cpus=1)
 
 
 def q_clip_augment_stats(sf_dir: str):
@@ -3091,7 +3090,7 @@ def q_clip_augment_stats(sf_dir: str):
     from ..stages import audio_ops as ao
     path = _clip_table_path(sf_dir)
     ds = read_clips(path, columns=["clip_id", "bytes"])
-    return ao.augment_clips(ds, concurrency=8)
+    return ao.augment_clips(ds)
 
 
 def q_clip_specaugment_stats(sf_dir: str):
@@ -3103,7 +3102,7 @@ def q_clip_specaugment_stats(sf_dir: str):
     from ..stages import audio_ops as ao
     path = _clip_table_path(sf_dir)
     ds = read_clips(path, columns=["clip_id", "bytes"])
-    return ao.specaugment_clips(ds, concurrency=8)
+    return ao.specaugment_clips(ds)
 
 
 def q_clip_trim_stats(sf_dir: str):
@@ -3114,7 +3113,7 @@ def q_clip_trim_stats(sf_dir: str):
     from ..stages import audio_ops as ao
     path = _clip_table_path(sf_dir)
     ds = read_clips(path, columns=["clip_id", "bytes"])
-    return ao.trim_silence(ds, concurrency=8)
+    return ao.trim_silence(ds)
 
 
 def q_clip_speaker_clusters(sf_dir: str):
@@ -3129,7 +3128,7 @@ def q_clip_speaker_clusters(sf_dir: str):
     from ..stages import audio_ops as ao
     path = _clip_table_path(sf_dir)
     ds = read_clips(path, columns=["clip_id", "bytes"])
-    feats = ao.mfcc_embedding_table(ds, concurrency=8).materialize()
+    feats = ao.mfcc_embedding_table(ds).materialize()
     C = sim.kmeans_fit(feats, k=6, iters=4, id_col="cid", seed=0)
     out = sim.kmeans_assign(feats, C, id_col="clip_id")
 
@@ -3156,7 +3155,7 @@ def q_clip_dvector_speakers(sf_dir: str):
     path = _clip_table_path(sf_dir)
     ds = read_clips(path, columns=["clip_id", "bytes"])
     w = dvm.train_dvector(ds, n_train=48, epochs=30, seed=0)
-    feats = dvm.dvector_embedding_table(ds, w, concurrency=8).materialize()
+    feats = dvm.dvector_embedding_table(ds, w).materialize()
     C = sim.kmeans_fit(feats, k=12, iters=4, id_col="cid", seed=0)
     out = sim.kmeans_assign(feats, C, id_col="clip_id")
 
@@ -3181,7 +3180,7 @@ def q_clip_declip_stats(sf_dir: str):
     # 0.45 FS: the synth tones peak ~0.5, so the fixture exercises real
     # runs + repairs (at 0.999 the corpus has zero clipped samples and
     # the oracle would pin only schema)
-    return ao.declip_table(ds, concurrency=8, full_scale=0.45)
+    return ao.declip_table(ds, full_scale=0.45)
 
 
 def q_clip_denoise_stats(sf_dir: str):
@@ -3196,7 +3195,7 @@ def q_clip_denoise_stats(sf_dir: str):
     from ..stages import audio_ops as ao
     path = _clip_table_path(sf_dir)
     ds = read_clips(path, columns=["clip_id", "bytes"])
-    return ao.denoise_table(ds, concurrency=8, below_snr_db=10.0)
+    return ao.denoise_table(ds, below_snr_db=10.0)
 
 
 def q_clip_tempo_features(sf_dir: str):
@@ -3213,7 +3212,7 @@ def q_clip_tempo_features(sf_dir: str):
     from ..stages import audio_ops as ao
     path = _clip_table_path(sf_dir)
     ds = read_clips(path, columns=["clip_id", "bytes"])
-    return ao.tempo_table(ds, concurrency=8)
+    return ao.tempo_table(ds)
 
 
 def q_clip_stretch_stats(sf_dir: str):
@@ -3227,7 +3226,7 @@ def q_clip_stretch_stats(sf_dir: str):
     from ..stages import audio_ops as ao
     path = _clip_table_path(sf_dir)
     ds = read_clips(path, columns=["clip_id", "bytes"])
-    return ao.stretch_table(ds, concurrency=8, rates=(0.9, 1.1))
+    return ao.stretch_table(ds, rates=(0.9, 1.1))
 
 
 def q_clip_codec_stats(sf_dir: str):
@@ -3241,7 +3240,7 @@ def q_clip_codec_stats(sf_dir: str):
     from ..stages import audio_ops as ao
     path = _clip_table_path(sf_dir)
     ds = read_clips(path, columns=["clip_id", "bytes"])
-    return ao.codec_table(ds, concurrency=8)
+    return ao.codec_table(ds)
 
 
 def q_clip_pitch_features(sf_dir: str):
@@ -3255,7 +3254,7 @@ def q_clip_pitch_features(sf_dir: str):
     from ..stages import audio_ops as ao
     path = _clip_table_path(sf_dir)
     ds = read_clips(path, columns=["clip_id", "bytes"])
-    return ao.pitch_table(ds, concurrency=8)
+    return ao.pitch_table(ds)
 
 
 def q_clip_profile_store(sf_dir: str):
@@ -3319,7 +3318,7 @@ def q_clip_loudness_stats(sf_dir: str):
     from ..stages import audio_ops as ao
     path = _clip_table_path(sf_dir)
     ds = read_clips(path, columns=["clip_id", "bytes"])
-    return ao.loudness_table(ds, concurrency=8)
+    return ao.loudness_table(ds)
 
 
 def q_clip_speaking_rate(sf_dir: str):
@@ -3350,7 +3349,7 @@ def q_clip_mfcc_delta(sf_dir: str):
     return ds.map_batches(ao.MfccDeltaFeatures,
                           fn_constructor_kwargs={},
                           batch_format="pyarrow", batch_size=64,
-                          concurrency=pool_size(8), num_cpus=1)
+                          concurrency=pool_size(0), num_cpus=1)
 
 
 def q_audio_fingerprint_dedup(sf_dir: str):
@@ -3361,7 +3360,7 @@ def q_audio_fingerprint_dedup(sf_dir: str):
     from ..stages import audio_ops as ao
     path = _clip_table_path(sf_dir)
     ds = read_clips(path, columns=["clip_id", "bytes"])
-    return ao.fingerprint_dedup(ds, concurrency=8)
+    return ao.fingerprint_dedup(ds)
 
 
 def q_clip_segment_stats(sf_dir: str):
@@ -3372,7 +3371,7 @@ def q_clip_segment_stats(sf_dir: str):
     from ..stages import audio_ops as ao
     path = _clip_table_path(sf_dir)
     ds = read_clips(path, columns=["clip_id", "bytes"])
-    segs = ao.segment_clips(ds, seg_ms=1000, min_ms=200, concurrency=8,
+    segs = ao.segment_clips(ds, seg_ms=1000, min_ms=200,
                             emit_bytes=False)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -3380,10 +3379,11 @@ def q_clip_segment_stats(sf_dir: str):
             n_segs=("seg_idx", "size"), seg_ms=("seg_dur_ms", "sum"))
 
     from ..functions.fold import fold_partials
-    out = fold_partials(segs.map_batches(partial, batch_format="pandas"),
-                        "clip_id", {"n_segs": "sum", "seg_ms": "sum"})
-    out["n_segs"] = out["n_segs"].astype("int64")
-    return out.sort_values("clip_id").reset_index(drop=True)
+    # per-clip grain is corpus-scaled: as_dataset keeps the merged fold a
+    # stream in both fold regimes (driver footprint bounded by threshold)
+    return fold_partials(segs.map_batches(partial, batch_format="pandas"),
+                         "clip_id", {"n_segs": "sum", "seg_ms": "sum"},
+                         as_dataset=True)
 
 
 def q_audio_prep_segments(sf_dir: str):
@@ -3450,7 +3450,7 @@ def q_clip_resample_stats(sf_dir: str):
     from ..stages import audio_ops as ao
     path = _clip_table_path(sf_dir)
     ds = read_clips(path, columns=["clip_id", "bytes"])
-    out = ao.resample_clips(ds, target_sr=16000, concurrency=8,
+    out = ao.resample_clips(ds, target_sr=16000,
                             emit_bytes=False)
     return out.select_columns(["clip_id", "n_samples_rs"])
 
@@ -3526,7 +3526,9 @@ def q_ntile_events(sf_dir: str):
         g = g.sort_values(["value", "event_id"], kind="stable")
         n = len(g)
         if n == 0:
-            return pd.DataFrame({"event_id": [], "user_id": [], "tile": []})
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "user_id": pd.Series([], dtype="int64"),
+                                 "tile": pd.Series([], dtype="int64")})
         q, r = divmod(n, K)
         i = np.arange(n)
         if q == 0:
@@ -3538,11 +3540,9 @@ def q_ntile_events(sf_dir: str):
                              "user_id": g["user_id"].to_numpy(np.int64),
                              "tile": tile.astype(np.int64)})
 
-    out = (ds.groupby("user_id")
-             .map_groups(per_user, batch_format="pandas")).to_pandas()
-    for c in ["event_id", "user_id", "tile"]:
-        out[c] = out[c].astype("int64")
-    return out.reset_index(drop=True)
+    # corpus-scaled output: stays a Dataset (one row per event must never
+    # land on the driver; canonical ordering is comparer-side)
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
 def q_reconcile_orders_lineitem(sf_dir: str):
@@ -4084,7 +4084,7 @@ def q_clip_bandwidth_check(sf_dir: str):
     from ..stages import audio_ops as ao
     path = _clip_table_path(sf_dir)
     ds = read_clips(path, columns=["clip_id", "bytes"])
-    out = ao.bandwidth_table(ds, concurrency=8)
+    out = ao.bandwidth_table(ds)
     return out.select_columns(["clip_id", "eff_bw_hz", "bw_ratio",
                                "hf_energy_ratio", "bw_code", "bw_status"])
 
@@ -4342,8 +4342,11 @@ def q_mahalanobis_embeddings(sf_dir: str):
     correlated ellipsoid). ONE streaming pass of (XᵀX, colsum, n)
     partials → dim²-float driver merge (the covariance_embeddings
     shape), Σ ridge-regularized and inverted ONCE on the driver, (μ,
-    Σ⁻¹) broadcast for the vectorized scoring pass. Deterministic =>
-    fixture oracle; top-score recovery pinned in unit tests."""
+    Σ⁻¹) broadcast for the vectorized scoring pass. The scored table
+    streams out as a Dataset — one row per corpus vector must never
+    land on the driver; canonical ordering is comparer-side, per repo
+    convention. Deterministic => fixture oracle; top-score recovery
+    pinned in unit tests."""
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -4370,9 +4373,7 @@ def q_mahalanobis_embeddings(sf_dir: str):
         return pd.DataFrame({"vec_id": df["vec_id"].astype(np.int64),
                              "maha_sq": rnd(np.maximum(d2, 0.0), 6)})
 
-    out = emb.map_batches(score, batch_format="pandas").to_pandas()
-    out["vec_id"] = out["vec_id"].astype("int64")
-    return out.sort_values("vec_id").reset_index(drop=True)
+    return emb.map_batches(score, batch_format="pandas")
 
 
 def q_clip_audio_audit(sf_dir: str):
@@ -4387,7 +4388,7 @@ def q_clip_audio_audit(sf_dir: str):
     from ..stages import audio_ops as ao
     path = _clip_table_path(sf_dir)
     ds = read_clips(path, columns=["clip_id", "bytes", "transcript"])
-    out = ao.audio_audit_table(ds, concurrency=8)
+    out = ao.audio_audit_table(ds)
     return out.select_columns(["clip_id", "speech_ratio", "rms_db",
                                "n_chars", "hum_db_50", "hum_db_60",
                                "n_clicks", "clicks_per_sec",
@@ -4612,7 +4613,7 @@ def q_clip_reverb_stats(sf_dir: str):
     from ..stages import audio_ops as ao
     path = _clip_table_path(sf_dir)
     ds = read_clips(path, columns=["clip_id", "bytes"])
-    return ao.reverb_table(ds, concurrency=8)
+    return ao.reverb_table(ds)
 
 
 def q_clip_hygiene_check(sf_dir: str):
@@ -4626,7 +4627,7 @@ def q_clip_hygiene_check(sf_dir: str):
     from ..stages import audio_ops as ao
     path = _clip_table_path(sf_dir)
     ds = read_clips(path, columns=["clip_id", "bytes"])
-    return ao.hygiene_table(ds, concurrency=8)
+    return ao.hygiene_table(ds)
 
 
 def q_clip_wow_flutter(sf_dir: str):
@@ -4641,7 +4642,7 @@ def q_clip_wow_flutter(sf_dir: str):
     from ..stages import audio_ops as ao
     path = _clip_table_path(sf_dir)
     ds = read_clips(path, columns=["clip_id", "bytes"])
-    return ao.wow_flutter_table(ds, concurrency=8)
+    return ao.wow_flutter_table(ds)
 
 
 def q_order_priority_check(sf_dir: str):
@@ -5989,7 +5990,7 @@ def q_clip_qc_scorecard(sf_dir: str):
     path = _clip_table_path(sf_dir)
     ds = read_clips(path, columns=["clip_id", "partition_id", "bytes",
                                    "transcript"])
-    audit = ao.full_audit_table(ds, concurrency=8)
+    audit = ao.full_audit_table(ds)
     flag_cols = ["xm_flag", "hum_flag", "click_flag", "hy_flag",
                  "bw_flag", "wf_flag"]
 

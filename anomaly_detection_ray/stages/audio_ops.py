@@ -705,7 +705,7 @@ class DeclipStats:
 
 
 def declip_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
-                 concurrency: int = 8, full_scale: float = 0.999):
+                 concurrency: int = 0, full_scale: float = 0.999):
     return ds.map_batches(DeclipStats,
                           fn_constructor_kwargs={"bytes_col": bytes_col,
                                                  "full_scale": full_scale},
@@ -767,7 +767,7 @@ class DenoiseStats:
 
 
 def denoise_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
-                  concurrency: int = 8, below_snr_db: float = 10.0):
+                  concurrency: int = 0, below_snr_db: float = 10.0):
     return ds.map_batches(DenoiseStats,
                           fn_constructor_kwargs={"bytes_col": bytes_col,
                                                  "below_snr_db": below_snr_db},
@@ -893,7 +893,7 @@ class SegmentClips:
 
 
 def spectral_feature_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
-                           concurrency: int = 8):
+                           concurrency: int = 0):
     """ds -> ds + spectral/VAD/quality columns (actor pool, small batches)."""
     return ds.map_batches(SpectralFeatures,
                           fn_constructor_kwargs={"bytes_col": bytes_col},
@@ -902,7 +902,7 @@ def spectral_feature_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
 
 
 def fingerprint_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
-                      concurrency: int = 8):
+                      concurrency: int = 0):
     return ds.map_batches(AudioFingerprint,
                           fn_constructor_kwargs={"bytes_col": bytes_col},
                           batch_format="pyarrow", batch_size=batch_size,
@@ -910,7 +910,7 @@ def fingerprint_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
 
 
 def fingerprint_dedup(ds, bytes_col: str = "bytes", id_col: str = "clip_id",
-                      concurrency: int = 8) -> pd.DataFrame:
+                      concurrency: int = 0) -> pd.DataFrame:
     """Exact content-duplicate groups by acoustic fingerprint.
 
     Decode pass emits (fp) only; per-batch partial counts shrink the
@@ -939,7 +939,7 @@ def fingerprint_dedup(ds, bytes_col: str = "bytes", id_col: str = "clip_id",
 def fingerprint_neardup_pairs(ds, bytes_col: str = "bytes",
                               id_col: str = "clip_id", max_hamming: int = 3,
                               bucket_cap: int = 2000, quad_cap: int = 2048,
-                              concurrency: int = 8,
+                              concurrency: int = 0,
                               with_report: bool = False) -> pd.DataFrame:
     """Near-duplicate clip pairs: 32-bit fingerprints banded into 4 bytes
     (pigeonhole: Hamming distance <= 3 across 4 bands guarantees one exact
@@ -1020,7 +1020,7 @@ def fingerprint_neardup_pairs(ds, bytes_col: str = "bytes",
 
 def segment_clips(ds, seg_ms: int = 1000, min_ms: int = 200,
                   bytes_col: str = "bytes", batch_size: int = 32,
-                  concurrency: int = 8, emit_bytes: bool = True,
+                  concurrency: int = 0, emit_bytes: bool = True,
                   overlap_ms: int = 0):
     return ds.map_batches(SegmentClips,
                           fn_constructor_kwargs={"seg_ms": seg_ms,
@@ -1033,7 +1033,7 @@ def segment_clips(ds, seg_ms: int = 1000, min_ms: int = 200,
 
 
 def resample_clips(ds, target_sr: int = 16000, bytes_col: str = "bytes",
-                   batch_size: int = 32, concurrency: int = 8,
+                   batch_size: int = 32, concurrency: int = 0,
                    emit_bytes: bool = True):
     return ds.map_batches(ResampleAudio,
                           fn_constructor_kwargs={"target_sr": target_sr,
@@ -1114,7 +1114,7 @@ class AugmentClips:
 
 
 def augment_clips(ds, bytes_col: str = "bytes", batch_size: int = 32,
-                  concurrency: int = 8, emit_bytes: bool = False, **kw):
+                  concurrency: int = 0, emit_bytes: bool = False, **kw):
     return ds.map_batches(AugmentClips,
                           fn_constructor_kwargs={"bytes_col": bytes_col,
                                                  "emit_bytes": emit_bytes,
@@ -1205,7 +1205,7 @@ class SpecAugmentClips:
 
 
 def specaugment_clips(ds, bytes_col: str = "bytes", batch_size: int = 64,
-                      concurrency: int = 8, **kw):
+                      concurrency: int = 0, **kw):
     return ds.map_batches(SpecAugmentClips,
                           fn_constructor_kwargs={"bytes_col": bytes_col,
                                                  **kw},
@@ -1242,7 +1242,7 @@ class MfccEmbedding:
 
 
 def mfcc_embedding_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
-                         concurrency: int = 8, **kw):
+                         concurrency: int = 0, **kw):
     return ds.map_batches(MfccEmbedding,
                           fn_constructor_kwargs={"bytes_col": bytes_col,
                                                  **kw},
@@ -1318,7 +1318,7 @@ class TrimSilence:
 
 
 def trim_silence(ds, bytes_col: str = "bytes", batch_size: int = 64,
-                 concurrency: int = 8, **kw):
+                 concurrency: int = 0, **kw):
     return ds.map_batches(TrimSilence,
                           fn_constructor_kwargs={"bytes_col": bytes_col,
                                                  **kw},
@@ -1402,7 +1402,7 @@ class PitchFeatures:
 
 
 def pitch_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
-                concurrency: int = 8):
+                concurrency: int = 0):
     return ds.map_batches(PitchFeatures,
                           fn_constructor_kwargs={"bytes_col": bytes_col},
                           batch_format="pyarrow", batch_size=batch_size,
@@ -1579,7 +1579,7 @@ class LoudnessStats:
 
 
 def loudness_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
-                   concurrency: int = 8, target_db: float = -23.0):
+                   concurrency: int = 0, target_db: float = -23.0):
     return ds.map_batches(LoudnessStats,
                           fn_constructor_kwargs={"bytes_col": bytes_col,
                                                  "target_db": target_db},
@@ -1709,7 +1709,7 @@ class TempoFeatures:
 
 
 def tempo_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
-                concurrency: int = 8):
+                concurrency: int = 0):
     return ds.map_batches(TempoFeatures,
                           fn_constructor_kwargs={"bytes_col": bytes_col},
                           batch_format="pyarrow", batch_size=batch_size,
@@ -1820,7 +1820,7 @@ class StretchStats:
 
 
 def stretch_table(ds, bytes_col: str = "bytes", batch_size: int = 32,
-                  concurrency: int = 8, emit_bytes: bool = False, **kw):
+                  concurrency: int = 0, emit_bytes: bool = False, **kw):
     return ds.map_batches(StretchStats,
                           fn_constructor_kwargs={"bytes_col": bytes_col,
                                                  "emit_bytes": emit_bytes,
@@ -1923,7 +1923,7 @@ class CodecStats:
 
 
 def codec_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
-                concurrency: int = 8, emit_bytes: bool = False):
+                concurrency: int = 0, emit_bytes: bool = False):
     return ds.map_batches(CodecStats,
                           fn_constructor_kwargs={"bytes_col": bytes_col,
                                                  "emit_bytes": emit_bytes},
@@ -2111,7 +2111,7 @@ class AudioAudit:
 
 
 def audio_audit_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
-                      concurrency: int = 8, **kwargs):
+                      concurrency: int = 0, **kwargs):
     return ds.map_batches(AudioAudit,
                           fn_constructor_kwargs={"bytes_col": bytes_col,
                                                  **kwargs},
@@ -2200,7 +2200,7 @@ class BandwidthCheck:
 
 
 def bandwidth_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
-                    concurrency: int = 8, warn_ratio: float = 0.5):
+                    concurrency: int = 0, warn_ratio: float = 0.5):
     return ds.map_batches(BandwidthCheck,
                           fn_constructor_kwargs={"bytes_col": bytes_col,
                                                  "warn_ratio": warn_ratio},
@@ -2391,7 +2391,7 @@ class ReverbClips:
 
 
 def reverb_table(ds, bytes_col: str = "bytes", batch_size: int = 32,
-                 concurrency: int = 8, emit_bytes: bool = False):
+                 concurrency: int = 0, emit_bytes: bool = False):
     return ds.map_batches(ReverbClips,
                           fn_constructor_kwargs={"bytes_col": bytes_col,
                                                  "emit_bytes": emit_bytes},
@@ -2544,7 +2544,7 @@ class HygieneCheck:
 
 
 def hygiene_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
-                  concurrency: int = 8, **kw):
+                  concurrency: int = 0, **kw):
     return ds.map_batches(HygieneCheck,
                           fn_constructor_kwargs={"bytes_col": bytes_col,
                                                  **kw},
@@ -2735,7 +2735,7 @@ class WowFlutterCheck:
 
 
 def wow_flutter_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
-                      concurrency: int = 8, **kw):
+                      concurrency: int = 0, **kw):
     return ds.map_batches(WowFlutterCheck,
                           fn_constructor_kwargs={"bytes_col": bytes_col,
                                                  **kw},
@@ -2864,7 +2864,7 @@ class FullAudit:
 
 
 def full_audit_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
-                     concurrency: int = 8, **kw):
+                     concurrency: int = 0, **kw):
     return ds.map_batches(FullAudit,
                           fn_constructor_kwargs={"bytes_col": bytes_col,
                                                  **kw},

@@ -247,7 +247,7 @@ class DVectorEmbedding:
 
 def dvector_embedding_table(ds, weights: dict, bytes_col: str = "bytes",
                             id_col: str = "clip_id", batch_size: int = 64,
-                            concurrency: int = 8):
+                            concurrency: int = 0):
     return ds.map_batches(DVectorEmbedding,
                           fn_constructor_kwargs={"weights": weights,
                                                  "bytes_col": bytes_col,

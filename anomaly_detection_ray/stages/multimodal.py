@@ -182,7 +182,7 @@ class VideoFrameSample:
 
 
 def audio_features(ds, bytes_col: str = "bytes", batch_size: int = 64,
-                   concurrency: int = 4):
+                   concurrency: int = 0):
     """Wire the AudioFeatures actor pool with payload-aware batch sizing."""
     return ds.map_batches(AudioFeatures,
                           fn_constructor_kwargs={"bytes_col": bytes_col},

@@ -11,12 +11,19 @@ def _cluster_cpus(fallback: int) -> int:
         return fallback
 
 
-def pool_size(requested: int, reserve: int = 2) -> int:
+def pool_size(requested: int | None, reserve: int = 2) -> int:
     """Fixed actor-pool size that leaves ``reserve`` CPUs for upstream read /
     task operators. Fixed pools beat autoscaling ``(1, N)`` here: the
     autoscaler ramps far too slowly for short stages (measured 5x wall), while
     a full-cluster fixed pool starves the read and deadlocks — so: all CPUs
-    minus headroom, capped at the requested size."""
+    minus headroom, capped at the requested size.
+
+    ``requested`` <= 0 (or None) means AUTO: size the pool to the cluster via
+    ``decode_pool_size()``. Every decode-heavy table wrapper defaults to auto
+    so a 32-CPU node runs ~24 actors instead of a hardcoded 8 with the rest
+    of the machine idle; pass an explicit positive value to cap it."""
+    if not requested or requested <= 0:
+        return decode_pool_size()
     cpus = _cluster_cpus(requested + reserve)
     return max(1, min(requested, cpus - reserve))
 

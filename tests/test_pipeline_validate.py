@@ -230,6 +230,10 @@ def test_pool_sizing():
     # requested pool capped to cluster minus reserve (session has 4 CPUs)
     assert pool_size(2) == 2
     assert pool_size(100) >= 1
+    # AUTO default: 0 / None route to decode_pool_size() so every decode
+    # table wrapper scales with the cluster instead of a hardcoded 8
+    assert pool_size(0) == decode_pool_size()
+    assert pool_size(None) == decode_pool_size()
 
 
 def test_report_sink(run):
