@@ -84,33 +84,29 @@ def q_grouped_stats_events(sf_dir: str):
     return out[["event_type", "n", "mean", "std", "std_sample", "min", "max"]]
 
 
+def _zscore_kernel(v, mean, std):
+    with np.errstate(invalid="ignore", divide="ignore"):
+        z = (v - mean) / np.where(std == 0.0, np.nan, std)
+    return {"z": rnd(pd.Series(z), 6)}
+
+
 def q_zscore_events(sf_dir: str):
     """Group-wise z-score normalization (standard per-entity feature
     scaling): pass 1 = salted grouped Welford partials folded to a
-    per-user (mean, sample-std) table (bounded by user cardinality,
-    broadcast via ray.put); pass 2 = one vectorized map_batches apply.
-    Null/NaN values and single-row or zero-variance groups emit NULL z
-    (matches SQL NULLIF semantics)."""
+    per-user (mean, sample-std) table; pass 2 = the two-regime
+    stats_apply (broadcast dict below the documented group-count
+    threshold, co-partitioned tagged-union join-apply above it — the
+    10^9-key shape; regimes bit-equal by the elementwise-kernel
+    contract). Null/NaN values and single-row or zero-variance groups
+    emit NULL z (matches SQL NULLIF semantics)."""
+    from ..stages.stats_apply import group_stats_apply
     ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
     st = stats_mod.grouped_welford(ds, "value", "user_id", n_salts=8,
                                    salt_col="event_id")
-    mu = dict(zip(st["key"].astype(str), st["mean"]))
-    sd = dict(zip(st["key"].astype(str), st["std_sample"]))
-    st_ref = ray.put((mu, sd))
-
-    def apply(df: pd.DataFrame) -> pd.DataFrame:
-        m, s = ray.get(st_ref)
-        k = df["user_id"].astype(str)
-        mean = k.map(m).to_numpy(np.float64)
-        std = k.map(s).to_numpy(np.float64)
-        v = df["value"].to_numpy(np.float64)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            z = (v - mean) / np.where(std == 0.0, np.nan, std)
-        return pd.DataFrame({"event_id": df["event_id"],
-                             "user_id": df["user_id"],
-                             "z": rnd(pd.Series(z), 6)})
-
-    return ds.map_batches(apply, batch_format="pandas")
+    st = st.rename(columns={"key": "user_id"})
+    return group_stats_apply(ds, st[["user_id", "mean", "std_sample"]],
+                             "user_id", ["mean", "std_sample"],
+                             ["event_id", "user_id"], _zscore_kernel)
 
 
 def q_robust_zscore_events(sf_dir: str):
@@ -120,9 +116,10 @@ def q_robust_zscore_events(sf_dir: str):
     have a 50% breakdown point). One groupby exchange of slim
     (user_id, value) rows with per-group vectorized median+MAD (the
     same per-key-fits-one-worker contract as the series kernels); the
-    group-stats table is user-cardinality bounded and broadcast for the
-    one-pass apply, exactly the zscore_events shape. NULL for null
-    values and zero-MAD groups (NULLIF semantics)."""
+    group-stats table feeds the two-regime stats_apply (broadcast dict
+    vs co-partitioned join past the group-count threshold), exactly the
+    zscore_events shape. NULL for null values and zero-MAD groups
+    (NULLIF semantics)."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
 
     def grp(df: pd.DataFrame) -> pd.DataFrame:
@@ -136,26 +133,17 @@ def q_robust_zscore_events(sf_dir: str):
         return pd.DataFrame({"user_id": [df["user_id"].iloc[0]],
                              "med": [med], "mad": [mad]})
 
-    st = (ds.select_columns(["user_id", "value"])
-            .groupby("user_id").map_groups(grp, batch_format="pandas")
-            .to_pandas())
-    med = dict(zip(st["user_id"].astype(str), st["med"]))
-    mad = dict(zip(st["user_id"].astype(str), st["mad"]))
-    st_ref = ray.put((med, mad))
+    from ..stages.stats_apply import group_stats_apply
 
-    def apply(df: pd.DataFrame) -> pd.DataFrame:
-        m, d = ray.get(st_ref)
-        k = df["user_id"].astype(str)
-        me = k.map(m).to_numpy(np.float64)
-        ma = k.map(d).to_numpy(np.float64)
-        v = df["value"].to_numpy(np.float64)
+    def kernel(v, me, ma):
         with np.errstate(invalid="ignore", divide="ignore"):
             rz = (v - me) / np.where(ma == 0.0, np.nan, ma)
-        return pd.DataFrame({"event_id": df["event_id"],
-                             "user_id": df["user_id"],
-                             "rz": rnd(pd.Series(rz), 6)})
+        return {"rz": rnd(pd.Series(rz), 6)}
 
-    return ds.map_batches(apply, batch_format="pandas")
+    st = (ds.select_columns(["user_id", "value"])
+            .groupby("user_id").map_groups(grp, batch_format="pandas"))
+    return group_stats_apply(ds, st, "user_id", ["med", "mad"],
+                             ["event_id", "user_id"], kernel)
 
 
 def q_winsorize_events(sf_dir: str):
@@ -164,7 +152,8 @@ def q_winsorize_events(sf_dir: str):
     quantile_cont) — the standard heavy-tail taming transform before
     training on raw metrics. Same exchange shape as
     robust_zscore_events: one slim groupby, cardinality-bounded
-    bounds table broadcast, vectorized clamp apply."""
+    bounds table applied through the two-regime stats_apply (broadcast
+    dict vs co-partitioned join past the group-count threshold)."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
 
     def grp(df: pd.DataFrame) -> pd.DataFrame:
@@ -175,23 +164,15 @@ def q_winsorize_events(sf_dir: str):
         return pd.DataFrame({"user_id": [df["user_id"].iloc[0]],
                              "lo": [lo], "hi": [hi]})
 
+    from ..stages.stats_apply import group_stats_apply
+
+    def kernel(v, lo, hi):
+        return {"value_w": rnd(pd.Series(np.clip(v, lo, hi)), 6)}
+
     st = (ds.select_columns(["user_id", "value"])
-            .groupby("user_id").map_groups(grp, batch_format="pandas")
-            .to_pandas())
-    st_ref = ray.put((dict(zip(st["user_id"].astype(str), st["lo"])),
-                      dict(zip(st["user_id"].astype(str), st["hi"]))))
-
-    def apply(df: pd.DataFrame) -> pd.DataFrame:
-        lo, hi = ray.get(st_ref)
-        k = df["user_id"].astype(str)
-        v = df["value"].to_numpy(np.float64)
-        w = np.clip(v, k.map(lo).to_numpy(np.float64),
-                    k.map(hi).to_numpy(np.float64))
-        return pd.DataFrame({"event_id": df["event_id"],
-                             "user_id": df["user_id"],
-                             "value_w": rnd(pd.Series(w), 6)})
-
-    return ds.map_batches(apply, batch_format="pandas")
+            .groupby("user_id").map_groups(grp, batch_format="pandas"))
+    return group_stats_apply(ds, st, "user_id", ["lo", "hi"],
+                             ["event_id", "user_id"], kernel)
 
 
 def q_impute_median_events(sf_dir: str):
@@ -208,22 +189,17 @@ def q_impute_median_events(sf_dir: str):
         return pd.DataFrame({"user_id": [df["user_id"].iloc[0]],
                              "med": [float(np.median(v)) if len(v) else np.nan]})
 
-    st = (ds.select_columns(["user_id", "value"])
-            .groupby("user_id").map_groups(grp, batch_format="pandas")
-            .to_pandas())
-    st_ref = ray.put(dict(zip(st["user_id"].astype(str), st["med"])))
+    from ..stages.stats_apply import group_stats_apply
 
-    def apply(df: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(st_ref)
-        v = df["value"].to_numpy(np.float64)
-        med = df["user_id"].astype(str).map(m).to_numpy(np.float64)
+    def kernel(v, med):
         filled = np.where(np.isnan(v), med, v)
-        return pd.DataFrame({"event_id": df["event_id"],
-                             "user_id": df["user_id"],
-                             "value_f": rnd(pd.Series(filled), 6),
-                             "was_null": np.isnan(v)})
+        return {"value_f": rnd(pd.Series(filled), 6),
+                "was_null": np.isnan(v)}
 
-    return ds.map_batches(apply, batch_format="pandas")
+    st = (ds.select_columns(["user_id", "value"])
+            .groupby("user_id").map_groups(grp, batch_format="pandas"))
+    return group_stats_apply(ds, st, "user_id", ["med"],
+                             ["event_id", "user_id"], kernel)
 
 
 def _welford_series(sf_dir: str, N):

@@ -714,3 +714,66 @@ def test_jaro_winkler_matches_duckdb():
         want = duckdb.sql("SELECT jaro_winkler_similarity(?, ?)",
                           params=[a, b]).fetchone()[0]
         assert abs(jaro_winkler(a, b) - want) < 1e-12, (a, b)
+
+
+def test_group_stats_apply_join_bit_equal_broadcast(ray_session):
+    """The two stats_apply regimes must be BIT-equal: the kernel is
+    elementwise IEEE float ops, fed per-row stat arrays (broadcast) or
+    per-group scalars (join) — same operations either way. Forces both
+    regimes over the real events table for all four kernels' shapes
+    (div-guard, clip, where-fill) and compares exactly, NaNs aligned.
+    Also pins the regime switch itself (broadcast_max_groups=0 forces
+    join in auto mode)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from anomaly_detection_ray.pipelines.queries import _read, rnd
+    from anomaly_detection_ray.stages.stats_apply import group_stats_apply
+
+    ds = _read("/root/testdata/sf0.001", "events",
+               ["event_id", "user_id", "value"])
+
+    def grp(df):
+        v = df["value"].to_numpy(np.float64)
+        v = v[~np.isnan(v)]
+        med = float(np.median(v)) if len(v) else np.nan
+        mad = float(np.median(np.abs(v - med))) if len(v) else np.nan
+        return pd.DataFrame({"user_id": [df["user_id"].iloc[0]],
+                             "med": [med], "mad": [mad]})
+
+    def kernel(v, me, ma):
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rz = (v - me) / np.where(ma == 0.0, np.nan, ma)
+        return {"rz": rnd(pd.Series(rz), 6),
+                "clipped": np.clip(v, me, np.inf),
+                "filled": np.where(np.isnan(v), me, v)}
+
+    stats = (ds.select_columns(["user_id", "value"])
+               .groupby("user_id").map_groups(grp, batch_format="pandas"))
+
+    outs = {}
+    for mode in ("broadcast", "join"):
+        res = group_stats_apply(ds, stats, "user_id", ["med", "mad"],
+                                ["event_id", "user_id"], kernel, mode=mode)
+        assert isinstance(res, rd.Dataset)
+        df = res.to_pandas().sort_values("event_id").reset_index(drop=True)
+        outs[mode] = df
+
+    a, b = outs["broadcast"], outs["join"]
+    assert list(a.columns) == list(b.columns)
+    assert (a["event_id"].to_numpy() == b["event_id"].to_numpy()).all()
+    assert str(a["event_id"].dtype) == str(b["event_id"].dtype) == "int64"
+    for c in ["rz", "clipped", "filled"]:
+        x, y = a[c].to_numpy(np.float64), b[c].to_numpy(np.float64)
+        nx, ny = np.isnan(x), np.isnan(y)
+        assert (nx == ny).all(), c
+        # bit-equality, not allclose: identical elementwise IEEE ops
+        assert (x[~nx] == y[~ny]).all(), c
+
+    # auto mode switches to join when the stats exceed the threshold
+    forced = group_stats_apply(ds, stats, "user_id", ["med", "mad"],
+                               ["event_id", "user_id"], kernel,
+                               mode="auto", broadcast_max_groups=0)
+    df = forced.to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert (df["rz"].fillna(-1) == a["rz"].fillna(-1)).all()
