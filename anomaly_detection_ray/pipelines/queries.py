@@ -4040,9 +4040,9 @@ def q_lof_ivf_embeddings(sf_dir: str):
     no O(n) driver state; boundary-straddling neighbourhoods are the
     documented IVF approximation. Deterministic => fixture oracle."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = sim.lof_scores_ivf(ds, k=10, n_cells=8)
-    out["lof"] = rnd(out["lof"], 6)
-    return out
+    out = sim.lof_scores_ivf(ds, k=10, n_cells=8, as_dataset=True)
+    return out.map_batches(lambda df: df.assign(lof=rnd(df["lof"], 6)),
+                           batch_format="pandas")
 
 
 def q_clip_bandwidth_check(sf_dir: str):
@@ -4375,13 +4375,14 @@ def q_lof_embeddings(sf_dir: str):
     """Local Outlier Factor (Breunig 2000, density-ratio outlierness)
     over the embeddings table, k=10 Euclidean — see
     stages/similarity.lof_scores for the three-pass shape and the
-    broadcast-reference scale contract. Deterministic (exact-k
-    neighbours, (distance, id) tie-break), so fixture-oracled like the
-    other seeded model scorers."""
+    auto-dispatch scale contract (exact below exact_max_rows, IVF-cell
+    kernel above). Deterministic (exact-k neighbours, (distance, id)
+    tie-break), so fixture-oracled like the other seeded model
+    scorers."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = sim.lof_scores(ds, k=10)
-    out["lof"] = rnd(out["lof"], 6)
-    return out
+    out = sim.lof_scores(ds, k=10, as_dataset=True)
+    return out.map_batches(lambda df: df.assign(lof=rnd(df["lof"], 6)),
+                           batch_format="pandas")
 
 
 def q_welch_ttest_events(sf_dir: str):

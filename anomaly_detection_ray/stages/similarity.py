@@ -440,7 +440,8 @@ def semantic_dedup(ds, k: int = 16, tau: float = 0.95, iters: int = 5,
 # -------------------------------------------------------------- LOF
 
 def lof_scores(ds, k: int = 10, vec_col: str = "embedding",
-               id_col: str = "vec_id") -> pd.DataFrame:
+               id_col: str = "vec_id", mode: str | None = None,
+               exact_max_rows: int = 100_000, as_dataset: bool = False):
     """Local Outlier Factor (Breunig et al., SIGMOD 2000) over an
     embedding column — the density-ratio outlier scorer the reference's
     Clustering/IsolationForest family lacks: a point is anomalous when
@@ -460,13 +461,29 @@ def lof_scores(ds, k: int = 10, vec_col: str = "embedding",
       3. LOF(p) = mean(lrd(o)) / lrd(p); needs only the broadcast lrd
          array.
 
-    Scale contract (documented, same as brute_force_topk): exact LOF is
-    all-pairs — the reference matrix is the broadcast small side
-    (ray.put once, read per task) and must fit a worker; past that,
-    restrict candidate neighbours per IVF cell (train_ivf_codebook) and
-    run this per cell. The per-point state that crosses passes is O(n)
-    scalars (kdist, lrd), not vectors."""
+    Scale contract: exact LOF is all-pairs — the reference matrix is the
+    broadcast small side (ray.put once, read per task) and must fit a
+    worker, and the id+vector table is driver-materialized. This is the
+    SMALL regime only; ``mode`` auto-dispatches (contamination_stats
+    style) to ``lof_scores_ivf`` — the 100-TB shape: per-IVF-cell dense
+    kernel, one shuffle, no broadcast matrix, no O(n) driver state —
+    past ``exact_max_rows`` (``mode="exact"`` / ``"ivf"`` forces a
+    regime; the ivf result is cell-confined, the standard IVF
+    approximation contract). The per-point state that crosses passes in
+    the exact regime is O(n) scalars (kdist, lrd), not vectors."""
     import ray.data as rd  # noqa: F401  (Dataset passthrough)
+
+    if mode is None:
+        mode = "exact" if ds.count() <= exact_max_rows else "ivf"
+    if mode == "ivf":
+        out = lof_scores_ivf(ds, k=k, vec_col=vec_col, id_col=id_col,
+                             as_dataset=as_dataset)
+        if as_dataset:
+            return out.drop_columns(["cell"])  # keep the exact-path schema
+        return (out.drop(columns=["cell"])
+                   .sort_values(id_col).reset_index(drop=True))
+    if mode != "exact":
+        raise ValueError(f"unknown mode {mode!r}")
 
     ref = ds.select_columns([id_col, vec_col]).to_pandas()
     ref = ref.sort_values(id_col).reset_index(drop=True)
@@ -537,7 +554,10 @@ def lof_scores(ds, k: int = 10, vec_col: str = "embedding",
             out_lof.append(v)
         return pd.DataFrame({id_col: out_p, "lof": out_lof})
 
-    out = nn.map_batches(lof_pass, batch_format="pandas").to_pandas()
+    res = nn.map_batches(lof_pass, batch_format="pandas")
+    if as_dataset:
+        return res  # bounded by the exact_max_rows contract anyway
+    out = res.to_pandas()
     out[id_col] = out[id_col].astype("int64")
     return out.sort_values(id_col).reset_index(drop=True)
 
@@ -575,7 +595,7 @@ def _lof_dense(ids: np.ndarray, X: np.ndarray, k: int) -> np.ndarray:
 
 def lof_scores_ivf(ds, k: int = 10, n_cells: int = 8, iters: int = 5,
                    seed: int = 0, vec_col: str = "embedding",
-                   id_col: str = "vec_id") -> pd.DataFrame:
+                   id_col: str = "vec_id", as_dataset: bool = False):
     """The SCALE path for LOF: restrict each point's candidate
     neighbours to its IVF cell (kmeans_fit codebook, the same coarse
     quantizer the ANN path uses) and run the exact dense LOF kernel per
@@ -609,8 +629,10 @@ def lof_scores_ivf(ds, k: int = 10, n_cells: int = 8, iters: int = 5,
                                              dtype=np.int64),
                              "lof": _lof_dense(ids, X, k)})
 
-    out = (ds.map_batches(tag, batch_format="pandas")
-             .groupby("cell").map_groups(cell_lof, batch_format="pandas")
-             .to_pandas())
+    res = (ds.map_batches(tag, batch_format="pandas")
+             .groupby("cell").map_groups(cell_lof, batch_format="pandas"))
+    if as_dataset:
+        return res  # corpus-scaled: the at-scale callers stream this
+    out = res.to_pandas()
     out[id_col] = out[id_col].astype("int64")
     return out.sort_values(id_col).reset_index(drop=True)

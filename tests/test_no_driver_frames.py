@@ -59,6 +59,7 @@ OTHER_SCALED = [
     "semi_mark_orders_customer", "reconcile_orders_lineitem",
     "mahalanobis_embeddings", "exact_dedup_documents",
     "image_decode_features", "video_frame_features",
+    "lof_embeddings", "lof_ivf_embeddings",
 ]
 
 CORPUS_SCALED = EVENTS_SCALED + CLIPS_SCALED + OTHER_SCALED

@@ -322,7 +322,7 @@ def test_mahalanobis_flags_correlated_outlier(ray_session):
                        "embedding": list(X)})
     with tempfile.TemporaryDirectory() as d:
         df.to_parquet(os.path.join(d, "embeddings.parquet"))
-        got = q_mahalanobis_embeddings(d)
+        got = q_mahalanobis_embeddings(d).to_pandas()
     s = got.set_index("vec_id")["maha_sq"]
     assert s[301] > 20 * s[300]          # low-variance escape dominates
     assert s[301] == s.max()
@@ -407,3 +407,34 @@ def test_pca_projection_matches_spectrum(ray_session):
     c = np.corrcoef(Z.T)
     off = c[~np.eye(8, dtype=bool)]
     assert np.abs(off).max() < 0.05
+
+
+def test_lof_auto_dispatches_to_ivf(ray_session):
+    """lof_scores mode=auto: exact below exact_max_rows, IVF-cell kernel
+    above (contamination_stats-style dispatch). The dispatched result
+    keeps the exact-path schema (no cell column) and equals a direct
+    lof_scores_ivf call on a cell-separable corpus."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.similarity import (lof_scores,
+                                                         lof_scores_ivf)
+
+    rng = np.random.default_rng(5)
+    X = np.vstack([rng.normal(loc=c, scale=0.3, size=(40, 4))
+                   for c in (0.0, 30.0)])
+    df = pd.DataFrame({"vec_id": np.arange(len(X), dtype=np.int64),
+                       "embedding": list(X)})
+    ds = rd.from_pandas(df).repartition(3)
+
+    # forced dispatch: threshold 0 -> every input routes to IVF
+    got = lof_scores(ds, k=8, exact_max_rows=0)
+    assert list(got.columns) == ["vec_id", "lof"]
+    want = (lof_scores_ivf(ds, k=8).drop(columns=["cell"])
+            .sort_values("vec_id").reset_index(drop=True))
+    np.testing.assert_allclose(got["lof"].to_numpy(),
+                               want["lof"].to_numpy(), rtol=1e-12)
+
+    # and the as_dataset form streams
+    res = lof_scores(ds, k=8, exact_max_rows=0, as_dataset=True)
+    assert isinstance(res, rd.Dataset)
+    assert sorted(res.schema().names) == ["lof", "vec_id"]
