@@ -1,20 +1,23 @@
 """ORC and Arrow-IPC (Feather) shard-file sources and sinks.
 
 Ray Data ships parquet/csv/json natively; warehouse estates also carry
-ORC and Arrow IPC shards. Both formats get a first-class source here via
-``read_binary_files`` + a pyarrow decode (one task per shard file — the
-same parallelism contract as the repo's parquet layouts, where shards
-are written block-sized) and a partitioned sink that emits one file per
+ORC and Arrow IPC shards. Both formats get a first-class source here with
+TWO levels of parallelism and a partitioned sink that emits one file per
 Ray block plus a (path, rows) manifest.
 
-Scale notes (100 TB):
-- The source's unit of parallelism is the shard FILE (pyarrow's ORC/IPC
-  readers need the footer, so sub-file stripe scheduling would require a
-  range-request reader; shard-sized files make that moot — the writers
-  here produce exactly that layout).
-- ``columns=`` pruning happens inside the pyarrow reader (ORC reads only
-  the selected column streams; IPC record batches are column-sliced), so
-  a 2-column scan of a wide table does not materialize the row payload.
+Parallelism contract (100 TB):
+- Unit of work = a STRIPE RANGE (ORC) / RECORD-BATCH RANGE (IPC), not the
+  file: a single huge shard no longer serializes into one task. Planning
+  is a parallel footer-metadata pass (one Ray task per file batch); the
+  collected plan is O(total_stripes / stripes_per_task) tiny rows — the
+  same cost class as Ray's own parquet metadata fetch — and fans out via
+  ``from_items`` with one range per block.
+- ``columns=`` pruning happens inside the pyarrow readers (ORC reads only
+  the selected column streams per stripe; IPC record batches are
+  column-sliced on a memory-mapped file), so a 2-column scan of a wide
+  table does not materialize the row payload.
+- Paths must be worker-visible (shared FS / NFS — the same contract as
+  every other source in this repo).
 - Sinks write one file per block into a flat directory — the resumable
   partitioned layout every other sink in this repo uses; the returned
   manifest is O(files) and drives skip-finished-partition logic.
@@ -22,7 +25,6 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-import io
 import os
 import uuid
 
@@ -30,32 +32,101 @@ import pyarrow as pa
 import ray.data as rd
 
 
-def read_orc(paths, columns: list[str] | None = None):
-    """ORC shard files -> Dataset (one decode task per file)."""
+def _expand(paths) -> list[str]:
+    if isinstance(paths, (str, os.PathLike)):
+        paths = [paths]
+    out: list[str] = []
+    for p in paths:
+        p = os.fspath(p)
+        if os.path.isdir(p):
+            out.extend(sorted(os.path.join(p, f) for f in os.listdir(p)
+                              if not f.startswith("_")))
+        else:
+            out.append(p)
+    return out
+
+
+def _plan_ranges(files: list[str], count_units, units_per_task: int):
+    """Parallel footer pass -> [(path, lo, hi)] unit ranges (driver-held,
+    O(units / units_per_task) tiny rows)."""
+    src = rd.from_items([{"path": p} for p in files])
+
+    def plan(t: pa.Table) -> pa.Table:
+        ps, lo, hi = [], [], []
+        for p in t["path"].to_pylist():
+            n = count_units(p)
+            for s in range(0, max(n, 1), units_per_task):
+                ps.append(p)
+                lo.append(s)
+                hi.append(min(n, s + units_per_task))
+        return pa.table({"path": pa.array(ps, pa.string()),
+                         "lo": pa.array(lo, pa.int64()),
+                         "hi": pa.array(hi, pa.int64())})
+
+    plan_df = src.map_batches(plan, batch_format="pyarrow").to_pandas()
+    return list(plan_df.itertuples(index=False, name=None))
+
+
+def _range_dataset(ranges):
+    items = [{"path": p, "lo": int(lo), "hi": int(hi)}
+             for p, lo, hi in ranges]
+    # one range per block => one decode task per range (full fan-out)
+    return rd.from_items(items, override_num_blocks=max(len(items), 1))
+
+
+def read_orc(paths, columns: list[str] | None = None,
+             stripes_per_task: int = 8):
+    """ORC shards -> Dataset; one decode task per ``stripes_per_task``
+    stripes, so a single multi-stripe file reads in parallel blocks."""
     import pyarrow.orc as po
 
-    bs = rd.read_binary_files(paths)
+    ranges = _plan_ranges(_expand(paths),
+                          lambda p: po.ORCFile(p).nstripes,
+                          stripes_per_task)
 
     def dec(t: pa.Table) -> pa.Table:
-        tabs = [po.ORCFile(io.BytesIO(b)).read(columns=columns)
-                for b in t["bytes"].to_pylist()]
+        tabs = []
+        for p, lo, hi in zip(t["path"].to_pylist(), t["lo"].to_pylist(),
+                             t["hi"].to_pylist()):
+            f = po.ORCFile(p)
+            if hi <= lo:  # zero-stripe (empty) file: keep the schema
+                empty = f.schema.empty_table()
+                tabs.append(empty.select(columns) if columns else empty)
+            for i in range(lo, hi):
+                b = f.read_stripe(i, columns=columns)
+                tabs.append(pa.Table.from_batches([b])
+                            if isinstance(b, pa.RecordBatch) else b)
         return pa.concat_tables(tabs)
 
-    return bs.map_batches(dec, batch_size=1, batch_format="pyarrow")
+    return _range_dataset(ranges).map_batches(dec, batch_size=1,
+                                              batch_format="pyarrow")
 
 
-def read_ipc(paths, columns: list[str] | None = None):
-    """Arrow IPC / Feather-v2 shard files -> Dataset (one task per file)."""
-    import pyarrow.feather as pf
+def read_ipc(paths, columns: list[str] | None = None,
+             batches_per_task: int = 16):
+    """Arrow IPC / Feather-v2 shards -> Dataset; one task per
+    ``batches_per_task`` record batches over a memory-mapped file."""
 
-    bs = rd.read_binary_files(paths)
+    def n_batches(p: str) -> int:
+        with pa.memory_map(p) as mm:
+            return pa.ipc.open_file(mm).num_record_batches
+
+    ranges = _plan_ranges(_expand(paths), n_batches, batches_per_task)
 
     def dec(t: pa.Table) -> pa.Table:
-        tabs = [pf.read_table(io.BytesIO(b), columns=columns)
-                for b in t["bytes"].to_pylist()]
+        tabs = []
+        for p, lo, hi in zip(t["path"].to_pylist(), t["lo"].to_pylist(),
+                             t["hi"].to_pylist()):
+            with pa.memory_map(p) as mm:
+                r = pa.ipc.open_file(mm)
+                batches = [r.get_batch(i) for i in range(lo, hi)]
+                tab = (pa.Table.from_batches(batches) if batches
+                       else r.schema.empty_table())
+            tabs.append(tab.select(columns) if columns else tab)
         return pa.concat_tables(tabs)
 
-    return bs.map_batches(dec, batch_size=1, batch_format="pyarrow")
+    return _range_dataset(ranges).map_batches(dec, batch_size=1,
+                                              batch_format="pyarrow")
 
 
 def write_columnar(ds, out_dir: str, fmt: str = "orc"):

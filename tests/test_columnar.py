@@ -2,6 +2,8 @@
 
 import os
 
+import numpy as np
+
 import pandas as pd
 import pyarrow as pa
 import pytest
@@ -62,3 +64,44 @@ def test_empty_block_manifest(ray_session, tmp_path_factory):
     man = cs.write_columnar(ds, d, fmt="orc")
     assert len(man) == 0
     assert os.listdir(d) == []
+
+
+def test_single_huge_orc_file_reads_in_parallel_blocks(ray_session, tmp_path):
+    """Sub-file parallelism: ONE multi-stripe ORC file must fan out to
+    >1 decode task (one per stripe range) with column pruning intact —
+    a single huge shard is no longer a single task."""
+    import pyarrow.orc as po
+
+    from anomaly_detection_ray.sources.columnar import read_orc
+
+    df = pd.DataFrame({"a": np.arange(50_000, dtype=np.int64),
+                       "b": np.arange(50_000, dtype=np.float64),
+                       "wide": ["x" * 20] * 50_000})
+    p = str(tmp_path / "one.orc")
+    # small stripes so one file holds many
+    po.write_table(pa.Table.from_pandas(df), p, stripe_size=64 * 1024)
+    assert po.ORCFile(p).nstripes > 8
+
+    ds = read_orc(p, columns=["a", "b"], stripes_per_task=2).materialize()
+    assert ds.num_blocks() > 1          # the fan-out criterion
+    out = ds.to_pandas().sort_values("a").reset_index(drop=True)
+    assert list(out.columns) == ["a", "b"]  # pruning intact
+    assert len(out) == 50_000
+    assert (out["a"].to_numpy() == np.arange(50_000)).all()
+
+
+def test_single_huge_ipc_file_reads_in_parallel_blocks(ray_session, tmp_path):
+    import pyarrow.feather as pf
+
+    from anomaly_detection_ray.sources.columnar import read_ipc
+
+    df = pd.DataFrame({"a": np.arange(40_000, dtype=np.int64),
+                       "b": np.arange(40_000, dtype=np.float64)})
+    p = str(tmp_path / "one.feather")
+    pf.write_feather(pa.Table.from_pandas(df), p, chunksize=1000)
+
+    ds = read_ipc(p, columns=["a"], batches_per_task=5).materialize()
+    assert ds.num_blocks() > 1
+    out = ds.to_pandas().sort_values("a").reset_index(drop=True)
+    assert list(out.columns) == ["a"]
+    assert len(out) == 40_000
