@@ -118,7 +118,8 @@ class ClipStreamValidator:
         self.ledger_buckets = ledger_buckets
         # optional per-poll audio QC: the fused one-decode audit battery
         # (audio_ops.FullAudit — cross-modal, hum, clicks, hygiene,
-        # bandwidth, wow/flutter) over the arriving shards, folded to
+        # bandwidth, wow/flutter, blind-RT60 reverb) over the arriving
+        # shards, folded to
         # poll-level counts in the manifest entry — the QC-trend twin of
         # the per-poll metadata drift grading
         self.qc_audit = qc_audit
@@ -358,7 +359,7 @@ class ClipStreamValidator:
         if self.qc_audit:
             from ..stages import audio_ops as ao
             flag_cols = ["xm_flag", "hum_flag", "click_flag", "hy_flag",
-                         "bw_flag", "wf_flag"]
+                         "bw_flag", "wf_flag", "rv_flag"]
 
             def qc_partial(df: pd.DataFrame) -> pd.DataFrame:
                 qcode = df["qa_code"].to_numpy()

@@ -5954,8 +5954,8 @@ def q_new_users_daily_events(sf_dir: str):
 def q_clip_qc_scorecard(sf_dir: str):
     """Per-partition QC scorecard from the FUSED audit battery
     (stages/audio_ops.FullAudit): cross-modal transcript consistency,
-    mains hum, clicks, DC/rumble hygiene, effective bandwidth, and
-    wow/flutter — all off ONE decode per clip (running these as
+    mains hum, clicks, DC/rumble hygiene, effective bandwidth,
+    wow/flutter, and blind-RT60 reverberation — all off ONE decode per clip (running these as
     separate pipelines re-pays the decode + framing per audit; fused
     measured 2-3x the throughput at equal pool size, interleaved A/B).
     The audit stream folds to
@@ -5969,7 +5969,7 @@ def q_clip_qc_scorecard(sf_dir: str):
                                    "transcript"])
     audit = ao.full_audit_table(ds)
     flag_cols = ["xm_flag", "hum_flag", "click_flag", "hy_flag",
-                 "bw_flag", "wf_flag"]
+                 "bw_flag", "wf_flag", "rv_flag"]
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         qc = df["qa_code"].to_numpy()

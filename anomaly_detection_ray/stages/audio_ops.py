@@ -2748,8 +2748,10 @@ def wow_flutter_table(ds, bytes_col: str = "bytes", batch_size: int = 64,
 class FullAudit:
     """Actor-pool stage: the complete audio QC battery off ONE decode —
     cross-modal transcript consistency + hum + clicks (AudioAudit's
-    checks), DC/rumble hygiene, effective-bandwidth-vs-claimed-sr, and
-    wow/flutter pitch stability. At warehouse scale the decode + framing
+    checks), DC/rumble hygiene, effective-bandwidth-vs-claimed-sr,
+    wow/flutter pitch stability, and blind-RT60 reverberation
+    (ISO-3382-style Schroeder decay fit; overly reverberant speech is a
+    training-data defect like the rest). At warehouse scale the decode + framing
     dominates each individual audit pass, so running the audits as
     separate pipelines re-pays that cost per audit; the fused stage pays
     it once (interleaved A/B x2, 2k clips / 12 actors: fused 11.1/23.4 s
@@ -2769,7 +2771,7 @@ class FullAudit:
                  clicks_warn_per_sec: float = 2.0,
                  silent_dbfs: float = -55.0, max_dc: float = 0.02,
                  max_sub20: float = 0.05, bw_warn_ratio: float = 0.5,
-                 wf_max_cents: float = 20.0):
+                 wf_max_cents: float = 20.0, rt60_warn_s: float = 0.8):
         self.bytes_col = bytes_col
         self.transcript_col = transcript_col
         self.min_speech = min_speech
@@ -2782,6 +2784,7 @@ class FullAudit:
         self.max_sub20 = max_sub20
         self.bw_warn_ratio = bw_warn_ratio
         self.wf_max_cents = wf_max_cents
+        self.rt60_warn_s = rt60_warn_s
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t[self.bytes_col].to_pylist()
@@ -2791,10 +2794,11 @@ class FullAudit:
                             for x in texts], dtype=np.int32)
         flags = {k: np.full(n, -1, dtype=np.int8)
                  for k in ("xm_flag", "hum_flag", "click_flag", "hy_flag",
-                           "bw_flag", "wf_flag")}
+                           "bw_flag", "wf_flag", "rv_flag")}
         bw_ratio = np.full(n, np.nan)
         dc = np.full(n, np.nan)
         wow_c = np.full(n, np.nan)
+        rt60 = np.full(n, np.nan)
         code = np.full(n, UNDEFINED_CODE, dtype=np.int8)
         status = np.full(n, "Undefined: audio payload not decodable",
                          dtype=object)
@@ -2834,12 +2838,16 @@ class FullAudit:
                 depth = np.nanmax([wf["wow_cents"], wf["flutter_cents"]])
                 flags["wf_flag"][i] = int(depth == depth
                                           and depth > self.wf_max_cents)
+            rv = rt60_estimate(sig, sr)
+            if rv["rt60_s"] == rv["rt60_s"] and rms_db >= self.silent_dbfs:
+                rt60[i] = rv["rt60_s"]
+                flags["rv_flag"][i] = int(rt60[i] > self.rt60_warn_s)
             if flags["xm_flag"][i] == 1:
                 code[i] = ERROR_CODE
                 status[i] = "Error: transcript-speech mismatch"
             elif any(flags[k][i] == 1 for k in
                      ("hum_flag", "click_flag", "hy_flag", "bw_flag",
-                      "wf_flag")):
+                      "wf_flag", "rv_flag")):
                 code[i] = WARNING_CODE
                 status[i] = "Warning1: signal defect"
             else:
@@ -2847,7 +2855,7 @@ class FullAudit:
                 status[i] = "OK"
         t = t.drop_columns([self.bytes_col, self.transcript_col])
         for k in ("xm_flag", "hum_flag", "click_flag", "hy_flag",
-                  "bw_flag", "wf_flag"):
+                  "bw_flag", "wf_flag", "rv_flag"):
             t = t.append_column(k, pa.array(flags[k], type=pa.int8()))
         return (t.append_column("bw_ratio",
                                 pa.array(np.round(bw_ratio, 6),
@@ -2857,6 +2865,9 @@ class FullAudit:
                                          type=pa.float64()))
                  .append_column("wow_cents",
                                 pa.array(np.round(wow_c, 4),
+                                         type=pa.float64()))
+                 .append_column("rt60_s",
+                                pa.array(np.round(rt60, 4),
                                          type=pa.float64()))
                  .append_column("qa_code", pa.array(code, type=pa.int8()))
                  .append_column("qa_status",

@@ -264,10 +264,12 @@ def test_hygiene_gate_rides_stream_polls(tmp_path, ray_session):
 
 def test_qc_audit_rides_polls(tmp_path, ray_session):
     """qc_audit=True appends the fused audio-QC scorecard to each poll's
-    manifest entry: a planted mains-hum clip and a planted wobbling clip
-    arriving mid-stream surface as warning counts in THAT poll's qc
-    block (advisory — the poll verdict stays with the violation/drift
-    gates)."""
+    manifest entry: a planted mains-hum clip, a planted wobbling clip
+    and a planted over-reverberant clip (RT60 ~1.2 s > the 0.8 s audit
+    threshold) arriving mid-stream surface as warning counts in THAT
+    poll's qc block (advisory — the poll verdict stays with the
+    violation/drift gates). The streaming path grades the same QC
+    vocabulary as the batch scorecard, reverb included."""
     from anomaly_detection_ray import audio
 
     watch = str(tmp_path / "watch")
@@ -286,9 +288,18 @@ def test_qc_audit_rides_polls(tmp_path, ray_session):
         + 0.3 * np.sin(2 * np.pi * 50.0 * ts)
     inst = 300.0 * 2.0 ** (80.0 / 1200.0 * np.sin(2 * np.pi * 2.0 * ts))
     wob = 0.5 * np.sin(2 * np.pi * np.cumsum(inst) / sr)
-    i_hum, i_wob = df.index[5], df.index[7]
+    # over-reverberant: sustain head then exponential free decay whose
+    # energy falls 60 dB at t = 1.2 s (the rt60_estimate physics shape)
+    rng = np.random.default_rng(11)
+    tau = 1.2 / (3.0 * np.log(10.0))
+    td = np.arange(2 * sr) / sr
+    rev = np.concatenate([rng.uniform(-0.5, 0.5, sr // 4),
+                          rng.standard_normal(2 * sr) * 0.5
+                          * np.exp(-td / tau)])
+    i_hum, i_wob, i_rev = df.index[5], df.index[7], df.index[9]
     df.loc[i_hum, "bytes"] = audio.encode_wav(hum, sr)
     df.loc[i_wob, "bytes"] = audio.encode_wav(wob, sr)
+    df.loc[i_rev, "bytes"] = audio.encode_wav(rev, sr)
     pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
                    os.path.join(watch, "wave1.parquet"),
                    compression="none")
@@ -297,7 +308,8 @@ def test_qc_audit_rides_polls(tmp_path, ray_session):
     assert qc["n"] == n
     assert qc["n_hum"] >= 1
     assert qc["n_wf"] >= 1
-    assert qc["n_warning"] >= 2
+    assert qc["n_rv"] >= 1
+    assert qc["n_warning"] >= 3
     # the qc block persists in the committed manifest entry
     m = v.manifest["polls"][r["poll_id"]]
     assert m["qc"]["n_hum"] >= 1
