@@ -102,10 +102,11 @@ def q_zscore_events(sf_dir: str):
     from ..stages.stats_apply import group_stats_apply
     ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
     st = stats_mod.grouped_welford(ds, "value", "user_id", n_salts=8,
-                                   salt_col="event_id")
-    st = st.rename(columns={"key": "user_id"})
-    return group_stats_apply(ds, st[["user_id", "mean", "std_sample"]],
-                             "user_id", ["mean", "std_sample"],
+                                   salt_col="event_id", as_dataset=True)
+    st = st.map_batches(
+        lambda df: df.rename(columns={"key": "user_id"})
+        [["user_id", "mean", "std_sample"]], batch_format="pandas")
+    return group_stats_apply(ds, st, "user_id", ["mean", "std_sample"],
                              ["event_id", "user_id"], _zscore_kernel)
 
 
@@ -3018,7 +3019,7 @@ def q_clip_audio_features(sf_dir: str):
     from ..sources.clips import read_clips
     path = _clip_table_path(sf_dir)
     ds = read_clips(path, columns=["clip_id", "bytes"])
-    out = audio_features(ds, concurrency=4)
+    out = audio_features(ds)  # decode-heavy: auto pool sizing
     return out.select_columns(["clip_id", "rms", "peak", "audio_dur_s", "n_samples"])
 
 

@@ -76,30 +76,43 @@ def _merge_partial_group(g: pd.DataFrame) -> pd.DataFrame:
     for _, r in g.iterrows():
         acc = acc.merge(WelfordPartial(int(r["n"]), r["mean"], r["M2"], r["min"], r["max"]))
     return pd.DataFrame({
-        "key": [g["key"].iloc[0]], "n": [float(acc.n)], "mean": [acc.mean],
+        "key": [g["key"].iloc[0]], "salt": [int(g["salt"].iloc[0])],
+        "n": [float(acc.n)], "mean": [acc.mean],
         "M2": [acc.M2], "min": [acc.min], "max": [acc.max],
     })
 
 
 def grouped_welford(ds, value_col: str, key_col: str | None,
-                    n_salts: int = 8, salt_col: str | None = None) -> pd.DataFrame:
-    """Full two-level salted merge over a Dataset -> small pandas result
-    (one row per key) with n/mean/std/min/max."""
+                    n_salts: int = 8, salt_col: str | None = None,
+                    as_dataset: bool = False):
+    """Full two-level salted merge over a Dataset (Chan parallel-merge
+    form), one row per key with n/mean/std/min/max. Both merge levels are
+    distributed groupbys; ``as_dataset=True`` returns the per-key table
+    as a Dataset so billion-key stats never land on the driver (feeds
+    stats_apply's join regime), else a pandas frame sorted by key."""
     partials = ds.map_batches(
         lambda t: welford_partial_batch(t, value_col, key_col, n_salts, salt_col),
         batch_format="pyarrow")
     level1 = partials.groupby(["key", "salt"]).map_groups(
         _merge_partial_group, batch_format="pandas")
-    small = level1.to_pandas()  # ≤ keys × salts rows — tiny
-    out = []
-    for k, g in small.groupby("key", sort=True):
+
+    def merge_salts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("salt")  # deterministic merge association
         acc = WelfordPartial()
         for _, r in g.iterrows():
-            acc = acc.merge(WelfordPartial(int(r["n"]), r["mean"], r["M2"], r["min"], r["max"]))
-        out.append({"key": k, "n": acc.n, "mean": acc.mean,
-                    "std": acc.std, "std_sample": acc.std_sample,
-                    "min": acc.min, "max": acc.max})
-    return pd.DataFrame(out)
+            acc = acc.merge(WelfordPartial(int(r["n"]), r["mean"],
+                                           r["M2"], r["min"], r["max"]))
+        return pd.DataFrame([{"key": g["key"].iloc[0], "n": acc.n,
+                              "mean": acc.mean, "std": acc.std,
+                              "std_sample": acc.std_sample,
+                              "min": acc.min, "max": acc.max}])
+
+    level2 = level1.groupby("key").map_groups(merge_salts,
+                                              batch_format="pandas")
+    if as_dataset:
+        return level2
+    return (level2.to_pandas().sort_values("key", kind="mergesort")
+            .reset_index(drop=True))
 
 
 def global_welford(ds, value_col: str) -> WelfordPartial:

@@ -613,7 +613,8 @@ def test_ntile_matches_duckdb_on_edge_shapes(ray_session):
     import tempfile
     with tempfile.TemporaryDirectory() as d:
         df.to_parquet(os.path.join(d, "events.parquet"))
-        got = q_ntile_events(d).sort_values("event_id").reset_index(drop=True)
+        got = (q_ntile_events(d).to_pandas()
+               .sort_values("event_id").reset_index(drop=True))
     want = duckdb.sql("""
         SELECT event_id, user_id,
                ntile(4) OVER (PARTITION BY user_id
