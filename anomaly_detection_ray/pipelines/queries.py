@@ -3526,11 +3526,12 @@ def q_reconcile_orders_lineitem(sf_dir: str):
     """Cross-table reconciliation — the classic warehouse integrity
     check: does each order's header total equal the sum of its line
     items (extendedprice·(1−discount)·(1+tax))? Lineitem folds to
-    per-order partial sums (orderkey-bounded via the cardinality-aware
-    fold), broadcast once, and the orders stream maps through a
-    vectorized lookup — no raw-row shuffle, the orders side never
-    materializes. Orders with no line items reconcile as False with
-    NULL totals. Money sums are decimal-exact at 6 dp (2 dp inputs), so
+    per-order partial sums which feed the two-regime stats_apply
+    (broadcast dict below the group-count threshold, co-partitioned
+    join-apply above it — orderkey is FACT-scaled, so the dict must not
+    be the only regime at 10^9 orders); the orders stream applies the
+    comparison vectorized either way. Orders with no line items
+    reconcile as False with NULL totals. Money sums are decimal-exact at 6 dp (2 dp inputs), so
     round-6 output and the 0.0100005 tolerance (never within 5e-7 of a
     representable 6 dp diff) are float-association-proof by
     construction."""
@@ -3544,25 +3545,28 @@ def q_reconcile_orders_lineitem(sf_dir: str):
         out = pd.DataFrame({"l_orderkey": df["l_orderkey"], "t": t})
         return out.groupby("l_orderkey", as_index=False).sum()
 
-    m = _fold(li.map_batches(partial, batch_format="pandas"),
-              ["l_orderkey"], {"t": "sum"})
-    totals_ref = ray.put(dict(zip(m["l_orderkey"].to_numpy(np.int64),
-                                  m["t"].to_numpy(np.float64))))
+    from ..stages.stats_apply import group_stats_apply
+    totals = _fold(li.map_batches(partial, batch_format="pandas"),
+                   ["l_orderkey"], {"t": "sum"},
+                   as_dataset=True).map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas")
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
 
-    def apply(df: pd.DataFrame) -> pd.DataFrame:
-        t = ray.get(totals_ref)
-        lt = df["o_orderkey"].map(t).to_numpy(np.float64)  # NaN if no lines
-        diff = df["o_totalprice"].to_numpy(np.float64) - lt
-        ok = np.where(np.isnan(lt), False, np.abs(diff) <= 0.0100005)
-        return pd.DataFrame({"o_orderkey": df["o_orderkey"],
-                             "o_totalprice": df["o_totalprice"],
-                             "lineitem_total": rnd(lt, 6),
-                             "price_diff": rnd(diff, 6),
-                             "recon_ok": ok.astype(bool)})
+    def kernel(v, lt):
+        diff = v - lt
+        ok = np.where(np.isnan(np.asarray(lt, dtype=np.float64)), False,
+                      np.abs(diff) <= 0.0100005)
+        return {"lineitem_total": rnd(pd.Series(
+                    np.broadcast_to(np.asarray(lt, dtype=np.float64),
+                                    np.shape(v))), 6),
+                "price_diff": rnd(pd.Series(diff), 6),
+                "recon_ok": np.broadcast_to(ok, np.shape(v)).astype(bool)}
 
-    return orders.map_batches(apply, batch_format="pandas")
+    return group_stats_apply(orders, totals, "o_orderkey", ["t"],
+                             ["o_orderkey", "o_totalprice"], kernel,
+                             value_col="o_totalprice")
 
 
 def _rule_audit(ds, rules, n_rows_col="n"):
