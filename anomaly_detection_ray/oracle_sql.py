@@ -2072,6 +2072,20 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT coalesce(text, '') AS text FROM documents)
             GROUP BY md5(text) HAVING count(*) >= 2
         """,
+        "topk_docs_per_source": """
+            -- per-domain best-k: 5 longest docs per source, dense rank,
+            -- (n_chars DESC, doc_id) ordering identical to the engine's
+            -- local-topk + per-group merge
+            SELECT source, CAST(rk AS BIGINT) AS rk,
+                   CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars
+            FROM (SELECT source, doc_id, n_chars,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY n_chars DESC, doc_id)
+                             AS rk
+                  FROM documents)
+            WHERE rk <= 5 ORDER BY source, rk
+        """,
         "exact_dedup_documents": """
             SELECT md5(text) AS text_hash,
                    CAST(min(doc_id) AS BIGINT) AS keep_doc_id,

@@ -1826,6 +1826,23 @@ def q_events_hourly(sf_dir: str):
 
 # ------------------------------------------------------------ text / dedup
 
+def q_topk_docs_per_source(sf_dir: str):
+    """Per-domain best-k selection (stages/stats.topk_per_group): the 5
+    longest documents per source with a dense 1..k rank — the "keep the
+    best k per domain" curation primitive, WITHOUT a global sort: each
+    batch emits its local top-k per source (<= k rows per source per
+    batch, the candidate contract), one groupby(source) merges and cuts.
+    Ordering (n_chars DESC, doc_id ASC) == the oracle's row_number
+    window, so the cut is deterministic on both sides."""
+    from ..stages.stats import topk_per_group
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    out = topk_per_group(ds, "source", "n_chars", k=5, tiebreak="doc_id")
+    return out.map_batches(
+        lambda df: df[["source", "rk", "doc_id", "n_chars"]].astype(
+            {"doc_id": "int64", "n_chars": "int64"}),
+        batch_format="pandas")
+
+
 def q_exact_dedup_documents(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     # one row per distinct content — corpus-scaled, so the grouped result
@@ -6142,6 +6159,7 @@ QUERIES = {
     "refined_quantiles_norms": q_refined_quantiles_norms,
     "deterministic_shuffle_documents": q_deterministic_shuffle_documents,
     "exact_dedup_documents": q_exact_dedup_documents,
+    "topk_docs_per_source": q_topk_docs_per_source,
     "token_count_documents": q_token_count_documents,
     "vocab_documents": q_vocab_documents,
     "zipf_documents": q_zipf_documents,

@@ -268,3 +268,31 @@ def merge_profile_partials(parts: pd.DataFrame, cols: list[str],
         "column_name", "dtype", "n_rows", "n_null", "n_valid",
         "min", "max", "mean", "std", "min_str", "max_str"])
     return df.sort_values("column_name").reset_index(drop=True)
+
+
+def topk_per_group(ds, key: str, score_col: str, k: int,
+                   tiebreak: str, as_dataset: bool = True):
+    """Per-key top-k selection WITHOUT a global sort — the per-domain
+    "keep the best k documents" primitive of curation pipelines. Each
+    batch emits its LOCAL top-k per key (bounded partial: <= k rows per
+    key per batch — the candidate contract that keeps the exchange slim),
+    then ONE groupby(key) merges candidates and cuts the final k with a
+    dense 1..k rank. Ordering is (score DESC, tiebreak ASC) — exactly SQL
+    ``row_number() OVER (PARTITION BY key ORDER BY score DESC, tiebreak)``
+    semantics, so the result is deterministic and oracle-checkable.
+    Output is <= k x |keys| rows (bounded grain)."""
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([score_col, tiebreak],
+                            ascending=[False, True], kind="mergesort")
+        return df.groupby(key, as_index=False, sort=False).head(k)
+
+    parts = ds.map_batches(local, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([score_col, tiebreak],
+                          ascending=[False, True], kind="mergesort").head(k)
+        return g.assign(rk=np.arange(1, len(g) + 1, dtype=np.int64))
+
+    out = parts.groupby(key).map_groups(final, batch_format="pandas")
+    return out if as_dataset else out.to_pandas()

@@ -778,3 +778,37 @@ def test_group_stats_apply_join_bit_equal_broadcast(ray_session):
                                mode="auto", broadcast_max_groups=0)
     df = forced.to_pandas().sort_values("event_id").reset_index(drop=True)
     assert (df["rz"].fillna(-1) == a["rz"].fillna(-1)).all()
+
+
+def test_topk_per_group_edge_shapes(ray_session):
+    """topk_per_group vs DuckDB row_number on shapes that stress the
+    candidate contract: group smaller than k, exact k, ties broken by the
+    tiebreak column, and partition-count invariance (local top-k partials
+    must not depend on batch boundaries)."""
+    import duckdb
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.stats import topk_per_group
+
+    rows = []
+    did = 0
+    for src, n in [("a", 2), ("b", 5), ("c", 9)]:
+        for i in range(n):
+            rows.append({"doc_id": did, "source": src,
+                         "n_chars": (i * 3) % 4})  # deliberate ties
+            did += 1
+    df = pd.DataFrame(rows)
+    want = duckdb.sql("""
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM df QUALIFY rk <= 5 ORDER BY source, rk""").df()
+    for parts in (1, 4):
+        ds = rd.from_pandas(df).repartition(parts)
+        got = (topk_per_group(ds, "source", "n_chars", k=5,
+                              tiebreak="doc_id")
+               .to_pandas().sort_values(["source", "rk"])
+               .reset_index(drop=True))
+        assert (got["doc_id"].to_numpy()
+                == want["doc_id"].to_numpy()).all(), parts
+        assert (got["rk"].to_numpy() == want["rk"].to_numpy()).all()
