@@ -2072,6 +2072,40 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT coalesce(text, '') AS text FROM documents)
             GROUP BY md5(text) HAVING count(*) >= 2
         """,
+        "fd_audit_documents": """
+            -- functional-dependency audit: source -> lang, with witness
+            -- min/max values for violated sources
+            SELECT source,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   min(lang) AS lang_min, max(lang) AS lang_max,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   count(DISTINCT lang) = 1 AS fd_ok
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "benford_orders": """
+            -- Benford first-digit audit of o_totalprice: digit read from
+            -- the integer-cents decimal string exactly as the engine
+            WITH d AS (
+                SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                                              AS BIGINT) AS VARCHAR),
+                                   1, 1) AS BIGINT) AS digit
+                FROM orders
+                WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+            c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+            base AS (SELECT g.digit,
+                            coalesce(c.n, 0) AS n,
+                            (SELECT sum(n) FROM c) AS total
+                     FROM generate_series(1, 9) AS g(digit)
+                     LEFT JOIN c ON c.digit = g.digit)
+            SELECT CAST(digit AS BIGINT) AS digit,
+                   CAST(n AS BIGINT) AS n,
+                   round(n / total, 6) AS freq,
+                   round(log10(1.0 + 1.0 / digit), 6) AS expected,
+                   round(total * pow(n / total - log10(1.0 + 1.0 / digit),
+                                     2) / log10(1.0 + 1.0 / digit), 6)
+                       AS chi2_part
+            FROM base ORDER BY digit
+        """,
         "topk_docs_per_source": """
             -- per-domain best-k: 5 longest docs per source, dense rank,
             -- (n_chars DESC, doc_id) ordering identical to the engine's

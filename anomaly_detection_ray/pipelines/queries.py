@@ -1826,6 +1826,71 @@ def q_events_hourly(sf_dir: str):
 
 # ------------------------------------------------------------ text / dedup
 
+def q_fd_audit_documents(sf_dir: str):
+    """Functional-dependency audit: does source -> lang hold? The classic
+    schema-constraint check (one LHS value must map to exactly one RHS
+    value) over the documents table. Scale shape: each batch emits
+    per-(source, lang) partial counts (pair-cardinality bounded — the
+    exchange never carries rows), one fold merges them, and the per-source
+    verdict (distinct-RHS count, witness min/max, row count) is computed
+    on the <= |pairs| driver table. Violated sources surface with their
+    two witness values — exactly what a schema validator needs to report."""
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"source": df["source"], "lang": df["lang"],
+                            "n": 1.0})
+        return out.groupby(["source", "lang"], as_index=False).sum()
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["source", "lang"], {"n": "sum"})
+    g = m.groupby("source")
+    out = pd.DataFrame({
+        "source": sorted(m["source"].unique()),
+        "n_langs": g["lang"].nunique().sort_index().to_numpy(np.int64),
+        "lang_min": g["lang"].min().sort_index().to_numpy(),
+        "lang_max": g["lang"].max().sort_index().to_numpy(),
+        "n_rows": g["n"].sum().sort_index().to_numpy(np.int64),
+    })
+    out["fd_ok"] = out["n_langs"] == 1
+    return out
+
+
+def q_benford_orders(sf_dir: str):
+    """Benford's-law first-digit audit of order totals (Newcomb 1881 /
+    Benford 1938 — the standard forensic screen for fabricated or
+    truncated financial columns): observed first-significant-digit
+    frequencies vs log10(1 + 1/d), with each digit's chi-square
+    contribution. One bounded fold (9 partial rows per batch); the digit
+    is read from the integer-cents decimal string so engine and oracle
+    extract it identically (no float log10 edge cases)."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["o_totalprice"].to_numpy(np.float64)
+                         * 100.0).astype(np.int64)
+        cents = cents[cents > 0]
+        d = pd.Series(cents).astype(str).str[0].astype(np.int64)
+        return pd.DataFrame({"digit": d, "n": 1.0}).groupby(
+            "digit", as_index=False).sum()
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["digit"], {"n": "sum"})
+    m = m.set_index("digit")["n"].reindex(range(1, 10), fill_value=0.0)
+    total = float(m.sum())
+    digits = np.arange(1, 10)
+    freq = m.to_numpy(np.float64) / total
+    expected = np.log10(1.0 + 1.0 / digits)
+    chi2 = total * (freq - expected) ** 2 / expected
+    return pd.DataFrame({
+        "digit": digits.astype(np.int64),
+        "n": m.to_numpy(np.int64),
+        "freq": rnd(freq, 6),
+        "expected": rnd(expected, 6),
+        "chi2_part": rnd(chi2, 6),
+    })
+
+
 def q_topk_docs_per_source(sf_dir: str):
     """Per-domain best-k selection (stages/stats.topk_per_group): the 5
     longest documents per source with a dense 1..k rank — the "keep the
@@ -6160,6 +6225,8 @@ QUERIES = {
     "deterministic_shuffle_documents": q_deterministic_shuffle_documents,
     "exact_dedup_documents": q_exact_dedup_documents,
     "topk_docs_per_source": q_topk_docs_per_source,
+    "fd_audit_documents": q_fd_audit_documents,
+    "benford_orders": q_benford_orders,
     "token_count_documents": q_token_count_documents,
     "vocab_documents": q_vocab_documents,
     "zipf_documents": q_zipf_documents,
