@@ -2072,6 +2072,25 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT coalesce(text, '') AS text FROM documents)
             GROUP BY md5(text) HAVING count(*) >= 2
         """,
+        "disorder_audit_events": """
+            -- event-time disorder per user: running max ts over arrival
+            -- order (event_id); lateness in exact integer epoch-us
+            WITH w AS (
+                SELECT user_id, epoch_us(ts) AS us,
+                       max(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev_max
+                FROM events)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) FILTER (WHERE us < prev_max)
+                        AS BIGINT) AS n_late,
+                   round(coalesce(max(CASE WHEN us < prev_max
+                                           THEN prev_max - us END), 0)
+                         / 1000000.0, 6) AS max_late_s
+            FROM w GROUP BY user_id ORDER BY user_id
+        """,
         "fd_audit_documents": """
             -- functional-dependency audit: source -> lang, with witness
             -- min/max values for violated sources

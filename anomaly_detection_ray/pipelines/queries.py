@@ -1826,6 +1826,38 @@ def q_events_hourly(sf_dir: str):
 
 # ------------------------------------------------------------ text / dedup
 
+def q_disorder_audit_events(sf_dir: str):
+    """Event-time disorder audit per user: how often does an event arrive
+    (arrival order = event_id) with a timestamp OLDER than the running
+    event-time maximum, and by how much — exactly the statistic that
+    sizes a streaming watermark (sources/streaming.allowed_lateness_s:
+    any max_late_s above it means silently dropped rows). Rides the
+    series partitioning contract (groupby(user).map_groups, one user per
+    task); lateness is exact integer epoch-us arithmetic so the seconds
+    round is association-proof. DuckDB running-max window oracle."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id", kind="mergesort")
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        prev_max = np.empty(len(us), dtype=np.int64)
+        prev_max[0] = np.iinfo(np.int64).min  # first row: nothing earlier
+        np.maximum.accumulate(us[:-1], out=prev_max[1:])
+        late = us < prev_max
+        max_late_us = int((prev_max - us)[late].max()) if late.any() else 0
+        return pd.DataFrame({
+            "user_id": [np.int64(g["user_id"].iloc[0])],
+            "n": [np.int64(len(g))],
+            "n_late": [np.int64(late.sum())],
+            "max_late_s": [round(max_late_us / 1_000_000.0, 6)]})
+
+    out = (ds.groupby("user_id")
+             .map_groups(per_user, batch_format="pandas")).to_pandas()
+    for c in ("user_id", "n", "n_late"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_fd_audit_documents(sf_dir: str):
     """Functional-dependency audit: does source -> lang hold? The classic
     schema-constraint check (one LHS value must map to exactly one RHS
@@ -6227,6 +6259,7 @@ QUERIES = {
     "topk_docs_per_source": q_topk_docs_per_source,
     "fd_audit_documents": q_fd_audit_documents,
     "benford_orders": q_benford_orders,
+    "disorder_audit_events": q_disorder_audit_events,
     "token_count_documents": q_token_count_documents,
     "vocab_documents": q_vocab_documents,
     "zipf_documents": q_zipf_documents,
