@@ -106,7 +106,14 @@ def group_stats_apply(fact_ds, stats, key: str, stat_cols: list[str],
                                else [])
     cols = [*carry, *stat_cols, _TAG]
     sch = fact_ds.schema()
-    fact_np = {n: t.to_pandas_dtype()
+
+    def _np_type(t):
+        try:
+            return t.to_pandas_dtype()   # pyarrow DataType
+        except AttributeError:
+            return t                     # already a python/numpy type
+
+    fact_np = {n: _np_type(t)
                for n, t in zip(sch.names, sch.types) if n in carry}
 
     def _sentinel(n_rows: int, dtype):

@@ -417,3 +417,59 @@ def test_encoding_audit_predicate_parity():
       sum(CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END)
       FROM d""").fetchone()
     assert eng == tuple(int(x) for x in want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.data())
+def test_stats_apply_regimes_agree_any_frame(ray_session, data):
+    """For ANY fact frame (random key cardinality, NaN values, string or
+    int keys, keys with no stats row) the broadcast and join regimes of
+    group_stats_apply must produce identical output — the elementwise-
+    kernel contract, stressed far beyond the curated gate shapes."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.stats_apply import group_stats_apply
+
+    n = data.draw(st.integers(5, 60))
+    n_keys = data.draw(st.integers(1, 6))
+    str_keys = data.draw(st.booleans())
+    rng_seed = data.draw(st.integers(0, 2**31))
+    rng = np.random.default_rng(rng_seed)
+    keys = rng.integers(0, n_keys, size=n)
+    if str_keys:
+        key_vals = np.array([f"k{i}" for i in range(n_keys)])[keys]
+    else:
+        key_vals = keys.astype(np.int64)
+    vals = rng.normal(size=n)
+    vals[rng.random(n) < 0.2] = np.nan
+    fact = pd.DataFrame({"rid": np.arange(n, dtype=np.int64),
+                         "k": key_vals, "value": vals})
+
+    # stats for a SUBSET of keys (some facts have no stats row)
+    present = sorted(set(np.unique(keys)) - {n_keys - 1})
+    stats = pd.DataFrame({
+        "k": (np.array([f"k{i}" for i in present], dtype=object)
+              if str_keys else np.array(present, dtype=np.int64)),
+        "mu": rng.normal(size=len(present)),
+        "sd": np.abs(rng.normal(size=len(present))) + 0.01})
+    if data.draw(st.booleans()):
+        stats.loc[stats.index[:1], "sd"] = 0.0  # zero-variance group
+
+    def kernel(v, mu, sd):
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (v - mu) / np.where(sd == 0.0, np.nan, sd)
+        return {"z": z}
+
+    outs = {}
+    for mode in ("broadcast", "join"):
+        ds = rd.from_pandas(fact).repartition(3)
+        res = group_stats_apply(ds, stats, "k", ["mu", "sd"],
+                                ["rid", "k"], kernel, mode=mode)
+        outs[mode] = (res.to_pandas().sort_values("rid")
+                      .reset_index(drop=True))
+    a, b = outs["broadcast"], outs["join"]
+    assert (a["rid"].to_numpy() == b["rid"].to_numpy()).all()
+    za, zb = a["z"].to_numpy(np.float64), b["z"].to_numpy(np.float64)
+    na, nb = np.isnan(za), np.isnan(zb)
+    assert (na == nb).all()
+    assert (za[~na] == zb[~nb]).all()  # bit-equal
