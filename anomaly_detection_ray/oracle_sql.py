@@ -2072,6 +2072,47 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT coalesce(text, '') AS text FROM documents)
             GROUP BY md5(text) HAVING count(*) >= 2
         """,
+        "independence_audit_events": """
+            -- Pearson chi-square independence of event_type x weekday;
+            -- weekday from the same integer epoch-day floor as the
+            -- engine (epoch day 0 = Thursday)
+            WITH c AS (
+                SELECT event_type,
+                       ((epoch_us(ts) // 86400000000) + 4) % 7 AS weekday,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2),
+            t AS (SELECT sum(n) AS total FROM c)
+            SELECT c.event_type,
+                   CAST(c.weekday AS BIGINT) AS weekday,
+                   CAST(c.n AS BIGINT) AS n,
+                   round(sum(c.n) OVER (PARTITION BY c.event_type)
+                         * sum(c.n) OVER (PARTITION BY c.weekday)
+                         / t.total, 6) AS expected,
+                   round(pow(c.n - sum(c.n) OVER (PARTITION BY c.event_type)
+                                   * sum(c.n) OVER (PARTITION BY c.weekday)
+                                   / t.total, 2)
+                         / (sum(c.n) OVER (PARTITION BY c.event_type)
+                            * sum(c.n) OVER (PARTITION BY c.weekday)
+                            / t.total), 6) AS chi2_part
+            FROM c, t ORDER BY c.event_type, c.weekday
+        """,
+        "coverage_audit_events": """
+            -- temporal completeness per type: present vs expected hour
+            -- slots between first and last event; integer epoch-us hour
+            -- floors identical to the engine
+            WITH h AS (SELECT DISTINCT event_type,
+                              epoch_us(ts) // 3600000000 AS hour
+                       FROM events)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS hours_present,
+                   CAST(max(hour) - min(hour) + 1 AS BIGINT)
+                       AS hours_expected,
+                   CAST(max(hour) - min(hour) + 1 - count(*) AS BIGINT)
+                       AS hours_missing,
+                   round(100.0 * count(*) / (max(hour) - min(hour) + 1),
+                         6) AS coverage_pct
+            FROM h GROUP BY event_type ORDER BY event_type
+        """,
         "disorder_audit_events": """
             -- event-time disorder per user: running max ts over arrival
             -- order (event_id); lateness in exact integer epoch-us

@@ -1826,6 +1826,79 @@ def q_events_hourly(sf_dir: str):
 
 # ------------------------------------------------------------ text / dedup
 
+def q_independence_audit_events(sf_dir: str):
+    """Chi-square independence audit of event_type x weekday (Pearson
+    1900): is traffic mix stable across days of the week, or does some
+    type cluster on particular days — the categorical twin of the
+    value-drift tests. One bounded fold of (type, weekday) counts (<=
+    types x 7 rows regardless of input size); expected counts from the
+    marginals and per-cell chi-square contributions on the driver.
+    Weekday from the same integer epoch-day floor both sides (epoch day
+    0 = Thursday, so weekday = (day + 4) % 7 with Monday = 0)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    DAY_US = np.int64(86_400_000_000)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        wd = ((us // DAY_US) + 4) % 7
+        return (pd.DataFrame({"event_type": df["event_type"],
+                              "weekday": wd, "n": 1.0})
+                .groupby(["event_type", "weekday"], as_index=False).sum())
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["event_type", "weekday"], {"n": "sum"})
+    total = float(m["n"].sum())
+    row_tot = m.groupby("event_type")["n"].sum()
+    col_tot = m.groupby("weekday")["n"].sum()
+    m = m.sort_values(["event_type", "weekday"]).reset_index(drop=True)
+    exp = (row_tot.loc[m["event_type"]].to_numpy(np.float64)
+           * col_tot.loc[m["weekday"]].to_numpy(np.float64) / total)
+    obs = m["n"].to_numpy(np.float64)
+    return pd.DataFrame({
+        "event_type": m["event_type"],
+        "weekday": m["weekday"].astype("int64"),
+        "n": obs.astype(np.int64),
+        "expected": rnd(exp, 6),
+        "chi2_part": rnd((obs - exp) ** 2 / exp, 6)})
+
+
+def q_coverage_audit_events(sf_dir: str):
+    """Temporal completeness audit per event type: of the hour slots
+    between a type's first and last event, how many actually contain
+    data? Missing hours are the silent failure mode of ingestion
+    pipelines (a dead producer looks exactly like this), and coverage
+    belongs in the validation vocabulary next to uniqueness/referential.
+    Scale shape: per-batch distinct (type, hour) partials (bounded by
+    types x hours, not rows) -> one fold -> tiny per-type driver table;
+    hour ids are exact integer epoch-us floors both sides. DuckDB
+    generate_series oracle."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    HOUR_US = np.int64(3_600_000_000)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        out = pd.DataFrame({"event_type": df["event_type"],
+                            "hour": us // HOUR_US})
+        return out.drop_duplicates()
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas")
+                .map_batches(lambda df: df.assign(one=1.0),
+                             batch_format="pandas"),
+              ["event_type", "hour"], {"one": "max"})
+    rows = []
+    for et, g in m.groupby("event_type"):
+        h = g["hour"].to_numpy(np.int64)
+        span = int(h.max() - h.min()) + 1
+        present = len(np.unique(h))
+        rows.append({"event_type": et,
+                     "hours_present": np.int64(present),
+                     "hours_expected": np.int64(span),
+                     "hours_missing": np.int64(span - present),
+                     "coverage_pct": round(100.0 * present / span, 6)})
+    return (pd.DataFrame(rows).sort_values("event_type")
+            .reset_index(drop=True))
+
+
 def q_disorder_audit_events(sf_dir: str):
     """Event-time disorder audit per user: how often does an event arrive
     (arrival order = event_id) with a timestamp OLDER than the running
@@ -6260,6 +6333,8 @@ QUERIES = {
     "fd_audit_documents": q_fd_audit_documents,
     "benford_orders": q_benford_orders,
     "disorder_audit_events": q_disorder_audit_events,
+    "coverage_audit_events": q_coverage_audit_events,
+    "independence_audit_events": q_independence_audit_events,
     "token_count_documents": q_token_count_documents,
     "vocab_documents": q_vocab_documents,
     "zipf_documents": q_zipf_documents,
