@@ -2072,6 +2072,22 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT coalesce(text, '') AS text FROM documents)
             GROUP BY md5(text) HAVING count(*) >= 2
         """,
+        "interarrival_audit_events": """
+            -- per-user inter-arrival gaps in (ts, event_id) order;
+            -- quantile_cont == np.quantile linear interpolation
+            WITH g AS (
+                SELECT user_id,
+                       (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id)) / 1000000.0 AS gap
+                FROM events)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(quantile_cont(gap, 0.5), 6) AS median_gap_s,
+                   round(quantile_cont(gap, 0.95), 6) AS p95_gap_s,
+                   round(max(gap), 6) AS max_gap_s
+            FROM g GROUP BY user_id ORDER BY user_id
+        """,
         "independence_audit_events": """
             -- Pearson chi-square independence of event_type x weekday;
             -- weekday from the same integer epoch-day floor as the

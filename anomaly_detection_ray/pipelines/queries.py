@@ -1826,6 +1826,41 @@ def q_events_hourly(sf_dir: str):
 
 # ------------------------------------------------------------ text / dedup
 
+def q_interarrival_audit_events(sf_dir: str):
+    """Inter-arrival gap audit per user: median / p95 / max gap between
+    consecutive events in event-time order — the rate-stability check
+    behind heartbeat monitoring (a producer whose p95 gap blows out is
+    degrading long before it flat-lines). Rides the series partitioning
+    contract (one user per task); gaps are exact integer epoch-us
+    differences ordered by (ts, event_id) so both sides cut identical
+    quantiles (np.quantile linear interpolation == DuckDB
+    quantile_cont)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        gaps = np.diff(us) / 1_000_000.0
+        if len(gaps) == 0:
+            med = p95 = mx = np.nan
+        else:
+            med = float(np.quantile(gaps, 0.5))
+            p95 = float(np.quantile(gaps, 0.95))
+            mx = float(gaps.max())
+        return pd.DataFrame({
+            "user_id": [np.int64(g["user_id"].iloc[0])],
+            "n": [np.int64(len(g))],
+            "median_gap_s": [float(np.round(med, 6))],
+            "p95_gap_s": [float(np.round(p95, 6))],
+            "max_gap_s": [float(np.round(mx, 6))]})
+
+    out = (ds.groupby("user_id")
+             .map_groups(per_user, batch_format="pandas")).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_independence_audit_events(sf_dir: str):
     """Chi-square independence audit of event_type x weekday (Pearson
     1900): is traffic mix stable across days of the week, or does some
@@ -6335,6 +6370,7 @@ QUERIES = {
     "disorder_audit_events": q_disorder_audit_events,
     "coverage_audit_events": q_coverage_audit_events,
     "independence_audit_events": q_independence_audit_events,
+    "interarrival_audit_events": q_interarrival_audit_events,
     "token_count_documents": q_token_count_documents,
     "vocab_documents": q_vocab_documents,
     "zipf_documents": q_zipf_documents,
