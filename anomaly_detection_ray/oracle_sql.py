@@ -2072,6 +2072,23 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT coalesce(text, '') AS text FROM documents)
             GROUP BY md5(text) HAVING count(*) >= 2
         """,
+        "double_fire_audit_events": """
+            -- same-(user, type) events < 60 s apart in (ts, event_id)
+            -- order: burst count + tightest observed gap per series
+            WITH g AS (
+                SELECT user_id, event_type,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS gap_us
+                FROM events)
+            SELECT user_id, event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) FILTER (WHERE gap_us < 60000000)
+                        AS BIGINT) AS n_double,
+                   round(min(gap_us) / 1000.0, 6) AS min_gap_ms
+            FROM g GROUP BY user_id, event_type
+            ORDER BY user_id, event_type
+        """,
         "interarrival_audit_events": """
             -- per-user inter-arrival gaps in (ts, event_id) order;
             -- quantile_cont == np.quantile linear interpolation

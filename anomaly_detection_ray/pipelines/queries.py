@@ -1826,6 +1826,39 @@ def q_events_hourly(sf_dir: str):
 
 # ------------------------------------------------------------ text / dedup
 
+def q_double_fire_audit_events(sf_dir: str):
+    """Double-fire audit: events of the SAME user and type landing
+    within 1 s of the previous one — the at-least-once-producer /
+    retry-storm signature (distinct from exact dedup: ids differ, the
+    content repeats). Per (user, type) series scan in (ts, event_id)
+    order; the <60 s burst threshold in exact integer epoch-us. One row
+    per series — n_double 0 for healthy producers, plus the tightest gap
+    observed at all (the margin to the threshold). Lag-window oracle."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type",
+                                  "ts"])
+    LIMIT_US = np.int64(60_000_000)
+
+    def per_series(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        gaps = np.diff(us)
+        hit = gaps < LIMIT_US
+        min_gap = (round(int(gaps.min()) / 1000.0, 6) if len(gaps)
+                   else np.nan)
+        return pd.DataFrame({
+            "user_id": [np.int64(g["user_id"].iloc[0])],
+            "event_type": [g["event_type"].iloc[0]],
+            "n": [np.int64(len(g))],
+            "n_double": [np.int64(hit.sum())],
+            "min_gap_ms": [min_gap]})
+
+    return ((ds.groupby(["user_id", "event_type"])
+               .map_groups(per_series, batch_format="pandas"))
+            .to_pandas()
+            .sort_values(["user_id", "event_type"])
+            .reset_index(drop=True))
+
+
 def q_interarrival_audit_events(sf_dir: str):
     """Inter-arrival gap audit per user: median / p95 / max gap between
     consecutive events in event-time order — the rate-stability check
@@ -6371,6 +6404,7 @@ QUERIES = {
     "coverage_audit_events": q_coverage_audit_events,
     "independence_audit_events": q_independence_audit_events,
     "interarrival_audit_events": q_interarrival_audit_events,
+    "double_fire_audit_events": q_double_fire_audit_events,
     "token_count_documents": q_token_count_documents,
     "vocab_documents": q_vocab_documents,
     "zipf_documents": q_zipf_documents,
