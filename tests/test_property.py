@@ -473,3 +473,45 @@ def test_stats_apply_regimes_agree_any_frame(ray_session, data):
     na, nb = np.isnan(za), np.isnan(zb)
     assert (na == nb).all()
     assert (za[~na] == zb[~nb]).all()  # bit-equal
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.data())
+def test_topk_per_group_matches_pandas_any_frame(ray_session, data):
+    """For ANY frame and k: topk_per_group equals the pandas
+    sort+head+rank reference, at any partition count (the local-candidate
+    contract must be batch-boundary-invariant), including heavy ties and
+    groups smaller than k."""
+    import ray.data as rd
+
+    from anomaly_detection_ray.stages.stats import topk_per_group
+
+    n = data.draw(st.integers(1, 80))
+    n_keys = data.draw(st.integers(1, 5))
+    k = data.draw(st.integers(1, 6))
+    tie_span = data.draw(st.integers(1, 4))  # small span => many ties
+    seed = data.draw(st.integers(0, 2**31))
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "rid": np.arange(n, dtype=np.int64),
+        "grp": rng.integers(0, n_keys, size=n).astype(np.int64),
+        "score": rng.integers(0, tie_span, size=n).astype(np.int64)})
+
+    want = (df.sort_values(["score", "rid"], ascending=[False, True],
+                           kind="mergesort")
+            .groupby("grp", sort=True).head(k)
+            .sort_values(["grp", "score", "rid"],
+                         ascending=[True, False, True])
+            .reset_index(drop=True))
+
+    parts = data.draw(st.sampled_from([1, 3, 7]))
+    got = (topk_per_group(rd.from_pandas(df).repartition(parts),
+                          "grp", "score", k=k, tiebreak="rid")
+           .to_pandas()
+           .sort_values(["grp", "score", "rid"],
+                        ascending=[True, False, True])
+           .reset_index(drop=True))
+    assert (got["rid"].to_numpy() == want["rid"].to_numpy()).all()
+    # rank is dense 1..k within each group in (score DESC, rid) order
+    for _, g in got.sort_values(["grp", "rk"]).groupby("grp"):
+        assert (g["rk"].to_numpy() == np.arange(1, len(g) + 1)).all()
