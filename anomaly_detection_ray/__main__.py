@@ -149,8 +149,12 @@ def _validate_clips_mode(args) -> int:
     v = res["verdicts"]
     print(v.to_string(index=False))
     n_failed = int((~v["pass"]).sum()) if len(v) else 0
-    print(f"{len(v)} partitions, {n_failed} failed; "
-          f"violations + manifest under {args.out}")
+    from anomaly_detection_ray.pipelines.report import (write_html_report,
+                                                        write_report)
+    write_report(args.out)
+    write_html_report(args.out)
+    print(f"{len(v)} partitions, {n_failed} failed; violations + manifest "
+          f"+ _report.md/.html under {args.out}")
     return 1 if n_failed else 0
 
 

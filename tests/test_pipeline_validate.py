@@ -264,6 +264,17 @@ def test_report_sink(run):
                  if k.startswith("tc:"))
     assert got_tc == n_tc
 
+    # HTML report: one bar + hover tooltip per partition, status chips
+    # with icon+label, and the per-partition table view
+    from anomaly_detection_ray.pipelines.report import write_html_report
+    html = open(write_html_report(run["out"])).read()
+    n_parts = len(manifest["partitions"])
+    assert html.count('class="bar"') <= n_parts  # zero-violation bars skip
+    # hover tooltip per slot (+1: the document <title> in <head>)
+    assert html.count("<title>") == n_parts + 1
+    assert html.count("<tr>") == n_parts + 1     # header + one per part
+    assert "chip-" in html and "✓" in html or "✕" in html
+
 
 def test_loudness_gate_optional(clip_path, tmp_path, ray_session):
     """loudness_bounds grades inside the fidelity decode: default off
