@@ -323,7 +323,9 @@ def test_mahalanobis_flags_correlated_outlier(ray_session):
     with tempfile.TemporaryDirectory() as d:
         df.to_parquet(os.path.join(d, "embeddings.parquet"))
         got = q_mahalanobis_embeddings(d).to_pandas()
-    s = got.set_index("vec_id")["maha_sq"]
+    # streamed Dataset: block order is not row order — canonical sort is
+    # consumer-side, exactly like the gate comparer
+    s = got.set_index("vec_id")["maha_sq"].sort_index()
     assert s[301] > 20 * s[300]          # low-variance escape dominates
     assert s[301] == s.max()
     # parity with the closed form on the same data
