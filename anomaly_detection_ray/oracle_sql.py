@@ -2129,6 +2129,32 @@ def oracle_sql() -> dict[str, str]:
                             / t.total), 6) AS chi2_part
             FROM c, t ORDER BY c.event_type, c.weekday
         """,
+        "json_props_audit_events": """
+            -- JSON payload conformance + k-field stats per type; the
+            -- integer-k predicate mirrors the engine's isinstance(int)
+            WITH p AS (
+                SELECT event_type, props,
+                       props IS NOT NULL AND json_valid(props) AS valid,
+                       CASE WHEN props IS NOT NULL AND json_valid(props)
+                                 AND json_type(props, '$.k') IN
+                                     ('INTEGER', 'UBIGINT', 'BIGINT')
+                            THEN CAST(json_extract(props, '$.k')
+                                      AS BIGINT) END AS k
+                FROM events)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) FILTER (WHERE valid) AS BIGINT)
+                       AS n_valid,
+                   CAST(count(*) FILTER (WHERE props IS NOT NULL
+                                           AND NOT json_valid(props))
+                        AS BIGINT) AS n_malformed,
+                   CAST(count(*) FILTER (WHERE valid AND k IS NULL)
+                        AS BIGINT) AS n_missing_k,
+                   CAST(min(k) AS BIGINT) AS k_min,
+                   CAST(max(k) AS BIGINT) AS k_max,
+                   round(avg(k), 6) AS k_mean
+            FROM p GROUP BY event_type ORDER BY event_type
+        """,
         "coverage_audit_events": """
             -- temporal completeness per type: present vs expected hour
             -- slots between first and last event; integer epoch-us hour

@@ -1930,6 +1930,65 @@ def q_independence_audit_events(sf_dir: str):
         "chi2_part": rnd((obs - exp) ** 2 / exp, 6)})
 
 
+def q_json_props_audit_events(sf_dir: str):
+    """Semi-structured payload audit of events.props: parse rate, the
+    extracted `k` field's range/mean per event type — the JSON-column
+    conformance check every event pipeline needs before trusting a
+    nested field (malformed payloads and missing keys are counted, not
+    crashed on). json.loads per record is genuinely per-item parse work
+    (the codec-kernel class); everything after it folds as bounded
+    per-type partials. DuckDB json_valid/json_extract oracle."""
+    import json as _json
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ks, ok, bad, nk = [], [], [], []
+        for s in df["props"]:
+            if not isinstance(s, str):
+                ks.append(np.nan); ok.append(0); bad.append(0); nk.append(0)
+                continue
+            try:
+                v = _json.loads(s)
+            except ValueError:
+                ks.append(np.nan); ok.append(0); bad.append(1); nk.append(0)
+                continue
+            # bool is an int subclass in Python but BOOLEAN in JSON —
+            # exclude it so the predicate matches the oracle's json_type
+            if (isinstance(v, dict) and isinstance(v.get("k"), int)
+                    and not isinstance(v.get("k"), bool)):
+                ks.append(float(v["k"])); ok.append(1)
+                bad.append(0); nk.append(0)
+            else:
+                ks.append(np.nan); ok.append(1); bad.append(0); nk.append(1)
+        t = pd.DataFrame({"event_type": df["event_type"],
+                          "n": 1.0, "n_valid": np.array(ok, np.float64),
+                          "n_malformed": np.array(bad, np.float64),
+                          "n_missing_k": np.array(nk, np.float64),
+                          "k_sum": np.nan_to_num(np.array(ks)),
+                          "k_min": ks, "k_max": ks})
+        return t.groupby("event_type", as_index=False).agg(
+            {"n": "sum", "n_valid": "sum", "n_malformed": "sum",
+             "n_missing_k": "sum", "k_sum": "sum", "k_min": "min",
+             "k_max": "max"})
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["event_type"], {"n": "sum", "n_valid": "sum",
+                               "n_malformed": "sum", "n_missing_k": "sum",
+                               "k_sum": "sum", "k_min": "min",
+                               "k_max": "max"})
+    n_k = m["n_valid"] - m["n_missing_k"]
+    out = pd.DataFrame({
+        "event_type": m["event_type"],
+        "n": m["n"].astype("int64"),
+        "n_valid": m["n_valid"].astype("int64"),
+        "n_malformed": m["n_malformed"].astype("int64"),
+        "n_missing_k": m["n_missing_k"].astype("int64"),
+        "k_min": m["k_min"].astype("int64"),
+        "k_max": m["k_max"].astype("int64"),
+        "k_mean": rnd(m["k_sum"] / n_k, 6)})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_coverage_audit_events(sf_dir: str):
     """Temporal completeness audit per event type: of the hour slots
     between a type's first and last event, how many actually contain
@@ -6402,6 +6461,7 @@ QUERIES = {
     "benford_orders": q_benford_orders,
     "disorder_audit_events": q_disorder_audit_events,
     "coverage_audit_events": q_coverage_audit_events,
+    "json_props_audit_events": q_json_props_audit_events,
     "independence_audit_events": q_independence_audit_events,
     "interarrival_audit_events": q_interarrival_audit_events,
     "double_fire_audit_events": q_double_fire_audit_events,
