@@ -62,6 +62,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--key-col", default=None,
                    help="series key column for data-parallel ordered scoring "
                         "(default: one global stream, reference semantics)")
+    p.add_argument("--report", default=None, metavar="RUN_DIR",
+                   help="re-render _report.md/.json/.html from a finished "
+                        "--validate-clips output directory (reads only the "
+                        "manifest + violations; no revalidation)")
     p.add_argument("--validate-clips", default=None, metavar="TABLE",
                    help="flagship clip-table validation over this "
                         "Parquet/Lance dir (the `ray job submit` "
@@ -79,10 +83,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
     n_modes = sum(x is not None for x in
-                  (args.config, args.expect_suite, args.validate_clips))
+                  (args.config, args.expect_suite, args.validate_clips,
+                   args.report))
     if n_modes != 1:
-        p.error("exactly one of -c/--config, --expect-suite or "
-                "--validate-clips is required")
+        p.error("exactly one of -c/--config, --expect-suite, "
+                "--validate-clips or --report is required")
 
     import ray
     if not ray.is_initialized():
@@ -91,6 +96,13 @@ def main(argv: list[str] | None = None) -> int:
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
+    if args.report:
+        from anomaly_detection_ray.pipelines.report import (
+            write_html_report, write_report)
+        md = write_report(args.report)
+        html = write_html_report(args.report)
+        print(f"re-rendered {md} and {html}")
+        return 0
     if args.validate_clips:
         return _validate_clips_mode(args)
     if args.expect_suite:
