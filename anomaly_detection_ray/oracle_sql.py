@@ -2129,6 +2129,20 @@ def oracle_sql() -> dict[str, str]:
                             / t.total), 6) AS chi2_part
             FROM c, t ORDER BY c.event_type, c.weekday
         """,
+        "freshness_audit_events": """
+            -- per-type staleness vs the table's own frontier (no
+            -- wall-clock dependence); exact integer epoch-us lag
+            WITH m AS (SELECT event_type,
+                              max(epoch_us(ts)) AS last_us,
+                              count(*) AS n
+                       FROM events GROUP BY event_type),
+            f AS (SELECT max(last_us) AS frontier FROM m)
+            SELECT m.event_type,
+                   CAST(m.n AS BIGINT) AS n,
+                   CAST(m.last_us AS BIGINT) AS last_us,
+                   round((f.frontier - m.last_us) / 1000000.0, 6) AS lag_s
+            FROM m, f ORDER BY m.event_type
+        """,
         "json_props_audit_events": """
             -- JSON payload conformance + k-field stats per type; the
             -- integer-k predicate mirrors the engine's isinstance(int)

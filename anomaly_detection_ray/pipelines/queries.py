@@ -1930,6 +1930,34 @@ def q_independence_audit_events(sf_dir: str):
         "chi2_part": rnd((obs - exp) ** 2 / exp, 6)})
 
 
+def q_freshness_audit_events(sf_dir: str):
+    """Staleness audit per event type: how far does each type's newest
+    event lag behind the table's global newest — the stale-producer
+    detector (a type whose lag grows run over run has quietly stopped
+    emitting; measured against the data's own frontier, so no wall-clock
+    dependence and fully deterministic). One bounded fold of per-type
+    (max ts, count) partials; lag in exact integer epoch-us."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        t = pd.DataFrame({"event_type": df["event_type"], "us": us,
+                          "n": 1.0})
+        return t.groupby("event_type", as_index=False).agg(
+            {"us": "max", "n": "sum"})
+
+    m = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["event_type"], {"us": "max", "n": "sum"})
+    frontier = int(m["us"].max())
+    out = pd.DataFrame({
+        "event_type": m["event_type"],
+        "n": m["n"].astype("int64"),
+        "last_us": m["us"].astype("int64"),
+        "lag_s": np.round((frontier - m["us"].to_numpy(np.int64))
+                          / 1_000_000.0, 6)})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_json_props_audit_events(sf_dir: str):
     """Semi-structured payload audit of events.props: parse rate, the
     extracted `k` field's range/mean per event type — the JSON-column
@@ -6462,6 +6490,7 @@ QUERIES = {
     "disorder_audit_events": q_disorder_audit_events,
     "coverage_audit_events": q_coverage_audit_events,
     "json_props_audit_events": q_json_props_audit_events,
+    "freshness_audit_events": q_freshness_audit_events,
     "independence_audit_events": q_independence_audit_events,
     "interarrival_audit_events": q_interarrival_audit_events,
     "double_fire_audit_events": q_double_fire_audit_events,
